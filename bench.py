@@ -1,0 +1,63 @@
+"""Benchmark runner — driver contract.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly
+one JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a count over its result (no
+collect of wide payloads to the driver — at 100 TB the result of a
+headline query is still an aggregate, so count() forces the whole
+plan while keeping driver traffic constant).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from filesystemagent_spark.queries import registry  # noqa: E402
+from filesystemagent_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("filesystemagent-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n, q in sorted(registry().items()) if q.headline]
+    queries = registry()
+
+    # Warm the JVM/codegen/scan path once so per-query numbers measure
+    # the plans, not first-touch JIT + parquet footer reads.
+    queries[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        queries[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

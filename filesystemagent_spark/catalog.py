@@ -1,0 +1,80 @@
+"""Table catalog over a directory of parquet tables.
+
+The reference keeps its catalog in SQLite
+(/root/reference/src/file_indexing_system.py:35-56); here the catalog
+is just schema-on-read parquet — the layout that scales to 100 TB
+(partition pruning + column pruning + predicate pushdown all reach the
+scan). Tables are cached DataFrame handles, not materialized data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXTRA_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
+
+# Tables whose parquet timestamps are NANOS-precision (see table()).
+_NANO_TS_COLS = {"events": ("ts",)}
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (region=5 rows, nation=25 at every SF; supplier/part grow
+# sub-linearly vs lineitem). Fact tables must never be broadcast.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+
+class Catalog:
+    """Lazy handle set over ``{sf_dir}/{table}.parquet``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+        # Deterministic timestamp rendering even under a caller-provided
+        # session (the driver builds its own): parquet timestamps are
+        # naive, so formatting must not shift with a local timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            if name in _NANO_TS_COLS:
+                # Parquet TIMESTAMP(NANOS) is unreadable by Spark's
+                # native reader; ingest as int64 nanos and truncate to
+                # microsecond timestamps (integer div — these values
+                # exceed double precision). Runtime-settable, so this
+                # also works under a driver-provided session.
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = self.spark.read.parquet(path)
+                for col in _NANO_TS_COLS[name]:
+                    if isinstance(df.schema[col].dataType, ST.LongType):
+                        df = df.withColumn(
+                            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+                        )
+                self._cache[name] = df
+            else:
+                self._cache[name] = self.spark.read.parquet(path)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in ALL_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, tables: tuple[str, ...] = ALL_TABLES) -> None:
+        """Expose tables as temp views for the SQL surface."""
+        for name in tables:
+            self.table(name).createOrReplaceTempView(name)

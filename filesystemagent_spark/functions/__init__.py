@@ -1,0 +1,1 @@
+"""Column-expression function library (SURVEY.md §2.7)."""

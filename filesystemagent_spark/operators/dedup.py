@@ -1,0 +1,232 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Reference semantics being re-expressed:
+- exact dedup group-by/having (/root/reference/src/file_indexing_system.py:258-268, A1)
+- keep-oldest policy (:274-279 + templates/duplicate_detection.yaml:74, W5)
+- near-dup clustering, which the reference does as an O(n²) pairwise
+  loop (/root/reference/src/media_fingerprinting.py:278-310) and which
+  MUST become banded LSH at scale (SURVEY.md §7.3 phase 7): candidate
+  generation is a shuffle on band keys — O(n·bands) — and only
+  candidates pay the exact-verification cost.
+
+Skew note: a degenerate band bucket (e.g. boilerplate docs) would make
+the self-join quadratic in that bucket. `max_bucket` caps bucket size;
+at 100 TB you'd also salt the band key. AQE skew-join splitting covers
+moderate skew automatically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.functions import hashing as H
+from filesystemagent_spark.functions import text as T
+
+
+def duplicate_groups(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-duplicate groups: GROUP BY keys HAVING COUNT(*) >= n.
+
+    Returns keys + ``n_dups`` + ``first_id`` (min id = deterministic
+    canonical representative). Map-side partial aggregation makes this
+    one shuffle of (keys → partial counts), not of the data.
+    """
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("first_id"))
+        .filter(F.col("n_dups") >= min_count)
+    )
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str], order: Sequence[Column]) -> DataFrame:
+    """Drop duplicates keeping one deterministic row per key group —
+    the keep-oldest policy generalized (order decides the keeper)."""
+    from filesystemagent_spark.operators.relational import keep_first
+
+    return keep_first(df, keys, order)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
+
+    Pipeline (all shuffles are on small derived keys, never full text):
+      1. shingle each doc (word n-grams), MinHash-sign it;
+      2. explode band keys, self-join per bucket → candidate pairs;
+      3. verify candidates with exact Jaccard over distinct shingle
+         sets; keep pairs with jaccard >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
+    """
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_shingles"),
+    ).filter(F.size("_shingles") > 0)
+    signed = docs.withColumn(
+        "_sig", H.minhash_signature(F.col("_shingles"), num_hashes, seed)
+    )
+
+    banded = signed.select(
+        "_id", F.explode(H.band_keys(F.col("_sig"), bands, rows_per_band)).alias("bk")
+    ).select("_id", "bk.band", "bk.band_hash")
+    # Cap pathological buckets (boilerplate collapse) before the
+    # self-join turns quadratic.
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bsz"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
+        ["band", "band_hash"],
+        "inner",
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    a = docs.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a"))
+    b = docs.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b"))
+    verified = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 32,
+    max_distance: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation blocks on prefix chunks of the fingerprint
+    (pigeonhole: at distance <= d, at least one of d+1 blocks matches
+    exactly), so the self-join is per-block, not all-pairs. Verify is
+    `bit_count(xor)` — constant time.
+
+    Returns (id_a, id_b, distance), id_a < id_b.
+    """
+    n_blocks = max_distance + 1
+    assert block_bits * n_blocks <= bits
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        H.simhash(T.tokens(F.col(text_col)), bits).alias("_fp"),
+    )
+    blocks = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("_fp"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("blk_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_fp", "b.blk", "b.blk_val")
+
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_val") == F.col("r.blk_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            H.hamming(F.col("l._fp"), F.col("r._fp")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    SQL-expressible (explode shingles → equi-join on shingle → count
+    common / union), so it doubles as the DuckDB-checkable ground
+    truth for the MinHash approximation. The shingle equi-join is the
+    scalable form of 'compare every pair': only docs sharing at least
+    one shingle ever meet.
+    """
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sizes = docs.select("_id", F.size("_sh").alias("_n"))
+    inv = docs.select("_id", F.explode("_sh").alias("shingle"))
+
+    l, r = inv.alias("l"), inv.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

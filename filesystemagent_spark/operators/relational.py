@@ -1,0 +1,114 @@
+"""Generic relational operators: top-K, ranking, snapshot diff, dedup windows.
+
+Re-expresses the reference's hand-rolled Python loops as declarative
+DataFrame transforms (SURVEY.md §2.3-2.6):
+
+- top-K:         sorted(rows, key=...)[:n]            → orderBy/limit or rank window
+                 (/root/reference/src/audit/analyzers/resource_analyzer.py:123-142)
+- snapshot diff: dict-key set difference               → anti-joins
+                 (/root/reference/src/audit/analyzers/baseline_differ.py:118-360)
+- keep-oldest:   per-group min(modified_time) keeper   → row_number window
+                 (/root/reference/src/file_indexing_system.py:274-279)
+
+Scale notes: global top-K is `orderBy(...).limit(n)` — Spark executes
+it as per-partition TakeOrdered + driver merge of n·partitions rows,
+no full sort, no shuffle of the data set. Grouped top-K is a rank
+window — one shuffle on the partition key. Anti-joins broadcast the
+smaller side automatically under AQE when it fits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-K. Pass a deterministic order (include a unique
+    tie-break column) so results are stable across engines."""
+    return df.orderBy(*order).limit(k)
+
+
+def grouped_top_k(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-K per group via row_number — the scalable form of the
+    reference's per-host sort loops. One shuffle on the group key."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def keep_first(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order: Sequence[Column],
+) -> DataFrame:
+    """Keep exactly one row per group under a deterministic order —
+    the keep-oldest dedup policy (W5). Equivalent to the reference's
+    'oldest modified_time wins' with an explicit tie-break, which the
+    reference lacks (SURVEY.md §7.5)."""
+    return grouped_top_k(df, partition_by, order, k=1)
+
+
+def snapshot_diff(
+    current: DataFrame,
+    baseline: DataFrame,
+    keys: Sequence[str],
+    null_fill: str = "",
+) -> DataFrame:
+    """Baseline diff: rows added vs removed between two snapshots.
+
+    The heart of the reference's baseline_differ (J1-J4, SO1), as a
+    pair of anti-joins with null-safe key normalization (the reference
+    coalesces None paths to "" — baseline_differ.py:123-129).
+
+    Returns the union with a ``change_type`` column ('added'/'removed')
+    and the payload columns of the side the row came from.
+    """
+
+    def norm(df: DataFrame) -> DataFrame:
+        for k in keys:
+            df = df.withColumn(k, F.coalesce(F.col(k).cast("string"), F.lit(null_fill)))
+        return df
+
+    cur, base = norm(current), norm(baseline)
+    added = cur.join(base.select(*keys), on=list(keys), how="left_anti").withColumn(
+        "change_type", F.lit("added")
+    )
+    removed = base.join(cur.select(*keys), on=list(keys), how="left_anti").withColumn(
+        "change_type", F.lit("removed")
+    )
+    return added.unionByName(removed)
+
+
+def diff_summary(diff: DataFrame, category_col: str | None = None) -> DataFrame:
+    """Per-category added/removed counts (baseline_differ.py:103-111)."""
+    group = [category_col, "change_type"] if category_col else ["change_type"]
+    return diff.groupBy(*group).agg(F.count("*").alias("n_changes"))
+
+
+def rank_by_map(
+    df: DataFrame,
+    col: str,
+    rank_map: dict[str, int],
+    rank_col: str = "rank",
+    default: int = 99,
+) -> DataFrame:
+    """Attach an explicit rank column for custom orderings — the
+    reference's severity sort CRITICAL<HIGH<... (pipeline.py:373-379)
+    is not lexicographic, so an explicit map is the only correct way
+    to order it in any engine."""
+    expr: Column = F.lit(default)
+    # Build a when-chain; for large maps a broadcast-joined dim table
+    # would be the scale path, but rank maps are tiny by construction.
+    for value, rank in rank_map.items():
+        expr = F.when(F.col(col) == value, F.lit(rank)).otherwise(expr)
+    return df.withColumn(rank_col, expr)

@@ -1,0 +1,264 @@
+"""Text-analysis + dedup queries over the `documents` table.
+
+The training-data-pipeline surface (BASELINE.json north-star):
+language ID, quality scoring, token counting, fingerprinting, and the
+dedup cascade (exact → prefix → n-gram Jaccard → MinHash LSH →
+SimHash). The SQL-expressible members carry DuckDB oracles; the LSH
+members are approximate-by-design and recorded rows-only, with their
+exact ground truth checked in tests/ against ngram_jaccard_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.functions import text as T
+from filesystemagent_spark.operators import dedup as D
+from filesystemagent_spark.queries import register
+
+# DuckDB fragments mirroring functions/text.py — kept adjacent so the
+# two tokenizer definitions evolve together.
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_hits(words) -> str:
+    return f"len(list_filter(toks, t -> list_contains({_sql_list(words)}, t)))"
+
+
+@register(
+    "doc_lang_stats",
+    tags=("agg", "text"),
+    oracle=f"""
+WITH tokd AS (
+    SELECT lang, n_chars, len({_SQL_TOKS}) AS n_tokens
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+FROM tokd
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language tag — token counting as a
+    JVM expression, aggregated. The scan reads only (lang, n_chars,
+    text); at 100 TB the tokenizer runs inside codegen, no Python."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.withColumn("n_tokens", T.token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # exact integer sum → double → IEEE divide: identical in both
+            # engines; ROUND(AVG(..)) diverges on exact rounding boundaries.
+            (F.sum(F.col("n_tokens").cast("long")).cast("double") / F.count("*")).alias("avg_tokens"),
+            (F.sum(F.col("n_chars").cast("long")).cast("double") / F.count("*")).alias("avg_chars"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_token_stats",
+    tags=("text", "projection"),
+    oracle=f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{T.WORD_RE}')) AS n_words,
+       md5(array_to_string({_SQL_TOKS}, ' ')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document projection: whitespace tokens, BPE-ish word tokens,
+    md5 fingerprint over the normalized token stream (F1/F13 analog)."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.size(T.word_tokens(F.col("text"))).alias("n_words"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_prefix_dups",
+    tags=("dedup", "agg"),
+    oracle="""
+SELECT md5(substr(text, 1, 50)) AS prefix_hash,
+       COUNT(*) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS first_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY n_dups DESC, prefix_hash
+""",
+)
+def doc_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups on a 50-char prefix hash — the A1
+    group-by/having dedup with md5 as the content key. Min-id is the
+    deterministic canonical representative (keep-first policy)."""
+    docs = Catalog(spark, sf_dir).documents.withColumn(
+        "prefix_hash", F.md5(F.substring("text", 1, 50))
+    )
+    return (
+        docs.groupBy("prefix_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("first_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_dups") >= 2)
+        .orderBy(F.col("n_dups").desc(), "prefix_hash")
+    )
+
+
+_SQL_PUNCT = "[!-/:-@\\[-`{-~]"
+
+@register(
+    "doc_quality",
+    tags=("text", "projection"),
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), scored AS (
+    SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tok,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST({ _sql_hits(T.STOPWORDS_EN) } AS DOUBLE) / len(toks) END AS sw_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+                     / length(text) END AS punct_ratio
+    FROM feats
+)
+SELECT doc_id,
+       ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+           + 0.4 * LEAST(sw_ratio * 4.0, 1.0)
+           + 0.2 * (1.0 - LEAST(punct_ratio * 2.0, 1.0)), 6) AS quality
+FROM scored
+ORDER BY doc_id
+""",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document (length, stopword-rate,
+    punctuation-soup penalty) — a standard pre-training filter."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_lang_confusion",
+    tags=("text", "agg"),
+    oracle=f"""
+WITH tokd AS (
+    SELECT lang, {_SQL_TOKS} AS toks FROM documents
+), hits AS (
+    SELECT lang,
+           { _sql_hits(T.STOPWORDS_EN) } AS en,
+           { _sql_hits(T.STOPWORDS_ES) } AS es,
+           { _sql_hits(T.STOPWORDS_DE) } AS de,
+           { _sql_hits(T.STOPWORDS_FR) } AS fr
+    FROM tokd
+)
+SELECT lang,
+       CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+            WHEN en = greatest(en, es, de, fr) THEN 'en'
+            WHEN es = greatest(en, es, de, fr) THEN 'es'
+            WHEN de = greatest(en, es, de, fr) THEN 'de'
+            ELSE 'fr' END AS guessed_lang,
+       COUNT(*) AS n_docs
+FROM hits
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: stopword-argmax guess vs the
+    table's lang tag."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select("lang", T.lang_guess(F.col("text")).alias("guessed_lang"))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "guessed_lang")
+    )
+
+
+@register(
+    "doc_near_dup_jaccard",
+    headline=True,
+    tags=("dedup", "join", "text"),
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> array_to_string(tk[i:i+2], ' ')
+           )) AS s
+    FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+    WHERE len(tk) >= 3
+),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+common AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+    FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / (a.n + b.n - n_common) AS jaccard
+FROM common
+JOIN sz a ON a.doc_id = id_a
+JOIN sz b ON b.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (a.n + b.n - n_common) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join —
+    the SQL-checkable ground truth for the MinHash approximation.
+    jaccard is a ratio of exact ints: bit-identical across engines."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("doc_minhash_pairs", tags=("dedup", "lsh", "approx"))
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (the 100 TB dedup path; SURVEY §7.3
+    phase 7). Approximate candidate generation, exact Jaccard verify —
+    no SQL oracle; recall vs doc_near_dup_jaccard is asserted in
+    tests/test_dedup.py."""
+    docs = Catalog(spark, sf_dir).documents
+    return D.minhash_near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=64, bands=16, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@register("doc_simhash_pairs", tags=("dedup", "simhash", "approx"))
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs with pigeonhole block
+    candidate generation — the constant-space fingerprint alternative
+    to MinHash (stands in for the reference's perceptual-hash Hamming
+    dedup, /root/reference/src/media_fingerprinting.py:228-276)."""
+    docs = Catalog(spark, sf_dir).documents
+    return D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=32, max_distance=3, block_bits=8
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,146 @@
+"""Similarity-search queries over the `embeddings` table.
+
+Brute-force cosine top-k carries a DuckDB oracle (exact double math,
+element order preserved in both engines); the sign-LSH variant is
+approximate by design → rows-only, with recall asserted in
+tests/test_similarity.py against the brute-force result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.operators import similarity as S
+from filesystemagent_spark.functions import vectors as V
+from filesystemagent_spark.queries import register
+
+DIM = 64
+N_QUERIES = 10
+K = 5
+
+# DuckDB double-precision dot product with left-to-right element order
+# (matches F.aggregate's sequential fold).
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "embedding_norms",
+    tags=("vector", "projection"),
+    oracle=f"""
+SELECT vec_id, label,
+       ROUND({_SQL_NORM.format(dim=DIM, a='embedding')}, 6) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via codegen'd aggregate — the unit-norm
+    sanity projection before any ANN indexing."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return emb.select(
+        "vec_id", "label", F.round(V.l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+_knn_dot = _SQL_DOT.format(dim=DIM, a="q.embedding", b="c.embedding")
+_knn_qn = _SQL_NORM.format(dim=DIM, a="q.embedding")
+_knn_cn = _SQL_NORM.format(dim=DIM, a="c.embedding")
+
+
+@register(
+    "embedding_knn",
+    headline=True,
+    tags=("vector", "topk", "join"),
+    oracle=f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_knn_dot} / ({_knn_qn} * {_knn_cn}), 6) AS cosine
+    FROM embeddings q
+    CROSS JOIN embeddings c
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {K}
+ORDER BY query_id, rnk
+""",
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{K} for the first {N_QUERIES} vectors —
+    broadcast query set × one corpus scan, rank window per query.
+    Ranking uses the rounded cosine + id tie-break so both engines
+    select identical rows even at float-ulp disagreements."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    q = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6))
+        .drop("_qv", "_cv")
+    )
+    from filesystemagent_spark.operators.relational import grouped_top_k
+
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        K,
+        rank_col="rnk",
+        keep_rank=True,
+    ).orderBy("query_id", "rnk")
+
+
+@register(
+    "embedding_label_centroids",
+    tags=("vector", "agg"),
+    oracle=f"""
+SELECT label, i AS pos,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
+FROM embeddings
+CROSS JOIN generate_series(1, {DIM}) AS t(i)
+GROUP BY label, i
+ORDER BY label, pos
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid by element position (posexplode + avg) —
+    the aggregation shape behind IVF coarse quantizers. At scale the
+    explode multiplies rows by DIM but each row is 3 narrow columns;
+    partial aggregation collapses them map-side."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+        .orderBy("label", "pos")
+    )
+
+
+@register("embedding_knn_lsh", tags=("vector", "lsh", "approx"))
+def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets — the scale
+    path where the cross join is impossible. Rows-only check; recall
+    vs embedding_knn asserted in tests/test_similarity.py."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.knn_lsh(
+        queries, emb, id_col="vec_id", vec_col="embedding", dim=DIM, k=K, n_planes=6
+    ).orderBy("query_id", "rnk")

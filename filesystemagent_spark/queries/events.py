@@ -1,0 +1,221 @@
+"""Streaming-analog queries over the `events` table (SURVEY.md §2.8).
+
+The reference's monitoring loop (ring buffers, threshold alerts,
+last-K retention — /root/reference/src/monitoring.py:57-253) maps to
+event-time windowed aggregation, alert predicates with a severity
+CASE, and latest-per-key windows. Here they run as batch queries over
+the events table; streaming/ wires the same logic to readStream with
+watermarks (same expressions, different source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.queries import register
+
+
+def _dec(c):
+    return c.cast("decimal(18,6)")
+
+
+@register(
+    "events_hourly",
+    headline=True,
+    tags=("agg", "window-time", "streaming-analog"),
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (ST2 analog). In
+    streaming this exact shape gains `withWatermark + window()`;
+    date_trunc keeps the batch/oracle forms aligned."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+            # exact decimal sum → double, then IEEE divide by count: both
+            # engines produce the identical double (ROUND(AVG(..)) diverges
+            # when the true mean sits exactly on a rounding boundary).
+            (F.sum(_dec(F.col("value"))).cast("double") / F.count("*")).alias(
+                "avg_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_user_topk",
+    tags=("agg", "topk"),
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 10
+""",
+)
+def events_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total value (W1 analog): rollup then
+    TakeOrdered; exact decimal totals make the ranking stable."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "events_threshold_alerts",
+    tags=("filter", "streaming-analog"),
+    oracle="""
+SELECT event_type,
+       CASE WHEN value >= 90 THEN 'critical' ELSE 'warning' END AS severity,
+       COUNT(*) AS n_alerts,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+WHERE value >= 80
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 80/90 threshold alert rule
+    (/root/reference/src/monitoring.py:209-253) as a filter + severity
+    CASE + rollup."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.filter(F.col("value") >= 80)
+        .withColumn(
+            "severity",
+            F.when(F.col("value") >= 90, F.lit("critical")).otherwise(F.lit("warning")),
+        )
+        .groupBy("event_type", "severity")
+        .agg(
+            F.count("*").alias("n_alerts"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type", "severity")
+    )
+
+
+@register(
+    "events_props_json",
+    tags=("json", "agg"),
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS DOUBLE)
+           / COUNT(json_extract(props, '$.k')) AS avg_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k,
+       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (F14 analog): pull a typed field out
+    of the JSON props column, then aggregate. At scale, prefer parsing
+    once via from_json into a struct column over repeated path walks."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_latest_per_user",
+    tags=("window", "streaming-analog"),
+    oracle="""
+SELECT user_id, event_id AS last_event_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       event_type AS last_event_type,
+       ROUND(value, 4) AS last_value
+FROM (
+    -- CAST truncates DuckDB's ns-precision ts to µs so ordering and
+    -- output agree with Spark's microsecond timestamps.
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-key (ST1 tail / W6 retention analog): the
+    streaming 'current state per key' as a keep-last window."""
+    from filesystemagent_spark.operators.relational import keep_first
+
+    ev = Catalog(spark, sf_dir).events
+    kept = keep_first(ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return kept.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "events_type_share",
+    tags=("agg", "window"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: aggregate + unpartitioned analytic window over
+    the (tiny) aggregated result — the full scan never re-shuffles."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    total = F.sum("n_events").over(Window.partitionBy())
+    return (
+        counts.withColumn(
+            "share", F.round(F.col("n_events").cast("double") / total, 6)
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,371 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+Each query exercises a SURVEY.md §2 operator family on the driver's
+testdata: scan+filter+agg (A1-A6), joins incl. anti/semi (J1-J10),
+window ranking (W1-W5), set ops (SO1-SO4), cube rollups (§2.4 note).
+
+Scale notes inline per query; dims (region/nation/supplier/part) are
+always the broadcast side, facts (lineitem/orders) are never collected
+or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.queries import register
+
+# Exact money arithmetic: DECIMAL(18,6) partial sums agree bit-for-bit
+# with the DuckDB oracle regardless of partition/summation order.
+def _dec(c):
+    return c.cast("decimal(18,6)")
+
+
+def _dsum(c, alias):
+    return F.sum(_dec(c)).cast("double").alias(alias)
+
+
+@register(
+    "pricing_summary",
+    headline=True,
+    tags=("agg", "filter", "scan"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan→filter→agg. The shipdate
+    predicate and the 9 needed columns push down to the parquet scan;
+    partial aggregation makes the shuffle carry only group states."""
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            # exact decimal sum → double → IEEE divide: identical in both
+            # engines; ROUND(AVG(..)) diverges on exact rounding boundaries.
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec(F.col("l_discount"))).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    headline=True,
+    tags=("join", "agg", "topk"),
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join + rollup + global top-K. lineitem⋈orders shuffles
+    on orderkey; customer is broadcast (it is ~1/10 the fact size and
+    shrinks further after the first rollup). Top-K is TakeOrdered —
+    no global sort. Exact decimal revenue ⇒ stable ranking."""
+    cat = Catalog(spark, sf_dir)
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "regional_revenue",
+    headline=True,
+    tags=("join", "broadcast", "agg"),
+    oracle="""
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY region_name, nation_name
+ORDER BY region_name, nation_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: one fact-fact shuffle join, then a broadcast chain
+    through customer→nation→region (dims never shuffle the fact)."""
+    cat = Catalog(spark, sf_dir)
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@register(
+    "market_segment_stats",
+    tags=("agg",),
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_acctbal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal,
+       CAST(COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT) AS n_negative
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def market_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table rollup with a conditional count (A6's count_if)."""
+    return (
+        Catalog(spark, sf_dir)
+        .customer.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*")).alias("avg_acctbal"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+            F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "customers_without_orders",
+    tags=("join", "anti"),
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the reference's baseline-diff primitive (J1-J4/SO1).
+    The orders side is reduced to its join key before the shuffle."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            cat.orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "returned_orders_by_priority",
+    tags=("join", "semi", "agg"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join. The lineitem side is
+    filtered and key-projected before the shuffle, so the semi join
+    moves keys only."""
+    cat = Catalog(spark, sf_dir)
+    returned = cat.lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        cat.orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "first_order_per_customer",
+    tags=("window", "dedup"),
+    oracle="""
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS first_orderdate,
+       ROUND(o_totalprice, 4) AS first_totalprice
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ) AS rn
+    FROM orders
+)
+WHERE rn = 1
+ORDER BY o_custkey
+""",
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-oldest window dedup (W5) — the reference's keep-oldest
+    duplicate policy with the deterministic tie-break SURVEY §7.5
+    demands. One shuffle on the partition key."""
+    from filesystemagent_spark.operators.relational import keep_first
+
+    orders = Catalog(spark, sf_dir).orders
+    kept = keep_first(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+    return kept.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+        F.round("o_totalprice", 4).alias("first_totalprice"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "customer_set_except",
+    tags=("setop",),
+    oracle="""
+SELECT o_custkey AS custkey
+FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+ORDER BY custkey
+""",
+)
+def customer_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (SO1): customers active recently who were not
+    active early. `exceptAll`-free: EXCEPT is distinct semantics."""
+    orders = Catalog(spark, sf_dir).orders
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity).
+    return recent.subtract(early).orderBy("custkey")
+
+
+@register(
+    "order_status_priority_cube",
+    tags=("agg", "cube"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup — the free capability upgrade over the reference's
+    flat severity×domain counts (SURVEY §2.4). Spark expands grouping
+    sets map-side; still a single shuffle."""
+    return (
+        Catalog(spark, sf_dir)
+        .orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "nation_order_enrichment",
+    tags=("join", "broadcast", "agg", "window"),
+    oracle="""
+WITH cust_orders AS (
+    SELECT n.n_name AS nation_name, o.o_orderkey, o.o_totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation_name, o_orderkey AS top_orderkey,
+       ROUND(o_totalprice, 4) AS top_totalprice
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY nation_name ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) AS rn
+    FROM cust_orders
+)
+WHERE rn <= 3
+ORDER BY nation_name, top_totalprice DESC, top_orderkey
+""",
+)
+def nation_order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast enrichment (J5-J7 shape) + grouped top-K (W1):
+    top-3 orders by value per nation."""
+    from filesystemagent_spark.operators.relational import grouped_top_k
+
+    cat = Catalog(spark, sf_dir)
+    enriched = (
+        cat.orders.join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation_name"), "o_orderkey", "o_totalprice")
+    )
+    top = grouped_top_k(
+        enriched,
+        ["nation_name"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return top.select(
+        "nation_name",
+        F.col("o_orderkey").alias("top_orderkey"),
+        F.round("o_totalprice", 4).alias("top_totalprice"),
+    ).orderBy("nation_name", F.col("top_totalprice").desc(), "top_orderkey")

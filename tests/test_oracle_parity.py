@@ -1,0 +1,40 @@
+"""Every registered query with an oracle must hash-match DuckDB —
+a local mirror of the driver's CORRECTNESS gate (t2), run at the
+smallest SF for speed."""
+
+from __future__ import annotations
+
+import pytest
+
+from filesystemagent_spark.queries import registry
+from tests.oracle_utils import compare
+
+QUERIES = registry()
+ORACLE_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(name, spark, sf_dir, duck):
+    q = QUERIES[name]
+    sdf = q.fn(spark, sf_dir)
+    rel = duck.sql(q.oracle)
+    ok, msg = compare(sdf, rel)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    """Approximate operators at least execute and return a stable schema."""
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -75,11 +75,19 @@ def minhash_near_dup_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_shingles"),
-    ).filter(F.size("_shingles") > 0)
+    # Shingling feeds the signature AND both verify sides — persist so
+    # the expensive expression tree runs once.
+    docs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_shingles"),
+        )
+        .filter(F.size("_shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     signed = docs.withColumn(
         "_sig", H.minhash_signature(F.col("_shingles"), num_hashes, seed)
     )
@@ -202,13 +210,29 @@ def ngram_jaccard_pairs(
     truth for the MinHash approximation. The shingle equi-join is the
     scalable form of 'compare every pair': only docs sharing at least
     one shingle ever meet.
+
+    Plan notes: the shingling expression feeds three branches (sizes +
+    both join sides) — persisted once so codegen runs it once, not 3×.
+    The join key is xxhash64(shingle), an 8-byte long instead of the
+    shingle string: a smaller shuffle and a cheaper hash-join probe.
+    Collisions would need two distinct corpus shingles with equal
+    64-bit hashes (~n²/2⁶⁵); at trillion-shingle scale switch to a
+    2-column (two-seed) 128-bit key.
     """
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    from pyspark import StorageLevel
+
+    docs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = docs.select("_id", F.size("_sh").alias("_n"))
-    inv = docs.select("_id", F.explode("_sh").alias("shingle"))
+    inv = docs.select("_id", F.explode("_sh").alias("shingle")).select(
+        "_id", F.xxhash64("shingle").alias("shingle")
+    )
 
     l, r = inv.alias("l"), inv.alias("r")
     common = (

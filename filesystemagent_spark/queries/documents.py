@@ -126,6 +126,80 @@ def doc_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_dedup_keep_first",
+    tags=("dedup", "window"),
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(substr(text, 1, 50)) ORDER BY doc_id
+    ) AS rn
+    FROM documents
+)
+WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def doc_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT (not just the groups): keep exactly one doc per
+    content key under the keep-oldest policy with a deterministic
+    doc_id tie-break (W5; /root/reference/src/file_indexing_system.py:274-279
+    + SURVEY §7.5's tie-break requirement)."""
+    from filesystemagent_spark.operators.dedup import dedup_exact
+
+    docs = Catalog(spark, sf_dir).documents.withColumn(
+        "prefix_hash", F.md5(F.substring("text", 1, 50))
+    )
+    kept = dedup_exact(docs, ["prefix_hash"], [F.col("doc_id").asc()])
+    return kept.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "doc_dedup_report",
+    tags=("dedup", "agg", "report"),
+    oracle="""
+WITH g AS (
+    SELECT md5(substr(text, 1, 50)) AS h,
+           COUNT(*) AS n,
+           SUM(n_chars) AS total_chars,
+           arg_min(n_chars, doc_id) AS kept_chars
+    FROM documents GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS total_docs,
+       COUNT(*) AS n_groups,
+       CAST(COUNT(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant_docs,
+       CAST(SUM(CASE WHEN n >= 2 THEN total_chars - kept_chars ELSE 0 END) AS BIGINT)
+           AS wasted_chars
+FROM g
+""",
+)
+def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate report rollup (A2-A3): corpus totals + wasted
+    space if every non-keeper were dropped
+    (/root/reference/src/file_indexing_system.py:321-341). min_by picks
+    the keeper's size — the doc the keep-first policy retains."""
+    docs = Catalog(spark, sf_dir).documents.withColumn(
+        "h", F.md5(F.substring("text", 1, 50))
+    )
+    g = docs.groupBy("h").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min_by("n_chars", "doc_id").alias("kept_chars"),
+    )
+    dup = F.col("n") >= 2
+    return g.agg(
+        F.sum("n").alias("total_docs"),
+        F.count("*").alias("n_groups"),
+        F.count_if(dup).alias("n_dup_groups"),
+        F.sum(F.when(dup, F.col("n") - 1).otherwise(0)).alias("n_redundant_docs"),
+        F.sum(F.when(dup, F.col("total_chars") - F.col("kept_chars")).otherwise(0)).alias(
+            "wasted_chars"
+        ),
+    )
+
+
 _SQL_PUNCT = "[!-/:-@\\[-`{-~]"
 
 @register(

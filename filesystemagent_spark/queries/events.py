@@ -195,6 +195,166 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "baseline_diff_users",
+    tags=("join", "anti", "diff"),
+    oracle="""
+WITH base AS (
+    SELECT user_id, COUNT(*) AS n_events FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1
+), cur AS (
+    SELECT user_id, COUNT(*) AS n_events FROM events
+    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1
+)
+SELECT user_id, n_events, 'added' AS change_type
+FROM cur WHERE user_id NOT IN (SELECT user_id FROM base)
+UNION ALL
+SELECT user_id, n_events, 'removed' AS change_type
+FROM base WHERE user_id NOT IN (SELECT user_id FROM cur)
+ORDER BY change_type, user_id
+""",
+)
+def baseline_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline diff (J1-J4/SO1): users active in the current window
+    vs a baseline window, as the snapshot_diff anti-join pair — the
+    reference's baseline_differ re-expressed
+    (/root/reference/src/audit/analyzers/baseline_differ.py:118-168)."""
+    from filesystemagent_spark.operators.relational import snapshot_diff
+
+    ev = Catalog(spark, sf_dir).events
+    base = (
+        ev.filter(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cur = (
+        ev.filter(F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    diff = snapshot_diff(cur, base, ["user_id"])
+    return diff.select(
+        F.col("user_id").cast("long").alias("user_id"), "n_events", "change_type"
+    ).orderBy("change_type", "user_id")
+
+
+# The reference's severity order is CRITICAL < HIGH < ... — custom, not
+# lexicographic (/root/reference/src/audit/pipeline.py:373-379).
+SEVERITY_RANK = {"critical": 0, "high": 1, "medium": 2, "low": 3, "info": 4}
+
+
+@register(
+    "event_findings_ranked",
+    tags=("projection", "filter", "rank", "findings"),
+    oracle="""
+WITH findings AS (
+    SELECT event_id AS finding_id,
+           event_type AS domain,
+           CASE WHEN value >= 300 THEN 'critical'
+                WHEN value >= 200 THEN 'high'
+                WHEN value >= 100 THEN 'medium'
+                ELSE 'info' END AS severity,
+           printf('%s event value=%.2f exceeds threshold', event_type, value) AS title,
+           ROUND(value, 4) AS value
+    FROM events
+)
+SELECT finding_id, domain, severity, title, value
+FROM (
+    SELECT *, CASE severity WHEN 'critical' THEN 0 WHEN 'high' THEN 1
+                            WHEN 'medium' THEN 2 ELSE 4 END AS rnk
+    FROM findings WHERE severity <> 'info'
+)
+ORDER BY rnk, value DESC, finding_id
+LIMIT 100
+""",
+)
+def event_findings_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The findings pipeline in miniature (P18→P4→F12→W3): normalize
+    raw rows into Finding columns with a printf title, drop info rows
+    at parse (the reference's pre-filter, hayabusa.py:99-101), rank by
+    the explicit severity map, serve the top slice."""
+    from filesystemagent_spark.operators.relational import rank_by_map
+
+    ev = Catalog(spark, sf_dir).events
+    findings = ev.select(
+        F.col("event_id").alias("finding_id"),
+        F.col("event_type").alias("domain"),
+        F.when(F.col("value") >= 300, "critical")
+        .when(F.col("value") >= 200, "high")
+        .when(F.col("value") >= 100, "medium")
+        .otherwise("info")
+        .alias("severity"),
+        F.format_string(
+            "%s event value=%.2f exceeds threshold", F.col("event_type"), F.col("value")
+        ).alias("title"),
+        F.round("value", 4).alias("value"),
+    ).filter(F.col("severity") != "info")
+    ranked = rank_by_map(findings, "severity", SEVERITY_RANK, rank_col="rnk")
+    return (
+        ranked.orderBy("rnk", F.col("value").desc(), "finding_id")
+        .limit(100)
+        .drop("rnk")
+    )
+
+
+@register(
+    "events_sessions",
+    tags=("window", "analytic", "sessionization"),
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+), per_sess AS (
+    SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(MAX(n) AS BIGINT) AS max_session_events,
+       CAST(SUM(n) AS BIGINT) AS total_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min inactivity gap: lag → new-session
+    marker → running-sum session ids → per-session rollup. The batch
+    equivalent of a streaming session window; one shuffle on user_id
+    serves all three window steps (same partitioning)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | ((F.unix_micros("ts") - prev) > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n").alias("max_session_events"),
+            F.sum("n").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "events_type_share",
     tags=("agg", "window"),
     oracle="""

@@ -326,6 +326,129 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_daily_lag",
+    tags=("window", "analytic", "lag"),
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS d, COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS order_date,
+       n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - LAG(rev) OVER (ORDER BY d) AS DOUBLE) AS revenue_delta
+FROM daily
+ORDER BY order_date
+""",
+)
+def orders_daily_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta — LAG analytic over the aggregated
+    daily series. The unpartitioned window runs on post-agg data (one
+    row per day), so the single-partition sort is bounded by the date
+    domain, never by fact cardinality."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"))).alias("rev"),
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("prev_rev", F.lag("rev").over(w))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev") - F.col("prev_rev")).cast("double").alias("revenue_delta"),
+        )
+        .orderBy("order_date")
+    )
+
+
+@register(
+    "orders_rolling_avg",
+    tags=("window", "frame", "streaming-analog"),
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS order_date,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg_7d
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY order_date
+""",
+)
+def orders_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row sliding mean over the daily series — the reference's
+    'recent failures over last 10 jobs' sliding check
+    (/root/reference/src/monitoring.py:236-247) as a rowsBetween frame.
+    Exact decimal frame-sum → IEEE divide keeps engines bit-identical."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+            F.col("rev").cast("double").alias("revenue"),
+            (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias(
+                "rolling_avg_7d"
+            ),
+        )
+        .orderBy("order_date")
+    )
+
+
+@register(
+    "orders_status_pivot",
+    tags=("agg", "pivot"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): status × priority counts
+    and revenue. Explicit pivot values keep the plan a single pass —
+    no second job to discover the value domain."""
+    orders = Catalog(spark, sf_dir).orders
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("rev"),
+        )
+    )
+    # COUNT over an empty cell is 0 in SQL but NULL from a pivot.
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        F.col("F_rev").alias("rev_f"),
+        F.col("O_rev").alias("rev_o"),
+        F.col("P_rev").alias("rev_p"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
     "nation_order_enrichment",
     tags=("join", "broadcast", "agg", "window"),
     oracle="""

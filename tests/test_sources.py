@@ -1,0 +1,173 @@
+"""ETL I/O round-trips (FIXTURES.md §11) and file-listing/catalog
+tests (S8-S12) over a generated temp directory tree."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filesystemagent_spark.sources import etl_io, listing
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("active", T.BooleanType()),
+    ]
+)
+
+ROWS = [
+    (1, "alpha", 1.5, True),
+    (2, "beta", -0.25, False),
+    (3, None, 2.0, True),
+    (4, "delta", None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+@pytest.mark.parametrize("fmt,ext", [("csv", "csv"), ("json", "json"), ("parquet", "parquet"), ("xml", "xml")])
+def test_roundtrip(spark, df, tmp_path, fmt, ext):
+    dest = str(tmp_path / f"out.{ext}")
+    etl_io.write_any(df, dest)
+    back = etl_io.read_any(spark, dest, schema=SCHEMA if fmt != "parquet" else None)
+    got = sorted(
+        (tuple(r) for r in back.select("id", "name", "score", "active").collect())
+    )
+    assert got == sorted(ROWS)
+
+
+def test_detect_format_rejects_unknown():
+    with pytest.raises(ValueError):
+        etl_io.detect_format("/data/file.avro7z")
+
+
+def test_convert_csv_to_parquet(spark, df, tmp_path):
+    src, dst = str(tmp_path / "in.csv"), str(tmp_path / "out.parquet")
+    etl_io.write_any(df, src)
+    etl_io.convert(spark, src, dst, read_options={"schema": SCHEMA})
+    assert etl_io.read_any(spark, dst).count() == 4
+
+
+def test_excel_gated(spark, df, tmp_path):
+    # openpyxl is absent in this environment — the bridge must raise
+    # NotImplementedError, not crash obscurely.
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        etl_io.write_any(df, str(tmp_path / "x.xlsx"))
+
+
+# ---------------------------------------------------------------------------
+# Listing + catalog
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    """A small directory tree with duplicate contents and mixed types."""
+    root = tmp_path_factory.mktemp("tree")
+    (root / "sub").mkdir()
+    files = {
+        "a.txt": b"identical payload",
+        "b.log": b"identical payload",          # dup of a.txt
+        "sub/c.txt": b"identical payload",      # dup of a.txt
+        "sub/d.csv": b"unique,row\n1,2\n",
+        "e.bin": b"\x00\x01\x02unique",
+    }
+    for rel, content in files.items():
+        (root / rel).write_bytes(content)
+    return str(root), files
+
+
+def test_list_files(spark, tree):
+    root, files = tree
+    got = listing.list_files(spark, root).collect()
+    assert len(got) == len(files)
+    txt_only = listing.list_files(spark, root, glob="*.txt").collect()
+    assert len(txt_only) == 2
+
+
+def test_files_catalog_hash_and_dedup(spark, tree):
+    root, files = tree
+    cat = listing.files_catalog(spark, root)
+    rows = {r["file_name"]: r.asDict() for r in cat.collect()}
+    assert len(rows) == 5
+    expected = hashlib.sha256(b"identical payload").hexdigest()
+    assert rows["a.txt"]["file_hash"] == expected
+    assert rows["a.txt"]["file_size"] == len(b"identical payload")
+    assert rows["a.txt"]["mime_type"] == "text/plain"
+    assert rows["d.csv"]["mime_type"] == "text/csv"
+
+    # the A1 dedup query over a real scan: one group of 3
+    from filesystemagent_spark.operators.dedup import duplicate_groups
+
+    groups = duplicate_groups(cat, ["file_hash"], "file_path").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3
+
+
+def test_files_catalog_no_hash(spark, tree):
+    root, _ = tree
+    cat = listing.files_catalog(spark, root, include_hash=False)
+    assert cat.filter(F.col("file_hash").isNotNull()).count() == 0
+
+
+def test_stat_metadata(spark, tree):
+    root, _ = tree
+    cat = listing.files_catalog(spark, root, include_hash=False)
+    meta = listing.stat_metadata(cat)
+    rows = {r["file_path"]: r.asDict() for r in meta.collect()}
+    assert len(rows) == 5
+    some = next(iter(rows.values()))
+    assert some["permissions"] and len(some["permissions"]) == 3
+    assert some["owner_name"]
+    enriched = cat.drop(
+        "permissions", "owner_name", "group_name", "accessed_time", "is_symlink", "target_path"
+    ).join(meta, "file_path")
+    assert enriched.count() == 5
+
+
+def test_merge_and_cleanup(spark, tree, tmp_path):
+    root, _ = tree
+    cat = listing.files_catalog(spark, root)
+    # re-index after adding + removing a file
+    extra = os.path.join(root, "new.txt")
+    with open(extra, "wb") as f:
+        f.write(b"late arrival")
+    try:
+        fresh = listing.files_catalog(spark, root)
+        merged = listing.merge_catalog(cat, fresh)
+        # persist like a real catalog table — later queries must not
+        # re-scan source files (they may be gone; that's the point of
+        # cleanup_stale_entries)
+        store = str(tmp_path / "catalog.parquet")
+        merged.write.mode("overwrite").parquet(store)
+        merged = spark.read.parquet(store)
+        assert merged.count() == 6
+        assert merged.select("file_path").distinct().count() == 6
+    finally:
+        os.remove(extra)
+    live = listing.list_files(spark, root)
+    cleaned = listing.cleanup_stale_entries(merged, live)
+    assert cleaned.count() == 5  # new.txt dropped again
+
+
+def test_export_index(spark, tree, tmp_path):
+    root, _ = tree
+    cat = listing.files_catalog(spark, root, include_hash=False)
+    dest = str(tmp_path / "index.json")
+    listing.export_index(cat, dest)
+    back = spark.read.json(dest)
+    assert back.count() == 5

@@ -60,6 +60,7 @@ def registry() -> dict[str, Query]:
         documents,
         embeddings,
         events,
+        findings,
         tpch_like,
     )
 

@@ -1,0 +1,189 @@
+"""Analyzer-semantics tests on synthetic snapshot rows — the
+reference's baseline-differ / resource-analyzer test coverage
+(SURVEY.md §5.3) re-expressed for the DataFrame layer."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.operators import analyzers as A
+
+NOW = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+
+
+def wmi(days_ago: float) -> str:
+    return f"/Date({int((NOW - dt.timedelta(days=days_ago)).timestamp() * 1000)})/"
+
+
+PROC_SCHEMA = (
+    "pid int, name string, path string, parent_pid int, cpu_percent double, "
+    "ram_mb double, thread_count int, handle_count int, created_at string, is_signed boolean"
+)
+
+
+@pytest.fixture(scope="module")
+def procs(spark):
+    rows = [
+        # system roots
+        (0, "System Idle Process", None, None, 0.0, 1.0, 1, 10, wmi(30), True),
+        (4, "System", None, 0, 0.0, 4.0, 100, 500, wmi(30), True),
+        # normal
+        (100, "app_server.exe", r"C:\Program Files\App\app_server.exe", 4, 100.0, 512.0, 50, 400, wmi(2), True),
+        # resource hog: ram + threads
+        (200, "bloated.exe", r"C:\Tools\bloated.exe", 100, 100.0, 4096.0, 300, 400, wmi(1), True),
+        # cpu hog
+        (300, "cruncher.exe", r"C:\Tools\cruncher.exe", 100, 7200.0, 128.0, 8, 100, wmi(0.5), True),
+        # stale (10d), parent alive
+        (400, "forgotten.exe", r"C:\Temp\forgotten.exe", 100, 1.0, 10.0, 2, 50, wmi(10), True),
+        # orphan + stale (parent 999 gone, 3d old)
+        (500, "ghost.exe", r"C:\Temp\ghost.exe", 999, 1.0, 10.0, 2, 50, wmi(3), True),
+        # orphan + unsigned (young)
+        (600, "shady.exe", r"C:\Temp\shady.exe", 888, 1.0, 10.0, 2, 50, wmi(0.1), False),
+        # orphan but young AND signed → not flagged
+        (700, "fine.exe", r"C:\Temp\fine.exe", 777, 1.0, 10.0, 2, 50, wmi(0.1), True),
+        # allowlisted stale
+        (800, "svchost.exe", r"C:\Windows\System32\svchost.exe", 4, 1.0, 10.0, 2, 50, wmi(30), True),
+    ]
+    return spark.createDataFrame(rows, PROC_SCHEMA)
+
+
+def test_top_consumers(procs):
+    top2 = A.top_consumers(procs, "ram_mb", 2).select("pid").collect()
+    assert [r["pid"] for r in top2] == [200, 100]
+
+
+def test_resource_hogs(procs):
+    rows = {(r["pid"], r["category"]) for r in A.resource_hogs(procs).collect()}
+    assert rows == {(200, "high_ram"), (200, "high_threads"), (300, "high_cpu")}
+
+
+def test_stale_processes(procs):
+    got = {r["pid"] for r in A.stale_processes(procs, F.lit(NOW)).collect()}
+    # 400 stale; 500 only 3d (<168h); svchost allowlisted; pid 4 system
+    assert got == {400}
+
+
+def test_orphan_processes(procs):
+    rows = {r["pid"]: r for r in A.orphan_processes(procs, F.lit(NOW)).collect()}
+    assert set(rows) == {500, 600}
+    assert rows[500]["is_stale"] and not rows[500]["is_unsigned"]
+    assert rows[600]["is_unsigned"] and not rows[600]["is_stale"]
+
+
+CONN_SCHEMA = (
+    "local_address string, local_port int, remote_address string, remote_port int, "
+    "state string, pid int, process_name string"
+)
+
+
+@pytest.fixture(scope="module")
+def conns(spark):
+    rows = [("0.0.0.0", 4444, None, None, "Listen", 600, "shady.exe"),
+            ("0.0.0.0", 443, None, None, "Listen", 100, "app_server.exe"),
+            ("127.0.0.1", 9999, None, None, "Listen", 100, "app_server.exe")]
+    # pid 300: 12 established external conns to 3 addresses
+    for i in range(12):
+        rows.append(
+            ("192.168.1.5", 50000 + i, f"52.1.2.{i % 3}", 443, "Established", 300, "cruncher.exe")
+        )
+    # pid 100: 2 external (below threshold), 5 internal
+    rows += [("192.168.1.5", 60000, "8.8.8.8", 53, "Established", 100, "app_server.exe"),
+             ("192.168.1.5", 60001, "8.8.4.4", 53, "Established", 100, "app_server.exe")]
+    for i in range(5):
+        rows.append(("192.168.1.5", 61000 + i, "10.0.0.9", 5432, "Established", 100, "app_server.exe"))
+    return spark.createDataFrame(rows, CONN_SCHEMA)
+
+
+def test_connection_state_counts(conns):
+    got = {r["state"]: r["n"] for r in A.connection_state_counts(conns).collect()}
+    assert got == {"Listen": 3, "Established": 19}
+
+
+def test_external_conns_per_process(conns):
+    rows = [r.asDict() for r in A.external_conns_per_process(conns).collect()]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["pid"] == 300
+    assert r["connection_count"] == 12
+    assert r["n_remote_addrs"] == 3
+    assert sorted(r["remote_addresses"]) == ["52.1.2.0", "52.1.2.1", "52.1.2.2"]
+
+
+def test_suspicious_listeners(conns):
+    got = [r["local_port"] for r in A.suspicious_listeners(conns).collect()]
+    assert got == [4444]  # 443 common, 9999 loopback
+
+
+def test_baseline_diff_all(spark, conns):
+    mk = lambda rows, schema: spark.createDataFrame(rows, schema)
+    svc = "name string, account string, state string"
+    tasks = "task_name string, run_level string, state string"
+    keys = "registry_path string, name string, value string"
+    current = {
+        "services": mk([("svc_a", "LocalSystem", "Running"), ("svc_new", "user", "Running")], svc),
+        "scheduled_tasks": mk([("task_1", "Limited", "Ready")], tasks),
+        "run_keys": mk([(r"HKLM\...\Run", "upd", "u.exe"), (r"HKLM\...\Run", "new", "n.exe")], keys),
+        "listeners": conns,
+    }
+    baseline = {
+        "services": mk([("svc_a", "LocalSystem", "Running"), ("svc_gone", "user", "Running")], svc),
+        "scheduled_tasks": mk([("task_1", "Limited", "Ready"), ("task_old", "Highest", "Ready")], tasks),
+        "run_keys": mk([(r"HKLM\...\Run", "upd", "u.exe")], keys),
+        "listeners": conns.filter(F.col("local_port") != 4444),
+    }
+    diff = A.baseline_diff_all(current, baseline)
+    got = {(r["category"], r["change_type"], r["key"]) for r in diff.collect()}
+    assert got == {
+        ("services", "added", "svc_new"),
+        ("services", "removed", "svc_gone"),
+        ("scheduled_tasks", "removed", "task_old"),
+        ("run_keys", "added", r"HKLM\...\Run|new"),
+        ("listeners", "added", "0.0.0.0:4444"),
+    }
+
+    from filesystemagent_spark.operators.relational import diff_summary
+
+    summary = {
+        (r["category"], r["change_type"]): r["n_changes"]
+        for r in diff_summary(diff, "category").collect()
+    }
+    assert summary[("services", "added")] == 1
+    assert summary[("services", "removed")] == 1
+
+
+def test_enrichment_joins(spark, procs, conns):
+    cpu = spark.createDataFrame([(300, 99.5)], "pid int, cpu_now double")
+    enriched = A.enrich_with_cpu(procs, cpu)
+    assert enriched.filter(F.col("pid") == 300).first()["cpu_now"] == 99.5
+    assert enriched.count() == procs.count()  # left join keeps all
+
+    sigs = spark.createDataFrame(
+        [(r"C:\Temp\shady.exe", "invalid")], "path string, sig_status string"
+    )
+    assert (
+        A.enrich_with_signatures(procs, sigs)
+        .filter(F.col("sig_status").isNotNull())
+        .first()["pid"]
+        == 600
+    )
+
+    ec = A.enrich_conns_with_process(conns, procs)
+    assert ec.filter((F.col("pid") == 300) & (F.col("proc_name") == "cruncher.exe")).count() == 12
+
+
+def test_writable_system_binaries(spark):
+    svcs = spark.createDataFrame(
+        [
+            ("vuln_svc", "LocalSystem", "Running", r'"C:\Apps\vuln service\svc.exe" -k'),
+            ("safe_svc", "LocalSystem", "Running", r"C:\Windows\System32\safe.exe"),
+            ("user_svc", "DOMAIN\\bob", "Running", r"C:\Apps\vuln service\svc.exe"),
+            ("stopped", "LocalSystem", "Stopped", r"C:\Apps\vuln service\svc.exe"),
+        ],
+        "name string, account string, state string, binary_path string",
+    )
+    writable = spark.createDataFrame([(r"C:\Apps\vuln service\svc.exe",)], "path string")
+    got = [r["name"] for r in A.writable_system_binaries(svcs, writable).collect()]
+    assert got == ["vuln_svc"]

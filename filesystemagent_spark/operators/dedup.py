@@ -254,3 +254,128 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    max_distance: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over a precomputed 64-bit hash column (perceptual
+    image hashes, simhashes) — the scale path for the reference's O(n²)
+    pairwise loop (/root/reference/src/media_fingerprinting.py:278-310)
+    with its recommended Hamming threshold <= 2 (:321-349).
+
+    Pigeonhole banding: split 64 bits into `bands` equal slices; at
+    distance <= bands-1 at least one slice matches exactly, so the
+    self-join runs per (band, slice-value) bucket. Default 4x16-bit
+    bands guarantees recall for distance <= 3 >= max_distance=2.
+    Verify is JVM-side bit_count(xor).
+
+    Returns (id_a, id_b, distance), id_a < id_b.
+    """
+    assert 64 % bands == 0 and bands > max_distance
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = df.select(F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_h"))
+    banded = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_h"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_h", "b.band", "b.key")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h"))).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+
+
+def near_dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every member gets the
+    cluster id = min(id) of its component.
+
+    Replaces the reference's greedy first-seen clustering
+    (media_fingerprinting.py:278-310) with an order-independent,
+    distributed equivalent: iterative min-label propagation over the
+    edge list, converging in O(diameter) rounds (near-dup clusters are
+    shallow; real corpora converge in a handful). Each round is one
+    join + one aggregate; labels persist between rounds so the lineage
+    doesn't recompute from scratch.
+
+    Returns (id, cluster_id); singleton rows keep cluster_id = id —
+    filter to groups of >= 2 for the reference's 'groups with actual
+    duplicates'.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iter):
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        # neighbor labels: for each dst, the min label among its srcs
+        neighbor = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        # converged when no label changed
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("p"), "id")
+            .filter(F.col("u.cluster_id") != F.col("p.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        prev = labels
+        labels = updated
+        if changed == 0:
+            prev.unpersist()
+            break
+        prev.unpersist()
+    edges.unpersist()
+    return labels

@@ -61,6 +61,8 @@ def registry() -> dict[str, Query]:
         embeddings,
         events,
         findings,
+        media,
+        streaming_gate,
         tpch_like,
     )
 

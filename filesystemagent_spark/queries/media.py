@@ -1,0 +1,108 @@
+"""Driver-gate queries for the multimodal / transform / Hamming-dedup
+surface, run over the driver's `documents` table (text re-cast as a
+binary payload where a media byte column is needed — the testdata has
+no real media, the PLUMBING is what's under check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.queries import register
+
+
+def _hash60(col):
+    """60-bit deterministic hash both engines can compute: first 15 hex
+    chars of md5, parsed base-16. Collision odds at corpus scale are
+    ~n²/2⁶¹ — for real perceptual hashes use image_features' phash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+@register(
+    "doc_hamming_dup_pairs",
+    tags=("dedup", "hamming", "band-join"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 40)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_hamming_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded Hamming self-join (F4 scale path) driven through its
+    distance-0 slice, which DuckDB can oracle as an equality self-join:
+    identical 40-char prefixes ⇒ identical 60-bit hashes ⇒ distance 0.
+    Near-miss (1-2 bit) collisions between distinct md5 values are
+    ~1e-15/pair — absent at gate scale, so both engines return exactly
+    the duplicate-prefix pairs. Distance>0 recall is covered by unit
+    tests with constructed hashes."""
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", _hash60(F.substring("text", 1, 40)).alias("h60")
+    )
+    pairs = hamming_near_dup_pairs(docs, "doc_id", "h60", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "doc_transform_shim",
+    tags=("udf", "transform", "mapInPandas"),
+    oracle="""
+SELECT doc_id, lang, n_chars, CAST(n_chars >= 200 AS BOOLEAN) AS is_long
+FROM documents
+WHERE lang = 'en' AND text IS NOT NULL
+ORDER BY doc_id
+""",
+)
+def doc_transform_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: a reference-style pandas transform (dropna → equality filter
+    → derived column) executed through the distributed transform_pandas
+    shim — the mapInPandas machinery itself is what the oracle checks,
+    since the same relational result must come out of DuckDB."""
+    from filesystemagent_spark.operators.transform import transform_pandas
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text", "lang", "n_chars")
+
+    def fn(pdf, params):
+        out = pdf.dropna(subset=["text", "lang"])
+        out = out[out["lang"] == params["filter_value"]].copy()
+        out["is_long"] = out["n_chars"] >= 200
+        return out.drop(columns=["text"])
+
+    got = transform_pandas(
+        docs, fn, "doc_id long, lang string, n_chars long, is_long boolean",
+        {"filter_value": "en"},
+    )
+    return got.orderBy("doc_id")
+
+
+@register(
+    "doc_media_features",
+    tags=("multimodal", "mapInPandas", "approx"),
+    # no oracle: stub decode values are engine-internal (mapInPandas);
+    # the driver records the rows-only check by design
+)
+def doc_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over driver data: treat each document's text
+    bytes as an opaque binary payload, run the image feature extractor
+    (stub decode in this container), and aggregate — exercising binary
+    columns through Arrow batches at gate scale."""
+    from filesystemagent_spark.operators.multimodal import image_features
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(".jpg")).alias("path"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = image_features(docs)
+    return feats.agg(
+        F.count("*").alias("n_decoded"),
+        F.count_distinct("phash64").alias("n_distinct_phash"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+    )

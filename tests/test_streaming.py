@@ -1,0 +1,157 @@
+"""Streaming slice tests: each query runs as a real Structured
+Streaming job (availableNow → memory sink) AND as a batch frame over
+the same input; results must be identical — Spark's unified model is
+the correctness oracle (plus watermark late-drop behavior checked
+explicitly with a two-batch file source)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.streaming import events as S
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+_EVENTS_FILE = os.path.join(SF_DIR, "events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-source streams read directories; the driver table is a
+    single parquet file — stage it behind a symlink."""
+    d = tmp_path_factory.mktemp("events_stream_src")
+    os.symlink(_EVENTS_FILE, d / "events.parquet")
+    return str(d)
+
+
+def drain(spark, stream_df, name, tmp_path, mode=None):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode or "append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_stream_matches_batch_tumbling(spark, tmp_path, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    got = drain(spark, S.windowed_counts(stream), "tumbling_sink", tmp_path, "complete")
+
+    batch = S.windowed_counts(Catalog(spark, SF_DIR).events)
+    cols = ["window_start", "window_end", "event_type", "n_events"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+    assert got.count() > 0
+
+
+def test_stream_matches_batch_sliding(spark, tmp_path, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    sliding = S.windowed_counts(stream, window="2 hours", slide="1 hour")
+    got = drain(spark, sliding, "sliding_sink", tmp_path, "complete")
+    batch = S.windowed_counts(
+        Catalog(spark, SF_DIR).events, window="2 hours", slide="1 hour"
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+    # sliding windows overlap: each event lands in 2 one-hour slides
+    t = S.windowed_counts(Catalog(spark, SF_DIR).events)
+    assert batch.agg(F.sum("n_events")).first()[0] == 2 * t.agg(F.sum("n_events")).first()[0]
+
+
+def test_threshold_alerts_stream(spark, tmp_path, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    got = drain(spark, S.threshold_alerts(stream), "alerts_sink", tmp_path)
+    batch_src = Catalog(spark, SF_DIR).events
+    expected = S.threshold_alerts(batch_src)
+    assert rows_set(got, ["event_id", "alert_severity"]) == rows_set(
+        expected, ["event_id", "alert_severity"]
+    )
+    # severity CASE boundaries
+    sev = {r["event_id"]: r["alert_severity"] for r in got.collect()}
+    vals = {r["event_id"]: r["value"] for r in batch_src.filter(F.col("value") > 80).collect()}
+    for eid, v in vals.items():
+        assert sev[eid] == ("critical" if v > 90 else "warning")
+
+
+def test_recent_failures_sliding(spark, tmp_path, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    q = S.recent_failures(
+        stream, F.col("event_type") == "error", window="6 hours", slide="3 hours", min_failures=2
+    )
+    got = drain(spark, q, "failures_sink", tmp_path, "complete")
+    batch = S.recent_failures(
+        Catalog(spark, SF_DIR).events,
+        F.col("event_type") == "error",
+        window="6 hours",
+        slide="3 hours",
+        min_failures=2,
+    )
+    cols = ["window_start", "n_failures"]
+    assert rows_set(got, cols) == rows_set(batch, cols)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two-file source: batch 2 carries an event 3 hours older than
+    batch 1's max — beyond the 1h watermark, its window is already
+    closed and emitted, so the late row is dropped in append mode."""
+    src_dir = tmp_path / "late_events"
+    src_dir.mkdir()
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    mk = lambda i, ts, et: (i, ts, 1, et, 1.0, "{}")
+    batch1 = [mk(1, base, "click"), mk(2, base + dt.timedelta(minutes=30), "click"),
+              mk(3, base + dt.timedelta(hours=4), "click")]
+    spark.createDataFrame(batch1, S.EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(
+        str(src_dir / "b1")
+    )
+    ckpt = str(tmp_path / "ckpt_late")
+    sink = str(tmp_path / "sink_late")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(S.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir / "b*"))
+        )
+        q = (
+            S.windowed_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")  # only finalized (watermark-passed) windows emit
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # late row: noon window, while max ts seen is 16:00 → watermark 15:00
+    late = [mk(99, base + dt.timedelta(minutes=10), "click")]
+    spark.createDataFrame(late, S.EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(
+        str(src_dir / "b2")
+    )
+    run_once()  # resumes from the same checkpointed watermark state
+    emitted = spark.read.parquet(sink)
+    noon = emitted.filter(F.col("window_start") == base)
+    # the noon window finalized with 2 events; the late 3rd never lands
+    assert [r["n_events"] for r in noon.collect()] == [2]
+
+
+def test_tail_events(spark):
+    ev = Catalog(spark, SF_DIR).events
+    tail = S.tail_events(ev, 10).collect()
+    assert len(tail) == 10
+    ts = [r["ts"] for r in tail]
+    assert ts == sorted(ts, reverse=True)
+    assert tail[0]["ts"] == ev.agg(F.max("ts")).first()[0]

@@ -70,6 +70,158 @@ def sign_lsh_bucket(df: DataFrame, *, vec_col: str, dim: int, n_planes: int = 8,
     return df.withColumn("bucket", bucket)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold) — the verifiable baseline for embedding-based
+    dedup; the reference's pairwise similarity loop
+    (/root/reference/src/media_fingerprinting.py:278-310) generalized
+    from hash distance to vector cosine.
+
+    O(n²) by construction: correct at fixture scale, the oracle anchor
+    for the LSH/IVF scale paths which prune candidates before this
+    same exact verify. Thresholding happens on the ROUNDED cosine so
+    two engines computing identical double arithmetic agree at the
+    boundary.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = V.cosine(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def centroids_from_labels(
+    df: DataFrame, *, label_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-label mean vector, rebuilt as an array column — an IVF
+    coarse quantizer derived from existing partitions of the corpus
+    (labels here; k-means cells in the general case).
+
+    posexplode → partial-agg avg per (label, pos) → re-assemble via
+    sorted collect_list. The explode multiplies rows by `dim` but
+    map-side combine collapses them before the shuffle; output is
+    n_labels rows, broadcastable by construction.
+    """
+    return (
+        df.select(F.col(label_col).alias("cell_id"), F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("cell_id", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("val"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
+            ).alias("centroid")
+        )
+    )
+
+
+def assign_cells(
+    df: DataFrame, centroids: DataFrame, *, id_col: str, vec_col: str, nprobe: int = 1
+) -> DataFrame:
+    """Attach the `nprobe` nearest centroid cell ids (by cosine) to each
+    row. Centroids are broadcast; the corpus is scanned once with no
+    join shuffle — the IVF building block for both index build
+    (nprobe=1) and query probing (nprobe>1). The rank window partitions
+    on the unique row id only, so the shuffle key stays narrow."""
+    cent = F.broadcast(centroids.select("cell_id", F.col("centroid").alias("_cent")))
+    ranked = (
+        df.crossJoin(cent)
+        .withColumn("_cell_cos", V.cosine(F.col(vec_col), F.col("_cent")))
+        .drop("_cent")
+    )
+    return (
+        grouped_top_k(
+            ranked,
+            [id_col],
+            [F.col("_cell_cos").desc(), F.col("cell_id").asc()],
+            nprobe,
+        )
+        .drop("_cell_cos")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus rows
+    live in their single nearest-centroid cell; each query probes its
+    `nprobe` nearest cells and ranks exact cosine only within them.
+
+    Candidate cost drops from |corpus| to ~nprobe/|cells| of it, and
+    the cell equi-join shuffles on cell_id — at 100 TB the corpus
+    would be written bucketed/partitioned by cell_id so probing prunes
+    partitions at scan time instead of shuffling.
+    """
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        centroids,
+        id_col="neighbor_id",
+        vec_col="_cv",
+        nprobe=1,
+    )
+    q = assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        centroids,
+        id_col="query_id",
+        vec_col="_qv",
+        nprobe=nprobe,
+    )
+    scored = (
+        q.join(c, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", V.cosine(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv", "cell_id")
+    )
+    # no dedup needed: each corpus row lives in exactly one cell, so a
+    # (query, neighbor) pair appears at most once across probed cells
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        keep_rank=True,
+    )
+
+
+def _multi_table_buckets(
+    df: DataFrame, *, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """Explode each row into one (table, bucket) key per hash table.
+    Tables use disjoint seeds; keys are (table_id, signature) structs so
+    buckets from different tables never collide with each other."""
+    keys = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit_plane = F.array(*[F.lit(x).cast("double") for x in plane])
+            bit = F.when(V.dot(F.col(vec_col), lit_plane) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            bucket = bucket + bit.cast("long")
+        keys.append(F.struct(F.lit(t).alias("table"), bucket.alias("sig")))
+    return df.withColumn("bucket", F.explode(F.array(*keys)))
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -79,34 +231,44 @@ def knn_lsh(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH
+    bucket(s), the standard multi-table construction.
 
-    Trades recall for a bucket equi-join instead of a cross join —
-    the candidate set shrinks by ~2^n_planes. Recall is tunable via
-    n_planes (fewer planes → bigger buckets → higher recall) or, at
-    scale, multiple hash tables unioned before the rank.
+    Per table, the candidate set shrinks by ~2^n_planes and the cross
+    join becomes a bucket equi-join; recall compounds across tables as
+    1-(1-p^n_planes)^n_tables for per-plane collision probability p.
+    Tune n_planes down / n_tables up for recall, the reverse for cost.
+    Candidates found in several tables are deduped before the exact
+    rank so each pair is scored once.
     """
-    q = sign_lsh_bucket(
+    q = _multi_table_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         vec_col="_qv",
         dim=dim,
         n_planes=n_planes,
+        n_tables=n_tables,
         seed=seed,
     )
-    c = sign_lsh_bucket(
+    c = _multi_table_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         vec_col="_cv",
         dim=dim,
         n_planes=n_planes,
+        n_tables=n_tables,
         seed=seed,
     )
-    scored = (
+    candidates = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", V.cosine(F.col("_qv"), F.col("_cv")))
-        .drop("_qv", "_cv", "bucket")
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+    )
+    if n_tables > 1:
+        candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
+    scored = candidates.withColumn("cosine", V.cosine(F.col("_qv"), F.col("_cv"))).drop(
+        "_qv", "_cv"
     )
     return grouped_top_k(
         scored,

@@ -134,6 +134,49 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_THRESHOLD = 0.35  # calibrated to the synthetic corpus (max pair ~0.51)
+
+_pair_dot = _SQL_DOT.format(dim=DIM, a="a.embedding", b="b.embedding")
+_pair_an = _SQL_NORM.format(dim=DIM, a="a.embedding")
+_pair_bn = _SQL_NORM.format(dim=DIM, a="b.embedding")
+
+
+@register(
+    "embedding_near_dup",
+    tags=("vector", "dedup", "join"),
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_pair_dot} / ({_pair_an} * {_pair_bn}), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_pair_dot} / ({_pair_an} * {_pair_bn}), 6) >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs — the dedup
+    baseline the LSH/IVF paths are measured against. Thresholds on the
+    rounded cosine so both engines agree at the float boundary."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return S.cosine_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=NEAR_DUP_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+@register("embedding_knn_ivf", tags=("vector", "ivf", "approx"))
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index: label-derived centroids as
+    the coarse quantizer, nprobe=3 cells probed per query. Rows-only
+    check; recall vs embedding_knn asserted in
+    tests/test_similarity.py."""
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = S.centroids_from_labels(emb, label_col="label", vec_col="embedding", dim=DIM)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.knn_ivf(
+        queries, emb, centroids, id_col="vec_id", vec_col="embedding", k=K, nprobe=3
+    ).orderBy("query_id", "rnk")
+
+
 @register("embedding_knn_lsh", tags=("vector", "lsh", "approx"))
 def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
@@ -142,5 +185,12 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.knn_lsh(
-        queries, emb, id_col="vec_id", vec_col="embedding", dim=DIM, k=K, n_planes=6
+        queries,
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        k=K,
+        n_planes=4,
+        n_tables=4,
     ).orderBy("query_id", "rnk")

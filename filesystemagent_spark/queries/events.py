@@ -379,3 +379,38 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_value_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT event_type,
+       ROUND(QUANTILE_CONT(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+       ROUND(QUANTILE_CONT(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+       ROUND(QUANTILE_CONT(CAST(value AS DOUBLE), 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type — the
+    latency-distribution shape behind the reference's threshold alerts
+    (monitoring.py:209-253), upgraded from fixed cutoffs to quantiles.
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    interpolation rule, so values hash-match after rounding. At 100 TB
+    swap in `approx_percentile` (t-digest, one pass, no full sort) and
+    drop the oracle to rows-only.
+    """
+    ev = Catalog(spark, sf_dir).events
+    v = F.col("value").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile(v, 0.5), 6).alias("p50"),
+            F.round(F.percentile(v, 0.9), 6).alias("p90"),
+            F.round(F.percentile(v, 0.99), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

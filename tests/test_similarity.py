@@ -1,0 +1,125 @@
+"""Recall/correctness tests for the approximate similarity paths
+(sign-LSH, IVF) against the exact brute-force baseline, plus the
+cosine near-dup pair operator vs a DuckDB oracle.
+
+The approximate queries are rows-only at the driver gate; this file is
+where their quality bar lives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.operators import similarity as S
+
+DIM = 64
+K = 5
+N_QUERIES = 10
+
+
+def _pairs(rows):
+    return {(r["query_id"], r["neighbor_id"]) for r in rows}
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _pairs(
+        S.knn_bruteforce(queries, emb, id_col="vec_id", vec_col="embedding", k=K).collect()
+    )
+    centroids = S.centroids_from_labels(emb, label_col="label", vec_col="embedding", dim=DIM)
+    approx = S.knn_ivf(
+        queries, emb, centroids, id_col="vec_id", vec_col="embedding", k=K, nprobe=3
+    ).collect()
+    got = _pairs(approx)
+    # every query returns exactly K candidates (cells are dense enough)
+    assert len(approx) == N_QUERIES * K
+    # the synthetic corpus has uniform random labels, so the quantizer
+    # captures no cluster structure and recall floors near
+    # nprobe/n_cells (= 0.3); on clustered data it approaches 1.0
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_ivf_nprobe_all_cells_is_exact(spark, sf_dir):
+    """Probing every cell degenerates to exact search — the IVF
+    correctness invariant."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    centroids = S.centroids_from_labels(emb, label_col="label", vec_col="embedding", dim=DIM)
+    n_cells = centroids.count()
+    exact = _pairs(
+        S.knn_bruteforce(queries, emb, id_col="vec_id", vec_col="embedding", k=K).collect()
+    )
+    full = _pairs(
+        S.knn_ivf(
+            queries, emb, centroids, id_col="vec_id", vec_col="embedding", k=K, nprobe=n_cells
+        ).collect()
+    )
+    assert full == exact
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _pairs(
+        S.knn_bruteforce(queries, emb, id_col="vec_id", vec_col="embedding", k=K).collect()
+    )
+    # few planes + several tables: per-plane collision for a cos~0.4
+    # neighbor is ~0.6, so 2-plane tables collide ~0.36 each and six
+    # tables compound to ~0.93 expected recall
+    got = _pairs(
+        S.knn_lsh(
+            queries,
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=DIM,
+            k=K,
+            n_planes=2,
+            n_tables=6,
+        ).collect()
+    )
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_centroids_shape(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    cent = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    ).collect()
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert {r["cell_id"] for r in cent} == labels
+    assert all(len(r["centroid"]) == DIM for r in cent)
+
+
+def test_near_dup_pairs_vs_duckdb(spark, sf_dir, duck):
+    emb = Catalog(spark, sf_dir).embeddings
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in S.cosine_near_dup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    )
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE))))"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            SELECT a.vec_id, b.vec_id,
+                   ROUND({dot} / ({norm.format(v='a')} * {norm.format(v='b')}), 6)
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND({dot} / ({norm.format(v='a')} * {norm.format(v='b')}), 6) >= 0.3
+            """
+        ).fetchall()
+    )
+    assert got == want

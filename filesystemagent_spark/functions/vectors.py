@@ -30,6 +30,21 @@ def l2_norm(vec: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 for zero vectors rather than NaN."""
+    """Cosine similarity; 0.0 for zero vectors rather than NaN.
+
+    Recomputes both norms inline (twice each: guard + value), so in a
+    pairwise join this does ~5x the necessary arithmetic — join paths
+    should pre-materialize per-row norms and use `cosine_from` instead.
+    """
     denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def cosine_from(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from pre-materialized L2 norms: per pair only the dot
+    product is evaluated (one fused zip_with/aggregate pass); the norm
+    columns were computed once per ROW before the join instead of once
+    per PAIR inside it. Float-identical to `cosine` — same fold order,
+    same divide — so oracle hashes are unaffected."""
+    denom = norm_a * norm_b
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)

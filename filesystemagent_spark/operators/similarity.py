@@ -36,14 +36,25 @@ def knn_bruteforce(
     Returns (query_id, neighbor_id, cosine, rnk).
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            V.l2_norm(F.col(vec_col)).alias("_qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        V.l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", V.cosine(F.col("_qv"), F.col("_cv")))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cosine",
+            V.cosine_from(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
     )
     return grouped_top_k(
         scored,
@@ -90,9 +101,17 @@ def cosine_near_dup_pairs(
     two engines computing identical double arithmetic agree at the
     boundary.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    cos = V.cosine(F.col("_va"), F.col("_vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        V.l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        V.l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    cos = V.cosine_from(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     return (
@@ -136,11 +155,21 @@ def assign_cells(
     join shuffle — the IVF building block for both index build
     (nprobe=1) and query probing (nprobe>1). The rank window partitions
     on the unique row id only, so the shuffle key stays narrow."""
-    cent = F.broadcast(centroids.select("cell_id", F.col("centroid").alias("_cent")))
+    cent = F.broadcast(
+        centroids.select(
+            "cell_id",
+            F.col("centroid").alias("_cent"),
+            V.l2_norm(F.col("centroid")).alias("_cent_n"),
+        )
+    )
     ranked = (
-        df.crossJoin(cent)
-        .withColumn("_cell_cos", V.cosine(F.col(vec_col), F.col("_cent")))
-        .drop("_cent")
+        df.withColumn("_row_n", V.l2_norm(F.col(vec_col)))
+        .crossJoin(cent)
+        .withColumn(
+            "_cell_cos",
+            V.cosine_from(F.col(vec_col), F.col("_cent"), F.col("_row_n"), F.col("_cent_n")),
+        )
+        .drop("_cent", "_cent_n", "_row_n")
     )
     return (
         grouped_top_k(
@@ -187,10 +216,14 @@ def knn_ivf(
         nprobe=nprobe,
     )
     scored = (
-        q.join(c, "cell_id")
+        q.withColumn("_qn", V.l2_norm(F.col("_qv")))
+        .join(c.withColumn("_cn", V.l2_norm(F.col("_cv"))), "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", V.cosine(F.col("_qv"), F.col("_cv")))
-        .drop("_qv", "_cv", "cell_id")
+        .withColumn(
+            "cosine",
+            V.cosine_from(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn", "cell_id")
     )
     # no dedup needed: each corpus row lives in exactly one cell, so a
     # (query, neighbor) pair appears at most once across probed cells
@@ -245,7 +278,11 @@ def knn_lsh(
     rank so each pair is scored once.
     """
     q = _multi_table_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            V.l2_norm(F.col(vec_col)).alias("_qn"),
+        ),
         vec_col="_qv",
         dim=dim,
         n_planes=n_planes,
@@ -253,7 +290,11 @@ def knn_lsh(
         seed=seed,
     )
     c = _multi_table_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            V.l2_norm(F.col(vec_col)).alias("_cn"),
+        ),
         vec_col="_cv",
         dim=dim,
         n_planes=n_planes,
@@ -263,13 +304,13 @@ def knn_lsh(
     candidates = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .select("query_id", "_qv", "_qn", "neighbor_id", "_cv", "_cn")
     )
     if n_tables > 1:
         candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
-    scored = candidates.withColumn("cosine", V.cosine(F.col("_qv"), F.col("_cv"))).drop(
-        "_qv", "_cv"
-    )
+    scored = candidates.withColumn(
+        "cosine", V.cosine_from(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"))
+    ).drop("_qv", "_cv", "_qn", "_cn")
     return grouped_top_k(
         scored,
         ["query_id"],

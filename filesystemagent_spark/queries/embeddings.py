@@ -85,15 +85,31 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     select identical rows even at float-ulp disagreements."""
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    # norms materialize once per row before the join (not per pair);
+    # same fold order and divide as inline cosine, so the oracle hash
+    # is unchanged while per-pair work drops to one dot product
     q = F.broadcast(
-        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+            V.l2_norm(F.col("embedding")).alias("_qn"),
+        )
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        V.l2_norm(F.col("embedding")).alias("_cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cosine",
+            F.round(
+                V.cosine_from(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
     )
     from filesystemagent_spark.operators.relational import grouped_top_k
 

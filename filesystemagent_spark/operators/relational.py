@@ -112,3 +112,38 @@ def rank_by_map(
     for value, rank in rank_map.items():
         expr = F.when(F.col(col) == value, F.lit(rank)).otherwise(expr)
     return df.withColumn(rank_col, expr)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: Sequence[str],
+    *,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join that survives hot keys: the skewed side scatters each
+    row into one of `salt_buckets` sub-keys at random; the other side
+    replicates every row across all buckets. A key holding 30% of the
+    data then lands on `salt_buckets` reducers instead of one.
+
+    Result-identical to `skewed.join(other, keys, how)` for inner and
+    left joins (the salt only splits groups, never separates matching
+    keys). Cost: the other side shuffles `salt_buckets`x — use when
+    the other side is much smaller than the hot groups but too big to
+    broadcast; if it fits in memory, `broadcast()` beats salting, and
+    AQE's skew-join split (`spark.sql.adaptive.skewJoin`) handles
+    moderate skew without either. The salt comes from a seeded uniform
+    so replays are reproducible.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    keys = list(keys)
+    s = skewed.withColumn(
+        "_salt", F.floor(F.rand(seed) * salt_buckets).cast("int")
+    )
+    o = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return s.join(o, [*keys, "_salt"], how).drop("_salt")

@@ -414,3 +414,45 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_asof_prior_view",
+    tags=("join", "asof", "temporal"),
+    oracle="""
+SELECT p.event_id, p.user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       v.event_id AS view_event_id,
+       ROUND(EPOCH(p.ts) - EPOCH(v.ts), 6) AS secs_since_view
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+      WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+""",
+)
+def events_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's most
+    recent prior (or simultaneous) view — union+window construction,
+    hash-checked against DuckDB's native ASOF JOIN. One shuffle on
+    user_id; no per-key range scan."""
+    from filesystemagent_spark.operators.temporal import as_of_join
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = as_of_join(
+        purchases, views, on="user_id", right_cols=["event_id"], prefix="view_"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("view_event_id"),
+        F.round(
+            F.col("ts").cast("double") - F.col("view_ts").cast("double"), 6
+        ).alias("secs_since_view"),
+    ).orderBy("event_id")

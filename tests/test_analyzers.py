@@ -187,3 +187,27 @@ def test_writable_system_binaries(spark):
     writable = spark.createDataFrame([(r"C:\Apps\vuln service\svc.exe",)], "path string")
     got = [r["name"] for r in A.writable_system_binaries(svcs, writable).collect()]
     assert got == ["vuln_svc"]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting only splits groups; inner/left results are identical
+    to the unsalted join."""
+    from filesystemagent_spark.operators.relational import salted_join
+
+    # one hot key (90% of rows) + a key missing from the dim side
+    facts = spark.createDataFrame(
+        [("hot", i) for i in range(900)]
+        + [("cold", i) for i in range(90)]
+        + [("orphan", i) for i in range(10)],
+        "key string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "key string, label string"
+    )
+
+    for how in ("inner", "left"):
+        got = salted_join(facts, dim, ["key"], how=how, salt_buckets=8)
+        want = facts.join(dim, ["key"], how)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

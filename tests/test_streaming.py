@@ -155,3 +155,52 @@ def test_tail_events(spark):
     ts = [r["ts"] for r in tail]
     assert ts == sorted(ts, reverse=True)
     assert tail[0]["ts"] == ev.agg(F.max("ts")).first()[0]
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: sessions close both
+    in-batch (gap observed between arriving events) and via event-time
+    timeout once the watermark passes last_ts + gap."""
+    from datetime import datetime, timedelta
+
+    from filesystemagent_spark.streaming.sessions import sessionize_stream
+
+    t0 = datetime(2026, 1, 1, 8, 0, 0)
+    rows = [
+        # user 1, session A: 3 events 10s apart
+        (1, t0), (1, t0 + timedelta(seconds=10)), (1, t0 + timedelta(seconds=20)),
+        # user 1, session B: 2h later (new session), 2 events
+        (1, t0 + timedelta(hours=2)), (1, t0 + timedelta(hours=2, seconds=5)),
+        # user 2, session C: single event
+        (2, t0),
+        # sentinel: far-future event pushes the watermark past every
+        # real session's last_ts + gap so timeouts fire in this run
+        (99, t0 + timedelta(hours=10)),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    )
+    sessions = sessionize_stream(stream, gap_seconds=1800, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    expected = {
+        (1, t0, t0 + timedelta(seconds=20), 3),
+        (1, t0 + timedelta(hours=2), t0 + timedelta(hours=2, seconds=5), 2),
+        (2, t0, t0, 1),
+    }
+    assert got == expected  # sentinel's session stays open: not emitted

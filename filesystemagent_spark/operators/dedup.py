@@ -328,11 +328,14 @@ def near_dup_clusters(
 
     Replaces the reference's greedy first-seen clustering
     (media_fingerprinting.py:278-310) with an order-independent,
-    distributed equivalent: iterative min-label propagation over the
-    edge list, converging in O(diameter) rounds (near-dup clusters are
-    shallow; real corpora converge in a handful). Each round is one
-    join + one aggregate; labels persist between rounds so the lineage
-    doesn't recompute from scratch.
+    distributed equivalent: per round, (1) min-label propagation over
+    the edge list, then (2) a pointer jump (take my label's label), so
+    convergence is O(log n) rounds even on path graphs, not
+    O(diameter). Each round ends in `localCheckpoint` — iterative
+    DataFrame algorithms MUST truncate lineage or the logical plan
+    doubles every round and the driver dies compiling/serializing it
+    long before the data is the problem (on a cluster with an HDFS
+    checkpoint dir, `checkpoint()` adds executor-loss resilience).
 
     Returns (id, cluster_id); singleton rows keep cluster_id = id —
     filter to groups of >= 2 for the reference's 'groups with actual
@@ -345,25 +348,39 @@ def near_dup_clusters(
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-        # neighbor labels: for each dst, the min label among its srcs
+        # (1) neighbor min: for each node, the smallest label adjacent
         neighbor = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        stepped = labels.join(neighbor, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # (2) pointer jump: my label is a node id; adopt that node's
+        # (possibly smaller) label — halves remaining distance to the
+        # component minimum each round
+        parents = stepped.select(
+            F.col("id").alias("cluster_id"), F.col("cluster_id").alias("_parent")
+        )
         updated = (
-            labels.join(neighbor, "id", "left")
+            stepped.join(parents, "cluster_id", "left")
             .select(
                 "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_parent"), F.col("cluster_id")),
+                ).alias("cluster_id"),
             )
+            .localCheckpoint(eager=True)
         )
-        # converged when no label changed
         changed = (
             updated.alias("u")
             .join(labels.alias("p"), "id")
@@ -371,11 +388,8 @@ def near_dup_clusters(
             .limit(1)
             .count()
         )
-        prev = labels
         labels = updated
         if changed == 0:
-            prev.unpersist()
             break
-        prev.unpersist()
     edges.unpersist()
     return labels

@@ -106,3 +106,53 @@ def doc_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("width").alias("max_width"),
     )
+
+
+@register(
+    "doc_dup_clusters",
+    tags=("dedup", "clustering", "graph"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 40)) AS hp FROM documents
+),
+g AS (
+    SELECT hp, MIN(doc_id) AS cluster_id, COUNT(*) AS n
+    FROM h GROUP BY hp
+)
+SELECT h.doc_id AS id, g.cluster_id
+FROM h JOIN g USING (hp)
+WHERE g.n > 1
+ORDER BY id
+""",
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (min-label
+    propagation), filtered to real duplicate groups (>= 2 members).
+
+    At distance 0 the components are exactly the hash-equality
+    classes, so DuckDB can oracle the labels as per-group MIN(doc_id)
+    — which pins the distributed label propagation to the correct
+    fixpoint. Chain-topology components (a-b, b-c with no a-c edge)
+    are covered by constructed-graph unit tests (tests/test_dedup.py),
+    where no equality oracle exists."""
+    from filesystemagent_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        near_dup_clusters,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", _hash60(F.substring("text", 1, 40)).alias("h60")
+    )
+    pairs = hamming_near_dup_pairs(docs, "doc_id", "h60", max_distance=2)
+    labels = near_dup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    groups = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("cluster_id")
+    )
+    return (
+        labels.join(F.broadcast(groups), "cluster_id")
+        .select(F.col("id"), F.col("cluster_id"))
+        .orderBy("id")
+    )

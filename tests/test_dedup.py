@@ -1,0 +1,68 @@
+"""Constructed-graph tests for the near-dup operators: Hamming band
+recall at distance 1-2, and connected-components label propagation on
+topologies the gate oracle can't reach (chains, multi-hop merges)."""
+
+from __future__ import annotations
+
+from filesystemagent_spark.operators.dedup import (
+    hamming_near_dup_pairs,
+    near_dup_clusters,
+)
+
+
+def _i64(v: int) -> int:
+    """Two's-complement wrap to signed 64-bit (LongType)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_hamming_banding_finds_small_distances(spark):
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0x1),                # distance 1
+        (3, base ^ 0x3),                # distance 2 from base, 1 from id 2
+        (4, _i64(base ^ (1 << 63))),    # distance 1 (high bit, different band)
+        (5, 0x7EDCBA9876543210),        # far away
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in hamming_near_dup_pairs(df, "id", "h", max_distance=2).collect()
+    }
+    assert (1, 2, 1) in got
+    assert (1, 3, 2) in got
+    assert (2, 3, 1) in got
+    assert (1, 4, 1) in got
+    assert not any(5 in (a, b) for a, b, _ in got)
+
+
+def test_hamming_banding_excludes_beyond_threshold(spark):
+    base = 0
+    rows = [(1, base), (2, base ^ 0x7)]  # distance 3 > max 2
+    df = spark.createDataFrame(rows, "id long, h long")
+    assert hamming_near_dup_pairs(df, "id", "h", max_distance=2).count() == 0
+
+
+def test_clusters_chain_topology(spark):
+    """a-b and b-c edges, no a-c: one component labeled min(id)."""
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 50]], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in near_dup_clusters(ids, pairs, id_col="id").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (50, 50)}
+
+
+def test_clusters_multi_hop_merge(spark):
+    """A long path needs several propagation rounds to converge."""
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = near_dup_clusters(ids, pairs, id_col="id").collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+    assert len(labels) == n

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) — differential oracles for the
+hand-written translation/join logic, a layer the reference's test
+suite lacks entirely (SURVEY.md §5).
+
+Spark-free on purpose: glob translation runs through Python `re`
+(same dialect class as Java for these constructs) against `fnmatch`;
+the as-of join's pure-python reference model is checked against
+pandas `merge_asof`, and the Spark implementation is pinned to the
+same model in tests/test_temporal.py's fixed cases.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from filesystemagent_spark.operators.filters import glob_to_regex
+
+# filenames and patterns over a compact alphabet rich in tricky chars
+_NAME_ALPHA = "ab.?*[]!-/\\ "
+names = st.text(alphabet=_NAME_ALPHA, min_size=0, max_size=12)
+patterns = st.text(alphabet=_NAME_ALPHA, min_size=0, max_size=10)
+
+
+@settings(max_examples=500, deadline=None)
+@given(name=names, pattern=patterns)
+def test_glob_to_regex_matches_fnmatch(name: str, pattern: str):
+    """glob_to_regex must agree with fnmatch.fnmatchcase on every
+    (name, pattern) pair — including degenerate classes, unclosed
+    brackets, and backslashes."""
+    rx = glob_to_regex(pattern)
+    got = re.fullmatch(rx[1:-1], name) is not None  # strip ^$, fullmatch anchors
+    want = fnmatch.fnmatchcase(name, pattern)
+    assert got == want, f"pattern={pattern!r} name={name!r} rx={rx!r}"
+
+
+def _asof_model(left, right, tolerance=None):
+    """Reference model: for each (key, lts), the right row with the
+    greatest rts <= lts."""
+    out = []
+    for key, lts in left:
+        best = None
+        for rkey, rts, rval in right:
+            if rkey == key and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, rval)
+        if best is not None and tolerance is not None and lts - best[0] > tolerance:
+            best = None
+        out.append((key, lts, None if best is None else best[1]))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=8
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=8
+    ),
+    tolerance=st.one_of(st.none(), st.integers(0, 20)),
+)
+def test_asof_model_matches_pandas(left, right, tolerance):
+    """The as-of model underlying operators/temporal.py agrees with
+    pandas merge_asof (backward, inclusive) wherever pandas defines
+    it — pandas requires unique right (key, ts), so duplicates are
+    collapsed keeping the last, matching window order."""
+    import pandas as pd
+
+    # collapse right duplicates: last wins (window-order semantics)
+    rmap = {}
+    for i, (k, t) in enumerate(right):
+        rmap[(k, t)] = f"r{i}"
+    runique = [(k, t, v) for (k, t), v in rmap.items()]
+
+    want = _asof_model(left, runique, tolerance)
+
+    lpd = pd.DataFrame(sorted(left, key=lambda x: x[1]), columns=["k", "ts"])
+    rpd = pd.DataFrame(
+        sorted(runique, key=lambda x: x[1]), columns=["k", "ts", "rval"]
+    )
+    if lpd.empty or rpd.empty:
+        got = {(k, t): None for k, t in left}
+    else:
+        merged = pd.merge_asof(
+            lpd,
+            rpd,
+            on="ts",
+            by="k",
+            direction="backward",
+            tolerance=tolerance,
+        )
+        got = {}
+        for _, row in merged.iterrows():
+            v = row["rval"]
+            got[(row["k"], row["ts"])] = None if pd.isna(v) else v
+    for k, t, v in want:
+        assert got.get((k, t)) == v, f"key={k} ts={t}: model={v} pandas={got.get((k, t))}"

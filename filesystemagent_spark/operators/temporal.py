@@ -103,3 +103,62 @@ def as_of_join(
     out.append(m["_matched_ts"].alias(f"{prefix}{right_ts}"))
     out.extend(m[c].alias(f"{prefix}{c}") for c in right_cols)
     return matched.select(*out)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap_seconds: float = 300.0,
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "right_",
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal range join: pairs within `max_gap_seconds` of each
+    other per key (|left_ts - right_ts| <= gap, inclusive).
+
+    A naive time-inequality join degenerates to a per-key cross join.
+    Binning fixes the complexity: both sides bucket time into
+    gap-sized bins; a qualifying pair is at most one bin apart, so the
+    right side replicates into its bin±1 and the join becomes a plain
+    equi-join on (key, bin) — each candidate pair meets exactly once
+    (the 3 replicated bins are distinct), then the exact |Δt| filter
+    keeps true matches. Cost: 3x the right side's rows, shuffle on
+    (key, bin) — bounded and skew-splittable, vs. unbounded per-key
+    quadratic blowup. `how="left"` keeps unmatched left rows with
+    nulls (the gap test folds into the join condition, so it cannot
+    drop them afterwards).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    gap = float(max_gap_seconds)
+
+    l = left.withColumn("_bin", F.floor(F.col(left_ts).cast("double") / gap))
+    r = (
+        right.select(
+            *[F.col(k).alias(f"_rk_{k}") for k in keys],
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        )
+        .withColumn("_rbin0", F.floor(F.col("_rts").cast("double") / gap))
+        .withColumn(
+            "_bin", F.explode(F.array(F.col("_rbin0") - 1, F.col("_rbin0"), F.col("_rbin0") + 1))
+        )
+        .drop("_rbin0")
+    )
+    cond = l["_bin"] == r["_bin"]
+    for k in keys:
+        cond = cond & (l[k] == r[f"_rk_{k}"])
+    cond = cond & (
+        F.abs(F.col(left_ts).cast("double") - F.col("_rts").cast("double")) <= gap
+    )
+    joined = l.join(r, cond, how)
+    out = [*left.columns, F.col("_rts").alias(f"{prefix}{right_ts}")]
+    out += [f"{prefix}{c}" for c in right_cols]
+    return joined.select(*out)

@@ -456,3 +456,44 @@ def events_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("double") - F.col("view_ts").cast("double"), 6
         ).alias("secs_since_view"),
     ).orderBy("event_id")
+
+
+@register(
+    "events_nearby_views",
+    tags=("join", "range", "temporal"),
+    oracle="""
+SELECT e.event_id, COUNT(v.event_id) AS n_nearby_views
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+      WHERE event_type = 'error') e
+LEFT JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+      WHERE event_type = 'view') v
+  ON e.user_id = v.user_id
+ AND ABS(EPOCH(e.ts) - EPOCH(v.ts)) <= 300
+GROUP BY e.event_id
+ORDER BY e.event_id
+""",
+)
+def events_nearby_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join: per error event, how many views the same
+    user made within +-5 minutes. The binned equi-join form — DuckDB
+    oracles the same result with a plain inequality join, which is
+    exactly the per-key quadratic shape the binning avoids at scale."""
+    from filesystemagent_spark.operators.temporal import range_join
+
+    ev = Catalog(spark, sf_dir).events
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    paired = range_join(
+        errors,
+        views,
+        on="user_id",
+        max_gap_seconds=300.0,
+        right_cols=["event_id"],
+        prefix="view_",
+        how="left",
+    )
+    return (
+        paired.groupBy("event_id")
+        .agg(F.count("view_event_id").alias("n_nearby_views"))
+        .orderBy("event_id")
+    )

@@ -71,3 +71,75 @@ def test_left_columns_preserved(spark):
     out = as_of_join(_left(spark), _right(spark), on="key")
     assert out.columns == ["key", "ts", "lval", "right_ts", "right_rval"]
     assert out.count() == 3
+
+
+class TestRangeJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [("k1", _ts("2026-01-01 10:00:00"), "e1"),
+             ("k1", _ts("2026-01-01 12:00:00"), "e2"),
+             ("k2", _ts("2026-01-01 10:00:00"), "e3")],
+            "key string, ts timestamp, lid string",
+        )
+        right = spark.createDataFrame(
+            [("k1", _ts("2026-01-01 09:58:00"), "r1"),   # 120s before e1
+             ("k1", _ts("2026-01-01 10:04:59"), "r2"),   # 299s after e1
+             ("k1", _ts("2026-01-01 10:05:01"), "r3"),   # 301s after e1
+             ("k2", _ts("2026-01-01 11:00:00"), "r4")],  # far from e3
+            "key string, ts timestamp, rid string",
+        )
+        return left, right
+
+    def test_inner_within_gap(self, spark):
+        from filesystemagent_spark.operators.temporal import range_join
+
+        left, right = self._frames(spark)
+        got = {
+            (r["lid"], r["right_rid"])
+            for r in range_join(
+                left, right, on="key", max_gap_seconds=300.0
+            ).collect()
+        }
+        assert got == {("e1", "r1"), ("e1", "r2")}
+
+    def test_left_keeps_unmatched(self, spark):
+        from filesystemagent_spark.operators.temporal import range_join
+
+        left, right = self._frames(spark)
+        rows = range_join(left, right, on="key", max_gap_seconds=300.0, how="left").collect()
+        by_lid = {}
+        for r in rows:
+            by_lid.setdefault(r["lid"], set()).add(r["right_rid"])
+        assert by_lid == {"e1": {"r1", "r2"}, "e2": {None}, "e3": {None}}
+
+    def test_matches_naive_join(self, spark):
+        """Binned implementation == naive inequality join on random-ish
+        data (the differential oracle for bin-boundary bugs)."""
+        from pyspark.sql import functions as F
+
+        from filesystemagent_spark.operators.temporal import range_join
+
+        left = spark.range(0, 200).selectExpr(
+            "cast(id % 5 as string) as key",
+            "timestamp_seconds(1700000000 + id * 37) as ts",
+            "id as lid",
+        )
+        right = spark.range(0, 200).selectExpr(
+            "cast(id % 5 as string) as key",
+            "timestamp_seconds(1700000000 + id * 53 + 11) as ts",
+            "id as rid",
+        )
+        gap = 100.0
+        got = range_join(left, right, on="key", max_gap_seconds=gap)
+        naive = left.alias("l").join(
+            right.alias("r"),
+            (F.col("l.key") == F.col("r.key"))
+            & (
+                F.abs(F.col("l.ts").cast("double") - F.col("r.ts").cast("double"))
+                <= gap
+            ),
+        )
+        assert got.count() == naive.count()
+        a = {(r["lid"], r["right_rid"]) for r in got.collect()}
+        b = {(r["lid"], r["rid"]) for r in naive.collect()}
+        assert a == b

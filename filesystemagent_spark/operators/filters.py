@@ -19,12 +19,61 @@ from pyspark.sql import functions as F
 # F7: glob → Java regex — the one custom compile helper (SURVEY §7.4).
 
 
+def _translate_class(inner: str) -> str:
+    """Render a glob character class body as a safe regex class,
+    following fnmatch.translate's rules: descending ranges (invalid in
+    both Python and Java regex) collapse to the empty range and drop;
+    a fully-empty class becomes the never-matching `(?!)`; `-` and
+    class metacharacters are escaped so the output parses in either
+    dialect."""
+    neg = inner.startswith("!")
+    body = inner[1:] if neg else inner
+    if "-" not in body:
+        chunks = [body] if body else []
+    else:
+        chunks = []
+        k = 1  # a leading '-' is literal, never a range start
+        start = 0
+        while True:
+            k = body.find("-", k, len(body) - 1)
+            if k < 0:
+                break
+            chunks.append(body[start:k])
+            start = k + 1
+            k = k + 3
+        chunk = body[start:]
+        if chunk:
+            chunks.append(chunk)
+        elif chunks:
+            chunks[-1] += "-"
+        # merge away descending ("empty") ranges, as fnmatch does
+        for k in range(len(chunks) - 1, 0, -1):
+            if chunks[k - 1][-1:] > chunks[k][:1]:
+                chunks[k - 1] = chunks[k - 1][:-1] + chunks[k][1:]
+                del chunks[k]
+        chunks = [c for c in chunks if c or len(chunks) == 1]
+    stuff = "-".join(
+        c.replace("\\", r"\\").replace("-", r"\-") for c in chunks
+    )
+    # Java char classes treat & (and Python some others) specially
+    stuff = re.sub(r"([&~|\[\]])", r"\\\1", stuff)
+    if not stuff:
+        return "." if neg else "(?!)"
+    if stuff.startswith("^"):
+        stuff = "\\" + stuff
+    return f"[{'^' if neg else ''}{stuff}]"
+
+
 def glob_to_regex(pattern: str) -> str:
-    """Translate an fnmatch-style glob to an anchored Java regex.
+    """Translate an fnmatch-style glob to an anchored regex valid in
+    both Java and Python dialects.
 
     Semantics follow fnmatch (reference etl_template_base.py:155-173):
     `*` matches any run including separators (fnmatch does not treat
-    `/` specially), `?` one char, `[seq]` a class, `[!seq]` negated.
+    `/` specially), `?` one char, `[seq]` a class, `[!seq]` negated —
+    including fnmatch's lenient treatment of unclosed brackets and
+    descending ranges (property-tested against fnmatchcase in
+    tests/test_properties.py).
     """
     out: list[str] = []
     i, n = 0, len(pattern)
@@ -45,10 +94,7 @@ def glob_to_regex(pattern: str) -> str:
             if j >= n:
                 out.append(re.escape("["))
             else:
-                inner = pattern[i + 1 : j].replace("\\", "\\\\")
-                if inner.startswith("!"):
-                    inner = "^" + inner[1:]
-                out.append(f"[{inner}]")
+                out.append(_translate_class(pattern[i + 1 : j]))
                 i = j
         else:
             out.append(re.escape(c))

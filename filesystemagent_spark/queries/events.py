@@ -497,3 +497,63 @@ def events_nearby_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("view_event_id").alias("n_nearby_views"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_rollup_reagg",
+    tags=("agg", "rollup", "hypertable"),
+    oracle="""
+-- date_trunc, NOT epoch float math: DuckDB's // on DOUBLE does not
+-- floor, and CAST(double AS BIGINT) rounds — both silently split or
+-- shift buckets
+SELECT STRFTIME(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+       MIN(CAST(value AS DOUBLE)) AS min_v,
+       MAX(CAST(value AS DOUBLE)) AS max_v
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate soundness: the 1 h result served from a
+    5-min rollup of mergeable partials hash-equals DuckDB's 1 h
+    computed directly from raw rows. At 100 TB the 5-min rollup is
+    maintained by the streaming window aggregate and raw rows are
+    never re-scanned. Sums run through decimal partials so merge
+    order cannot perturb the double (same trick as events_hourly)."""
+    from filesystemagent_spark.operators import rollup as R
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    fine = ev.groupBy(
+        R.time_bucket(F.col("ts"), 300).alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.min(F.col("value").cast("double")).alias("min_v"),
+        F.max(F.col("value").cast("double")).alias("max_v"),
+    )
+    coarse = (
+        fine.groupBy(
+            R.time_bucket(F.col("bucket"), 3600).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").cast("double").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+    return coarse.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_v",
+        "min_v",
+        "max_v",
+    ).orderBy("bucket", "event_type")

@@ -211,3 +211,38 @@ def test_salted_join_matches_plain_join(spark):
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_rollup_reaggregate_lossless(spark):
+    """Merging 5-min partials to 1h equals aggregating raw rows:
+    the mergeable-partials invariant behind continuous aggregates."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.operators import rollup as R
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("a", t0 + timedelta(minutes=m), float(m)) for m in range(0, 150, 7)
+    ] + [("b", t0 + timedelta(minutes=m), float(-m)) for m in range(0, 90, 11)]
+    ev = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+
+    fine = R.continuous_aggregate(
+        ev, ts_col="ts", value_col="value", group_cols=["k"], bucket_seconds=300
+    )
+    coarse = R.reaggregate(fine, group_cols=["k"], bucket_seconds=3600)
+    direct = (
+        ev.groupBy(R.time_bucket(F.col("ts"), 3600).alias("bucket"), "k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    assert coarse.exceptAll(direct).count() == 0
+    assert direct.exceptAll(coarse).count() == 0
+    avg = R.with_derived_stats(coarse)
+    row = avg.filter("k = 'a'").orderBy("bucket").first()
+    assert abs(row["avg_v"] - row["sum_v"] / row["n"]) < 1e-12

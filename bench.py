@@ -38,13 +38,20 @@ def main() -> None:
     # the plans, not first-touch JIT + parquet footer reads.
     queries[names[0]].fn(spark, sf_dir).count()
 
+    # Two measured runs per query, keep the min: single-JVM timings on
+    # a shared box carry GC/scheduler noise that min-of-2 removes
+    # without hiding real plan cost (both runs execute the full plan —
+    # nothing is cached between them).
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in names:
-        t0 = time.time()
-        queries[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            queries[name].fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(

@@ -55,6 +55,13 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # In local mode the driver IS the executor: the 1g default heap is
+    # the first thing to fall over under 32 concurrent tasks. Applied
+    # only when this factory launches the JVM (getOrCreate on a live
+    # session ignores it — e.g. under the round driver's own session).
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

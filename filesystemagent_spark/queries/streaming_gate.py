@@ -58,3 +58,94 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "events_stream_sessions",
+    tags=("streaming", "stateful", "sessionization"),
+    oracle="""
+WITH e AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+marked AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+),
+agg AS (
+    SELECT user_id, sid,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY 1, 2
+),
+mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+SELECT user_id,
+       STRFTIME(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       STRFTIME(session_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       n_events
+FROM agg, mx
+WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+   OR session_end + INTERVAL 1800 SECOND < max_ts
+ORDER BY user_id, session_start
+""",
+)
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState) with
+    a full SQL oracle: the stream emits exactly the sessions a batch
+    engine can prove CLOSED — every non-final session per user (a
+    later event arrived) plus final sessions whose gap timeout the
+    terminal watermark (= max event time) passed. The strict
+    inequalities mirror the operator's `gap > threshold` split and
+    Spark's watermark-passes-timeout firing rule."""
+    from filesystemagent_spark.streaming.sessions import sessionize_stream
+    from filesystemagent_spark.streaming.events import read_events_stream
+
+    stage = tempfile.mkdtemp(prefix="events_sessions_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
+    )
+    sink = f"events_sessions_sink_{uuid.uuid4().hex[:8]}"
+    sessions = sessionize_stream(
+        read_events_stream(spark, stage), gap_seconds=1800, watermark="0 seconds"
+    )
+    # A stateful stream schedules every state partition each microbatch
+    # (plus the timeout sweep); under a bare session's 200 default
+    # partitions that is pure task overhead at gate scale. The count is
+    # pinned at first checkpoint, so set it just for this query's start.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -122,6 +122,65 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    seed: int = 42,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: multi-table sign-LSH buckets
+    generate candidates (bucket self-join, id_a < id_b), exact cosine
+    verifies against the threshold. Same output contract as
+    `cosine_near_dup_pairs`, whose O(n²) self-join is the recall
+    anchor (tests/test_similarity.py).
+
+    Recall for a pair at angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables —
+    near 1 for true near-dups (θ→0), which is the regime dedup cares
+    about; candidate volume shrinks by ~2^n_planes per table.
+    """
+    banded = _multi_table_buckets(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            V.l2_norm(F.col(vec_col)).alias("_n"),
+        ),
+        vec_col="_v",
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+    )
+    a = banded.select(
+        F.col("bucket"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = banded.select(
+        F.col("bucket"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    candidates = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    if n_tables > 1:
+        candidates = candidates.dropDuplicates(["id_a", "id_b"])
+    cos = V.cosine_from(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        candidates.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def centroids_from_labels(
     df: DataFrame, *, label_col: str, vec_col: str, dim: int
 ) -> DataFrame:

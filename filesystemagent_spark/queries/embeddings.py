@@ -210,3 +210,20 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=4,
         n_tables=4,
     ).orderBy("query_id", "rnk")
+
+
+@register("embedding_near_dup_lsh", tags=("vector", "dedup", "lsh", "approx"))
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding_near_dup: LSH-bucketed candidate
+    generation + exact cosine verify. Rows-only at the gate; recall vs
+    the exact pair set asserted in tests/test_similarity.py."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return S.cosine_near_dup_pairs_lsh(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        threshold=NEAR_DUP_THRESHOLD,
+        n_planes=3,
+        n_tables=6,
+    ).orderBy("id_a", "id_b")

@@ -123,3 +123,34 @@ def test_near_dup_pairs_vs_duckdb(spark, sf_dir, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_near_dup_lsh_recall(spark, sf_dir):
+    """LSH near-dup pairs ⊆ exact pairs (verify step is exact) with
+    recall above the multi-table collision bound for this corpus."""
+    emb = Catalog(spark, sf_dir).embeddings
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs_lsh(
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=DIM,
+            threshold=0.3,
+            n_planes=3,
+            n_tables=6,
+        ).collect()
+    }
+    assert got <= exact  # no false positives possible: exact verify
+    assert exact, "fixture should contain near-dup pairs at 0.3"
+    recall = len(got) / len(exact)
+    # pairs at cosine ~0.3-0.5 sit at theta ~60-72deg: per-table
+    # collision ~(1-theta/pi)^3 ~ 0.05-0.1, six tables ~ 0.3-0.5;
+    # true near-dups (cos->1) would approach recall 1.0
+    assert recall >= 0.2, f"LSH near-dup recall too low: {recall}"

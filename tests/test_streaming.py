@@ -204,3 +204,53 @@ def test_stateful_sessionization(spark, tmp_path):
         (2, t0, t0, 1),
     }
     assert got == expected  # sentinel's session stays open: not emitted
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Unified model: the watermarked stream-stream interval join on
+    finite input equals the batch inequality join."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.streaming.joins import stream_interval_join
+
+    t0 = datetime(2026, 1, 1, 8, 0, 0)
+    purchases = [(u, t0 + timedelta(minutes=m), f"p{u}_{m}")
+                 for u in (1, 2) for m in (0, 30, 90)]
+    views = [(u, t0 + timedelta(minutes=m), f"v{u}_{m}")
+             for u in (1, 2, 3) for m in (2, 28, 65, 200)]
+    pdir, vdir = str(tmp_path / "p"), str(tmp_path / "v")
+    spark.createDataFrame(purchases, "user_id long, p_ts timestamp, p_id string").write.parquet(pdir)
+    spark.createDataFrame(views, "user_id long, v_ts timestamp, v_id string").write.parquet(vdir)
+
+    p_stream = spark.readStream.schema("user_id long, p_ts timestamp, p_id string").parquet(pdir)
+    v_stream = spark.readStream.schema("user_id long, v_ts timestamp, v_id string").parquet(vdir)
+    joined = stream_interval_join(
+        p_stream, v_stream, on="user_id", left_ts="p_ts", right_ts="v_ts",
+        max_gap_seconds=600, watermark="0 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["p_id"], r["v_id"])
+        for r in spark.sql("select * from ssij_test").collect()
+    }
+
+    pb = spark.read.parquet(pdir)
+    vb = spark.read.parquet(vdir).withColumnRenamed("user_id", "r_user_id")
+    batch = pb.join(
+        vb,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.abs(F.col("p_ts").cast("double") - F.col("v_ts").cast("double")) <= 600),
+    )
+    want = {(r["p_id"], r["v_id"]) for r in batch.collect()}
+    assert got == want
+    assert want  # non-vacuous: some pairs fall inside the gap

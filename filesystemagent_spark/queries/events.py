@@ -557,3 +557,30 @@ def events_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_v",
         "max_v",
     ).orderBy("bucket", "event_type")
+
+
+@register(
+    "events_value_mad",
+    tags=("agg", "pandas-udaf"),
+    oracle="""
+SELECT event_type, ROUND(MAD(CAST(value AS DOUBLE)), 6) AS mad_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type via a grouped-agg
+    pandas UDF — the UDAF surface the reference lacks entirely
+    (SURVEY.md §2.9). Arrow ships each group's value column as one
+    numpy vector; the robust-dispersion math (no Spark builtin) runs
+    vectorized and returns one scalar per group. Hash-checked against
+    DuckDB's native MAD (both interpolate medians identically)."""
+    from filesystemagent_spark.functions.udafs import mad
+
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(mad(F.col("value").cast("double")), 6).alias("mad_value"))
+        .orderBy("event_type")
+    )

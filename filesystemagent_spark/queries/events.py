@@ -584,3 +584,38 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(mad(F.col("value").cast("double")), 6).alias("mad_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_user_seq",
+    tags=("udf", "applyInPandas", "grouped-map"),
+    oracle="""
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id
+       ) AS BIGINT) AS seq
+FROM events
+ORDER BY user_id, seq
+""",
+)
+def events_user_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the per-group transform surface,
+    SURVEY.md §2.9): each user's events arrive as one pandas frame,
+    get event-time ordered, and leave with a 1..n sequence — pinned to
+    a SQL ROW_NUMBER oracle, integer-exact. The same mechanism carries
+    any per-group python logic (per-entity resampling, model scoring)
+    with one shuffle on the group key."""
+    import pandas as pd
+
+    def seq_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out["seq"] = range(1, len(out) + 1)
+        return out[["user_id", "event_id", "seq"]]
+
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_id", "ts")
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(seq_group, "user_id long, event_id long, seq long")
+        .orderBy("user_id", "seq")
+    )

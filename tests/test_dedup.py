@@ -66,3 +66,36 @@ def test_clusters_multi_hop_merge(spark):
     labels = near_dup_clusters(ids, pairs, id_col="id").collect()
     assert {r["cluster_id"] for r in labels} == {0}
     assert len(labels) == n
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """MinHash+LSH output is a subset of the exact pair set (verify
+    step computes true Jaccard) and banding recall is ~1 for
+    high-similarity pairs: P(candidate) = 1-(1-J^rows)^bands ~ 0.9998
+    at J=0.8 with 16 bands x 4 rows."""
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.4
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.4
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, j in got.items():
+        assert j == exact[pair]  # verify recomputes true jaccard
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert high, "fixture should contain high-similarity pairs"
+    found_high = high & set(got)
+    assert len(found_high) / len(high) >= 0.95, "banding missed high-sim pairs"

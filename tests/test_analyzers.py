@@ -246,3 +246,41 @@ def test_rollup_reaggregate_lossless(spark):
     avg = R.with_derived_stats(coarse)
     row = avg.filter("k = 'a'").orderBy("bucket").first()
     assert abs(row["avg_v"] - row["sum_v"] / row["n"]) < 1e-12
+
+
+def test_snapshot_diff_null_key_is_not_a_change(spark):
+    """SURVEY §7.5 trap: the reference coalesces None path to "" in
+    diff keys — a null-path process present in both snapshots must not
+    appear as added+removed."""
+    from filesystemagent_spark.operators.relational import snapshot_diff
+
+    cur = spark.createDataFrame(
+        [("svchost", None), ("new", "c:\\new.exe")], "name string, path string"
+    )
+    base = spark.createDataFrame(
+        [("svchost", None), ("old", "c:\\old.exe")], "name string, path string"
+    )
+    diff = snapshot_diff(cur, base, ["name", "path"]).collect()
+    got = {(r["name"], r["change_type"]) for r in diff}
+    assert got == {("new", "added"), ("old", "removed")}
+
+
+def test_keep_first_tie_break_deterministic(spark):
+    """SURVEY §7.5 trap: keep-oldest on equal modified_time must pick
+    a deterministic winner (path asc), not an arbitrary row."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.operators.relational import keep_first
+
+    t = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("h1", t, "/b"), ("h1", t, "/a"), ("h1", t, "/c")],
+        "file_hash string, modified_time timestamp, path string",
+    )
+    for _ in range(3):  # stable across runs
+        kept = keep_first(
+            df, ["file_hash"], [F.col("modified_time").asc(), F.col("path").asc()]
+        ).collect()
+        assert [(r["file_hash"], r["path"]) for r in kept] == [("h1", "/a")]

@@ -336,3 +336,82 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(
         docs, "doc_id", "text", bits=32, max_distance=3, block_bits=8
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "doc_curation_funnel",
+    tags=("pipeline", "dedup", "text", "agg"),
+    oracle=f"""
+WITH s1 AS (
+    SELECT doc_id, n_chars, lang, text FROM documents
+),
+s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+feats AS (
+    SELECT doc_id, text, {_SQL_TOKS} AS toks FROM s2
+),
+scored AS (
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.4 * LEAST((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST({_sql_hits(T.STOPWORDS_EN)} AS DOUBLE) / len(toks) END) * 4.0, 1.0)
+               + 0.2 * (1.0 - LEAST((CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g')) AS DOUBLE)
+                         / length(text) END) * 2.0, 1.0)), 6) AS quality
+    FROM feats
+),
+s3 AS (
+    SELECT s2.* FROM s2 JOIN scored USING (doc_id) WHERE quality >= 0.5
+),
+s4 AS (
+    SELECT * FROM (
+        SELECT s3.*, ROW_NUMBER() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id
+        ) AS rn FROM s3
+    ) WHERE rn = 1
+)
+SELECT * FROM (
+    SELECT 1 AS stage, 'total' AS name,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM s1
+    UNION ALL
+    SELECT 2, 'lang_en', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'quality', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 4, 'deduped', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM s4
+) ORDER BY stage
+""",
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline as one query: language
+    filter → quality filter → exact dedup keep-first, reporting
+    survivors and bytes at every stage. This is the composition the
+    individual operators exist for; at 100 TB each stage is a narrow
+    projection/filter over one scan plus a single keep-first shuffle
+    at the end, and the funnel report is the job's observability."""
+    from filesystemagent_spark.operators.relational import keep_first
+
+    docs = Catalog(spark, sf_dir).documents
+    s1 = docs.select("doc_id", "n_chars", "lang", "text")
+    s2 = s1.filter(F.col("lang") == "en")
+    s3 = s2.withColumn("quality", F.round(T.quality_score(F.col("text")), 6)).filter(
+        F.col("quality") >= 0.5
+    )
+    s4 = keep_first(
+        s3.withColumn("h", F.md5("text")), ["h"], [F.col("doc_id").asc()]
+    )
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        ).select("stage", "name", "n_docs", "total_chars")
+
+    return (
+        stage(s1, 1, "total")
+        .unionByName(stage(s2, 2, "lang_en"))
+        .unionByName(stage(s3, 3, "quality"))
+        .unionByName(stage(s4, 4, "deduped"))
+        .orderBy("stage")
+    )

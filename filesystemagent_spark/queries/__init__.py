@@ -62,7 +62,9 @@ def registry() -> dict[str, Query]:
         events,
         findings,
         media,
+        sketches,
         streaming_gate,
+        tpch_deep,
         tpch_like,
     )
 

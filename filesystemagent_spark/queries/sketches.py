@@ -1,0 +1,90 @@
+"""Sketch-based approximate aggregation — the 100 TB scale path.
+
+Exact COUNT(DISTINCT) expands every row and shuffles the full key
+domain; exact percentiles sort it. At 100 TB both are shuffle-bound.
+HyperLogLog++ (`approx_count_distinct`) and the Greenwald-Khanna /
+KLL-style quantile sketch (`percentile_approx`) replace them with
+fixed-size mergeable state: map-side partials the size of a sketch,
+one tiny shuffle, bounded relative error.
+
+These are approximate by design, so they register WITHOUT an oracle
+(the driver records a rows-only check) — their accuracy contract is
+enforced by tests/test_sketches.py against the exact answers:
+HLL within its configured rsd, quantile sketch within its rank
+accuracy. The exact twins (`events_value_percentiles`,
+`external_conns_per_process`'s countDistinct) stay the correctness
+reference; these are what you run when the exact twin stops fitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.queries import register
+
+# rsd 2% → ~1.5 KB of HLL state per group regardless of cardinality.
+HLL_RSD = 0.02
+# percentile_approx accuracy knob: rank error ≤ 1/PCTL_ACCURACY.
+PCTL_ACCURACY = 10_000
+
+
+@register(
+    "events_distinct_users_hll",
+    tags=("agg", "sketch", "hll", "approx"),
+)
+def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via HyperLogLog++.
+
+    The exact form (SURVEY §2.4 A8's countDistinct) is the oracle-
+    checked reference; this sketch form is the drop-in at cardinalities
+    where exact distinct no longer fits the shuffle."""
+    events = Catalog(spark, sf_dir).events
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_value_quantile_sketch",
+    tags=("agg", "sketch", "quantile", "approx"),
+)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type via the mergeable quantile
+    sketch — the scale twin of the exact `events_value_percentiles`
+    query. State per group is O(accuracy), not O(rows)."""
+    events = Catalog(spark, sf_dir).events
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.5, 0.9, 0.99], PCTL_ACCURACY
+            ).alias("value_pcts")
+        )
+        .select(
+            "event_type",
+            F.col("value_pcts")[0].alias("p50"),
+            F.col("value_pcts")[1].alias("p90"),
+            F.col("value_pcts")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_custkey_hll_by_status",
+    tags=("agg", "sketch", "hll", "approx"),
+)
+def orders_custkey_hll_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per order status — the same
+    sketch over the TPC-H-ish fact, proving the operator is not
+    events-specific."""
+    orders = Catalog(spark, sf_dir).orders
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("approx_customers"))
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,466 @@
+"""Deeper relational shapes over the TPC-H-ish tables.
+
+These extend `queries/tpch_like.py` with the classic decision-support
+query *shapes* the reference's analytics never needed but a complete
+engine must handle well at 100 TB: correlated EXISTS, scalar
+subqueries against aggregates, group-by-HAVING joined back to facts,
+disjunctive pushdown predicates, distinct aggregation with NOT-IN
+exclusion, and multi-way joins that reuse one dimension under two
+roles. Adapted to the reduced driver schema (TESTDATA.md — no
+partsupp/phone/shipmode columns).
+
+Scale stance (same as tpch_like.py): dims broadcast, facts shuffle at
+most once per true key change, scalar aggregates cross-joined as
+1-row broadcasts — never collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.queries import register
+
+# Exact money arithmetic (see tpch_like.py): DECIMAL(18,6) partial
+# sums are order-independent, so both engines agree bit-for-bit.
+def _dec(c):
+    return c.cast("decimal(18,6)")
+
+
+_REV = None  # revenue expression built per-query (needs live columns)
+
+
+def _revenue():
+    return _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+@register(
+    "shipping_priority",
+    headline=True,
+    tags=("join", "agg", "topk", "filter"),
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped orders of one segment ranked by value.
+
+    Both date predicates and the segment filter push into the parquet
+    scans, shrinking BOTH fact sides before the orderkey shuffle; the
+    filtered customer dim broadcasts. Top-K is TakeOrdered (no global
+    sort). Reference analog: ranked findings views (SURVEY §2.5 W3).
+    """
+    cat = Catalog(spark, sf_dir)
+    cutoff = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    building = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    open_orders = cat.orders.filter(F.col("o_orderdate") < cutoff)
+    late_items = cat.lineitem.filter(F.col("l_shipdate") > cutoff)
+    return (
+        late_items.join(open_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "volume_shipping_pairs",
+    tags=("join", "broadcast", "agg", "multi-role-dim"),
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region sr  ON sn.n_regionkey = sr.r_regionkey
+JOIN region cr  ON cn.n_regionkey = cr.r_regionkey
+WHERE sr.r_name = 'EUROPE' AND cr.r_name = 'EUROPE'
+  AND sn.n_nationkey <> cn.n_nationkey
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+)
+def volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume between EU nations.
+
+    The nation dim participates under TWO roles (supplier side and
+    customer side) — aliased broadcasts, not a self-shuffle. The only
+    fact shuffle is lineitem⋈orders on orderkey; every dim hop after
+    it is map-side. Region filters prune the nation broadcasts before
+    they ship.
+    """
+    cat = Catalog(spark, sf_dir)
+    eu = cat.region.filter(F.col("r_name") == "EUROPE")
+    # nation ⋈ region collapses to one tiny broadcast per role.
+    eu_nation = (
+        cat.nation.join(F.broadcast(eu), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp_n = eu_nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = eu_nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "national_market_share",
+    tags=("join", "agg", "conditional-agg", "share"),
+    oracle="""
+WITH eu_sales AS (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           sn.n_name AS supp_nation,
+           CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr  ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cr.r_name = 'EUROPE'
+)
+SELECT order_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM eu_sales
+GROUP BY order_year
+ORDER BY order_year
+""",
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    market per year — conditional aggregation (share-of-total without
+    a second pass or a window). Exact decimal numerator/denominator →
+    one IEEE divide keeps both engines identical."""
+    cat = Catalog(spark, sf_dir)
+    eu = cat.region.filter(F.col("r_name") == "EUROPE")
+    cust_nation = (
+        cat.nation.join(F.broadcast(eu), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = cat.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"), "inner")
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    volume = _revenue()
+    return (
+        sales.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", volume)).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    tags=("join", "broadcast", "conditional-agg", "share"),
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('month', l.l_shipdate), '%Y-%m') AS ship_month,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) END) AS DOUBLE) * 100
+         / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS promo_share_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY ship_month
+ORDER BY ship_month
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly % of revenue from promo parts.
+    lineitem⋈part is the canonical fact-dim broadcast (part never
+    drags the fact through a shuffle); the month series comes out of
+    one aggregation."""
+    cat = Catalog(spark, sf_dir)
+    rev = _revenue()
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double") * 100
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct")
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "brand_supplier_counts",
+    tags=("join", "distinct-agg", "anti", "not-in"),
+    oracle="""
+SELECT p.p_brand,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type <> 'PROMO'
+  AND p.p_size BETWEEN 1 AND 25
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand
+ORDER BY supplier_cnt DESC, p_brand
+""",
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per brand with a
+    NOT-IN exclusion list. The exclusion is a broadcast anti-join (the
+    excluded-key set is tiny by construction); COUNT(DISTINCT) is
+    Spark's two-phase expand — no driver-side set."""
+    cat = Catalog(spark, sf_dir)
+    excluded = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = cat.part.filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").between(1, 25)
+    )
+    return (
+        cat.lineitem.join(
+            F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc())
+    )
+
+
+@register(
+    "large_orders",
+    headline=True,
+    tags=("agg", "having", "join-back", "topk"),
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 200
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(o.o_totalprice, 4) AS totalprice,
+       CAST(big.sum_qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders o   ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-by-HAVING joined back to the facts.
+
+    The heavy groupBy runs FIRST and shrinks lineitem to qualifying
+    orderkeys (~0.1% of orders), so the join back to orders moves a
+    tiny aggregated side; AQE turns it into a broadcast at runtime.
+    Reference analog: duplicate groups (HAVING n>1) rejoined to
+    members — SURVEY §2.3 J10 — at order granularity.
+    """
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    tags=("join", "filter", "disjunctive-pushdown"),
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 5   AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10  AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15  AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides.
+
+    Catalyst splits the disjunction: the part-only branches
+    (brand/size) union-prune the broadcast dim, and the quantity
+    bounds derived from the OR (min of lows, max of highs) push into
+    the lineitem scan — the join then re-checks the full predicate.
+    """
+    cat = Catalog(spark, sf_dir)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branches = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#12") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#23") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(branches)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    tags=("agg", "scalar-subquery", "join"),
+    oracle="""
+WITH supp_rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(sr.total_rev AS DOUBLE) AS total_rev
+FROM supp_rev sr
+JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+WHERE sr.total_rev = (SELECT MAX(total_rev) FROM supp_rev)
+ORDER BY s_suppkey
+""",
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: rows matching a scalar aggregate of their own
+    aggregation (max-revenue supplier, ties kept).
+
+    The scalar MAX is a 1-row DataFrame cross-joined as a broadcast —
+    the idiomatic Spark scalar subquery; nothing is collected.
+    Equality on revenue is safe because both sides carry the exact
+    decimal sum (not a rounded double).
+    """
+    cat = Catalog(spark, sf_dir)
+    window = (
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    supp_rev = (
+        cat.lineitem.filter(window)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("total_rev"))
+    )
+    max_rev = supp_rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        supp_rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "idle_rich_customers",
+    tags=("anti", "scalar-subquery", "agg"),
+    oracle="""
+WITH thr AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balances with no orders —
+    scalar-aggregate threshold (broadcast 1-row cross join) composed
+    with the anti-join primitive (SURVEY §2.3 J1-J4). The orders side
+    is key-projected before the anti-join shuffle."""
+    cat = Catalog(spark, sf_dir)
+    thr = (
+        cat.customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*")).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        cat.customer.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            cat.orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

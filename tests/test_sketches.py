@@ -1,0 +1,71 @@
+"""Accuracy contracts for the sketch queries.
+
+The sketches register without oracles (approximate by design); these
+tests pin them to the exact answers within their configured error
+bounds, so a regression in sketch wiring (wrong column, wrong rsd,
+bad merge) fails loudly rather than drifting.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from filesystemagent_spark.queries import registry
+
+QUERIES = registry()
+
+
+def _rows_by_key(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_hll_events_within_rsd(spark, sf_dir, duck):
+    approx = _rows_by_key(
+        QUERIES["events_distinct_users_hll"].fn(spark, sf_dir), "event_type"
+    )
+    exact = {
+        t: n
+        for t, n in duck.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        # rsd=0.02 → 3σ bound of 6%; floor of 2 absorbs tiny groups.
+        tol = max(2.0, 0.06 * n)
+        assert abs(approx[t]["approx_users"] - n) <= tol, (t, approx[t], n)
+
+
+def test_hll_orders_within_rsd(spark, sf_dir, duck):
+    approx = _rows_by_key(
+        QUERIES["orders_custkey_hll_by_status"].fn(spark, sf_dir), "o_orderstatus"
+    )
+    exact = {
+        s: n
+        for s, n in duck.sql(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for s, n in exact.items():
+        tol = max(2.0, 0.06 * n)
+        assert abs(approx[s]["approx_customers"] - n) <= tol, (s, approx[s], n)
+
+
+@pytest.mark.parametrize("col,q", [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)])
+def test_quantile_sketch_rank_accuracy(spark, sf_dir, duck, col, q):
+    """The sketch's value must sit within ±1% RANK of the requested
+    quantile (value-space checks are meaningless for skewed data)."""
+    approx = _rows_by_key(
+        QUERIES["events_value_quantile_sketch"].fn(spark, sf_dir), "event_type"
+    )
+    eps = 0.01
+    for t, row in approx.items():
+        lo, hi = max(0.0, q - eps), min(1.0, q + eps)
+        bounds = duck.sql(
+            f"""
+            SELECT quantile_cont(value, {lo}), quantile_cont(value, {hi})
+            FROM events WHERE event_type = '{t}' AND value IS NOT NULL
+            """
+        ).fetchall()[0]
+        assert bounds[0] <= row[col] <= bounds[1], (t, col, row[col], bounds)

@@ -1,0 +1,88 @@
+"""Partitioned table layout — partition pruning and compaction.
+
+The reference's answer to selective access is SQLite B-tree indexes
+(/root/reference/src/file_indexing_system.py:92-96). The Spark-native
+answer is physical layout: hive-style `partitionBy` directories so a
+partition-key predicate prunes whole directories at planning time
+(zero I/O for excluded partitions), plus in-file ordering
+(`sortWithinPartitions`) so parquet row-group min/max stats skip
+pages within the files that survive pruning.
+
+At 100 TB the partition column choice is the single biggest scan
+lever: date/type columns with bounded cardinality (10²-10⁴
+partitions) prune; high-cardinality keys (user_id) must NOT be
+partition columns — they belong in bucket/sort order instead
+(sources/bucketed.py).
+
+Compaction is layout hygiene: streaming/incremental writers leave
+many small files; `compact` rewrites a table directory to
+target-sized files so scans pay one task per ~128 MB instead of one
+per tiny file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+    *,
+    sort_within: list[str] | str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write `df` hive-partitioned by `partition_cols`.
+
+    `sort_within` orders rows inside each output file so parquet
+    min/max stats become selective for those columns (the data-
+    skipping complement to directory pruning)."""
+    partition_cols = (
+        [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    )
+    if sort_within is not None:
+        sort_within = (
+            [sort_within] if isinstance(sort_within, str) else list(sort_within)
+        )
+        df = df.repartition(*partition_cols).sortWithinPartitions(*sort_within)
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a partitioned table; partition-key filters applied by the
+    caller prune directories before any file is opened."""
+    return spark.read.format(fmt).load(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite `path` (non-partitioned dir or a single partition dir)
+    into ~`target_file_mb`-sized files; returns the file count written.
+
+    Sized from actual bytes, not file count, so it is idempotent and
+    safe to run on already-compacted data. Writes to a temp sibling
+    then swaps, so a failed compaction never destroys the source."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove WHAT the queries compute; these prove HOW:
+filters reach the parquet scan, projections prune columns, dims
+broadcast, partition directories prune. A regression that keeps
+results right but silently de-optimizes the plan (lost pushdown, a
+surprise shuffle) fails here — this is the 100 TB contract.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.queries import registry
+from filesystemagent_spark.sources.layout import compact, read_partitioned, write_partitioned
+
+QUERIES = registry()
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def executed_plan(df) -> str:
+    df.count()  # materialize so AQE reports the FINAL plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = formatted_plan(QUERIES["pricing_summary"].fn(spark, sf_dir))
+    # The shipdate predicate must reach the parquet reader...
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    # ...and the scan must not read columns the query never touches.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_regional_revenue_broadcasts_all_dims(spark, sf_dir):
+    plan = executed_plan(QUERIES["regional_revenue"].fn(spark, sf_dir))
+    # customer, nation, region all broadcast: ≥3 broadcast joins, and
+    # the only shuffle joins are on the fact-fact orderkey edge.
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_shipping_priority_filters_reach_both_scans(spark, sf_dir):
+    plan = formatted_plan(QUERIES["shipping_priority"].fn(spark, sf_dir))
+    scans = [seg.split("\n", 1)[0] for seg in plan.split("PushedFilters")[1:]]
+    joined = " ".join(scans)
+    assert "l_shipdate" in joined, plan
+    assert "o_orderdate" in joined, plan
+    assert "c_mktsegment" in joined, plan
+
+
+def test_large_orders_joins_back_via_broadcast(spark, sf_dir):
+    # The HAVING-reduced aggregate is tiny; AQE must broadcast it (or
+    # the planner directly) rather than shuffling orders.
+    plan = executed_plan(QUERIES["large_orders"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "events_by_type")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.concat(F.lit("t"), (F.col("id") % 4).cast("string")).alias("etype"),
+    )
+    write_partitioned(df, path, "etype", sort_within="id")
+    filtered = read_partitioned(spark, path).filter(F.col("etype") == "t1")
+    # Directory pruning: the scan carries a PartitionFilters entry on
+    # the partition key (inputFiles() lists pre-pruning, so the plan
+    # is the authority here).
+    plan = formatted_plan(filtered)
+    pf_line = [l for l in plan.splitlines() if "Partition" in l and "Filters" in l]
+    assert pf_line and "etype" in pf_line[0], plan
+    assert filtered.count() == 250
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "shattered")
+    spark.range(0, 10_000).repartition(64).write.parquet(path)
+    assert len(spark.read.parquet(path).inputFiles()) == 64
+    before = spark.read.parquet(path).groupBy().sum("id").collect()[0][0]
+    n = compact(spark, path, target_file_mb=128)
+    after_df = spark.read.parquet(path)
+    assert len(after_df.inputFiles()) == n == 1
+    assert after_df.groupBy().sum("id").collect()[0][0] == before

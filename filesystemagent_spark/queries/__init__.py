@@ -57,6 +57,7 @@ def register(
 def registry() -> dict[str, Query]:
     """Import all query modules (idempotent) and return the registry."""
     from filesystemagent_spark.queries import (  # noqa: F401
+        curation,
         documents,
         embeddings,
         events,

@@ -1,0 +1,149 @@
+"""Training-data curation operators: chunking, splits, packing.
+
+Completes the curation funnel (documents.py) with the three ops every
+large-scale pipeline runs after dedup/filtering:
+
+- chunking: fixed windows with overlap → model-sized pieces
+  (explode over a generated index — pure JVM, no UDF);
+- deterministic train/test split: content-hash bucketing, stable
+  across runs/engines/cluster sizes (never random()-per-row, which
+  is neither reproducible nor oracle-checkable);
+- sequence packing: operators/packing.py applyInPandas FFD.
+
+Chunking and split carry exact DuckDB oracles; packing is a greedy
+per-group heuristic (bin ids depend on in-group iteration) so it
+registers rows-only with invariants pinned in tests/test_packing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.queries import register
+
+CHUNK_W = 200  # window chars (BPE-free stand-in for a token window)
+CHUNK_S = 150  # stride chars → 50-char overlap between chunks
+TRAIN_PCT = 90
+PACK_BUDGET = 1000
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc → (doc_id, chunk_id, chunk_text): starts at i*stride,
+    n = max(1, ceil((len-w)/s)+1) covers every char; short docs give
+    exactly one chunk."""
+    docs = Catalog(spark, sf_dir).documents
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((F.col("n_chars") - CHUNK_W) / float(CHUNK_S)) + 1).cast("int"),
+    )
+    return (
+        docs.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(
+                F.col("text"), F.col("chunk_id") * CHUNK_S + 1, CHUNK_W
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+@register(
+    "doc_chunks",
+    tags=("text", "chunking", "explode"),
+    oracle=f"""
+SELECT d.doc_id, t.i AS chunk_id,
+       substr(d.text, CAST(t.i * {CHUNK_S} + 1 AS INT), {CHUNK_W}) AS chunk_text,
+       length(substr(d.text, CAST(t.i * {CHUNK_S} + 1 AS INT), {CHUNK_W})) AS chunk_len
+FROM documents d,
+     UNNEST(generate_series(0,
+        GREATEST(1, CAST(CEIL((d.n_chars - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT) + 1) - 1
+     )) AS t(i)
+ORDER BY doc_id, chunk_id
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking as a generated-sequence explode: the
+    chunk index materializes per row on the executors (no UDF, no
+    shuffle — chunking is map-side and scales with input bytes)."""
+    return _chunks(spark, sf_dir).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "doc_train_test_split",
+    tags=("split", "hash", "agg"),
+    oracle=f"""
+WITH bucketed AS (
+    SELECT lang,
+           n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train' ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM bucketed
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 split: md5(doc_id) → 32-bit bucket % 100.
+
+    Hash-bucketing (never per-row random) keeps the split stable under
+    re-runs, repartitioning, and engine changes — the property that
+    lets eval sets stay uncontaminated as the corpus grows. The oracle
+    computes the identical md5 bucket in DuckDB.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        docs.withColumn(
+            "split", F.when(bucket < TRAIN_PCT, "train").otherwise("test")
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "doc_pack_stats",
+    tags=("packing", "applyInPandas", "approx"),
+)
+def doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → FFD bins of PACK_BUDGET chars, grouped per source doc
+    shard; reports bins and fill factor per group. Greedy bin ids are
+    heuristic (rows-only); hard invariants live in tests/test_packing.py.
+    """
+    from filesystemagent_spark.operators.packing import pack_first_fit
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    chunks = _chunks(spark, sf_dir).join(docs, "doc_id")
+    packed = pack_first_fit(
+        chunks, "source", "chunk_len", PACK_BUDGET, ["doc_id", "chunk_id"]
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+            (
+                F.sum("size").cast("double")
+                / ((F.max("bin_id") + 1) * PACK_BUDGET)
+            ).alias("fill_factor"),
+        )
+        .orderBy("source")
+    )

@@ -619,3 +619,83 @@ def events_user_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(seq_group, "user_id long, event_id long, seq long")
         .orderBy("user_id", "seq")
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    tags=("temporal", "gapfill", "window", "spine"),
+    oracle="""
+WITH hourly AS (
+    SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT DATE_TRUNC('hour', MIN(ts)) AS lo, DATE_TRUNC('hour', MAX(ts)) AS hi
+    FROM events
+), spine AS (
+    SELECT t.h, e.event_type
+    FROM bounds, UNNEST(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS t(h),
+         (SELECT DISTINCT event_type FROM events) e
+)
+SELECT STRFTIME(s.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       s.event_type,
+       COALESCE(hourly.n_events, 0) AS n_events,
+       CAST(hourly.total_value AS DOUBLE) AS total_value,
+       CAST(LAST_VALUE(hourly.total_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS ffill_total
+FROM spine s
+LEFT JOIN hourly ON hourly.event_type = s.event_type AND hourly.h = s.h
+ORDER BY hour_ts, s.event_type
+""",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with forward fill — the hypertable
+    'time_bucket_gapfill + locf' capability over the events stream.
+
+    The spine (hour × event_type) is generated from a 1-row min/max
+    aggregate — size is the TIME DOMAIN, never the fact cardinality,
+    so at 100 TB the left join is a broadcast of the hourly rollup
+    keys against a tiny generated frame. Forward fill is
+    `last(ignoreNulls)` over an event-type-partitioned window whose
+    input is already rolled up (bounded rows per partition)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_dec(F.col("value"))).alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    spine = hours.crossJoin(ev.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.col("total_value").cast("double").alias("total_value"),
+            F.last(F.col("total_value"), ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("ffill_total"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )

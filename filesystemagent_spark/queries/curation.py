@@ -147,3 +147,72 @@ def doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Per-source sampling rates for corpus composition. Unlisted sources
+# fall back to DEFAULT_RATE. Rates are fractions in [0,1].
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+DEFAULT_RATE = 0.75
+
+
+def _sql_rate_case() -> str:
+    arms = "\n         ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(MIXTURE_RATES.items())
+    )
+    return f"CASE {arms} ELSE {DEFAULT_RATE} END"
+
+
+@register(
+    "doc_mixture_sample",
+    tags=("sampling", "mixture", "hash"),
+    oracle=f"""
+WITH rated AS (
+    SELECT source,
+           n_chars,
+           {_sql_rate_case()} AS rate,
+           CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 10000 AS bucket
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(COUNT(CASE WHEN bucket < rate * 10000 THEN 1 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN bucket < rate * 10000 THEN n_chars END) AS BIGINT) AS sampled_chars
+FROM rated
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling (corpus composition).
+
+    Each source gets an independent keep-rate applied via a salted
+    md5 bucket of the doc id — like `sampleBy`, but reproducible
+    across runs, engines, and partitionings (`sampleBy` draws from a
+    per-partition RNG stream, so its sample changes whenever layout
+    does; hash sampling never moves). The salt ('mix:') decorrelates
+    this decision from the train/test split buckets.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    rate = F.lit(DEFAULT_RATE)
+    for s, r in sorted(MIXTURE_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    keep = bucket < (rate * 10000)
+    return (
+        docs.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("keep")).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars"))).cast("long").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )

@@ -699,3 +699,49 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ts", "event_type")
     )
+
+
+@register(
+    "events_key_skew",
+    tags=("diagnostics", "skew", "agg"),
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), stats AS (
+    SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n, SUM(n) AS total_n
+    FROM per_key
+)
+SELECT p.user_id, p.n,
+       CAST(p.n AS DOUBLE) / s.total_n AS share,
+       CAST(p.n AS DOUBLE) / s.mean_n AS skew_ratio
+FROM per_key p, stats s
+ORDER BY p.n DESC, p.user_id ASC
+LIMIT 10
+""",
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler — the diagnostic behind every salting/AQE
+    decision: per-key counts vs the mean, top offenders first.
+
+    At 100 TB you run this BEFORE choosing a shuffle key; a
+    skew_ratio in the hundreds means the salted join or AQE skew
+    split (operators/relational.salted_join) is mandatory, not
+    optional. The stats side is a 1-row broadcast; cost is one
+    aggregation over the key column only."""
+    ev = Catalog(spark, sf_dir).events
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_n"),
+        F.sum("n").alias("total_n"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("total_n")).alias("share"),
+            (F.col("n").cast("double") / F.col("mean_n")).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )

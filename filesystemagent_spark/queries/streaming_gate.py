@@ -149,3 +149,41 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "events_stream_dedup_keys",
+    tags=("streaming", "stateful", "dedup"),
+    oracle="""
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+""",
+)
+def events_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup as a gate query: dropDuplicates state keyed on
+    (user_id, event_type), drained with availableNow. Projected to the
+    key columns the result is exactly DISTINCT keys — oracle-exact
+    regardless of which physical row won the keep-first race, which is
+    what makes a stateful streaming op SQL-checkable at all. The
+    watermark-bounded variant (streaming/dedup.py) shares this plan
+    with a state TTL."""
+    from filesystemagent_spark.streaming.dedup import dedup_stream
+    from filesystemagent_spark.streaming.events import read_events_stream
+
+    stage = tempfile.mkdtemp(prefix="events_dedup_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
+    )
+    sink = f"events_dedup_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(read_events_stream(spark, stage), ["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "event_type")

@@ -464,3 +464,121 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "suppliers_sole_late",
+    tags=("agg", "exists", "not-exists", "rewrite"),
+    oracle="""
+WITH flagged AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+               THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey, l.l_suppkey
+), per_order AS (
+    SELECT l_orderkey,
+           COUNT(*) AS n_suppliers,
+           SUM(is_late) AS n_late,
+           MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+    FROM flagged
+    GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM per_order p
+JOIN supplier s ON p.late_supp = s.s_suppkey
+WHERE p.n_suppliers > 1 AND p.n_late = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+""",
+)
+def suppliers_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a late
+    multi-supplier order ("late" = shipped >90 days after order,
+    adapted to the reduced schema).
+
+    The textbook formulation is EXISTS + NOT-EXISTS correlated
+    self-joins — three passes over lineitem. Rewritten as two
+    aggregation levels over ONE lineitem⋈orders pass: per
+    (order, supplier) late-flags, then per-order supplier/late
+    counts. Same semantics, one fact shuffle instead of three —
+    the rewrite that matters at 100 TB.
+    """
+    cat = Catalog(spark, sf_dir)
+    flagged = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(cat.supplier), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "customer_running_totals",
+    tags=("window", "cumulative", "frame"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS lifetime_value,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+""",
+)
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative lifetime value — a fact-cardinality
+    running window (unlike the daily-series windows, this one runs on
+    every order row). One shuffle on the partition key; the frame is
+    rows-based with a deterministic (date, orderkey) order so the
+    exact decimal running sum is reproducible. At 100 TB this is the
+    shape incremental feature pipelines use for 'customer state as of
+    each order'."""
+    from pyspark.sql import Window
+
+    orders = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias(
+                "lifetime_value"
+            ),
+            F.row_number().over(ws).cast("long").alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )

@@ -1,0 +1,37 @@
+"""Python UDTFs — the table-generating UDF surface.
+
+The reference has no UDTFs (SURVEY.md §2.9); Spark 4 makes them a
+first-class lateral-join citizen. One production-shaped example: a
+sentence splitter whose regex contract is deliberately RE2-safe so
+the DuckDB oracle (`regexp_split_to_array`) computes the identical
+split — a UDTF whose output is still exactly SQL-checkable.
+
+UDTFs run row-at-a-time in Python: keep them for genuinely
+one-to-many generation with per-row logic; for pure splits at 100 TB
+prefer the JVM explode form (queries/curation.py doc_chunks). This
+module exists to cover the API surface and its gate query proves the
+wiring, not to replace explode.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+SENT_SPLIT = r"\.\s+"  # RE2-compatible: identical in python re and DuckDB
+
+
+@udtf(returnType="sent_id int, sentence string, sent_chars int")
+class SplitSentences:
+    """text → one row per '.'-terminated sentence with its index."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, s in enumerate(re.split(SENT_SPLIT, text)):
+            yield i, s, len(s)
+
+
+def register_udtfs(spark) -> None:
+    spark.udtf.register("split_sentences", SplitSentences)

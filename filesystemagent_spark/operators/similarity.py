@@ -377,3 +377,47 @@ def knn_lsh(
         k,
         keep_rank=True,
     )
+
+
+def quantize_int8(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale =
+    max(|x|)/127, q_i = round(x_i/scale). 4× less memory/IO than
+    float32 — at 100 TB the ANN corpus becomes memory-bandwidth-bound,
+    and int8 is the standard first rung (before PQ).
+
+    Pure JVM higher-order functions (aggregate/transform) — no UDF.
+    Cosine over the quantized vectors needs no dequantization: the
+    per-vector scales cancel in the ratio.
+    """
+    max_abs = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    return df.withColumn("_scale", F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)).withColumn(
+        "q_" + vec_col,
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") / F.col("_scale")).cast("int")
+        ),
+    ).drop("_scale")
+
+
+def knn_bruteforce_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k over int8-quantized vectors (same contract as
+    knn_bruteforce; cosine is computed on the quantized arrays, where
+    the quantization scales cancel). Recall vs the float baseline is
+    pinned in tests/test_similarity.py."""
+    qq = quantize_int8(queries, vec_col=vec_col).select(
+        F.col(id_col), F.col("q_" + vec_col).alias(vec_col)
+    )
+    qc = quantize_int8(corpus, vec_col=vec_col).select(
+        F.col(id_col), F.col("q_" + vec_col).alias(vec_col)
+    )
+    return knn_bruteforce(qq, qc, id_col=id_col, vec_col=vec_col, k=k)

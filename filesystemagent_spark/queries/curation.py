@@ -216,3 +216,39 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_sentences_udtf",
+    tags=("udtf", "lateral", "text"),
+    oracle="""
+WITH split AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS sents
+    FROM documents
+)
+SELECT s.doc_id,
+       CAST(t.i AS INTEGER) AS sent_id,
+       s.sents[t.i + 1] AS sentence,
+       CAST(length(s.sents[t.i + 1]) AS INTEGER) AS sent_chars
+FROM split s, UNNEST(generate_series(0, len(s.sents) - 1)) AS t(i)
+ORDER BY doc_id, sent_id
+""",
+)
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join — the table-generating UDF surface
+    (absent from the reference, SURVEY §2.9). The split regex is
+    RE2-safe so DuckDB's regexp_split_to_array reproduces the rows
+    exactly: a UDTF gate query that is still value-hash-checkable.
+    Per-row Python is the slow path by design — doc_chunks shows the
+    JVM explode form for scale."""
+    from filesystemagent_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    Catalog(spark, sf_dir).documents.createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_id, s.sentence, s.sent_chars
+        FROM _docs_udtf d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sent_id
+        """
+    )

@@ -227,3 +227,16 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=3,
         n_tables=6,
     ).orderBy("id_a", "id_b")
+
+
+@register("embedding_knn_int8", tags=("vector", "quantization", "approx"))
+def embedding_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8-quantized vectors (4× smaller corpus; the
+    per-vector scales cancel inside cosine, so no dequantize pass).
+    Rows-only at the gate; recall vs the float32 baseline is pinned in
+    tests/test_similarity.py."""
+    from filesystemagent_spark.operators.similarity import knn_bruteforce_int8
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_bruteforce_int8(queries, emb, k=5).orderBy("query_id", "rnk")

@@ -582,3 +582,31 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "order_seq")
     )
+
+
+from filesystemagent_spark.functions.spatial import morton2, morton2_sql  # noqa: E402
+
+
+@register(
+    "part_zorder_keys",
+    tags=("layout", "zorder", "morton"),
+    oracle=f"""
+SELECT p_partkey,
+       CAST({morton2_sql('p_size', 'p_partkey % 1024', 10)} AS BIGINT) AS zkey
+FROM part
+ORDER BY zkey, p_partkey
+""",
+)
+def part_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key over (p_size, partkey slot) — the sort key
+    that makes parquet min/max stats selective for BOTH dimensions
+    (pair with layout.write_partitioned(sort_within=['zkey'])). Pure
+    JVM bit interleave, mirrored bit-for-bit in the DuckDB oracle."""
+    part = Catalog(spark, sf_dir).part
+    return (
+        part.select(
+            "p_partkey",
+            morton2(F.col("p_size"), F.col("p_partkey") % 1024, bits=10).alias("zkey"),
+        )
+        .orderBy("zkey", "p_partkey")
+    )

@@ -154,3 +154,29 @@ def test_near_dup_lsh_recall(spark, sf_dir):
     # collision ~(1-theta/pi)^3 ~ 0.05-0.1, six tables ~ 0.3-0.5;
     # true near-dups (cos->1) would approach recall 1.0
     assert recall >= 0.2, f"LSH near-dup recall too low: {recall}"
+
+
+def test_int8_knn_recall_vs_float(spark, sf_dir):
+    """int8 quantization must preserve ≥90% of exact top-k neighbors
+    (synthetic embeddings are well-spread; 8-bit error is tiny against
+    their cosine gaps)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _pairs(
+        S.knn_bruteforce(queries, emb, id_col="vec_id", vec_col="embedding", k=K).collect()
+    )
+    quant = _pairs(
+        S.knn_bruteforce_int8(
+            queries, emb, id_col="vec_id", vec_col="embedding", k=K
+        ).collect()
+    )
+    assert len(quant & exact) / len(exact) >= 0.9
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings.limit(50)
+    q = S.quantize_int8(emb, vec_col="embedding")
+    row = q.select(
+        F.max(F.array_max(F.transform("q_embedding", lambda x: F.abs(x)))).alias("m")
+    ).collect()[0]
+    assert row.m <= 127

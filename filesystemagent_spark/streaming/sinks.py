@@ -1,0 +1,63 @@
+"""Streaming sinks with exactly-once file semantics via foreachBatch.
+
+Structured Streaming's checkpoint guarantees each micro-batch id is
+processed at least once; making the WRITE idempotent upgrades that to
+exactly-once. The file-sink pattern here: every batch writes to a
+deterministic `batch_id=<id>` directory with mode=overwrite, so a
+replayed batch overwrites its own previous (possibly partial) output
+instead of appending duplicates. Readers see the union of batch dirs;
+layout.compact handles the small-file tail.
+
+This is the parquet-only stand-in for a transactional MERGE sink
+(Delta/Iceberg); the keyed-upsert view on top resolves multiple
+versions of a key to the newest batch — the same last-writer-wins
+contract as sources/listing.merge_catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def start_idempotent_file_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """Write each micro-batch to `<path>/batch_id=<n>/` with overwrite —
+    replay-safe: a batch re-run after a crash rewrites its own dir."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_upserted(
+    spark: SparkSession, path: str, keys: list[str] | str
+) -> DataFrame:
+    """Resolve the batch-dir union to one row per key: the version
+    from the highest batch_id wins (last-writer-wins upsert view).
+    `basePath` keeps the partition column available as `batch_id`."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    df = spark.read.option("basePath", path).parquet(path)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )

@@ -90,3 +90,31 @@ def test_compact_reduces_file_count(spark, tmp_path):
     after_df = spark.read.parquet(path)
     assert len(after_df.inputFiles()) == n == 1
     assert after_df.groupBy().sum("id").collect()[0][0] == before
+
+
+def test_sole_late_aggs_reuse_join_partitioning(spark, sf_dir):
+    """The Q21 rewrite's whole point: under the at-scale shuffle join
+    (broadcast disabled to simulate a big orders side), the join's
+    l_orderkey hash partitioning satisfies BOTH aggregation levels —
+    lineitem is shuffled exactly once, and no exchange ever re-keys on
+    (l_orderkey, l_suppkey). At small SF AQE broadcasts instead and
+    the aggs pay their own (cheaper) exchange — also correct."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(QUERIES["suppliers_sole_late"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lineitem_shuffles = plan.count("Exchange hashpartitioning(l_orderkey")
+    assert lineitem_shuffles == 1, f"{lineitem_shuffles} lineitem shuffles:\n{plan}"
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "l_suppkey" not in line, f"agg re-shuffled on composite key:\n{line}"
+
+
+def test_running_totals_single_shuffle(spark, sf_dir):
+    """Both windows share the (o_custkey, date-ordered) spec: one hash
+    exchange total; the trailing range exchange is only the output
+    ORDER BY."""
+    plan = executed_plan(QUERIES["customer_running_totals"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -69,3 +69,33 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     assert got.count() == 3
     # The plan must carry the event-time watermark (bounded state).
     assert "watermark" in q._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_idempotent_file_sink_exactly_once(spark, tmp_path):
+    """Replaying a batch (same batch_id) must overwrite, not append —
+    the foreachBatch exactly-once contract."""
+    from filesystemagent_spark.streaming.sinks import (
+        read_upserted,
+        start_idempotent_file_sink,
+    )
+
+    src = str(tmp_path / "sink_src")
+    _write_events_with_dups(spark, src)
+    out, ckpt = str(tmp_path / "sink_out"), str(tmp_path / "sink_ckpt")
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    start_idempotent_file_sink(stream, out, ckpt).awaitTermination()
+    first = spark.read.option("basePath", out).parquet(out).count()
+    assert first == 5
+
+    # Simulate a replay of batch 0: fresh checkpoint, same output dir.
+    start_idempotent_file_sink(
+        spark.readStream.schema(EVENT_SCHEMA).parquet(src),
+        out,
+        str(tmp_path / "sink_ckpt2"),
+    ).awaitTermination()
+    assert spark.read.option("basePath", out).parquet(out).count() == 5  # no dupes
+
+    # Upsert view resolves to one row per key, newest batch wins.
+    resolved = read_upserted(spark, out, ["user_id", "event_type"])
+    assert resolved.count() == 3

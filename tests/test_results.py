@@ -78,3 +78,29 @@ def test_html_report(spark):
     # severity ordering: critical row rendered before the low row
     assert out.index("critical") < out.index("low")
     assert "3 findings" in out
+
+
+def test_observe_counters_single_pass(spark, sf_dir):
+    """observe() metrics must equal recomputed aggregates while the
+    action itself only runs once (the migration-counter pattern)."""
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.plans.observe import funnel_counters, observed
+
+    docs = Catalog(spark, sf_dir).documents
+    kept, obs = funnel_counters(docs, F.col("n_chars") >= 200)
+    written = kept.count()
+    m = obs.get
+    assert m["n_seen"] == docs.count()
+    assert m["n_kept"] == written == docs.filter("n_chars >= 200").count()
+
+    df2, obs2 = observed(
+        docs,
+        total_chars=F.sum("n_chars"),
+        n_docs=F.count(F.lit(1)),
+    )
+    df2.count()
+    m2 = obs2.get
+    assert m2["n_docs"] == docs.count()
+    assert m2["total_chars"] == docs.agg(F.sum("n_chars")).collect()[0][0]

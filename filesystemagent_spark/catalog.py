@@ -64,10 +64,27 @@ class Catalog:
                         df = df.withColumn(
                             col, F.timestamp_micros(F.expr(f"{col} div 1000"))
                         )
-                self._cache[name] = df
             else:
-                self._cache[name] = self.spark.read.parquet(path)
+                df = self.spark.read.parquet(path)
+            self._cache[name] = self._normalize_ts(df)
         return self._cache[name]
+
+    @staticmethod
+    def _normalize_ts(df: DataFrame) -> DataFrame:
+        """Pin every timestamp column to TIMESTAMP_NTZ. Pandas-written
+        parquet (isAdjustedToUTC=false) reads as NTZ under Spark 4
+        defaults but as LTZ when `inferTimestampNTZ` is off — the cast
+        (identity under the UTC session tz set above) makes query
+        semantics and output schemas independent of the reader config
+        of whatever session the driver hands us."""
+        ts_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, ST.TimestampType)
+        ]
+        for c in ts_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+        return df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in ALL_TABLES:

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from filesystemagent_spark.functions.tscompat import epoch_seconds
 from filesystemagent_spark.operators import filters as P
 from filesystemagent_spark.operators.relational import snapshot_diff, top_k
 
@@ -95,7 +96,8 @@ def orphan_processes(procs: DataFrame, now: Column) -> DataFrame:
     )
     created = P.parse_wmi_date(F.col("created_at"))
     is_stale = created.isNotNull() & (
-        (now.cast("double") - created.cast("double")) > P.ORPHAN_STALE_HOURS * 3600
+        (epoch_seconds(now) - epoch_seconds(created))
+        > P.ORPHAN_STALE_HOURS * 3600
     )
     is_unsigned = F.col("is_signed") == F.lit(False)
     return (

@@ -15,6 +15,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from filesystemagent_spark.functions.tscompat import epoch_seconds
+
 # ---------------------------------------------------------------------------
 # F7: glob → Java regex — the one custom compile helper (SURVEY §7.4).
 
@@ -157,7 +159,7 @@ class FileFilter:
             cond &= sz >= self.min_size
         if self.max_size is not None:
             cond &= sz <= self.max_size
-        age = now.cast("double") - mt.cast("double")
+        age = epoch_seconds(now) - epoch_seconds(mt)
         if self.min_age_seconds is not None:
             cond &= age >= self.min_age_seconds
         if self.max_age_seconds is not None:
@@ -263,7 +265,7 @@ def is_stale_process(
     long-running allowlist and system pids
     (resource_analyzer.py:265-303)."""
     created = parse_wmi_date(created_at_wmi)
-    age_h = (now.cast("double") - created.cast("double")) / 3600.0
+    age_h = (epoch_seconds(now) - epoch_seconds(created)) / 3600.0
     return (
         is_user_process(pid)
         & ~F.lower(name).isin(*KNOWN_LONG_RUNNING)

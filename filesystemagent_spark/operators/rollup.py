@@ -20,13 +20,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from filesystemagent_spark.functions.tscompat import epoch_whole_seconds
+
 
 def time_bucket(ts: Column, width_seconds: int) -> Column:
     """Floor a timestamp to its bucket start (timescale `time_bucket`).
     Integer math on epoch seconds — works for any width, not just the
-    calendar units `date_trunc` knows."""
-    secs = ts.cast("long")
-    return F.timestamp_seconds((secs - (secs % width_seconds)))
+    calendar units `date_trunc` knows. Accepts TIMESTAMP or
+    TIMESTAMP_NTZ; returns TIMESTAMP_NTZ (naive, UTC-pinned) so bucket
+    values hash identically to a naive-timestamp oracle."""
+    secs = epoch_whole_seconds(ts)
+    return F.timestamp_seconds((secs - (secs % width_seconds))).cast("timestamp_ntz")
 
 
 def continuous_aggregate(

@@ -21,6 +21,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from filesystemagent_spark.functions.tscompat import epoch_seconds
+
 
 def as_of_join(
     left: DataFrame,
@@ -94,9 +96,7 @@ def as_of_join(
 
     m: Column = F.col("_m")
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col("_ts").cast("double") - m["_matched_ts"].cast("double")
-        )
+        gap = F.abs(epoch_seconds("_ts") - epoch_seconds(m["_matched_ts"]))
         m = F.when(gap <= tolerance_seconds, m)
 
     out = [F.col("_l")[c].alias(c) for c in left.columns]
@@ -139,14 +139,14 @@ def range_join(
         right_cols = [c for c in right.columns if c not in (*keys, right_ts)]
     gap = float(max_gap_seconds)
 
-    l = left.withColumn("_bin", F.floor(F.col(left_ts).cast("double") / gap))
+    l = left.withColumn("_bin", F.floor(epoch_seconds(left_ts) / gap))
     r = (
         right.select(
             *[F.col(k).alias(f"_rk_{k}") for k in keys],
             F.col(right_ts).alias("_rts"),
             *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
         )
-        .withColumn("_rbin0", F.floor(F.col("_rts").cast("double") / gap))
+        .withColumn("_rbin0", F.floor(epoch_seconds("_rts") / gap))
         .withColumn(
             "_bin", F.explode(F.array(F.col("_rbin0") - 1, F.col("_rbin0"), F.col("_rbin0") + 1))
         )
@@ -155,9 +155,7 @@ def range_join(
     cond = l["_bin"] == r["_bin"]
     for k in keys:
         cond = cond & (l[k] == r[f"_rk_{k}"])
-    cond = cond & (
-        F.abs(F.col(left_ts).cast("double") - F.col("_rts").cast("double")) <= gap
-    )
+    cond = cond & (F.abs(epoch_seconds(left_ts) - epoch_seconds("_rts")) <= gap)
     joined = l.join(r, cond, how)
     out = [*left.columns, F.col("_rts").alias(f"{prefix}{right_ts}")]
     out += [f"{prefix}{c}" for c in right_cols]

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.functions.tscompat import epoch_micros
 from filesystemagent_spark.queries import register
 
 
@@ -331,11 +332,11 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.unix_micros("ts")).over(w)
+    prev = F.lag(epoch_micros("ts")).over(w)
     marked = ev.withColumn(
         "new_s",
         F.when(
-            prev.isNull() | ((F.unix_micros("ts") - prev) > 1_800_000_000), 1
+            prev.isNull() | ((epoch_micros("ts") - prev) > 1_800_000_000), 1
         ).otherwise(0),
     )
     sess = marked.withColumn(
@@ -453,7 +454,9 @@ def events_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
         F.col("view_event_id"),
         F.round(
-            F.col("ts").cast("double") - F.col("view_ts").cast("double"), 6
+            (epoch_micros("ts") - epoch_micros("view_ts"))
+            / F.lit(1_000_000.0),
+            6,
         ).alias("secs_since_view"),
     ).orderBy("event_id")
 

@@ -37,9 +37,12 @@ EVENT_SCHEMA = T.StructType(
     ]
 )
 
-# The driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
-# native reader rejects; with spark.sql.legacy.parquet.nanosAsLong the
-# column arrives as int64 nanos (catalog.py does the same for batch).
+# Some driver testdata generations carry TIMESTAMP(NANOS), which
+# Spark's native reader rejects; with
+# spark.sql.legacy.parquet.nanosAsLong the column arrives as int64
+# nanos (catalog.py does the same for batch). Other generations use
+# standard µs precision, which reads as TIMESTAMP_NTZ — the source
+# sniffs the footer instead of assuming either.
 EVENT_SCHEMA_NANOS = T.StructType(
     [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA.fields]
 )
@@ -55,22 +58,32 @@ def read_events_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = None,
-    nanos: bool = True,
 ) -> DataFrame:
     """ST1: file-source stream of events. Each trigger picks up new
     files — the streaming analog of the reference's append ring.
 
-    nanos=True reads driver-style TIMESTAMP(NANOS) parquet (int64 via
-    the legacy conf, truncated to µs); pass False for parquet written
-    with standard µs timestamps."""
-    if nanos:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA_NANOS if nanos else EVENT_SCHEMA)
+    File streams need a declared schema; declaring the wrong timestamp
+    physical type silently corrupts values (int64 µs read as nanos is
+    1000x off). So the source sniffs the footer of whatever already
+    sits in the directory with a one-file batch read — handling all
+    three generations of event parquet: TIMESTAMP(NANOS) (int64 via
+    the legacy conf), TIMESTAMP(MICROS) naive (reads as NTZ), and
+    Spark-written TIMESTAMP_LTZ. ts is normalized to TIMESTAMP
+    (UTC-pinned) so downstream watermarks/windows/state timeouts see
+    one type."""
+    # Deterministic naive<->epoch conversion for the normalizing casts.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sniffed = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(sniffed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if nanos:
+    ts_type = sniffed["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long generation
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:  # NTZ or LTZ — identity values under the UTC session tz
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -38,3 +38,18 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_graded_window_is_curated():
+    """The round driver evaluates only the first 50 registry entries;
+    that window must stay all-oracle and contain every bench headliner
+    plus the streaming gates (adding a query without placing it in
+    GRADE_ORDER silently pushes something important out)."""
+    names = list(QUERIES)
+    window = names[:50]
+    missing_oracle = [n for n in window if QUERIES[n].oracle is None]
+    assert not missing_oracle, f"rows-only in graded window: {missing_oracle}"
+    headliners = {n for n, q in QUERIES.items() if q.headline}
+    assert headliners <= set(window), headliners - set(window)
+    gates = {"events_stream_tumbling", "events_stream_sessions", "events_stream_dedup_keys"}
+    assert gates <= set(window)

@@ -748,3 +748,89 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "events_value_stats",
+    tags=("agg", "stats", "mergeable-partials"),
+    oracle="""
+WITH partials AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sq
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(s / n, 6) AS mean_v,
+       ROUND(SQRT((sq - s * s / n) / (n - 1)), 6) AS stddev_v
+FROM partials ORDER BY event_type
+""",
+)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev from EXACT mergeable partials: decimal SUM(x)
+    and SUM(x²) plus COUNT, with the moments derived in float only at
+    the end. Native STDDEV over doubles is partial-merge-order
+    dependent (Welford merges), so a distributed run can't hash-match
+    a single-node oracle; exact decimal partials make the statistic
+    deterministic AND mergeable — the same invariant the rollup
+    operator relies on (operators/rollup.py), now for second moments.
+    """
+    ev = Catalog(spark, sf_dir).events
+    d = F.col("value").cast("decimal(18,6)")
+    partials = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("double").alias("s"),
+        F.sum(d * d).cast("double").alias("sq"),
+    )
+    n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+    return partials.select(
+        "event_type",
+        "n",
+        F.round(s / n, 6).alias("mean_v"),
+        F.round(F.sqrt((sq - s * s / n) / (n - 1)), 6).alias("stddev_v"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_value_ntile",
+    tags=("window", "ntile"),
+    oracle="""
+WITH t AS (
+    SELECT event_type, value, event_id,
+           NTILE(4) OVER (PARTITION BY event_type
+                          ORDER BY CAST(value AS DOUBLE), event_id) AS quartile
+    FROM events
+)
+SELECT event_type, quartile, COUNT(*) AS n,
+       ROUND(MIN(CAST(value AS DOUBLE)), 6) AS lo,
+       ROUND(MAX(CAST(value AS DOUBLE)), 6) AS hi
+FROM t GROUP BY event_type, quartile
+ORDER BY event_type, quartile
+""",
+)
+def events_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile boundaries per event type. The (value, event_id)
+    order key makes tile assignment total and deterministic, so the
+    quartile edges hash-match across engines — the same unique-key
+    tie-break rule every ranking query here follows."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").cast("double"), "event_id"
+    )
+    t = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return (
+        t.groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "quartile")
+    )

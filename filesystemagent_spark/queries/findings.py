@@ -183,3 +183,165 @@ def listdlls_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S19: the stateful text parse (propagate-last-header window)
     cross-checked against the identical window in DuckDB."""
     return N.listdlls_modules(spark, _LISTDLLS).orderBy("dll_path")
+
+
+_CHAINSAW = os.path.join(FIX, "chainsaw_detections.json")
+_HOLLOWS = os.path.join(FIX, "hollows_hunter_report.json")
+
+# severity from a sigma level (result_parser.py:172-183; default info)
+_SQL_SIGMA_SEV = """
+CASE lower(trim({c}))
+    WHEN 'critical' THEN 'critical' WHEN 'high' THEN 'high'
+    WHEN 'medium' THEN 'medium' WHEN 'low' THEN 'low'
+    ELSE 'info' END
+"""
+
+
+@register(
+    "findings_chainsaw",
+    tags=("source", "normalize", "json", "findings"),
+    oracle=f"""
+WITH raw AS (
+    SELECT * FROM read_json('{_CHAINSAW}', columns={{
+        'name': 'VARCHAR', 'level': 'VARCHAR', 'timestamp': 'VARCHAR',
+        'source': 'VARCHAR', 'authors': 'VARCHAR', 'title': 'VARCHAR',
+        'severity': 'VARCHAR', 'document': 'STRUCT(path VARCHAR)'}})
+), norm AS (
+    SELECT coalesce(name, title, 'Unknown detection') AS nm,
+           {_SQL_SIGMA_SEV.format(c="coalesce(level, severity, 'medium')")} AS sev,
+           coalesce(source, document.path, '') AS src,
+           "timestamp" AS ts
+    FROM raw
+), built AS (
+    SELECT sev AS severity,
+           'Chainsaw: ' || nm AS title,
+           src AS target,
+           concat_ws(' ', nm,
+               CASE WHEN nullif(ts, '') IS NOT NULL THEN 'at ' || ts END,
+               CASE WHEN nullif(src, '') IS NOT NULL THEN 'in ' || src END
+           ) AS description
+    FROM norm WHERE sev <> 'info'
+)
+SELECT sha256(concat_ws(chr(31), 'chainsaw', title, target, description)) AS finding_id,
+       severity, title, target, description
+FROM built ORDER BY title
+""",
+)
+def findings_chainsaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: sigma-detection JSON normalization (field fallbacks
+    name|title, level|severity, source|document.path; info dropped)
+    cross-checked value-by-value including the finding_id hash."""
+    return (
+        N.chainsaw_findings(spark, _CHAINSAW)
+        .select("finding_id", "severity", "title", "target", "description")
+        .orderBy("title")
+    )
+
+
+@register(
+    "findings_autorunsc",
+    tags=("source", "normalize", "findings", "predicate"),
+    oracle=f"""
+WITH raw AS (
+    SELECT *,
+           coalesce(nullif(Entry, ''), "Entry Location") AS entry,
+           coalesce(nullif("Image Path", ''), coalesce(nullif(Entry, ''), "Entry Location")) AS target
+    FROM read_csv('{_AUTORUNSC}', header=true, all_varchar=true)
+), unsigned AS (
+    SELECT 'high' AS severity,
+           'Autoruns: unsigned entry at ' || entry AS title,
+           target,
+           printf('Unsigned autostart entry: %s. Image: %s. Launch: %s',
+                  entry, "Image Path", "Launch String") AS description
+    FROM raw WHERE lower(Verified) LIKE '%not verified%'
+), vt AS (
+    SELECT 'critical' AS severity,
+           'Autoruns: VT hit on ' || entry AS title,
+           target,
+           printf('VirusTotal detection %s for autostart entry: %s. Image: %s',
+                  "VT detection", entry, "Image Path") AS description
+    FROM raw
+    WHERE "VT detection" IS NOT NULL AND "VT detection" NOT IN ('', '0|0', 'Unknown')
+      AND len(string_split("VT detection", '|')) = 2
+      AND TRY_CAST(string_split("VT detection", '|')[1] AS INT) > 0
+), built AS (
+    SELECT * FROM unsigned UNION ALL SELECT * FROM vt
+)
+SELECT sha256(concat_ws(chr(31), 'autorunsc', title, target, description)) AS finding_id,
+       severity, title, target, description,
+       'T1547' AS mitre_attack
+FROM built ORDER BY title
+""",
+)
+def findings_autorunsc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 + P6/P7: both autorunsc finding kinds — unsigned autostart
+    entries ('not verified' substring, HIGH) and VirusTotal ratio hits
+    (n|m with n>0, CRITICAL) — union-normalized and cross-checked."""
+    return (
+        N.autorunsc_findings(spark, _AUTORUNSC)
+        .select("finding_id", "severity", "title", "target", "description", "mitre_attack")
+        .orderBy("title")
+    )
+
+
+@register(
+    "findings_hollows",
+    tags=("source", "normalize", "json", "map-explode"),
+    oracle=f"""
+WITH rep AS (
+    SELECT unnest(map_keys(scanned)) AS pid, unnest(map_values(scanned)) AS p
+    FROM read_json('{_HOLLOWS}', columns={{'scanned':
+        'MAP(VARCHAR, STRUCT(name VARCHAR, replaced BIGINT, implanted BIGINT,
+         hdr_modified BIGINT, patched BIGINT, iat_hooked BIGINT,
+         unreachable_file BIGINT, "other" BIGINT))'}})
+), long AS (
+    SELECT pid, p.name AS name, a.atype, a.sev, a.mitre, a.d0,
+           CASE a.atype
+               WHEN 'replaced' THEN coalesce(p.replaced, 0)
+               WHEN 'implanted' THEN coalesce(p.implanted, 0)
+               WHEN 'hdr_modified' THEN coalesce(p.hdr_modified, 0)
+               WHEN 'patched' THEN coalesce(p.patched, 0)
+               WHEN 'iat_hooked' THEN coalesce(p.iat_hooked, 0)
+               WHEN 'unreachable_file' THEN coalesce(p.unreachable_file, 0)
+               ELSE coalesce(p."other", 0) END AS n
+    FROM rep CROSS JOIN (VALUES
+        ('replaced', 'critical', 'T1055.012',
+         'Process hollowing — entire module replaced in memory'),
+        ('implanted', 'critical', 'T1055',
+         'Code injection — foreign code implanted into process'),
+        ('hdr_modified', 'high', 'T1055',
+         'PE header modification — headers tampered in memory'),
+        ('patched', 'medium', 'T1574',
+         'Inline patching — code bytes modified (possible hook)'),
+        ('iat_hooked', 'high', 'T1574.009',
+         'IAT hooking — import table redirected'),
+        ('unreachable_file', 'high', 'T1055.012',
+         'Module not backed by a reachable file on disk'),
+        ('other', 'medium', 'T1055',
+         'Unclassified in-memory anomaly')
+    ) AS a(atype, sev, mitre, d0)
+), built AS (
+    SELECT sev AS severity,
+           printf('HollowsHunter: %s in %s (PID %s)', atype, name, pid) AS title,
+           'PID:' || pid AS target,
+           printf('%s. Found %s %s anomal%s in process %s (PID %s).',
+                  d0, CAST(n AS VARCHAR), atype,
+                  CASE WHEN n > 1 THEN 'ies' ELSE 'y' END, name, pid) AS description,
+           mitre AS mitre_attack
+    FROM long WHERE n > 0
+)
+SELECT sha256(concat_ws(chr(31), 'hollows_hunter', title, target, description)) AS finding_id,
+       severity, title, target, description, mitre_attack
+FROM built ORDER BY title
+""",
+)
+def findings_hollows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: nested report JSON with a dynamic-pid object read as
+    MAP<pid, struct> and exploded to one finding per (pid, anomaly
+    type) with count>0 — the map-explode source shape cross-checked
+    against DuckDB's map unnest."""
+    return (
+        N.hollows_hunter_findings(spark, _HOLLOWS)
+        .select("finding_id", "severity", "title", "target", "description", "mitre_attack")
+        .orderBy("title")
+    )

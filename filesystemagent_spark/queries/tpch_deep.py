@@ -610,3 +610,42 @@ def part_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zkey", "p_partkey")
     )
+
+
+@register(
+    "orders_priority_semi",
+    tags=("join", "semi", "exists"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def orders_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with at least one
+    slow-shipping lineitem — a correlated EXISTS executed as a LEFT
+    SEMI join on the fact key. Semi-join (not inner+distinct) is the
+    scale-correct form: the probe emits each order at most once, so no
+    post-join dedup shuffle, and the ship-lag predicate rides inside
+    the join condition. (Distinct join type from the anti-joins of
+    J1-J4/`customers_without_orders` — SURVEY §2.3 noted semi was
+    otherwise absent.)"""
+    cat = Catalog(spark, sf_dir)
+    o, l = cat.orders, cat.lineitem
+    slow = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        slow.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -118,3 +118,28 @@ def test_running_totals_single_shuffle(spark, sf_dir):
     ORDER BY."""
     plan = executed_plan(QUERIES["customer_running_totals"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    # The correlated EXISTS must compile to one LeftSemi hash join with
+    # the range predicate riding the join, not inner-join + distinct.
+    plan = executed_plan(QUERIES["orders_priority_semi"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No registered query may plan a CartesianProduct. 1-row scalar
+    broadcasts (BroadcastNestedLoopJoin on a scalar aggregate) are the
+    legitimate pattern for threshold comparisons; an unbounded
+    cartesian is never acceptable at 100 TB. Analysis-only: explains
+    every query without executing it."""
+    offenders = []
+    for name, q in QUERIES.items():
+        try:
+            plan = formatted_plan(q.fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001 — runtime-only queries (streaming gates)
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders

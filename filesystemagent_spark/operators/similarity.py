@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from filesystemagent_spark.functions import vectors as V
@@ -207,7 +207,13 @@ def centroids_from_labels(
 
 
 def assign_cells(
-    df: DataFrame, centroids: DataFrame, *, id_col: str, vec_col: str, nprobe: int = 1
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+    keep_score: bool = False,
 ) -> DataFrame:
     """Attach the `nprobe` nearest centroid cell ids (by cosine) to each
     row. Centroids are broadcast; the corpus is scanned once with no
@@ -230,15 +236,13 @@ def assign_cells(
         )
         .drop("_cent", "_cent_n", "_row_n")
     )
-    return (
-        grouped_top_k(
-            ranked,
-            [id_col],
-            [F.col("_cell_cos").desc(), F.col("cell_id").asc()],
-            nprobe,
-        )
-        .drop("_cell_cos")
+    out = grouped_top_k(
+        ranked,
+        [id_col],
+        [F.col("_cell_cos").desc(), F.col("cell_id").asc()],
+        nprobe,
     )
+    return out if keep_score else out.drop("_cell_cos")
 
 
 def knn_ivf(
@@ -421,3 +425,84 @@ def knn_bruteforce_int8(
         F.col(id_col), F.col("q_" + vec_col).alias(vec_col)
     )
     return knn_bruteforce(qq, qc, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Unsupervised IVF coarse quantizer: Lloyd's k-means expressed as
+    pure DataFrame ops — no pyspark.ml vector conversions, no driver
+    math, nothing non-deterministic.
+
+    - init: the k rows with the smallest md5(id) (layout-independent,
+      so repartitioning the corpus cannot change the seeding — same
+      rule as the train/test split);
+    - assign: broadcast the k centroids, argmax cosine per row
+      (`assign_cells`, no join shuffle);
+    - update: posexplode → per-(cell, pos) partial means → re-assemble
+      (map-side combine collapses the dim-fold before the shuffle).
+
+    Per iteration: one broadcast scan + one two-level aggregate. With
+    k centroids of dim d the driver handles k·d doubles — broadcast
+    scale, never corpus scale. Empty cells keep their previous
+    centroid (standard Lloyd's fallback) by left-joining the update
+    onto the previous centroid set.
+    """
+    seeds = (
+        df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv"))
+        .orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid"))
+        .limit(k)
+    )
+    centroids = seeds.select(
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.col("_sid").cast("string")), F.col("_sid")))
+        .alias("cell_id"),
+        F.transform(F.col("_sv"), lambda x: x.cast("double")).alias("centroid"),
+    )
+    body = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    for _ in range(max_iter):
+        assigned = assign_cells(body, centroids, id_col="_id", vec_col="_v", nprobe=1)
+        means = (
+            assigned.select("cell_id", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("val"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("new_centroid")
+            )
+        )
+        centroids = (
+            centroids.join(means, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
+            )
+        )
+        # k rows: materialize per iteration so the lineage doesn't
+        # stack max_iter broadcast+agg layers into one giant plan.
+        centroids = centroids.sparkSession.createDataFrame(
+            centroids.collect(), centroids.schema
+        )
+    return centroids
+
+
+def kmeans_inertia(df: DataFrame, centroids: DataFrame, *, id_col: str, vec_col: str):
+    """Mean cosine distance (1 - cos) of each row to its assigned
+    centroid — the convergence metric for kmeans_centroids tests."""
+    assigned = assign_cells(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        centroids,
+        id_col="_id",
+        vec_col="_v",
+        nprobe=1,
+        keep_score=True,
+    )
+    return assigned.agg(F.avg(F.lit(1.0) - F.col("_cell_cos")).alias("inertia"))

@@ -240,3 +240,20 @@ def embedding_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 10)
     return knn_bruteforce_int8(queries, emb, k=5).orderBy("query_id", "rnk")
+
+
+@register("embedding_knn_ivf_kmeans", tags=("vector", "ivf", "kmeans", "approx"))
+def embedding_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with an UNSUPERVISED coarse quantizer: Lloyd's k-means run
+    as pure DataFrame ops (deterministic md5-ordered seeding, broadcast
+    assign, posexplode mean update) — the production index-build path
+    when no label partition exists. Rows-only check; convergence and
+    recall vs embedding_knn asserted in tests/test_similarity.py."""
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = S.kmeans_centroids(
+        emb, id_col="vec_id", vec_col="embedding", k=16, max_iter=3
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.knn_ivf(
+        queries, emb, centroids, id_col="vec_id", vec_col="embedding", k=K, nprobe=4
+    ).orderBy("query_id", "rnk")

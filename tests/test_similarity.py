@@ -180,3 +180,23 @@ def test_quantize_int8_bounds(spark, sf_dir):
         F.max(F.array_max(F.transform("q_embedding", lambda x: F.abs(x)))).alias("m")
     ).collect()[0]
     assert row.m <= 127
+
+
+def test_kmeans_inertia_decreases_and_ivf_recall(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    c1 = S.kmeans_centroids(emb, id_col="vec_id", vec_col="embedding", k=8, max_iter=1)
+    c3 = S.kmeans_centroids(emb, id_col="vec_id", vec_col="embedding", k=8, max_iter=3)
+    i1 = S.kmeans_inertia(emb, c1, id_col="vec_id", vec_col="embedding").collect()[0].inertia
+    i3 = S.kmeans_inertia(emb, c3, id_col="vec_id", vec_col="embedding").collect()[0].inertia
+    assert i3 <= i1 + 1e-9  # Lloyd's never increases inertia
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _pairs(
+        S.knn_bruteforce(queries, emb, id_col="vec_id", vec_col="embedding", k=K).collect()
+    )
+    approx = _pairs(
+        S.knn_ivf(
+            queries, emb, c3, id_col="vec_id", vec_col="embedding", k=K, nprobe=4
+        ).collect()
+    )
+    assert len(approx & exact) / len(exact) >= 0.5

@@ -254,3 +254,38 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     want = {(r["p_id"], r["v_id"]) for r in batch.collect()}
     assert got == want
     assert want  # non-vacuous: some pairs fall inside the gap
+
+
+def test_streamed_rollup_reaggregates_to_batch_truth(spark, tmp_path, events_dir):
+    """The hypertable story end-to-end through the STREAMING engine:
+    the 5-min rollup of mergeable partials is maintained by a real
+    streaming aggregation, and the 1-hour resolution derived from that
+    streamed rollup equals the 1-hour aggregate computed directly from
+    raw batch rows — raw data is never re-scanned for coarser views."""
+    from filesystemagent_spark.operators import rollup as R
+
+    stream = S.read_events_stream(spark, events_dir)
+    fine_stream = R.continuous_aggregate(
+        stream, ts_col="ts", value_col="value", group_cols=["event_type"],
+        bucket_seconds=300,
+    )
+    fine = drain(spark, fine_stream, "rollup_sink", tmp_path, "complete")
+
+    coarse_from_stream = R.reaggregate(
+        fine, group_cols=["event_type"], bucket_seconds=3600
+    )
+    direct = R.continuous_aggregate(
+        Catalog(spark, SF_DIR).events,
+        ts_col="ts", value_col="value", group_cols=["event_type"],
+        bucket_seconds=3600,
+    )
+    cols = ["bucket", "event_type", "n", "min_v", "max_v"]
+    assert rows_set(coarse_from_stream, cols) == rows_set(direct, cols)
+    # double sums merge in different orders stream-side vs batch-side;
+    # equality must hold to float tolerance, which is exactly why the
+    # oracle-facing rollup query (events_rollup_reagg) uses decimals.
+    a = {(r.bucket, r.event_type): r.sum_v for r in coarse_from_stream.collect()}
+    b = {(r.bucket, r.event_type): r.sum_v for r in direct.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-6

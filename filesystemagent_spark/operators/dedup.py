@@ -393,3 +393,38 @@ def near_dup_clusters(
             break
     edges.unpersist()
     return labels
+
+
+def fuzzy_pairs_edit1(df: DataFrame, col: str) -> DataFrame:
+    """Exact edit-distance-≤1 string pairs WITHOUT the quadratic cross
+    join: deletion-neighborhood blocking (FastSS). Each string emits
+    itself plus every single-character-deletion variant; any two
+    strings within edit distance 1 (substitution, insertion, deletion,
+    or equality) provably share at least one variant, so the variant
+    equi-join has 100%% recall and `levenshtein` only verifies
+    candidates. Cost: (len+1) variant rows per string and a shuffle on
+    the variant key — linear in corpus size, vs the O(n²) naive join
+    that only the oracle can afford. All JVM expressions; no UDFs."""
+    s = F.col(col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    inv = df.select(s.alias("_s"), F.explode(variants).alias("_var"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a._var") == F.col("b._var")) & (F.col("a._s") < F.col("b._s")))
+        .select(F.col("a._s").alias("name_a"), F.col("b._s").alias("name_b"))
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+    )

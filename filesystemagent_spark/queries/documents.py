@@ -415,3 +415,32 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s4, 4, "deduped"))
         .orderBy("stage")
     )
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    tags=("dedup", "fuzzy", "blocking"),
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY name_a, name_b
+""",
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching: all part-name pairs within edit
+    distance 1, via deletion-neighborhood blocking
+    (operators/dedup.fuzzy_pairs_edit1). The oracle runs the naive
+    quadratic levenshtein join — affordable for DuckDB at sf0.01,
+    impossible at corpus scale — and must return the IDENTICAL pair
+    set, proving the blocking loses nothing."""
+    from filesystemagent_spark.operators.dedup import fuzzy_pairs_edit1
+
+    names = Catalog(spark, sf_dir).part.select("p_name").distinct()
+    return (
+        fuzzy_pairs_edit1(names, "p_name")
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )

@@ -1,0 +1,52 @@
+"""Early-warning contract on the driver's testdata: the generator has
+changed physical types between rounds before (TIMESTAMP(NANOS) →
+naive µs), silently breaking type-sensitive operators. This test fails
+loudly at round start if a table is missing expected columns or a
+timestamp column stops normalizing, instead of letting 40 queries
+discover it one stack trace at a time."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as ST
+
+from filesystemagent_spark.catalog import ALL_TABLES, Catalog
+
+EXPECTED_COLS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+                 "l_shipdate"},
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+TS_COLS = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
+
+
+@pytest.mark.parametrize("table", ALL_TABLES)
+def test_table_contract(spark, sf_dir, table):
+    df = Catalog(spark, sf_dir).table(table)
+    missing = EXPECTED_COLS[table] - set(df.columns)
+    assert not missing, f"{table} lost columns {missing} — testdata regenerated?"
+    for c in TS_COLS.get(table, []):
+        # whatever the parquet physical type, the catalog must surface NTZ
+        assert isinstance(df.schema[c].dataType, ST.TimestampNTZType), (
+            table, c, df.schema[c].dataType,
+        )
+    assert df.limit(1).count() == 1, f"{table} is empty"
+
+
+def test_embedding_is_numeric_array(spark, sf_dir):
+    df = Catalog(spark, sf_dir).embeddings
+    dt = df.schema["embedding"].dataType
+    assert isinstance(dt, ST.ArrayType) and isinstance(
+        dt.elementType, (ST.FloatType, ST.DoubleType)
+    ), dt

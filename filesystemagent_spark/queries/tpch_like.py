@@ -533,3 +533,158 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "orders_rolling_range_7d",
+    tags=("window", "range-frame", "sql-surface"),
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS order_date,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS range_avg_7d,
+       COUNT(*) OVER w AS days_present
+FROM daily
+WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+ORDER BY order_date
+""",
+)
+def orders_rolling_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (vs the ROWS frame of
+    `orders_rolling_avg`): the window is the last 7 CALENDAR days, so
+    gaps in the series shrink the frame instead of silently reaching
+    further back — the correct semantics for irregular time series.
+    Runs through the engine's SQL surface (registered catalog views +
+    interval range frame), exercising the same Catalyst plan path the
+    DataFrame API uses."""
+    Catalog(spark, sf_dir).register_views(("orders",))
+    return spark.sql("""
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS order_date,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS range_avg_7d,
+               COUNT(*) OVER w AS days_present
+        FROM daily
+        WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY order_date
+    """)
+
+
+@register(
+    "orders_rollup_hierarchy",
+    tags=("agg", "rollup", "grouping"),
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+)
+def orders_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ROLLUP: the status→priority hierarchy with subtotals and a
+    grand total in ONE pass (grouping-sets expansion at the partial-agg
+    level — no re-scan per level), completing the cube/grouping-sets
+    family (`order_status_priority_cube`, `order_grouping_sets`)."""
+    orders = Catalog(spark, sf_dir).orders
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "orders_unpivot_metrics",
+    tags=("reshape", "unpivot"),
+    oracle="""
+WITH wide AS (
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, total_price, max_price))
+ORDER BY o_orderstatus, metric
+""",
+)
+def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of `orders_status_pivot`: a wide
+    per-status metrics row reshaped to (status, metric, value) long
+    form, the layout metric stores and plotting layers want. Spark's
+    native `unpivot` keeps this JVM-side (an Expand node, same family
+    as rollup/cube — no UDF, no python)."""
+    orders = Catalog(spark, sf_dir).orders
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return (
+        wide.unpivot(
+            ["o_orderstatus"],
+            ["n_orders", "total_price", "max_price"],
+            "metric",
+            "value",
+        )
+        .orderBy("o_orderstatus", "metric")
+    )
+
+
+@register(
+    "customer_balance_pctrank",
+    tags=("window", "rank"),
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(c_acctbal AS DOUBLE))
+ORDER BY c_mktsegment, pct_rank, c_custkey
+LIMIT 500
+""",
+)
+def customer_balance_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST per market segment: relative standing
+    of each customer's balance. Both are pure functions of the sort
+    RANK, so ties land identically in any engine — no unique tie-break
+    needed for the window itself, only for the output order."""
+    from pyspark.sql import Window
+
+    cust = Catalog(spark, sf_dir).customer
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").cast("double"))
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+        .limit(500)
+    )

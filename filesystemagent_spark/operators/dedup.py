@@ -401,7 +401,7 @@ def fuzzy_pairs_edit1(df: DataFrame, col: str) -> DataFrame:
     itself plus every single-character-deletion variant; any two
     strings within edit distance 1 (substitution, insertion, deletion,
     or equality) provably share at least one variant, so the variant
-    equi-join has 100%% recall and `levenshtein` only verifies
+    equi-join has 100% recall and `levenshtein` only verifies
     candidates. Cost: (len+1) variant rows per string and a shuffle on
     the variant key — linear in corpus size, vs the O(n²) naive join
     that only the oracle can afford. All JVM expressions; no UDFs."""

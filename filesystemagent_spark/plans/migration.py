@@ -96,14 +96,25 @@ def plan_migration(
     (None = empty destination). Returns PLAN_SCHEMA rows; nothing
     touches the filesystem — this IS the dry run.
 
-    Conflict semantics mirror the reference
+    Conflict semantics follow the reference
     (etl_template_base.py:221-257): skip keeps the destination and
-    drops the source; overwrite replaces; rename appends `_N` choosing
-    the smallest free counter; backup moves the existing file to
-    `<name><ext>.backup[.N]` then writes; fail raises on the first
-    conflict. Sources colliding with each other inside one batch (two
-    files flattening to one name) resolve by src order — first wins
-    the plain name, later ones count as conflicts of the same mode.
+    drops the source; overwrite replaces; rename appends `_N`; backup
+    moves the existing file to `<name><ext>.backup[.N]` then writes;
+    fail raises on the first conflict.
+
+    Where the reference's sequential exists()-loop semantics cannot be
+    honored by a parallel engine, the plan makes a DETERMINISTIC call
+    and records it in `reason`:
+    - rename counters are allocated per *name family* (dir + stem with
+      one trailing `_N` stripped + ext) strictly above every number
+      consumed by existing files AND by incoming rows that keep their
+      plain name — so a renamed row can never land on a name any other
+      row (plain or renamed) claims;
+    - in overwrite/backup mode, two sources flattening to one dest
+      would race; the first source (ascending src path) proceeds and
+      later claimants become `skip` rows with reason
+      `conflict-intra-batch` — visible in the plan, never a silent
+      last-writer-wins.
     """
     if conflict not in CONFLICT_MODES:
         raise ValueError(f"conflict must be one of {CONFLICT_MODES}, got {conflict!r}")
@@ -123,8 +134,7 @@ def plan_migration(
         F.concat(F.lit(dest_root.rstrip("/") + "/"), rel).alias("dest0"),
     )
 
-    # Destination-side state, scanned once: which planned dests exist,
-    # and the max already-used rename counter per (stem, ext).
+    # Destination-side state, scanned once.
     if existing is not None:
         ex = existing.select(_strip_scheme(F.col(path_col)).alias("ex_path"))
     else:
@@ -132,48 +142,69 @@ def plan_migration(
         ex = spark.createDataFrame([], "ex_path string")
     taken = ex.select(F.col("ex_path").alias("dest0"), F.lit(True).alias("dest_exists"))
 
-    ex_name = F.element_at(F.split(F.col("ex_path"), "/"), -1)
-    ex_dir = F.expr("substring(ex_path, 1, length(ex_path) - length(split(ex_path, '/')[size(split(ex_path, '/')) - 1]))")
-    ex_stem, ex_ext = _split_ext(ex_name)
-    # a file named  <base>_<N><ext>  consumes rename counter N for base
-    counters = (
-        ex.select(
-            F.concat(ex_dir, ex_stem, ex_ext).alias("slot"),
-            F.regexp_extract(ex_stem, r"_(\d+)$", 1).alias("n_str"),
-            ex_stem.alias("stem"),
-            ex_dir.alias("dir"),
-            ex_ext.alias("ext"),
+    def family_of(path_expr_name: str):
+        """dir + stem-with-one-trailing-_N-stripped + ext, plus the
+        number that name consumes in its family (plain name = 0)."""
+        name = F.element_at(F.split(F.col(path_expr_name), "/"), -1)
+        dir_ = F.expr(
+            f"substring({path_expr_name}, 1, length({path_expr_name}) - "
+            f"length(split({path_expr_name}, '/')[size(split({path_expr_name}, '/')) - 1]))"
         )
-        .filter(F.col("n_str") != "")
-        .select(
-            F.concat(
-                F.col("dir"), F.regexp_replace(F.col("stem"), r"_\d+$", ""), F.col("ext")
-            ).alias("dest0"),
-            F.col("n_str").cast("long").alias("n"),
+        stem, ext = _split_ext(name)
+        n_str = F.regexp_extract(stem, r"_(\d+)$", 1)
+        base_stem = F.when(n_str != "", F.regexp_replace(stem, r"_\d+$", "")).otherwise(stem)
+        return (
+            F.concat(dir_, base_stem, ext),
+            F.when(n_str != "", n_str).otherwise(F.lit("0")).cast("long"),
+            dir_,
+            base_stem,
+            ext,
         )
-        .groupBy("dest0")
-        .agg(F.max("n").alias("max_taken_counter"))
+
+    ex_fam, ex_num, _, _, _ = family_of("ex_path")
+    fam_existing = (
+        ex.select(ex_fam.alias("family"), ex_num.alias("n"))
+        .groupBy("family")
+        .agg(F.max("n").alias("ex_max_n"))
     )
 
     w = Window.partitionBy("dest0").orderBy("src")
+    fam, own_num, fam_dir, fam_stem, fam_ext = family_of("dest0")
     plan = (
         plan.join(taken, "dest0", "left")
-        .join(counters, "dest0", "left")
         .withColumn("dup_rank", F.row_number().over(w) - 1)  # 0 = first claimant
         .withColumn(
             "is_conflict",
             F.coalesce(F.col("dest_exists"), F.lit(False)) | (F.col("dup_rank") > 0),
         )
+        .withColumn("family", fam)
+        .withColumn("own_num", own_num)
+        .withColumn("fam_dir", fam_dir)
+        .withColumn("fam_stem", fam_stem)
+        .withColumn("fam_ext", fam_ext)
+        .join(fam_existing, "family", "left")
     )
 
-    d_name = F.element_at(F.split(F.col("dest0"), "/"), -1)
-    d_dir = F.expr("substring(dest0, 1, length(dest0) - length(split(dest0, '/')[size(split(dest0, '/')) - 1]))")
-    d_stem, d_ext = _split_ext(d_name)
-    # counter: continue past any existing _N, then rank within the batch.
-    base_counter = F.coalesce(F.col("max_taken_counter"), F.lit(0))
-    offset = F.when(F.coalesce(F.col("dest_exists"), F.lit(False)), 1).otherwise(0)
-    counter = base_counter + F.col("dup_rank") + offset
-    renamed = F.concat(d_dir, d_stem, F.lit("_"), counter.cast("string"), d_ext)
+    # Rename allocation: keepers (unconflicted) hold their own number;
+    # losers get max(all existing numbers, all kept numbers) + their
+    # 1-based rank among the family's losers. Every assigned number
+    # strictly exceeds every kept/existing one → collision-free.
+    wf = Window.partitionBy("family")
+    wfo = wf.orderBy("src").rowsBetween(Window.unboundedPreceding, 0)
+    keeper = ~F.col("is_conflict")
+    kept_max = F.max(F.when(keeper, F.col("own_num"))).over(wf)
+    loser_rank = F.sum(F.when(~keeper, 1).otherwise(0)).over(wfo)
+    max_base = F.greatest(
+        F.coalesce(F.col("ex_max_n"), F.lit(0)),
+        F.coalesce(kept_max, F.lit(0)),
+    )
+    renamed = F.concat(
+        F.col("fam_dir"),
+        F.col("fam_stem"),
+        F.lit("_"),
+        (max_base + loser_rank).cast("string"),
+        F.col("fam_ext"),
+    )
 
     if conflict == "fail":
         n_conflicts = plan.filter(F.col("is_conflict")).count()
@@ -181,32 +212,47 @@ def plan_migration(
             raise FileExistsError(f"{n_conflicts} destination conflicts (conflict='fail')")
 
     no_conflict = ~F.col("is_conflict")
+    intra = F.col("dup_rank") > 0
+    nulls = F.lit(None).cast("string")
     if conflict == "skip":
         action = F.when(no_conflict, operation).otherwise(F.lit("skip"))
-        dest, backup = F.col("dest0"), F.lit(None).cast("string")
+        dest, backup = F.col("dest0"), nulls
+        reason = F.when(no_conflict, F.lit("new")).otherwise(F.lit("conflict-skip"))
     elif conflict == "overwrite":
-        action, dest, backup = F.lit(operation), F.col("dest0"), F.lit(None).cast("string")
+        action = F.when(intra, F.lit("skip")).otherwise(F.lit(operation))
+        dest, backup = F.col("dest0"), nulls
+        reason = (
+            F.when(intra, F.lit("conflict-intra-batch"))
+            .when(no_conflict, F.lit("new"))
+            .otherwise(F.lit("conflict-overwrite"))
+        )
     elif conflict == "rename":
         action = F.lit(operation)
         dest = F.when(no_conflict, F.col("dest0")).otherwise(renamed)
-        backup = F.lit(None).cast("string")
+        backup = nulls
+        reason = F.when(no_conflict, F.lit("new")).otherwise(F.lit("conflict-rename"))
     elif conflict == "backup":
-        action, dest = F.lit(operation), F.col("dest0")
+        action = F.when(intra, F.lit("skip")).otherwise(F.lit(operation))
+        dest = F.col("dest0")
         backup = F.when(
-            F.coalesce(F.col("dest_exists"), F.lit(False)),
+            ~intra & F.coalesce(F.col("dest_exists"), F.lit(False)),
             F.concat(F.col("dest0"), F.lit(".backup")),
         )
+        reason = (
+            F.when(intra, F.lit("conflict-intra-batch"))
+            .when(no_conflict, F.lit("new"))
+            .otherwise(F.lit("conflict-backup"))
+        )
     else:  # fail — no conflicts survive the check above
-        action, dest, backup = F.lit(operation), F.col("dest0"), F.lit(None).cast("string")
+        action, dest, backup = F.lit(operation), F.col("dest0"), nulls
+        reason = F.lit("new")
 
     return plan.select(
         F.col("src"),
         dest.alias("dest"),
         action.alias("action"),
         backup.alias("backup_path"),
-        F.when(no_conflict, F.lit("new")).otherwise(F.lit(f"conflict-{conflict}")).alias(
-            "reason"
-        ),
+        reason.alias("reason"),
     )
 
 
@@ -267,10 +313,17 @@ def execute_migration(
                         shutil.copy2(row.src, row.dest) if preserve_timestamps else shutil.copyfile(row.src, row.dest)
                     elif row.action == "move":
                         shutil.move(row.src, row.dest)
-                    elif row.action == "link":
-                        os.link(row.src, row.dest)
                     else:
-                        os.symlink(row.src, row.dest)
+                        # link/symlink refuse existing dests; by this
+                        # point the plan has decided dest is ours
+                        # (overwrite mode, or a fresh/renamed name), so
+                        # clear it rather than fail the row.
+                        if os.path.lexists(row.dest):
+                            os.remove(row.dest)
+                        if row.action == "link":
+                            os.link(row.src, row.dest)
+                        else:
+                            os.symlink(row.src, row.dest)
                     dest_hash = _hash(row.dest) if src_hash is not None else None
                     if src_hash is not None and src_hash != dest_hash:
                         out.append(
@@ -330,6 +383,11 @@ def verify_migration(
         copies.join(tree(source_root, "src"), "src", "left")
         .join(tree(dest_root, "dest"), "dest", "left")
     )
+    # A missing side is a FINDING, not a pass: a copy whose source
+    # vanished before the audit is unverifiable and must be reported
+    # (src_hash NULL would make != three-valued-NULL and vanish).
     return joined.filter(
-        F.col("dest_hash").isNull() | (F.col("src_hash") != F.col("dest_hash"))
+        F.col("src_hash").isNull()
+        | F.col("dest_hash").isNull()
+        | (F.col("src_hash") != F.col("dest_hash"))
     ).select("src", "dest", "src_hash", "dest_hash")

@@ -144,10 +144,12 @@ def registry() -> dict[str, Query]:
         tpch_like,
     )
 
-    ordered: dict[str, Query] = {}
-    for name in GRADE_ORDER:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
+    dangling = [n for n in GRADE_ORDER if n not in _REGISTRY]
+    if dangling:
+        # A silently-dropped name would backfill the graded window with
+        # an arbitrary query — fail loudly instead.
+        raise KeyError(f"GRADE_ORDER names not in registry: {dangling}")
+    ordered: dict[str, Query] = {name: _REGISTRY[name] for name in GRADE_ORDER}
     for name, q in _REGISTRY.items():
         if name not in ordered:
             ordered[name] = q

@@ -37,15 +37,13 @@ EVENT_SCHEMA = T.StructType(
     ]
 )
 
-# Some driver testdata generations carry TIMESTAMP(NANOS), which
-# Spark's native reader rejects; with
-# spark.sql.legacy.parquet.nanosAsLong the column arrives as int64
-# nanos (catalog.py does the same for batch). Other generations use
-# standard µs precision, which reads as TIMESTAMP_NTZ — the source
-# sniffs the footer instead of assuming either.
-EVENT_SCHEMA_NANOS = T.StructType(
-    [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA.fields]
-)
+# Testdata generations vary their ts physical type — TIMESTAMP(NANOS)
+# (readable only as int64 via spark.sql.legacy.parquet.nanosAsLong),
+# naive µs (reads as TIMESTAMP_NTZ), or Spark-written LTZ. The source
+# sniffs the footer of whatever already sits in the directory; when
+# the directory is still empty (stream started before the first file
+# lands), it falls back to EVENT_SCHEMA and the file source idles
+# until data arrives.
 
 DEFAULT_WATERMARK = "1 hour"
 
@@ -74,7 +72,10 @@ def read_events_stream(
     # Deterministic naive<->epoch conversion for the normalizing casts.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sniffed = spark.read.parquet(path).schema
+    try:
+        sniffed = spark.read.parquet(path).schema
+    except Exception:  # noqa: BLE001 — empty dir: no footer to sniff yet
+        sniffed = EVENT_SCHEMA
     reader = spark.readStream.schema(sniffed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

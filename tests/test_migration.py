@@ -161,3 +161,69 @@ def test_integrity_check_in_execute(spark, src_tree, tmp_path):
     plan = _plan(spark, src_tree, dest)
     status = M.execute_migration(plan, verify_integrity=True).collect()
     assert all(r.src_hash == r.dest_hash and r.status == "done" for r in status)
+
+
+def test_rename_never_collides_with_incoming_plain_names(spark, tmp_path):
+    """Regression: a.txt's rename target must not land on a name
+    another incoming file (a_1.txt) claims plainly."""
+    src = tmp_path / "src"
+    _mkfiles(str(src), {"a.txt": b"renamed-one", "a_1.txt": b"kept-one"})
+    dest = tmp_path / "dst"
+    _mkfiles(str(dest), {"a.txt": b"OLD"})
+    plan = M.plan_migration(
+        list_files(spark, str(src)), str(dest), preserve_structure=False,
+        conflict="rename", existing=list_files(spark, str(dest)),
+    )
+    dests = [r.dest for r in plan.collect()]
+    assert len(dests) == len(set(dests)), f"plan assigned duplicate dests: {dests}"
+    M.execute_migration(plan).count()
+    assert (dest / "a_1.txt").read_bytes() == b"kept-one"
+    assert (dest / "a_2.txt").read_bytes() == b"renamed-one"
+    assert (dest / "a.txt").read_bytes() == b"OLD"
+
+
+def test_overwrite_intra_batch_collision_is_deterministic_skip(spark, tmp_path):
+    """Regression: two sources flattening to one dest in overwrite
+    mode must not race — first src proceeds, the later claimant is a
+    visible skip row, never a silent last-writer-wins."""
+    src = tmp_path / "src"
+    _mkfiles(str(src), {"d1/x.txt": b"one", "d2/x.txt": b"two"})
+    dest = tmp_path / "dst"
+    plan = M.plan_migration(
+        list_files(spark, str(src)), str(dest),
+        preserve_structure=False, conflict="overwrite",
+    )
+    rows = {r.src: r for r in plan.collect()}
+    assert rows[str(src / "d1/x.txt")].action == "copy"
+    skipped = rows[str(src / "d2/x.txt")]
+    assert skipped.action == "skip" and skipped.reason == "conflict-intra-batch"
+    M.execute_migration(plan).count()
+    assert (dest / "x.txt").read_bytes() == b"one"
+
+
+def test_backup_intra_batch_collision_is_deterministic_skip(spark, tmp_path):
+    src = tmp_path / "src"
+    _mkfiles(str(src), {"d1/x.txt": b"one", "d2/x.txt": b"two"})
+    dest = tmp_path / "dst"
+    _mkfiles(str(dest), {"x.txt": b"OLD"})
+    plan = M.plan_migration(
+        list_files(spark, str(src)), str(dest), preserve_structure=False,
+        conflict="backup", existing=list_files(spark, str(dest)),
+    )
+    M.execute_migration(plan).count()
+    assert (dest / "x.txt").read_bytes() == b"one"        # first src won
+    assert (dest / "x.txt.backup").read_bytes() == b"OLD"  # original kept
+
+
+def test_overwrite_with_symlink_replaces_existing(spark, src_tree, tmp_path):
+    """Regression: os.symlink refuses existing dests; overwrite mode
+    must clear them first instead of failing the row."""
+    dest = tmp_path / "dst"
+    _mkfiles(str(dest), {"a.txt": b"OLD"})
+    plan = _plan(spark, src_tree, dest, operation="symlink",
+                 conflict="overwrite", existing=_listing(spark, dest))
+    status = {r.dest: r.status for r in
+              M.execute_migration(plan, verify_integrity=False).collect()}
+    assert status[str(dest / "a.txt")] == "done"
+    assert os.path.islink(dest / "a.txt")
+    assert (dest / "a.txt").read_bytes() == b"alpha"

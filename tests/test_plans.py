@@ -134,12 +134,19 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     legitimate pattern for threshold comparisons; an unbounded
     cartesian is never acceptable at 100 TB. Analysis-only: explains
     every query without executing it."""
+    # Streaming gates execute a stream inside fn(); everything else
+    # must build a plan — an unexpected failure may NOT silently
+    # shrink the gate's coverage.
+    runtime_only = {
+        "events_stream_tumbling",
+        "events_stream_sessions",
+        "events_stream_dedup_keys",
+    }
     offenders = []
     for name, q in QUERIES.items():
-        try:
-            plan = formatted_plan(q.fn(spark, sf_dir))
-        except Exception:  # noqa: BLE001 — runtime-only queries (streaming gates)
+        if name in runtime_only:
             continue
+        plan = formatted_plan(q.fn(spark, sf_dir))
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders

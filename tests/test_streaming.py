@@ -289,3 +289,15 @@ def test_streamed_rollup_reaggregates_to_batch_truth(spark, tmp_path, events_dir
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-6
+
+
+def test_stream_on_empty_dir_idles_until_files_arrive(spark, tmp_path):
+    """Regression: the footer sniff must not crash when the stream
+    starts before the first file lands — the file source idles on the
+    declared fallback schema."""
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    stream = S.read_events_stream(spark, str(d))
+    assert stream.isStreaming
+    got = drain(spark, S.windowed_counts(stream), "empty_sink", tmp_path, "complete")
+    assert got.count() == 0

@@ -444,3 +444,74 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    tags=("text", "tfidf", "window"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(regexp_extract_all(lower(text), '{T.WORD_RE}')) AS term
+    FROM documents
+), words AS (
+    SELECT doc_id, lang, term FROM toks WHERE regexp_matches(term, '^[a-z]{{2,}}$')
+), doc_freq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+), lang_tf AS (
+    SELECT lang, term, COUNT(*) AS tf FROM words GROUP BY lang, term
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT lang, term, tf, df,
+           ROUND(CAST(tf AS DOUBLE) * n_docs / df, 6) AS score
+    FROM lang_tf JOIN doc_freq USING (term) CROSS JOIN n
+)
+SELECT lang, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) <= 5
+ORDER BY lang, score DESC, term
+""",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinguishing terms per language by idf-weighted
+    frequency: tf_lang(term) × N / df(term). The linear-idf variant is
+    deliberate — tf·N/df is a ratio of exact integers, so the double
+    is bit-identical in any engine, where log-idf would hang the
+    result on libm ulp agreement. The shape is the full TF-IDF
+    pipeline: tokenize (JVM regexp, no UDF) → explode → doc-frequency
+    agg → per-lang term agg → broadcast-joined scoring → windowed
+    top-k; df is a term-keyed table the 100 TB run would persist and
+    reuse as the vocabulary."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    words = (
+        docs.select("doc_id", "lang", F.explode(T.word_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").rlike("^[a-z]{2,}$"))
+    )
+    doc_freq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    lang_tf = words.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    # corpus size as a 1-row broadcast, not a driver-side .count() —
+    # the whole query stays one lazy plan.
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        lang_tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+        .orderBy("lang", F.col("score").desc(), "term")
+    )

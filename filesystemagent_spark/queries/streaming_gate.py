@@ -14,6 +14,22 @@ from pyspark.sql import functions as F
 
 from filesystemagent_spark.queries import register
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _pinned_shuffle(spark: SparkSession, n: str = "16"):
+    """Stateful streams schedule every state partition each microbatch
+    (plus timeout sweeps); a bare session's 200 default partitions are
+    pure task overhead at gate scale, and the count is frozen into the
+    first checkpoint. Pin it just while the gate query starts."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 @register(
     "events_stream_tumbling",
@@ -39,16 +55,17 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
     )
     sink = f"events_stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_counts(read_events_stream(spark, stage), window="1 hour")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle(spark):
+        q = (
+            windowed_counts(read_events_stream(spark, stage), window="1 hour")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .select(
@@ -117,13 +134,7 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(
         read_events_stream(spark, stage), gap_seconds=1800, watermark="0 seconds"
     )
-    # A stateful stream schedules every state partition each microbatch
-    # (plus the timeout sweep); under a bare session's 200 default
-    # partitions that is pure task overhead at gate scale. The count is
-    # pinned at first checkpoint, so set it just for this query's start.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    with _pinned_shuffle(spark):
         q = (
             sessions.writeStream.format("memory")
             .queryName(sink)
@@ -133,8 +144,6 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(sink)
         .select(
@@ -176,14 +185,15 @@ def events_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
     )
     sink = f"events_dedup_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup_stream(read_events_stream(spark, stage), ["user_id", "event_type"])
-        .select("user_id", "event_type")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle(spark):
+        q = (
+            dedup_stream(read_events_stream(spark, stage), ["user_id", "event_type"])
+            .select("user_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "event_type")

@@ -1,0 +1,238 @@
+"""Command-line surface — the engine-side equivalent of the
+reference's `main.py` click CLI (/root/reference/src/cli.py:27-409).
+
+Each subcommand is a thin adapter: parse args → build the DataFrame
+plan with the same operators the library exposes → one action
+(show/write). No logic lives here that a library caller couldn't
+reach; the CLI exists so a reference user's muscle memory
+(`audit scan`, index, dedup report, migrate) keeps working.
+
+    python -m filesystemagent_spark audit-scan DUMPS_DIR [--report out.html]
+    python -m filesystemagent_spark index DIR --out catalog.parquet
+    python -m filesystemagent_spark find-duplicates --catalog catalog.parquet
+    python -m filesystemagent_spark convert src.csv dest.json
+    python -m filesystemagent_spark migrate SRC DEST --conflict rename --execute
+    python -m filesystemagent_spark query events_hourly --sf-dir /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(app: str):
+    from filesystemagent_spark.session import get_spark
+
+    return get_spark(f"fsa-{app}")
+
+
+def cmd_audit_scan(args: argparse.Namespace) -> int:
+    """`main.py audit scan` (cli.py:162-239): normalize every available
+    tool dump, print the severity rollup + ranked findings, optionally
+    write the findings table and an HTML report."""
+    from filesystemagent_spark.operators.relational import rank_by_map
+    from filesystemagent_spark.plans.pipeline import run_audit_pipeline
+    from filesystemagent_spark.plans.reporting import html_report
+    from filesystemagent_spark.schemas import SEVERITY_RANK
+
+    spark = _spark("audit-scan")
+    res = run_audit_pipeline(spark, args.dumps_dir)
+    findings = res.findings
+    if args.severity:
+        findings = findings.filter(F.col("severity") == args.severity)
+    if args.domain:
+        findings = findings.filter(F.col("domain") == args.domain)
+
+    print(f"sources run: {res.sources_run}")
+    print(f"sources skipped: {res.sources_skipped}")
+    if res.sources_failed:
+        print(f"sources FAILED: {res.sources_failed}")
+
+    rollup = rank_by_map(
+        findings.groupBy("severity").agg(F.count("*").alias("n")),
+        "severity",
+        SEVERITY_RANK,
+        rank_col="rnk",
+    ).orderBy("rnk")
+    rollup.select("severity", "n").show(truncate=False)
+
+    ranked = rank_by_map(findings, "severity", SEVERITY_RANK, rank_col="rnk").orderBy(
+        "rnk", "title"
+    )
+    ranked.select("severity", "title", "target").show(args.limit, truncate=80)
+
+    if args.out:
+        findings.write.mode("overwrite").parquet(args.out)
+        print(f"findings written to {args.out}")
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(html_report(findings, title=f"Audit scan: {args.dumps_dir}"))
+        print(f"report written to {args.report}")
+    return 2 if res.sources_failed else 0
+
+
+def cmd_index(args: argparse.Namespace) -> int:
+    """Index a directory into the files catalog
+    (file_indexing_system.index_directory)."""
+    from filesystemagent_spark.sources.listing import files_catalog
+
+    spark = _spark("index")
+    cat = files_catalog(spark, args.directory, hash_algorithm=args.algorithm)
+    cat.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    totals = back.agg(
+        F.count("*").alias("files"), F.sum("file_size").alias("bytes")
+    ).collect()[0]
+    print(f"indexed {totals['files']} files, {totals['bytes']} bytes -> {args.out}")
+    return 0
+
+
+def cmd_find_duplicates(args: argparse.Namespace) -> int:
+    """The A1 dedup query over a written catalog
+    (file_indexing_system.find_duplicates)."""
+    from filesystemagent_spark.operators.dedup import duplicate_groups
+
+    spark = _spark("find-duplicates")
+    cat = spark.read.parquet(args.catalog).filter(
+        F.col("file_hash").isNotNull()
+        & ~F.col("is_directory")
+        & (F.col("file_size") >= args.min_size)
+    )
+    dups = duplicate_groups(
+        cat, ["file_hash", "hash_algorithm", "file_size"], "file_path"
+    ).orderBy(F.col("file_size").desc(), "file_hash")
+    dups.show(args.limit, truncate=80)
+    n = dups.count()
+    print(f"{n} duplicate group(s)")
+    if args.out:
+        dups.write.mode("overwrite").json(args.out)
+    return 0
+
+
+def cmd_convert(args: argparse.Namespace) -> int:
+    """ETL format conversion by suffix dispatch (etl.py:29-55)."""
+    from filesystemagent_spark.sources.etl_io import convert
+
+    spark = _spark("convert")
+    convert(spark, args.src, args.dest)
+    print(f"converted {args.src} -> {args.dest}")
+    return 0
+
+
+def cmd_migrate(args: argparse.Namespace) -> int:
+    """Migration template: PLAN by default (the dry run), EXECUTE with
+    --execute, independent hash audit with --verify."""
+    from filesystemagent_spark.plans import migration as M
+    from filesystemagent_spark.sources.listing import list_files
+
+    spark = _spark("migrate")
+    import os
+
+    existing = list_files(spark, args.dest) if os.path.isdir(args.dest) else None
+    plan = M.plan_migration(
+        list_files(spark, args.src),
+        args.dest,
+        source_root=args.src,
+        preserve_structure=not args.no_preserve_structure,
+        operation=args.operation,
+        conflict=args.conflict,
+        existing=existing,
+    )
+    if not args.execute:
+        plan.orderBy("src").show(args.limit, truncate=60)
+        print(f"dry run: {plan.count()} planned action(s); pass --execute to run")
+        return 0
+    status = M.execute_migration(plan)
+    M.migration_report(status).show(truncate=False)
+    rc = 0
+    if args.verify:
+        bad = M.verify_migration(spark, plan, args.src, args.dest)
+        n_bad = bad.count()
+        if n_bad:
+            bad.show(truncate=80)
+            print(f"VERIFY FAILED: {n_bad} mismatched file(s)")
+            rc = 1
+        else:
+            print("verify: all copies hash-match")
+    return rc
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered engine query by name."""
+    from filesystemagent_spark.queries import registry
+
+    reg = registry()
+    if args.name not in reg:
+        print(f"unknown query {args.name!r}; available: {', '.join(reg)}")
+        return 2
+    spark = _spark("query")
+    df = reg[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=60)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="filesystemagent_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("audit-scan", help="normalize tool dumps into findings")
+    s.add_argument("dumps_dir")
+    s.add_argument("--severity")
+    s.add_argument("--domain")
+    s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--out", help="write findings parquet here")
+    s.add_argument("--report", help="write HTML report here")
+    s.set_defaults(fn=cmd_audit_scan)
+
+    s = sub.add_parser("index", help="build the files catalog for a directory")
+    s.add_argument("directory")
+    s.add_argument("--out", required=True)
+    s.add_argument("--algorithm", default="sha256")
+    s.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser("find-duplicates", help="exact-duplicate groups from a catalog")
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--min-size", type=int, default=1)
+    s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_find_duplicates)
+
+    s = sub.add_parser("convert", help="convert between csv/json/xml/parquet/excel")
+    s.add_argument("src")
+    s.add_argument("dest")
+    s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("migrate", help="plan/execute/verify a file migration")
+    s.add_argument("src")
+    s.add_argument("dest")
+    s.add_argument("--operation", default="copy",
+                   choices=["copy", "move", "link", "symlink"])
+    s.add_argument("--conflict", default="skip",
+                   choices=["skip", "overwrite", "rename", "backup", "fail"])
+    s.add_argument("--no-preserve-structure", action="store_true")
+    s.add_argument("--execute", action="store_true")
+    s.add_argument("--verify", action="store_true")
+    s.add_argument("--limit", type=int, default=50)
+    s.set_defaults(fn=cmd_migrate)
+
+    s = sub.add_parser("query", help="run a registered query by name")
+    s.add_argument("name")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--explain", action="store_true")
+    s.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,7 +114,9 @@ GRADE_ORDER = (
     "events_rollup_reagg",
     "events_value_mad",
     "events_user_seq",
-    "events_hourly_gapfill",
+    # multimodal binary-column plumbing (mapInPandas; stub decode is
+    # content-hash-defined, so even this path is oracle-checked)
+    "doc_media_features",
     # baseline diff + severity ranking (reference's core analyzers)
     "baseline_diff_users",
     "event_findings_ranked",

@@ -84,9 +84,26 @@ def doc_transform_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_media_features",
-    tags=("multimodal", "mapInPandas", "approx"),
-    # no oracle: stub decode values are engine-internal (mapInPandas);
-    # the driver records the rows-only check by design
+    tags=("multimodal", "mapInPandas"),
+    # The STUB decode is content-hash-defined (sha256(salt+bytes)), so
+    # even the pandas-UDF path is fully oracle-checkable: DuckDB
+    # recomputes the same hashes over the same bytes. (sha256(VARCHAR)
+    # hashes the UTF-8 bytes — identical input to the stub's
+    # salt+encode(text).) If a real decoder (PIL) ever appears in the
+    # container, decoder='pil' values replace the stub and this oracle
+    # must be dropped back to rows-only.
+    oracle="""
+WITH feats AS (
+    SELECT substr(sha256('phash' || text), 1, 16) AS phash_hex,
+           64 + octet_length(encode(text)) % 1024 AS width
+    FROM documents
+)
+SELECT COUNT(*) AS n_decoded,
+       COUNT(DISTINCT phash_hex) AS n_distinct_phash,
+       CAST(MIN(width) AS INT) AS min_width,
+       CAST(MAX(width) AS INT) AS max_width
+FROM feats
+""",
 )
 def doc_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over driver data: treat each document's text

@@ -45,14 +45,32 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+def shingle_hashes_md5(shingles: Column) -> Column:
+    """Cross-engine-reproducible base hash: 60 bits of md5, mod prime.
+    Slower than xxhash64 (the production base) but computable in any
+    engine with md5 — the hook that lets a DuckDB oracle replay the
+    entire MinHash pipeline bit-for-bit."""
+    return F.transform(
+        shingles,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42, base: str = "xxhash64"
+) -> Column:
     """MinHash signature as array<bigint> of length ``num_hashes``.
 
     One pass over the shingle set per permutation, all inside codegen.
     Empty shingle sets yield a sentinel signature of PRIME values so
-    they never collide with real docs in a band join.
+    they never collide with real docs in a band join. ``base`` picks
+    the shingle base hash: xxhash64 (fast, JVM-only) or md5
+    (cross-engine, see shingle_hashes_md5).
     """
-    hashes = shingle_hashes(shingles)
+    hashes = (shingle_hashes_md5 if base == "md5" else shingle_hashes)(shingles)
 
     # Factory keeps the lambda unary — PySpark derives HOF arity from
     # the Python signature, so default-arg capture would break it.

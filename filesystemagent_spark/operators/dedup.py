@@ -428,3 +428,84 @@ def fuzzy_pairs_edit1(df: DataFrame, col: str) -> DataFrame:
         cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def minhash_near_dup_pairs_checkable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH with every stage reproducible outside Spark: md5
+    base hashes (shingle_hashes_md5) and raw band slices as bucket
+    keys (no engine-private murmur). Same banding/verify structure as
+    the production `minhash_near_dup_pairs`; exists so an external SQL
+    engine can replay signature → bands → candidates → exact-verify
+    and hash-match the output — the strongest correctness statement an
+    approximate operator can make."""
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    docs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    signed = docs.withColumn(
+        "_sig", H.minhash_signature(F.col("_sh"), num_hashes, seed, base="md5")
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ).alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = signed.select("_id", F.explode(band_cols).alias("bk")).select(
+        "_id", "bk.band", "bk.band_val"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sh_b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter.cast("double")
+                / (F.size("_sha") + F.size("_shb") - inter).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -91,7 +91,9 @@ GRADE_ORDER = (
     "doc_sentences_udtf",
     "doc_lang_stats",
     "doc_token_stats",
-    "doc_prefix_dups",
+    # the LSH pipeline itself (signature → bands → candidates →
+    # verify) replayed and hash-matched by the oracle
+    "doc_minhash_pairs_checkable",
     "doc_dedup_keep_first",
     "doc_dedup_report",
     "doc_quality",

@@ -515,3 +515,77 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("lang", F.col("score").desc(), "term")
     )
+
+
+from filesystemagent_spark.functions.hashing import perm_params as _perm_params  # noqa: E402
+
+_MH_N, _MH_BANDS, _MH_SEED = 16, 4, 42
+_MH_VALUES = ", ".join(
+    f"({i}, {a}::UBIGINT, {b}::UBIGINT)"
+    for i, (a, b) in enumerate(_perm_params(_MH_N, _MH_SEED))
+)
+
+
+@register(
+    "doc_minhash_pairs_checkable",
+    tags=("dedup", "lsh", "minhash", "cross-engine"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+    FROM documents
+), shingled AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' '))
+               END) AS sh
+    FROM toks
+), docs AS (
+    SELECT doc_id, sh FROM shingled WHERE len(sh) > 0
+), hs AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(t.s), 1, 15)) AS UBIGINT) % 2038074743 AS hv
+    FROM docs, UNNEST(docs.sh) AS t(s)
+), params(i, a, b) AS (VALUES {_MH_VALUES}),
+sig AS (
+    SELECT doc_id, p.i, MIN((p.a * hv + p.b) % 2038074743) AS mv
+    FROM hs CROSS JOIN params p
+    GROUP BY doc_id, p.i
+), bands AS (
+    SELECT doc_id, i // {_MH_N // _MH_BANDS} AS band,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS band_val
+    FROM sig GROUP BY doc_id, i // {_MH_N // _MH_BANDS}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+), verified AS (
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                 / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))),
+                 6) AS jaccard
+    FROM cand
+    JOIN docs da ON da.doc_id = cand.id_a
+    JOIN docs db ON db.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def doc_minhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the ENTIRE approximate pipeline replayed by the
+    oracle: md5-based shingle hashes, the same 16 universal-hash
+    permutations, the same 4-band bucketing, the same exact-Jaccard
+    verify — DuckDB computes signature → bands → candidates → verified
+    pairs independently and must hash-match. The production variant
+    (`doc_minhash_pairs`) keeps the faster JVM xxhash64 base and
+    murmur band keys; this query proves the ALGORITHM, including which
+    pairs LSH surfaces, not just the verified survivors."""
+    docs = Catalog(spark, sf_dir).documents
+    return D.minhash_near_dup_pairs_checkable(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS,
+        threshold=0.4, seed=_MH_SEED,
+    ).orderBy("id_a", "id_b")

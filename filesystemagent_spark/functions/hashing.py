@@ -105,12 +105,14 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def simhash(tokens: Column, bits: int = 32) -> Column:
+def simhash(tokens: Column, bits: int = 32, base: str = "xxhash64") -> Column:
     """SimHash fingerprint of a token array as a BIGINT.
 
-    Per-bit majority vote over xxhash64 token hashes; near-dup test is
+    Per-bit majority vote over token hashes; near-dup test is
     then ``bit_count(simhash(a) ^ simhash(b)) <= t`` — constant-time
-    per candidate pair.
+    per candidate pair. ``base``: xxhash64 (fast, JVM-only) or md5
+    (cross-engine-reproducible, same 60-bit derivation as
+    shingle_hashes_md5 — lets an external engine replay the vote).
 
     ``bits`` must be <= 52: bit weights are built with pow() in double
     space, exact only for powers of two below 2^53 (the shift builtins
@@ -118,7 +120,13 @@ def simhash(tokens: Column, bits: int = 32) -> Column:
     position variable).
     """
     assert bits <= 52, "simhash bits limited to 52 (double-exact pow)"
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    if base == "md5":
+        hashes = F.transform(
+            tokens,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     positions = F.sequence(F.lit(0), F.lit(bits - 1))
     zeros = F.transform(positions, lambda i: F.lit(0).cast("long"))
     votes = F.aggregate(

@@ -509,3 +509,60 @@ def minhash_near_dup_pairs_checkable(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def simhash_near_dup_pairs_checkable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 32,
+    max_distance: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with the md5 token-hash base, so an
+    external SQL engine can replay the per-bit majority vote, the
+    pigeonhole blocking, and the Hamming verify. Docs with zero tokens
+    are excluded (they'd all share fingerprint 0 and pair with each
+    other — noise, and unrepresentable in the per-token SQL replay).
+    Structure identical to `simhash_near_dup_pairs`."""
+    n_blocks = max_distance + 1
+    assert block_bits * n_blocks <= bits
+    toks = T.tokens(F.col(text_col))
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        H.simhash(toks, bits, base="md5").alias("_fp"),
+    ).filter(F.size(toks) > 0)
+    blocks = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("_fp"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("blk_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_fp", "b.blk", "b.blk_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_val") == F.col("r.blk_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            H.hamming(F.col("l._fp"), F.col("r._fp")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )

@@ -101,8 +101,10 @@ GRADE_ORDER = (
     "doc_hamming_dup_pairs",
     "doc_transform_shim",
     "doc_dup_clusters",
+    # simhash pipeline replayed+hash-matched by the oracle (the
+    # minhash twin above; norms dropped — knn subsumes the vector math)
+    "doc_simhash_pairs_checkable",
     # embeddings (exact forms; approximate siblings after the window)
-    "embedding_norms",
     "embedding_label_centroids",
     "embedding_near_dup",
     # events analytics (windows, json, asof/range, rollup, UDAF, UDTF)

@@ -589,3 +589,49 @@ def doc_minhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS,
         threshold=0.4, seed=_MH_SEED,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "doc_simhash_pairs_checkable",
+    tags=("dedup", "simhash", "cross-engine"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), th AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS UBIGINT) AS h
+    FROM toks, UNNEST(toks.tk) AS t(tok)
+    WHERE len(tk) > 0
+), votes AS (
+    SELECT doc_id, b.i AS bit,
+           SUM(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM th CROSS JOIN (SELECT UNNEST(range(0, 32)) AS i) b
+    GROUP BY doc_id, b.i
+), fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << CAST(bit AS INT)) ELSE 0 END)
+                AS BIGINT) AS f
+    FROM votes GROUP BY doc_id
+), blocks AS (
+    SELECT doc_id, f, t.b AS blk, (f >> CAST(t.b * 8 AS INT)) & 255 AS blk_val
+    FROM fp CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) t
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS distance
+    FROM blocks a JOIN blocks b
+      ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+)
+SELECT id_a, id_b, distance FROM pairs ORDER BY id_a, id_b
+""",
+)
+def doc_simhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the oracle replaying the complete
+    algorithm — md5 token hashes, 32-bit majority vote, pigeonhole
+    block candidates, Hamming verify — independently in SQL. Together
+    with `doc_minhash_pairs_checkable` this makes both approximate
+    dedup families exactly auditable, not just recall-tested."""
+    docs = Catalog(spark, sf_dir).documents
+    return D.simhash_near_dup_pairs_checkable(
+        docs, "doc_id", "text", bits=32, max_distance=3, block_bits=8
+    ).orderBy("id_a", "id_b")

@@ -103,12 +103,14 @@ def cmd_find_duplicates(args: argparse.Namespace) -> int:
     )
     dups = duplicate_groups(
         cat, ["file_hash", "hash_algorithm", "file_size"], "file_path"
-    ).orderBy(F.col("file_size").desc(), "file_hash")
-    dups.show(args.limit, truncate=80)
-    n = dups.count()
-    print(f"{n} duplicate group(s)")
-    if args.out:
-        dups.write.mode("overwrite").json(args.out)
+    ).orderBy(F.col("file_size").desc(), "file_hash").persist()
+    try:
+        dups.show(args.limit, truncate=80)
+        print(f"{dups.count()} duplicate group(s)")
+        if args.out:
+            dups.write.mode("overwrite").json(args.out)
+    finally:
+        dups.unpersist()
     return 0
 
 
@@ -141,23 +143,33 @@ def cmd_migrate(args: argparse.Namespace) -> int:
         conflict=args.conflict,
         existing=existing,
     )
-    if not args.execute:
-        plan.orderBy("src").show(args.limit, truncate=60)
-        print(f"dry run: {plan.count()} planned action(s); pass --execute to run")
-        return 0
-    status = M.execute_migration(plan)
-    M.migration_report(status).show(truncate=False)
-    rc = 0
-    if args.verify:
-        bad = M.verify_migration(spark, plan, args.src, args.dest)
-        n_bad = bad.count()
-        if n_bad:
-            bad.show(truncate=80)
-            print(f"VERIFY FAILED: {n_bad} mismatched file(s)")
-            rc = 1
-        else:
-            print("verify: all copies hash-match")
-    return rc
+    plan = plan.persist()  # show + count + execute share one compute
+    try:
+        if not args.execute:
+            plan.orderBy("src").show(args.limit, truncate=60)
+            print(f"dry run: {plan.count()} planned action(s); pass --execute to run")
+            return 0
+        rep = M.migration_report(M.execute_migration(plan)).collect()[0]
+        print(rep.asDict())
+        rc = 1 if rep.failed_files else 0
+        if args.verify:
+            n_copies = plan.filter(F.col("action") == "copy").count()
+            if n_copies == 0:
+                print("verify: nothing auditable (no copy actions — moves "
+                      "leave no source to re-hash; audit against the "
+                      "pre-run catalog instead)")
+            else:
+                bad = M.verify_migration(spark, plan, args.src, args.dest)
+                n_bad = bad.count()
+                if n_bad:
+                    bad.show(truncate=80)
+                    print(f"VERIFY FAILED: {n_bad} mismatched file(s)")
+                    rc = 1
+                else:
+                    print(f"verify: all {n_copies} copies hash-match")
+        return rc
+    finally:
+        plan.unpersist()
 
 
 def cmd_query(args: argparse.Namespace) -> int:

@@ -64,6 +64,9 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     seed: int = 42,
+    base: str = "xxhash64",
+    band_key: str = "hash",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -74,6 +77,11 @@ def minhash_near_dup_pairs(
          sets; keep pairs with jaccard >= threshold.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair.
+
+    ``base``/``band_key`` select between the fast JVM-only derivations
+    (xxhash64 base, murmur band hash) and the cross-engine-replayable
+    ones (md5 base, raw band slices as strings) — one pipeline, two
+    hash families, so fixes like the bucket cap apply to both.
     """
     from pyspark import StorageLevel
 
@@ -89,12 +97,30 @@ def minhash_near_dup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     signed = docs.withColumn(
-        "_sig", H.minhash_signature(F.col("_shingles"), num_hashes, seed)
+        "_sig", H.minhash_signature(F.col("_shingles"), num_hashes, seed, base=base)
     )
 
-    banded = signed.select(
-        "_id", F.explode(H.band_keys(F.col("_sig"), bands, rows_per_band)).alias("bk")
-    ).select("_id", "bk.band", "bk.band_hash")
+    if band_key == "hash":
+        bands_col = H.band_keys(F.col("_sig"), bands, rows_per_band)
+    else:  # "slice": the band's values themselves — replayable anywhere
+        bands_col = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("band_hash"),
+                )
+                for i in range(bands)
+            ]
+        )
+    banded = signed.select("_id", F.explode(bands_col).alias("bk")).select(
+        "_id", "bk.band", "bk.band_hash"
+    )
     # Cap pathological buckets (boilerplate collapse) before the
     # self-join turns quadratic.
     bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bsz"))
@@ -119,15 +145,16 @@ def minhash_near_dup_pairs(
 
     a = docs.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a"))
     b = docs.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b"))
+    jac = F.col("_inter").cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("_inter")
+    ).cast("double")
+    if round_to is not None:
+        jac = F.round(jac, round_to)
     verified = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")).cast("double"),
-        )
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -142,6 +169,8 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     max_distance: int = 3,
     block_bits: int = 8,
+    base: str = "xxhash64",
+    skip_empty: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -150,14 +179,23 @@ def simhash_near_dup_pairs(
     exactly), so the self-join is per-block, not all-pairs. Verify is
     `bit_count(xor)` — constant time.
 
-    Returns (id_a, id_b, distance), id_a < id_b.
+    Returns (id_a, id_b, distance), id_a < id_b. ``base`` picks the
+    token-hash family (see hashing.simhash); ``skip_empty`` drops
+    zero-token docs (they all share fingerprint 0).
     """
     n_blocks = max_distance + 1
     assert block_bits * n_blocks <= bits
+    toks = T.tokens(F.col(text_col))
     fp = df.select(
         F.col(id_col).alias("_id"),
-        H.simhash(T.tokens(F.col(text_col)), bits).alias("_fp"),
+        H.simhash(toks, bits, base=base).alias("_fp"),
     )
+    if skip_empty:
+        fp = df.select(
+            F.col(id_col).alias("_id"),
+            H.simhash(toks, bits, base=base).alias("_fp"),
+            F.size(toks).alias("_ntok"),
+        ).filter(F.col("_ntok") > 0).drop("_ntok")
     blocks = fp.select(
         "_id",
         "_fp",
@@ -439,75 +477,27 @@ def minhash_near_dup_pairs_checkable(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.4,
+    max_bucket: int = 1000,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash+LSH with every stage reproducible outside Spark: md5
-    base hashes (shingle_hashes_md5) and raw band slices as bucket
-    keys (no engine-private murmur). Same banding/verify structure as
-    the production `minhash_near_dup_pairs`; exists so an external SQL
+    """The cross-engine hash family of `minhash_near_dup_pairs`: md5
+    base hashes + raw band slices as bucket keys, so an external SQL
     engine can replay signature → bands → candidates → exact-verify
-    and hash-match the output — the strongest correctness statement an
-    approximate operator can make."""
-    from pyspark import StorageLevel
-
-    rows_per_band = num_hashes // bands
-    docs = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    signed = docs.withColumn(
-        "_sig", H.minhash_signature(F.col("_sh"), num_hashes, seed, base="md5")
-    )
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                ).alias("band_val"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = signed.select("_id", F.explode(band_cols).alias("bk")).select(
-        "_id", "bk.band", "bk.band_val"
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh_a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sh_b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
-    inter = F.size(F.array_intersect("_sha", "_shb"))
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                inter.cast("double")
-                / (F.size("_sha") + F.size("_shb") - inter).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    and hash-match the output. Thin wrapper — one pipeline, so the
+    bucket cap and any future fix apply to both families."""
+    return minhash_near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        seed=seed,
+        base="md5",
+        band_key="slice",
+        round_to=6,
     )
 
 
@@ -520,49 +510,19 @@ def simhash_near_dup_pairs_checkable(
     max_distance: int = 3,
     block_bits: int = 8,
 ) -> DataFrame:
-    """SimHash near-dup pairs with the md5 token-hash base, so an
-    external SQL engine can replay the per-bit majority vote, the
-    pigeonhole blocking, and the Hamming verify. Docs with zero tokens
-    are excluded (they'd all share fingerprint 0 and pair with each
-    other — noise, and unrepresentable in the per-token SQL replay).
-    Structure identical to `simhash_near_dup_pairs`."""
-    n_blocks = max_distance + 1
-    assert block_bits * n_blocks <= bits
-    toks = T.tokens(F.col(text_col))
-    fp = df.select(
-        F.col(id_col).alias("_id"),
-        H.simhash(toks, bits, base="md5").alias("_fp"),
-    ).filter(F.size(toks) > 0)
-    blocks = fp.select(
-        "_id",
-        "_fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("_fp"), i * block_bits)
-                        .bitwiseAND(F.lit((1 << block_bits) - 1))
-                        .alias("blk_val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
-    ).select("_id", "_fp", "b.blk", "b.blk_val")
-    l, r = blocks.alias("l"), blocks.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.blk_val") == F.col("r.blk_val"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            H.hamming(F.col("l._fp"), F.col("r._fp")).alias("distance"),
-        )
-        .filter(F.col("distance") <= max_distance)
-        .distinct()
+    """The cross-engine hash family of `simhash_near_dup_pairs`: md5
+    token hashes so an external SQL engine can replay the per-bit
+    majority vote, pigeonhole blocking, and Hamming verify. Zero-token
+    docs are excluded (they'd all share fingerprint 0, and have no
+    rows in a per-token SQL replay). Thin wrapper over the production
+    pipeline."""
+    return simhash_near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        bits=bits,
+        max_distance=max_distance,
+        block_bits=block_bits,
+        base="md5",
+        skip_empty=True,
     )

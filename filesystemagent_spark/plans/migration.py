@@ -314,11 +314,16 @@ def execute_migration(
                     elif row.action == "move":
                         shutil.move(row.src, row.dest)
                     else:
-                        # link/symlink refuse existing dests; by this
-                        # point the plan has decided dest is ours
-                        # (overwrite mode, or a fresh/renamed name), so
-                        # clear it rather than fail the row.
-                        if os.path.lexists(row.dest):
+                        # link/symlink refuse existing dests. Clearing
+                        # one is sanctioned ONLY when the plan saw the
+                        # conflict and chose overwrite — for 'new' and
+                        # renamed rows an occupied dest means the plan's
+                        # view of the destination was stale, and the
+                        # fail-safe is to let the OS error mark the row
+                        # failed rather than destroy an unseen file.
+                        if row.reason == "conflict-overwrite" and os.path.lexists(
+                            row.dest
+                        ):
                             os.remove(row.dest)
                         if row.action == "link":
                             os.link(row.src, row.dest)

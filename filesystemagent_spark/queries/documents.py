@@ -557,9 +557,14 @@ sig AS (
     SELECT doc_id, i // {_MH_N // _MH_BANDS} AS band,
            string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS band_val
     FROM sig GROUP BY doc_id, i // {_MH_N // _MH_BANDS}
+), bucket_ok AS (
+    -- the production pipeline's max_bucket cap (1000), replayed
+    SELECT band, band_val FROM bands GROUP BY band, band_val HAVING COUNT(*) <= 1000
+), bands_capped AS (
+    SELECT bands.* FROM bands JOIN bucket_ok USING (band, band_val)
 ), cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM bands_capped a JOIN bands_capped b
       ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ), verified AS (
     SELECT id_a, id_b,

@@ -22,6 +22,8 @@ streaming can make without a live source.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -74,7 +76,21 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         sniffed = spark.read.parquet(path).schema
-    except Exception:  # noqa: BLE001 — empty dir: no footer to sniff yet
+    except Exception:
+        # Fall back ONLY for a genuinely empty directory (stream
+        # started before the first file): the source then idles on the
+        # declared µs schema. NOTE this commits the stream to µs/LTZ
+        # parquet — if a NANOS-generation file arrives later the first
+        # microbatch fails (restart the stream to re-sniff). Any other
+        # sniff failure (corrupt footer, permissions) is a real error
+        # and surfaces now, not as a delayed streaming failure.
+        has_files = any(
+            name.endswith(".parquet")
+            for _, _, files in os.walk(path)
+            for name in files
+        )
+        if has_files:
+            raise
         sniffed = EVENT_SCHEMA
     reader = spark.readStream.schema(sniffed)
     if max_files_per_trigger is not None:

@@ -65,7 +65,7 @@ def test_migrate_dry_run_then_execute_and_verify(tmp_path, capsys):
 
     rc = main(["migrate", str(src), str(dest), "--execute", "--verify"])
     assert rc == 0
-    assert "all copies hash-match" in capsys.readouterr().out
+    assert "all 2 copies hash-match" in capsys.readouterr().out
     assert (dest / "sub/b.txt").read_bytes() == b"bravo"
 
 
@@ -81,3 +81,27 @@ def test_query_runs_registered_query(tmp_path, capsys):
 def test_query_unknown_name(capsys):
     assert main(["query", "nope_not_here"]) == 2
     assert "unknown query" in capsys.readouterr().out
+
+
+def test_migrate_execute_rc_nonzero_on_failed_rows(tmp_path, capsys):
+    """A failed row must surface in the exit code, not just the text.
+    A DIRECTORY squatting on a planned dest is invisible to the
+    binaryFile listing (files only), so the row plans 'new', the
+    copy raises, and the run must exit non-zero."""
+    src = tmp_path / "src"
+    dest = tmp_path / "dst"
+    _mkfiles(str(src), {"a.txt": b"alpha"})
+    (dest / "a.txt").mkdir(parents=True)  # dir at the file's dest path
+    rc = main(["migrate", str(src), str(dest), "--execute"])
+    assert rc == 1
+    assert (dest / "a.txt").is_dir()  # squatter untouched
+
+
+def test_migrate_verify_moves_reports_nothing_auditable(tmp_path, capsys):
+    src = tmp_path / "src"
+    _mkfiles(str(src), {"a.txt": b"alpha"})
+    dest = tmp_path / "dst"
+    rc = main(["migrate", str(src), str(dest), "--operation", "move",
+               "--execute", "--verify"])
+    assert rc == 0
+    assert "nothing auditable" in capsys.readouterr().out

@@ -227,3 +227,19 @@ def test_overwrite_with_symlink_replaces_existing(spark, src_tree, tmp_path):
     assert status[str(dest / "a.txt")] == "done"
     assert os.path.islink(dest / "a.txt")
     assert (dest / "a.txt").read_bytes() == b"alpha"
+
+
+def test_stale_plan_symlink_fails_safe_instead_of_clobbering(spark, src_tree, tmp_path):
+    """Regression: a 'new' symlink row whose dest unexpectedly exists
+    (plan built against a stale/absent listing) must FAIL the row, not
+    delete the unseen file. Clearing is sanctioned only for rows the
+    plan explicitly marked conflict-overwrite."""
+    dest = tmp_path / "dst"
+    _mkfiles(str(dest), {"a.txt": b"PRECIOUS"})
+    # plan built blind to the existing destination tree
+    plan = _plan(spark, src_tree, dest, operation="symlink", conflict="skip")
+    status = {r.dest: r for r in
+              M.execute_migration(plan, verify_integrity=False).collect()}
+    row = status[str(dest / "a.txt")]
+    assert row.status == "failed"
+    assert (dest / "a.txt").read_bytes() == b"PRECIOUS"  # survived

@@ -200,42 +200,53 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "anti", "diff"),
     oracle="""
 WITH base AS (
-    SELECT user_id, COUNT(*) AS n_events FROM events
-    WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1
+    SELECT user_id, event_type, COUNT(*) AS n_events FROM events
+    WHERE ts < TIMESTAMP '2024-01-01 06:00:00' GROUP BY 1, 2
 ), cur AS (
-    SELECT user_id, COUNT(*) AS n_events FROM events
-    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1
+    SELECT user_id, event_type, COUNT(*) AS n_events FROM events
+    WHERE ts >= TIMESTAMP '2024-01-30 18:00:00' GROUP BY 1, 2
 )
-SELECT user_id, n_events, 'added' AS change_type
-FROM cur WHERE user_id NOT IN (SELECT user_id FROM base)
+SELECT c.user_id, c.event_type, c.n_events, 'added' AS change_type
+FROM cur c WHERE NOT EXISTS (
+    SELECT 1 FROM base b
+    WHERE b.user_id = c.user_id AND b.event_type = c.event_type)
 UNION ALL
-SELECT user_id, n_events, 'removed' AS change_type
-FROM base WHERE user_id NOT IN (SELECT user_id FROM cur)
-ORDER BY change_type, user_id
+SELECT b.user_id, b.event_type, b.n_events, 'removed' AS change_type
+FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM cur c
+    WHERE c.user_id = b.user_id AND c.event_type = b.event_type)
+ORDER BY change_type, user_id, event_type
 """,
 )
 def baseline_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline diff (J1-J4/SO1): users active in the current window
-    vs a baseline window, as the snapshot_diff anti-join pair — the
-    reference's baseline_differ re-expressed
-    (/root/reference/src/audit/analyzers/baseline_differ.py:118-168)."""
+    """Baseline diff (J1-J4/SO1): (user, event_type) activity keys in
+    the month's last 6 hours vs its first 6, as the snapshot_diff
+    anti-join pair — the reference's baseline_differ re-expressed
+    (/root/reference/src/audit/analyzers/baseline_differ.py:118-168)
+    with a composite key like its (name, path) diffs. The 6-hour
+    windows are deliberately narrow so both diff directions are
+    NON-EMPTY at every test SF — a diff query that always returns zero
+    rows proves nothing about the anti-joins."""
     from filesystemagent_spark.operators.relational import snapshot_diff
 
     ev = Catalog(spark, sf_dir).events
     base = (
-        ev.filter(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
-        .groupBy("user_id")
+        ev.filter(F.col("ts") < F.lit("2024-01-01 06:00:00").cast("timestamp"))
+        .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
     cur = (
-        ev.filter(F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"))
-        .groupBy("user_id")
+        ev.filter(F.col("ts") >= F.lit("2024-01-30 18:00:00").cast("timestamp"))
+        .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    diff = snapshot_diff(cur, base, ["user_id"])
+    diff = snapshot_diff(cur, base, ["user_id", "event_type"])
     return diff.select(
-        F.col("user_id").cast("long").alias("user_id"), "n_events", "change_type"
-    ).orderBy("change_type", "user_id")
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "n_events",
+        "change_type",
+    ).orderBy("change_type", "user_id", "event_type")
 
 
 # The reference's severity order is CRITICAL < HIGH < ... — custom, not

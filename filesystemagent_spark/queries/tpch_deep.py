@@ -430,7 +430,9 @@ SELECT c.c_mktsegment,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
 FROM customer c, thr
 WHERE c.c_acctbal > thr.avg_bal
-  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c.c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
+  )
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """,
@@ -438,8 +440,11 @@ ORDER BY c.c_mktsegment
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average balances with no orders —
     scalar-aggregate threshold (broadcast 1-row cross join) composed
-    with the anti-join primitive (SURVEY §2.3 J1-J4). The orders side
-    is key-projected before the anti-join shuffle."""
+    with the anti-join primitive (SURVEY §2.3 J1-J4). 'No orders' is
+    windowed to the final quarter (all customers order at least once
+    over the full range — unwindowed, the query is vacuously empty);
+    the orders side is date-filtered and key-projected before the
+    anti-join shuffle."""
     cat = Catalog(spark, sf_dir)
     thr = (
         cat.customer.filter(F.col("c_acctbal") > 0)
@@ -453,7 +458,9 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.customer.crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(
-            cat.orders.select("o_custkey"),
+            cat.orders.filter(
+                F.col("o_orderdate") >= F.lit("2001-05-01 00:00:00").cast("timestamp")
+            ).select("o_custkey"),
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )
@@ -648,4 +655,48 @@ def orders_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         slow.groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    tags=("join", "correlated-agg", "tpch-q17"),
+    oracle="""
+WITH part_avg AS (
+    SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(18,6)) < 0.2 * a.avg_qty
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of each part's
+    average quantity. The correlated scalar subquery (per-part AVG)
+    becomes a pre-aggregated join-back: one fact shuffle computes the
+    per-key averages, the filtered fact joins against that reduced
+    side (AQE broadcasts it once the brand filter shrinks it), and no
+    per-row re-aggregation ever runs. Decimal average: exact SUM /
+    COUNT in both engines, compared in decimal space before any
+    double conversion."""
+    cat = Catalog(spark, sf_dir)
+    l, p = cat.lineitem, cat.part
+    part_avg = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum(_dec(F.col("l_quantity"))) / F.count("*")).alias("avg_qty")
+    )
+    brand = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    joined = (
+        l.join(F.broadcast(brand), l["l_partkey"] == brand["p_partkey"])
+        .join(part_avg, l["l_partkey"] == F.col("_pk"))
+        .filter(_dec(F.col("l_quantity")) < 0.2 * F.col("avg_qty"))
+    )
+    return joined.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0).alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
     )

@@ -184,17 +184,26 @@ def market_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
+)
 ORDER BY c_custkey
 """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join — the reference's baseline-diff primitive (J1-J4/SO1).
-    The orders side is reduced to its join key before the shuffle."""
+    """Anti-join — the reference's baseline-diff primitive (J1-J4/SO1):
+    customers with no orders in the final quarter of the data. The
+    recency filter is pushed to the orders scan BEFORE the anti-join
+    shuffle (every customer has some order across the full 6-year
+    range, so the unwindowed form would be a vacuous 0-row query that
+    proves nothing about the anti-join)."""
     cat = Catalog(spark, sf_dir)
+    recent = cat.orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-05-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
     return (
         cat.customer.join(
-            cat.orders.select("o_custkey"),
+            recent,
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )

@@ -53,3 +53,15 @@ def test_graded_window_is_curated():
     assert headliners <= set(window), headliners - set(window)
     gates = {"events_stream_tumbling", "events_stream_sessions", "events_stream_dedup_keys"}
     assert gates <= set(window)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_queries_are_not_vacuous(name, spark, sf_dir):
+    """A query whose Spark AND oracle sides both return zero rows
+    'matches' while proving nothing — three anti-join queries shipped
+    that way (every customer has orders; every user spans both diff
+    windows). Every oracle-checked query must return at least one row
+    at every test SF."""
+    assert QUERIES[name].fn(spark, sf_dir).limit(1).count() == 1, (
+        f"{name} returns 0 rows — vacuous oracle match"
+    )

@@ -14,6 +14,12 @@ At 100 TB the catalog is a partitioned Parquet/Delta table keyed by
 file_hash for dedup joins; `merge_catalog` and `cleanup_stale_entries`
 express the reference's INSERT OR REPLACE + stale-row DELETE as
 idempotent DataFrame ops.
+
+KNOWN DIVERGENCE from the reference's rglob walk: Spark's file index
+treats `.`- and `_`-prefixed names as hidden/metadata and skips them,
+so dotfiles never enter a listing (the reference's `ignore_hidden`
+filter OFF cannot be expressed through this source). Use a
+mapInPandas os.walk source if dotfile indexing is ever required.
 """
 
 from __future__ import annotations

@@ -345,3 +345,60 @@ def findings_hollows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("finding_id", "severity", "title", "target", "description", "mitre_attack")
         .orderBy("title")
     )
+
+
+_YARA = os.path.join(FIX, "yara_matches.json")
+
+
+@register(
+    "findings_yara",
+    tags=("source", "normalize", "json", "dual-shape"),
+    oracle=f"""
+WITH raw AS (
+    SELECT unnest(matches) AS m
+    FROM read_json('{_YARA}', columns={{'matches':
+        'STRUCT(rule VARCHAR, file VARCHAR, metadata STRUCT(severity VARCHAR,
+         description VARCHAR, mitre_attack VARCHAR), path VARCHAR,
+         rules STRUCT(identifier VARCHAR, metadata STRUCT(severity VARCHAR,
+         description VARCHAR, mitre_attack VARCHAR))[])[]'}})
+), modern AS (
+    SELECT m.rule AS rule, coalesce(m.file, 'unknown') AS file,
+           m.metadata AS meta
+    FROM raw WHERE m.rule IS NOT NULL
+), legacy AS (
+    SELECT coalesce(r.identifier, 'unknown_rule') AS rule,
+           coalesce(m.path, 'unknown') AS file,
+           r.metadata AS meta
+    FROM raw, UNNEST(m.rules) AS t(r)
+    WHERE m.rule IS NULL AND m.rules IS NOT NULL
+), rows_ AS (
+    SELECT rule, file,
+           CASE lower(trim(coalesce(meta.severity, 'high')))
+               WHEN 'critical' THEN 'critical' WHEN 'high' THEN 'high'
+               WHEN 'medium' THEN 'medium' WHEN 'low' THEN 'low'
+               WHEN 'informational' THEN 'info' WHEN 'info' THEN 'info'
+               ELSE 'high' END AS severity,
+           printf('%s — matched in %s',
+                  coalesce(meta.description, printf('YARA rule ''%s'' matched', rule)),
+                  file) AS description,
+           meta.mitre_attack AS mitre_attack
+    FROM (SELECT rule, file, meta FROM modern UNION ALL SELECT * FROM legacy)
+)
+SELECT sha256(concat_ws(chr(31), 'yara_x', 'YARA: ' || rule, file, description))
+           AS finding_id,
+       severity, 'YARA: ' || rule AS title, file AS target, description,
+       mitre_attack
+FROM rows_ ORDER BY title
+""",
+)
+def findings_yara(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20-adjacent YARA source: both report shapes (v1.x {rule,file}
+    and legacy {path,rules:[...]}) normalized in one pass, severity
+    from rule metadata with the reference's HIGH default
+    (yara_scanner.py:102-179) — cross-checked value-by-value including
+    the dual-shape union."""
+    return (
+        N.yara_findings(spark, _YARA)
+        .select("finding_id", "severity", "title", "target", "description", "mitre_attack")
+        .orderBy("title")
+    )

@@ -78,8 +78,14 @@ def main() -> int:
             failed.append(name)
     print(json.dumps(results, indent=1))
     n_oracle = sum(1 for r in results.values() if r.get("match") is True)
-    print(f"SUMMARY: {len(queries)} queries, {n_oracle} oracle-matched, failed={failed}")
-    return 1 if failed else 0
+    # a 0-row "match" is vacuous — it compares two empty sets and
+    # proves nothing about the operator; surface those loudly.
+    vacuous = sorted(n for n, r in results.items() if r.get("rows") == 0)
+    print(
+        f"SUMMARY: {len(queries)} queries, {n_oracle} oracle-matched, "
+        f"failed={failed}, zero-row={vacuous}"
+    )
+    return 1 if failed or vacuous else 0
 
 
 if __name__ == "__main__":

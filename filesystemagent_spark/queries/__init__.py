@@ -87,10 +87,10 @@ GRADE_ORDER = (
     # training-data curation / dedup / text family
     "doc_chunks",
     "doc_train_test_split",
-    "doc_mixture_sample",
+    "doc_ngram_contamination",
     "doc_sentences_udtf",
     "doc_lang_stats",
-    "doc_token_stats",
+    "doc_repetition_stats",
     # the LSH pipeline itself (signature → bands → candidates →
     # verify) replayed and hash-matched by the oracle
     "doc_minhash_pairs_checkable",
@@ -110,9 +110,9 @@ GRADE_ORDER = (
     # events analytics (windows, json, asof/range, rollup, UDAF, UDTF)
     "events_user_topk",
     "events_props_json",
-    "events_latest_per_user",
+    "events_funnel",
     "events_sessions",
-    "events_value_percentiles",
+    "events_retention",
     "events_asof_prior_view",
     "events_nearby_views",
     "events_rollup_reagg",
@@ -148,6 +148,7 @@ def registry() -> dict[str, Query]:
         streaming_gate,
         tpch_deep,
         tpch_like,
+        training,
     )
 
     dangling = [n for n in GRADE_ORDER if n not in _REGISTRY]

@@ -1,0 +1,368 @@
+"""Training-data pipeline analytics: repetition scoring, eval-set
+decontamination, funnel/retention product analytics.
+
+Round-2 additions to the "beyond the reference" surface
+(BASELINE.json north-star). All four queries are oracle-checked.
+
+Scale notes:
+- `doc_repetition_stats` is entirely row-local JVM expressions — zero
+  shuffles, so it runs at scan speed over 100 TB.
+- `doc_ngram_contamination` is the one genuinely shuffling op here
+  (inverted-index semi-join on n-grams). At 100 TB the join key would
+  be `xxhash64(shingle)` (8-byte fixed-width shuffle rows instead of
+  variable-length strings, collision rate 2^-64); the oracle-checked
+  form joins on the raw shingle so both engines compare equal strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.functions import text as T
+from filesystemagent_spark.queries import register
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+# Same 90/10 md5 split as queries/curation.py doc_train_test_split —
+# the decontamination check must use the exact split the trainer uses.
+TRAIN_PCT = 90
+CONTAM_N = 5  # n-gram length for eval-contamination (long enough that
+# chance collisions are negligible; matches lie through shared content)
+
+
+def _split_col() -> F.Column:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return F.when(bucket < TRAIN_PCT, "train").otherwise("test")
+
+
+_SQL_SPLIT = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % 100 < {TRAIN_PCT} THEN 'train' ELSE 'test' END"
+)
+
+
+@register(
+    "doc_repetition_stats",
+    tags=("text", "quality", "scan"),
+    oracle=f"""
+WITH tokd AS (
+    SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, tk,
+           CASE WHEN len(tk) >= 2 THEN list_transform(
+               generate_series(1, len(tk) - 1),
+               i -> array_to_string(tk[i:i+1], ' ')
+           ) ELSE [] END AS bg
+    FROM tokd
+)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct_tokens,
+       CASE WHEN len(tk) = 0 THEN 0.0
+            ELSE CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk) END
+         AS dup_token_ratio,
+       len(bg) AS n_2grams,
+       len(list_distinct(bg)) AS n_distinct_2grams,
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END
+         AS dup_2gram_ratio
+FROM grams
+ORDER BY doc_id
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics: the fraction
+    of duplicate tokens and duplicate word-2-grams. High values flag
+    boilerplate/spam for a quality filter.
+
+    Every metric is a row-local array expression (`array_distinct` +
+    `size`) — no explode, no shuffle: the whole query is one codegen'd
+    map over the scan, and the parquet reader prunes to (doc_id, text).
+    Ratios are quotients of exact ints, bit-identical cross-engine.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    toks = T.tokens(F.col("text"))
+    bigrams = T.shingles(F.col("text"), 2)
+
+    def dup_ratio(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double")
+        )
+
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            dup_ratio(toks).alias("dup_token_ratio"),
+            F.size(bigrams).alias("n_2grams"),
+            F.size(F.array_distinct(bigrams)).alias("n_distinct_2grams"),
+            dup_ratio(bigrams).alias("dup_2gram_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_ngram_contamination",
+    tags=("dedup", "join", "split", "text"),
+    oracle=f"""
+WITH split_docs AS (
+    SELECT doc_id, text, {_SQL_SPLIT} AS split FROM documents
+),
+sh AS (
+    SELECT doc_id, split,
+           list_distinct(list_transform(
+               generate_series(1, len(tk) - {CONTAM_N - 1}),
+               i -> array_to_string(tk[i:i+{CONTAM_N - 1}], ' ')
+           )) AS s
+    FROM (SELECT doc_id, split, {_SQL_TOKS} AS tk FROM split_docs)
+    WHERE len(tk) >= {CONTAM_N}
+),
+train_grams AS (
+    SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE split = 'train'
+),
+test_inv AS (
+    SELECT doc_id, unnest(s) AS shingle FROM sh WHERE split = 'test'
+),
+hits AS (
+    SELECT t.doc_id, COUNT(*) AS n_contaminated
+    FROM test_inv t JOIN train_grams g ON t.shingle = g.shingle
+    GROUP BY t.doc_id
+),
+sz AS (SELECT doc_id, len(s) AS n_ngrams FROM sh WHERE split = 'test')
+SELECT sz.doc_id, n_ngrams,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams AS contamination_rate
+FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+ORDER BY sz.doc_id
+""",
+)
+def doc_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: for every test-split document, the
+    share of its distinct {CONTAM_N}-gram shingles that also occur
+    anywhere in the train split. Documents with a high rate leak
+    training content into evaluation and must be dropped.
+
+    Shape: distinct train shingles (map-side distinct then shuffle
+    dedup) LEFT-SEMI joined against the exploded test inverted index.
+    The test side is tiny (10%% of the corpus) — at cluster scale the
+    train side streams through the shuffle once and AQE handles skewed
+    shingles. See module docstring for the xxhash64 key variant.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", _split_col().alias("split")
+    )
+    sh = docs.select(
+        "doc_id",
+        "split",
+        F.array_distinct(T.shingles(F.col("text"), CONTAM_N)).alias("s"),
+    ).filter(F.size("s") > 0)
+
+    train_grams = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    test_inv = sh.filter(F.col("split") == "test").select(
+        "doc_id", F.explode("s").alias("shingle")
+    )
+    hits = (
+        test_inv.join(train_grams, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    sz = sh.filter(F.col("split") == "test").select(
+        "doc_id", F.size("s").alias("n_ngrams")
+    )
+    return (
+        sz.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    tags=("funnel", "agg", "window"),
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           list_min(list(ts) FILTER (WHERE event_type = 'signup')) AS t1,
+           list(ts) FILTER (WHERE event_type = 'view') AS l2,
+           list(ts) FILTER (WHERE event_type = 'click') AS l3,
+           list(ts) FILTER (WHERE event_type = 'purchase') AS l4
+    FROM events
+    GROUP BY user_id
+),
+chain AS (
+    SELECT user_id, t1,
+           list_min(list_filter(l2, t -> t1 IS NOT NULL AND t > t1)) AS t2,
+           list_min(list_filter(l3, t ->
+               list_min(list_filter(l2, u -> t1 IS NOT NULL AND u > t1)) IS NOT NULL
+               AND t > list_min(list_filter(l2, u -> t1 IS NOT NULL AND u > t1)))) AS t3,
+           l4
+    FROM per_user
+),
+chain2 AS (
+    SELECT user_id, t1, t2, t3,
+           list_min(list_filter(l4, t -> t3 IS NOT NULL AND t > t3)) AS t4
+    FROM chain
+),
+counts AS (
+    SELECT COUNT(t1) AS c1, COUNT(t2) AS c2, COUNT(t3) AS c3, COUNT(t4) AS c4
+    FROM chain2
+)
+SELECT stage, stage_order, n_users,
+       CASE WHEN prev = 0 THEN 0.0 ELSE CAST(n_users AS DOUBLE) / prev END
+         AS conversion_from_prev,
+       CASE WHEN c1 = 0 THEN 0.0 ELSE CAST(n_users AS DOUBLE) / c1 END
+         AS conversion_from_first
+FROM (
+    SELECT 'signup' AS stage, 1 AS stage_order, c1 AS n_users, c1 AS prev, c1 FROM counts
+    UNION ALL
+    SELECT 'view', 2, c2, c1, c1 FROM counts
+    UNION ALL
+    SELECT 'click', 3, c3, c2, c1 FROM counts
+    UNION ALL
+    SELECT 'purchase', 4, c4, c3, c1 FROM counts
+)
+ORDER BY stage_order
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase: a user
+    reaches stage k only via an event strictly after their stage-k-1
+    time (greedy earliest chain — the standard product-funnel
+    semantics).
+
+    One shuffle: groupBy(user_id) collects per-stage timestamp arrays,
+    then the chain is pure array algebra (`filter` + `array_min`) —
+    no self-joins, no per-stage passes over the fact table. Per-user
+    state is bounded by that user's event count, the same bound any
+    sessionizer carries.
+    """
+    ev = Catalog(spark, sf_dir).events
+
+    def stage_list(t: str) -> F.Column:
+        return F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        *[stage_list(t).alias(f"l{i+1}") for i, t in enumerate(_FUNNEL)]
+    )
+
+    def after(arr: F.Column, prev: F.Column) -> F.Column:
+        return F.array_min(F.filter(arr, lambda t: prev.isNotNull() & (t > prev)))
+
+    t1 = F.array_min(F.col("l1"))
+    chain = per_user.withColumn("t1", t1)
+    chain = chain.withColumn("t2", after(F.col("l2"), F.col("t1")))
+    chain = chain.withColumn("t3", after(F.col("l3"), F.col("t2")))
+    chain = chain.withColumn("t4", after(F.col("l4"), F.col("t3")))
+
+    counts = chain.agg(
+        *[F.count(f"t{i}").alias(f"c{i}") for i in range(1, 5)]
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("stage"),
+                F.lit(i + 1).alias("stage_order"),
+                F.col(f"c{i+1}").alias("n_users"),
+                F.col(f"c{i}" if i > 0 else "c1").alias("prev"),
+                F.col("c1").alias("c_first"),
+            )
+            for i, t in enumerate(_FUNNEL)
+        ]
+    )
+    return (
+        counts.select(F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_order").alias("stage_order"),
+            F.col("s.n_users").alias("n_users"),
+            F.when(F.col("s.prev") == 0, F.lit(0.0))
+            .otherwise(F.col("s.n_users").cast("double") / F.col("s.prev"))
+            .alias("conversion_from_prev"),
+            F.when(F.col("s.c_first") == 0, F.lit(0.0))
+            .otherwise(F.col("s.n_users").cast("double") / F.col("s.c_first"))
+            .alias("conversion_from_first"),
+        )
+        .orderBy("stage_order")
+    )
+
+
+@register(
+    "events_retention",
+    tags=("retention", "agg", "join"),
+    oracle="""
+WITH cohorts AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, c.cohort_day,
+           datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+       COUNT(*) AS n_active_users
+FROM activity
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted as
+    active at each day offset from their cohort day — the standard
+    retention triangle.
+
+    Two shuffles on user_id (cohort agg, then the fact join) which
+    share a partitioning Catalyst reuses, then the distinct+count on
+    (cohort, offset, user). Cohorts are per-user aggregates, never
+    broadcast-collected: the same plan runs with billions of users.
+    """
+    ev = Catalog(spark, sf_dir).events
+    cohorts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -306,8 +306,16 @@ ORDER BY id_a, id_b
 def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index join —
     the SQL-checkable ground truth for the MinHash approximation.
-    jaccard is a ratio of exact ints: bit-identical across engines."""
-    docs = Catalog(spark, sf_dir).documents
+    jaccard is a ratio of exact ints: bit-identical across engines.
+
+    The harness parquet carries ONE row group per file, so the scan —
+    and the shingling expression pipelined into it — would run in a
+    single task. Shingling dominates this query's cost, so rebalance
+    the narrow (id, text) projection across the cluster first; with a
+    properly chunked source this exchange is a no-op-sized safety net.
+    """
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return (
         D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.4)
         .orderBy("id_a", "id_b")

@@ -90,21 +90,27 @@ LIMIT 10
 """,
 )
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join + rollup + global top-K. lineitem⋈orders shuffles
-    on orderkey; customer is broadcast (it is ~1/10 the fact size and
-    shrinks further after the first rollup). Top-K is TakeOrdered —
-    no global sort. Exact decimal revenue ⇒ stable ranking."""
+    """Fact-fact join + rollup + global top-K. lineitem collapses to
+    order grain BEFORE the join (partial-agg pushdown: decimal sums are
+    associative, so the rewrite is bit-identical) — the orderkey shuffle
+    carries one aggregated row per order, not every line item; map-side
+    combine does the collapse because lineitem files cluster by order.
+    Customer is broadcast; top-K is TakeOrdered — no global sort."""
     cat = Catalog(spark, sf_dir)
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    li_agg = cat.lineitem.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("rev"), F.count("*").alias("n")
+    )
     return (
-        cat.lineitem.join(
-            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        li_agg.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
-            F.count("*").alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("n").alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(10)
@@ -129,21 +135,32 @@ ORDER BY region_name, nation_name
 """,
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: one fact-fact shuffle join, then a broadcast chain
-    through customer→nation→region (dims never shuffle the fact)."""
+    """Star join: lineitem pre-aggregated to order grain (associative
+    decimal partials — bit-identical, smaller shuffle), one fact-fact
+    shuffle join, then a broadcast chain through customer→nation→region
+    (dims never shuffle the fact; customer pruned to its 2 join cols)."""
     cat = Catalog(spark, sf_dir)
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    li_agg = cat.lineitem.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("rev"), F.count("*").alias("n")
+    )
     return (
-        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        li_agg.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(
             F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
         )
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
-            F.count("*").alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("n").alias("n_items"),
         )
         .orderBy("region_name", "nation_name")
     )

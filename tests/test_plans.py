@@ -150,3 +150,29 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_repetition_stats_has_no_exchange(spark, sf_dir):
+    """doc_repetition_stats is row-local by design: a shuffle appearing
+    in its plan means someone turned the array algebra into an
+    explode+groupBy — the formulation that stops scaling at 100 TB."""
+    df = QUERIES["doc_repetition_stats"].fn(spark, sf_dir)
+    # the only allowed exchange is the output orderBy's range
+    # partitioning (oracle determinism); no hash shuffle anywhere
+    plan = formatted_plan(df)
+    assert "hashpartitioning" not in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "source" not in read_schema, read_schema
+
+
+def test_funnel_single_fact_aggregation(spark, sf_dir):
+    """events_funnel must stay one groupBy over events plus array
+    algebra — per-stage self-joins over the fact table would show up
+    as >1 scan of events.parquet."""
+    plan = formatted_plan(QUERIES["events_funnel"].fn(spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan
+
+
+def test_contamination_train_side_is_semi_join(spark, sf_dir):
+    plan = executed_plan(QUERIES["doc_ngram_contamination"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan

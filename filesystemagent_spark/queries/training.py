@@ -366,3 +366,179 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "doc_zipf_slope",
+    tags=("text", "agg", "regression"),
+    oracle=f"""
+WITH tok AS (
+    SELECT unnest({_SQL_TOKS}) AS token FROM documents
+),
+freq AS (
+    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+),
+ranked AS (
+    SELECT token, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+    FROM freq
+),
+top AS (
+    SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+    FROM ranked WHERE rank <= 100
+),
+sums AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(x AS DECIMAL(38,18))) AS sx,
+           SUM(CAST(y AS DECIMAL(38,18))) AS sy,
+           SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+           SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx
+    FROM top
+)
+SELECT n AS n_ranks,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS zipf_slope
+FROM sums
+""",
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(freq) on ln(rank)
+    over the top-100 tokens — linear regression expressed as one
+    aggregation, no ML library.
+
+    Cross-engine determinism: both engines compute identical IEEE
+    doubles for ln(rank)/ln(cnt) from identical exact integer inputs;
+    the per-row products are then cast to DECIMAL(38,18) so the SUM is
+    exact and order-independent (float partial sums would drift with
+    partition count). At 100 TB the token-frequency shuffle is the only
+    big stage, and it partial-aggregates map-side.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    top = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    d = lambda c: c.cast("decimal(38,18)")  # noqa: E731
+    sums = top.agg(
+        F.count("*").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(d(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    return sums.select(
+        F.col("n").alias("n_ranks"),
+        F.round(
+            (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "orders_basket_pairs",
+    tags=("cooccurrence", "join", "topk"),
+    oracle="""
+WITH dist AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM dist a JOIN dist b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, n_orders
+FROM pairs
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-20 by support. The within-order pair expansion is
+    bounded (TPC-H orders hold <= 7 line items → <= 21 pairs), so the
+    grouped form — collect the order's distinct parts, expand pairs as
+    an array comprehension — shuffles each order once and never goes
+    quadratic in the table. The same shape backs dedup candidate
+    generation (operators/dedup.py); here it is the relational twin.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey").distinct()
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+            ),
+        )
+    )
+    return (
+        parts.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "events_markov_transitions",
+    tags=("sequence", "window", "agg"),
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM trans
+ORDER BY prev_type, next_type
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (sequence-modeling prep: next-event priors, anomaly
+    scoring). One shuffle on user_id for the lag window, then the
+    transition rollup; probabilities are ratios of exact counts —
+    bit-identical cross-engine. The per-prev_type normalizing window
+    runs over at most |event_type|² rows."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn("p", F.col("n").cast("double") / F.sum("n").over(wp))
+        .select("prev_type", "next_type", "n", "p")
+        .orderBy("prev_type", "next_type")
+    )

@@ -26,6 +26,11 @@ SUPPORTED_FORMATS = {
     ".parquet": "parquet",
     ".xlsx": "excel",
     ".xls": "excel",
+    # beyond the reference's list: the other JVM-native formats a
+    # complete engine is expected to speak
+    ".orc": "orc",
+    ".txt": "text",
+    ".log": "text",
 }
 
 
@@ -74,6 +79,15 @@ def read_any(
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(path)
+    if fmt == "orc":
+        reader = spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.orc(path)
+    if fmt == "text":
+        # one string column `value` per line (clamscan/listdlls-style
+        # tool logs enter the engine through this door)
+        return spark.read.options(**options).text(path)
     if fmt == "excel":
         return _read_excel(spark, path, schema, **options)
     raise ValueError(f"Unsupported format: {fmt}")
@@ -99,6 +113,11 @@ def write_any(
         ).options(**options).save(path)
     elif fmt == "parquet":
         df.write.mode(mode).options(**options).parquet(path)
+    elif fmt == "orc":
+        df.write.mode(mode).options(**options).orc(path)
+    elif fmt == "text":
+        # text sink requires a single string column, like spark.write.text
+        df.write.mode(mode).options(**options).text(path)
     elif fmt == "excel":
         _write_excel(df, path, **options)
     else:

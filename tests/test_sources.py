@@ -34,7 +34,10 @@ def df(spark):
     return spark.createDataFrame(ROWS, SCHEMA)
 
 
-@pytest.mark.parametrize("fmt,ext", [("csv", "csv"), ("json", "json"), ("parquet", "parquet"), ("xml", "xml")])
+@pytest.mark.parametrize(
+    "fmt,ext",
+    [("csv", "csv"), ("json", "json"), ("parquet", "parquet"), ("xml", "xml"), ("orc", "orc")],
+)
 def test_roundtrip(spark, df, tmp_path, fmt, ext):
     dest = str(tmp_path / f"out.{ext}")
     etl_io.write_any(df, dest)
@@ -48,6 +51,19 @@ def test_roundtrip(spark, df, tmp_path, fmt, ext):
 def test_detect_format_rejects_unknown():
     with pytest.raises(ValueError):
         etl_io.detect_format("/data/file.avro7z")
+
+
+def test_text_roundtrip(spark, tmp_path):
+    """Tool logs (.txt/.log) enter as one `value` column per line."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "scan.log")
+    lines = spark.createDataFrame([("a FOUND",), ("b OK",)], "value string")
+    etl_io.write_any(lines, src)
+    back = etl_io.read_any(spark, src)
+    assert back.columns == ["value"]
+    assert {r.value for r in back.collect()} == {"a FOUND", "b OK"}
+    assert back.filter(F.col("value").endswith("FOUND")).count() == 1
 
 
 def test_convert_csv_to_parquet(spark, df, tmp_path):

@@ -506,3 +506,180 @@ def kmeans_inertia(df: DataFrame, centroids: DataFrame, *, id_col: str, vec_col:
         keep_score=True,
     )
     return assigned.agg(F.avg(F.lit(1.0) - F.col("_cell_cos")).alias("inertia"))
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def _lit_vec(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _l2_sq_lit(sub: F.Column, cent: list[float]) -> F.Column:
+    """Squared L2 distance of an array column to a literal centroid —
+    one fused zip_with/aggregate pass, fully JVM-side."""
+    return F.aggregate(
+        F.zip_with(sub, _lit_vec(cent), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def normalize(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Unit-L2-normalize a vector column (zero vectors pass through).
+    After normalization, L2 ranking equals cosine ranking — the bridge
+    that lets L2-native structures (PQ) answer cosine queries."""
+    n = V.l2_norm(F.col(vec_col))
+    return df.withColumn(
+        vec_col,
+        F.when(n == 0, F.col(vec_col)).otherwise(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+        ),
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 3,
+) -> DataFrame:
+    """Train product-quantization codebooks: split `dim` into `m`
+    subspaces and k-means each one independently. Returns
+    (sub_id, cell_id, centroid) — m·k rows of dim/m doubles, a
+    model-sized artifact (broadcast scale by construction, like the
+    IVF centroid set).
+
+    Training reuses `kmeans_centroids` per subspace: the driver loop
+    is over m (a model hyperparameter, typically 8-16), not over data.
+    Deterministic: md5-seeded init per subspace, no RNG.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias("_id"),
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("_v"),
+        )
+        cents = kmeans_centroids(sub, id_col="_id", vec_col="_v", k=k, max_iter=max_iter)
+        books.append(cents.select(F.lit(s).alias("sub_id"), "cell_id", "centroid"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _collect_codebook(codebook: DataFrame, m: int, k: int) -> list[list[list[float]]]:
+    """codebook rows → nested [sub][cell] centroid list. Collecting is
+    correct here: the codebook IS the model (m·k·dim/m doubles), the
+    same object any PQ engine broadcasts to every worker."""
+    rows = codebook.collect()
+    books: list[list[list[float]] | None] = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r.sub_id][r.cell_id - 1] = list(r.centroid)
+    for s, b in enumerate(books):
+        if any(c is None for c in b):
+            raise ValueError(f"codebook incomplete in subspace {s}")
+    return books  # type: ignore[return-value]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """Encode vectors to m small codes (argmin-L2 centroid per
+    subspace): dim floats → m ints (16x compression at m=8/k=16 on
+    128-dim float32). Entirely row-local expressions — the codebook is
+    embedded as literals (the expression-level form of a broadcast),
+    so encoding runs at scan speed with zero shuffles.
+    Ties break to the lowest cell id (array_min on (dist, id) structs).
+    """
+    books = _collect_codebook(codebook, m, k)
+    d_sub = dim // m
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        cands = F.array(
+            *[
+                F.struct(_l2_sq_lit(sub, books[s][j]).alias("d"), F.lit(j).alias("j"))
+                for j in range(k)
+            ]
+        )
+        codes.append(F.array_min(cands)["j"])
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def knn_pq(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    k_cells: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): each query
+    precomputes a lookup table of squared distances to every centroid
+    (m·k_cells doubles, one array column on the broadcast query side);
+    scoring a corpus code is then m table lookups instead of dim
+    multiplies — the bandwidth win that makes 100 TB vector search
+    feasible (the corpus is scanned as codes, 16x smaller than raw).
+
+    Returns (query_id, neighbor_id, approx_dist, rnk); rank ascending
+    by estimated L2. Run on normalized vectors for cosine semantics.
+    """
+    books = _collect_codebook(codebook, m, k_cells)
+    d_sub = dim // m
+    luts = F.array(
+        *[
+            F.array(
+                *[
+                    _l2_sq_lit(F.slice(F.col("_qv"), s * d_sub + 1, d_sub), books[s][j])
+                    for j in range(k_cells)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).withColumn("_lut", luts).drop("_qv")
+    )
+    scored = (
+        q.crossJoin(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_lut"), F.col("codes"), lambda l, c: F.element_at(l, c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .drop("_lut", "codes")
+    )
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.col("approx_dist").asc(), F.col("neighbor_id").asc()],
+        k,
+        keep_rank=True,
+    )

@@ -257,3 +257,49 @@ def embedding_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(
         queries, emb, centroids, id_col="vec_id", vec_col="embedding", k=K, nprobe=4
     ).orderBy("query_id", "rnk")
+
+
+@register("embedding_knn_pq", tags=("vector", "pq", "approx"))
+def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank — the compressed
+    100 TB path: train m=8 sub-codebooks (k-means per subspace, md5-
+    deterministic), encode the corpus to m uint codes (16x smaller
+    than raw float32, so the query scan is bandwidth-light), score by
+    asymmetric-distance lookup tables, then exactly rerank the top-50
+    candidates. Rows-only check; recall vs embedding_knn asserted in
+    tests/test_similarity.py.
+
+    Codebooks train on vectors normalized to unit L2, making PQ's L2
+    ranking equal cosine ranking (operators/similarity.normalize).
+    """
+    from filesystemagent_spark.functions import vectors as V
+    from filesystemagent_spark.operators.relational import grouped_top_k
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings)
+    emb.cache()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    book = S.pq_codebooks(
+        emb, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16, max_iter=2
+    )
+    codes = S.pq_encode(emb, book, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16)
+    cand = S.knn_pq(
+        queries, codes, book, dim=DIM, m=8, k_cells=16, k=50
+    ).select("query_id", "neighbor_id")
+    rer = (
+        cand.join(
+            queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")),
+            "query_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")),
+            "neighbor_id",
+        )
+        .withColumn("cosine", F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    return grouped_top_k(
+        rer.select("query_id", "neighbor_id", "cosine"),
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        K,
+        keep_rank=True,
+    ).orderBy("query_id", "rnk")

@@ -200,3 +200,37 @@ def test_kmeans_inertia_decreases_and_ivf_recall(spark, sf_dir):
         ).collect()
     )
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings)
+    book = S.pq_codebooks(
+        emb, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=4, max_iter=1
+    )
+    codes = S.pq_encode(
+        emb, book, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=4
+    )
+    rows = codes.collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 4 for r in rows for c in r.codes)
+    # layout-independence: repartitioned input encodes identically
+    codes2 = S.pq_encode(
+        emb.repartition(7), book, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=4
+    )
+    assert {(r.vec_id, tuple(r.codes)) for r in rows} == {
+        (r.vec_id, tuple(r.codes)) for r in codes2.collect()
+    }
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """PQ is a candidate generator; with exact rerank over its top-50
+    the end-to-end recall must clear the same bar as the other ANN
+    paths on this structureless corpus."""
+    from filesystemagent_spark.queries import registry
+
+    exact_df = registry()["embedding_knn"].fn(spark, sf_dir)
+    got_df = registry()["embedding_knn_pq"].fn(spark, sf_dir)
+    exact = _pairs(exact_df.collect())
+    got = _pairs(got_df.collect())
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"PQ+rerank recall too low: {recall}"

@@ -1,0 +1,132 @@
+"""Distributed graph operators over edge DataFrames.
+
+The reference's only graph-shaped computation is greedy near-duplicate
+clustering (/root/reference/src/media_fingerprinting.py:278-310), which
+operators/dedup.py already generalizes to connected components. This
+module adds the two iterative-graph capabilities a large-scale data
+pipeline needs beyond components: link-analysis ranking (PageRank) and
+bounded-hop reachability — both as pure DataFrame programs whose
+per-iteration cost is one join + one aggregation on the edge list.
+
+Scale stance: an iteration shuffles `edges` on src (join against the
+rank table) and the contributions on dst (the re-aggregation). Edges
+are the big side and their partitioning by src is stable across
+iterations, so at cluster scale the src-side exchange is reused by
+every iteration (Spark keeps the edge scan + hash partitions cached if
+the caller persists `edges`); ranks are node-cardinality — orders of
+magnitude smaller than edges — so the per-iteration state that moves
+is minimal.
+
+Determinism: ranks are kept in integer micro-units and every division
+is integral (`div`), making the fixed point bit-identical across
+engines and partition orders — no float summation drift. A DuckDB
+oracle can replay iterations exactly (queries/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Symmetric co-occurrence edge list: ``src <-> dst`` iff the two
+    items appear in one order. Grouped pair expansion (collect the
+    order's distinct items, expand the bounded array comprehension)
+    shuffles each order once — never a quadratic self-join on the
+    table. Returns distinct directed edges (both directions), so every
+    node of the graph has out-degree >= 1.
+    """
+    li = lineitem.select(order_col, item_col).distinct()
+    grouped = li.groupBy(order_col).agg(
+        F.sort_array(F.collect_list(item_col)).alias("_items")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_items"), i + 2, F.size("_items")),
+                lambda b: F.struct(a.alias("src"), b.alias("dst")),
+            ),
+        )
+    )
+    one_way = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    return one_way.unionAll(
+        one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PageRank in exact integer micro-units: rank_0 = `scale`;
+    rank_{i+1}(v) = (1-d)*scale + (d * Σ_{u→v} rank_i(u) div deg(u))
+    with d applied as an integer percentage. All arithmetic is BIGINT
+    (`div` = floor division on non-negatives), so results are
+    bit-identical regardless of partitioning, merge order, or engine.
+
+    Assumes every src has out-degree >= 1 and (for the classic "no
+    dangling mass" semantics) that the edge set is symmetric — which
+    `copurchase_edges` guarantees. Returns (node, rank) with rank in
+    micro-units.
+    """
+    teleport = (100 - damping_pct) * scale // 100
+    # Degree via window, not a join: edges are already partitioned by
+    # src for the rank join below, so the window reuses that exchange.
+    ed = edges.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    ranks = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("rank", F.lit(scale).cast("long"))
+    )
+    for _ in range(iterations):
+        contribs = ed.join(
+            ranks, ed["src"] == ranks["node"]
+        ).select(F.col("dst"), F.expr("rank div deg").alias("c"))
+        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(teleport) + F.expr(f"({damping_pct} * sum(c)) div 100"))
+            .cast("long")
+            .alias("rank")
+        )
+    return ranks
+
+
+def reach_min_hops(
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum-hop distance from a seed set, via Spark 4's recursive
+    CTE (WITH RECURSIVE) — the declarative BFS. `seeds` must have a
+    single column `node`; `edges` columns (src, dst). The recursive
+    step is DISTINCT-deduplicated so each frontier is at most
+    node-cardinality; MIN(dist) collapses multi-path reaches.
+    """
+    edges.createOrReplaceTempView("_reach_edges")
+    seeds.createOrReplaceTempView("_reach_seeds")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE frontier(node, dist) AS (
+            SELECT node, 0 FROM _reach_seeds
+            UNION ALL
+            SELECT DISTINCT e.dst, f.dist + 1
+            FROM frontier f JOIN _reach_edges e ON e.src = f.node
+            WHERE f.dist < {int(max_hops)}
+        )
+        SELECT node, MIN(dist) AS dist
+        FROM frontier
+        GROUP BY node
+        """
+    )

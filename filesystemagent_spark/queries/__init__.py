@@ -143,6 +143,7 @@ def registry() -> dict[str, Query]:
         embeddings,
         events,
         findings,
+        graph,
         media,
         sketches,
         streaming_gate,

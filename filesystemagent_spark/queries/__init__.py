@@ -89,14 +89,17 @@ GRADE_ORDER = (
     "doc_train_test_split",
     "doc_ngram_contamination",
     "doc_sentences_udtf",
-    "doc_lang_stats",
     "doc_repetition_stats",
+    # iterative graph + recursive-CTE BFS (round-2 capability classes)
+    "parts_copurchase_pagerank",
+    "part_reach_3hops",
+    # column profiling + PII-style redaction (data-quality sweep)
+    "doc_column_profile",
+    "doc_term_redaction",
     # the LSH pipeline itself (signature → bands → candidates →
     # verify) replayed and hash-matched by the oracle
     "doc_minhash_pairs_checkable",
     "doc_dedup_keep_first",
-    "doc_dedup_report",
-    "doc_quality",
     "doc_curation_funnel",
     "doc_hamming_dup_pairs",
     "doc_transform_shim",
@@ -107,8 +110,8 @@ GRADE_ORDER = (
     # embeddings (exact forms; approximate siblings after the window)
     "embedding_label_centroids",
     "embedding_near_dup",
+    "embedding_semdedup",
     # events analytics (windows, json, asof/range, rollup, UDAF, UDTF)
-    "events_user_topk",
     "events_props_json",
     "events_funnel",
     "events_sessions",
@@ -126,7 +129,6 @@ GRADE_ORDER = (
     "event_findings_ranked",
     # audit-findings sources (fixture-backed normalizers)
     "findings_hayabusa",
-    "findings_severity_rollup",
     "findings_clamscan",
     "listdlls_parse",
 )

@@ -252,3 +252,51 @@ def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sent_id
         """
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "doc_column_profile",
+    tags=("profiling", "agg", "unpivot"),
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN(LENGTH(CAST({c} AS VARCHAR))) AS BIGINT) AS min_len,
+       CAST(MAX(LENGTH(CAST({c} AS VARCHAR))) AS BIGINT) AS max_len
+FROM documents"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def doc_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler — the data-quality sweep a pipeline
+    runs before training ingestion (null counts, cardinalities,
+    value-length envelope per column). ONE scan computes every
+    column's stats as parallel aggregates, then `stack` unpivots the
+    1-row result into (column, stats) rows: no per-column re-scans.
+    The exact COUNT(DISTINCT)s expand the single pass into a multi-way
+    shuffle; at 100 TB swap them for approx_count_distinct (2% HLL) —
+    the sketch family already in queries/sketches.py."""
+    docs = Catalog(spark, sf_dir).documents
+    aggs = []
+    for c in _PROFILE_COLS:
+        ln = F.length(F.col(c).cast("string"))
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.countDistinct(F.col(c)).alias(f"d_{c}"),
+            F.min(ln).cast("long").alias(f"mn_{c}"),
+            F.max(ln).cast("long").alias(f"mx_{c}"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, d_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nonnull, n_distinct, min_len, max_len)"
+        )
+    ).orderBy("column_name")

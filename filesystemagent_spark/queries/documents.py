@@ -648,3 +648,40 @@ def doc_simhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs_checkable(
         docs, "doc_id", "text", bits=32, max_distance=3, block_bits=8
     ).orderBy("id_a", "id_b")
+
+
+# Pluggable "sensitive-term" pattern (word-boundary alternation kept
+# RE2-compatible so the oracle's regex engine agrees with Java's).
+# Production swaps in email/phone/ID patterns; the synthetic corpus
+# has none, so a dictionary pattern keeps the query non-vacuous.
+_REDACT_RE = r"\b(customer|order|value|part)\b"
+
+
+@register(
+    "doc_term_redaction",
+    tags=("text", "redaction", "regex"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{_REDACT_RE}')) AS BIGINT) AS n_redacted,
+       CAST(LENGTH(regexp_replace(text, '{_REDACT_RE}', '[REDACTED]', 'g')) AS BIGINT)
+           AS redacted_len,
+       md5(regexp_replace(text, '{_REDACT_RE}', '[REDACTED]', 'g')) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction pass: replace every dictionary term with a
+    placeholder, count the hits, and fingerprint the scrubbed text.
+    Pure JVM regex (regexp_count/regexp_replace inside whole-stage
+    codegen — no UDF in the hot path); the md5 of the full redacted
+    body makes the oracle verify the REPLACEMENT ITSELF, not just the
+    hit counts. At scale this runs map-side with zero shuffles."""
+    docs = Catalog(spark, sf_dir).documents
+    red = F.regexp_replace(F.col("text"), _REDACT_RE, "[REDACTED]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_REDACT_RE)).cast("long").alias("n_redacted"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    ).orderBy("doc_id")

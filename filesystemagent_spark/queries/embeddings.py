@@ -303,3 +303,62 @@ def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         K,
         keep_rank=True,
     ).orderBy("query_id", "rnk")
+
+
+_sd_dot = _SQL_DOT.format(dim=DIM, a="a.embedding", b="e.embedding")
+_sd_an = _SQL_NORM.format(dim=DIM, a="a.embedding")
+_sd_en = _SQL_NORM.format(dim=DIM, a="e.embedding")
+
+
+@register(
+    "embedding_semdedup",
+    tags=("vector", "dedup", "semantic"),
+    oracle=f"""
+WITH dups AS (
+    SELECT DISTINCT e.vec_id
+    FROM embeddings e
+    JOIN embeddings a ON a.label = e.label AND a.vec_id < e.vec_id
+    WHERE ROUND({_sd_dot} / ({_sd_an} * {_sd_en}), 6) >= {NEAR_DUP_THRESHOLD}
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+ORDER BY e.vec_id
+""",
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each cluster (the label
+    column stands in for the k-means assignment —
+    `operators/similarity.kmeans_centroids` produces it unsupervised),
+    drop any vector whose cosine to a LOWER-ID clustermate crosses the
+    threshold; keep-first is the same deterministic survivor rule the
+    exact dedup family uses. The pair search never leaves a cluster:
+    the label equi-join makes candidate generation O(Σ cluster²)
+    instead of O(n²), which is the published SemDeDup scale recipe.
+    Thresholding on the ROUNDED cosine keeps the float boundary
+    identical across engines."""
+    from filesystemagent_spark.functions import vectors as V
+
+    emb = Catalog(spark, sf_dir).embeddings
+    a = emb.select(
+        F.col("label").alias("_lbl"),
+        F.col("vec_id").alias("_aid"),
+        F.col("embedding").alias("_avec"),
+    )
+    dup_ids = (
+        emb.join(
+            a,
+            (F.col("label") == F.col("_lbl"))
+            & (F.col("_aid") < F.col("vec_id"))
+            & (
+                F.round(V.cosine(F.col("_avec"), F.col("embedding")), 6)
+                >= NEAR_DUP_THRESHOLD
+            ),
+            "left_semi",
+        )
+    ).select("vec_id")
+    return (
+        emb.join(dup_ids, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

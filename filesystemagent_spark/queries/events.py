@@ -845,3 +845,38 @@ def events_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "quartile")
     )
+
+
+@register(
+    "events_props_variant",
+    tags=("variant", "semi-structured", "agg"),
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY k_mod
+ORDER BY k_mod
+""",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    parse_json ONCE into the binary variant encoding, then typed path
+    extraction (`variant_get`) — the engine-native answer to repeated
+    get_json_object string walks (events_props_json shows the classic
+    form). At scale the parse happens in the scan projection and the
+    shredded value flows through codegen; the oracle reads the same
+    paths with DuckDB's JSON extraction."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.withColumn("_k", k)
+        .groupBy((F.col("_k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .orderBy("k_mod")
+    )

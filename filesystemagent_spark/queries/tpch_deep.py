@@ -700,3 +700,123 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0).alias("avg_yearly"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "nation_profit_by_year",
+    tags=("join", "broadcast", "agg", "tpch-q9"),
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, ship_year
+ORDER BY nation ASC, ship_year DESC
+""",
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    ship year. Star join over two independent dims: the name-filtered
+    part dim prunes the fact FIRST (broadcast semi-reduction — the
+    biggest row-count drop available), then supplier→nation resolve
+    map-side as chained broadcasts. One fact shuffle total, at the
+    final (nation, year) aggregation."""
+    cat = Catalog(spark, sf_dir)
+    red_parts = cat.part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    sup_nation = cat.supplier.join(
+        F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    return (
+        cat.lineitem.join(
+            F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("profit"))
+        .orderBy(F.col("nation").asc(), F.col("ship_year").desc())
+    )
+
+
+@register(
+    "nation_supplier_value",
+    tags=("agg", "scalar-subquery", "having", "tpch-q11"),
+    oracle="""
+WITH tot AS (
+    SELECT SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS t FROM supplier
+)
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY nation
+HAVING SUM(CAST(s.s_acctbal AS DECIMAL(18,6))) > (SELECT t FROM tot) * CAST(0.04 AS DECIMAL(4,2))
+ORDER BY total_bal DESC, nation ASC
+""",
+)
+def nation_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: nations holding an outsized share of global
+    supplier account value. The global total is a scalar aggregate of
+    the SAME table the groups come from — computed once and
+    cross-joined as a 1-row broadcast (never collected to the
+    driver), with the HAVING comparison done in exact decimal so the
+    4% threshold cuts identically in both engines."""
+    cat = Catalog(spark, sf_dir)
+    sup = cat.supplier.join(
+        F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    total = sup.agg(F.sum(_dec(F.col("s_acctbal"))).alias("_t"))
+    return (
+        sup.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec(F.col("s_acctbal"))).alias("_bal"))
+        .join(F.broadcast(total))
+        .filter(F.col("_bal") > F.col("_t") * F.lit(0.04).cast("decimal(4,2)"))
+        .select("nation", F.col("_bal").cast("double").alias("total_bal"))
+        .orderBy(F.col("total_bal").desc(), F.col("nation").asc())
+    )
+
+
+@register(
+    "orders_custdist",
+    tags=("outer-join", "agg-of-agg", "tpch-q13"),
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def orders_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the left-outer join that an
+    inner-join rewrite silently gets wrong. Two cascaded aggregations:
+    the first shuffles facts by custkey (COUNT ignores the nulls the
+    outer join injects), the second re-groups the per-customer counts
+    — node-cardinality data, coalesced by AQE."""
+    cat = Catalog(spark, sf_dir)
+    filtered = cat.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cat.customer.join(
+            filtered, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

@@ -402,3 +402,35 @@ def findings_yara(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("finding_id", "severity", "title", "target", "description", "mitre_attack")
         .orderBy("title")
     )
+
+
+@register(
+    "findings_clamscan_pyds",
+    tags=("source", "python-datasource", "normalize"),
+    oracle=f"""
+WITH det AS (
+    SELECT regexp_extract(line, '^(.*?): (.*) FOUND$', 1) AS file,
+           regexp_extract(line, '^(.*?): (.*) FOUND$', 2) AS malware
+    FROM {_SQL_LINES.format(path=_CLAMSCAN)}
+    WHERE line LIKE '% FOUND'
+)
+SELECT file, malware FROM det ORDER BY file
+""",
+)
+def findings_clamscan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 through the registered-format surface: the same clamscan
+    fixture read via the custom Python DataSource
+    (`spark.read.format("toollog")`, sources/pydatasource.py) instead
+    of text+regex — proving tool logs work as a first-class source
+    format with source-owned schema and per-file splits. Oracle reads
+    the identical raw file."""
+    from filesystemagent_spark.sources.pydatasource import register_toollog
+
+    register_toollog(spark)
+    return (
+        spark.read.format("toollog")
+        .option("kind", "clamscan")
+        .option("path", _CLAMSCAN)
+        .load()
+        .orderBy("file")
+    )

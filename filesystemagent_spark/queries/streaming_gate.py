@@ -197,3 +197,77 @@ def events_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "event_type")
+
+
+@register(
+    "events_stream_interval_join",
+    tags=("streaming", "stream-stream-join", "watermark"),
+    oracle="""
+SELECT l.user_id, l.event_id AS p_id, r.event_id AS v_id,
+       epoch_us(CAST(l.ts AS TIMESTAMP)) - epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'view'
+ AND r.ts >= l.ts - INTERVAL 300 SECOND
+ AND r.ts <= l.ts + INTERVAL 300 SECOND
+ORDER BY p_id, v_id
+""",
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a driver gate: two streaming
+    readers over the same source, watermark-bounded join state
+    (|purchase.ts - view.ts| <= 300s on user_id), availableNow drain —
+    checked against the batch inequality join the oracle runs. Inner
+    interval joins emit exactly the matched pairs, so stream and batch
+    agree row-for-row; the watermark exists to BOUND state, not to
+    change the result."""
+    from filesystemagent_spark.functions.tscompat import epoch_micros
+    from filesystemagent_spark.streaming.events import read_events_stream
+    from filesystemagent_spark.streaming.joins import stream_interval_join
+
+    stage = tempfile.mkdtemp(prefix="events_sjoin_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
+    )
+    src = read_events_stream(spark, stage)
+    left = src.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    right = read_events_stream(spark, stage).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = stream_interval_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        max_gap_seconds=300,
+        watermark="10 minutes",
+    )
+    sink = f"events_sjoin_sink_{uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            "p_id",
+            "v_id",
+            (epoch_micros("p_ts") - epoch_micros("v_ts")).alias("gap_us"),
+        )
+        .orderBy("p_id", "v_id")
+    )

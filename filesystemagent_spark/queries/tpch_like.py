@@ -714,3 +714,114 @@ def customer_balance_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_mktsegment", "pct_rank", "c_custkey")
         .limit(500)
     )
+
+
+@register(
+    "customer_scd2_apply",
+    tags=("scd2", "dimension", "full-outer-join"),
+    oracle="""
+WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+chg AS (
+    SELECT c_custkey, 'SEG-' || CAST(c_custkey % 3 AS VARCHAR) AS seg
+    FROM customer WHERE c_custkey % 7 = 3
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 = 5
+    UNION ALL
+    SELECT c_custkey + 1000000, 'SEG-NEW' FROM customer WHERE c_custkey % 101 = 0
+),
+matched AS (
+    SELECT c.c_custkey, c.c_mktsegment AS old_seg, g.seg AS new_seg
+    FROM cur c JOIN chg g USING (c_custkey)
+),
+changed AS (SELECT * FROM matched WHERE new_seg <> old_seg),
+inserts AS (
+    SELECT g.c_custkey, g.seg FROM chg g
+    LEFT JOIN cur c USING (c_custkey) WHERE c.c_custkey IS NULL
+)
+SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current FROM (
+    SELECT c.c_custkey, c.c_mktsegment, '2025-01-01' AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+    FROM cur c LEFT JOIN changed x USING (c_custkey) WHERE x.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, old_seg, '2025-01-01', '2025-06-01', false FROM changed
+    UNION ALL
+    SELECT c_custkey, new_seg, '2025-06-01', CAST(NULL AS VARCHAR), true FROM changed
+    UNION ALL
+    SELECT c_custkey, seg, '2025-06-01', CAST(NULL AS VARCHAR), true FROM inserts
+)
+ORDER BY c_custkey, valid_from
+""",
+)
+def customer_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/scd.py): apply a
+    change batch — real segment changes, value-restating no-ops, and
+    brand-new keys — to a versioned customer dimension in one
+    full-outer join + unions. The no-op branch proves change DETECTION
+    (restated values must not spawn versions); the oracle rebuilds the
+    whole post-batch dimension independently. The change batch is
+    derived deterministically from the customer table itself so both
+    engines see identical input at any SF."""
+    from filesystemagent_spark.operators.scd import scd2_apply
+
+    c = Catalog(spark, sf_dir).customer
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2025-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 7 == 3)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("SEG-"), (F.col("c_custkey") % 3).cast("string")).alias(
+                "c_mktsegment"
+            ),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 5).select("c_custkey", "c_mktsegment")
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("SEG-NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim, changes, "c_custkey", ["c_mktsegment"], "2025-06-01"
+    ).orderBy("c_custkey", "valid_from")
+
+
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "orders_pipe_syntax",
+    tags=("sql-surface", "pipe-syntax", "agg"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def orders_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-operator surface (Spark 4 `|>` syntax): the same
+    filter→aggregate→order pipeline expressed as sequential pipe
+    stages. Catalyst compiles it to the identical plan as the classic
+    form — this gate pins that the alternative surface parses and
+    produces exact results (the oracle runs the classic SQL)."""
+    Catalog(spark, sf_dir).register_views(("orders",))
+    return spark.sql(_PIPE_SQL)

@@ -1,0 +1,100 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) for
+security-tool text logs.
+
+The reference parses tool output driver-side with ad-hoc Python
+(`parse_clamscan_log`, /root/reference/src/audit/result_parser.py:47-80);
+sources/normalizers.py already re-expresses that as spark.read.text +
+regex. This module covers the remaining engine surface: a REGISTERED
+source format (`spark.read.format("toollog")`), so tool logs behave
+like any first-class format — schema, options, and per-file splits
+owned by the source, composable with every downstream operator.
+
+Scale design: `partitions()` emits one split per input file (tool logs
+are line-stateless for the clamscan kind, but per-file splits also
+stay correct for stateful formats like ListDLLs where a file must be
+parsed start-to-finish). A directory of N logs parses with N-way
+parallelism; within a file, parsing is a generator — no whole-file
+buffering. The driver never touches file contents, only the listing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+_CLAM_RE = re.compile(r"^(?P<file>.*?): (?P<malware>.*) FOUND$")
+
+# kind -> (DDL schema, line parser -> tuple | None)
+_KINDS = {
+    "clamscan": (
+        "file string, malware string",
+        lambda line: (
+            (m := _CLAM_RE.match(line.rstrip("\r\n")))
+            and (m.group("file"), m.group("malware"))
+        ),
+    ),
+}
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class ToolLogDataSource(DataSource):
+    """`spark.read.format("toollog").option("kind", "clamscan").load(path)`.
+
+    `path` may be a file or a directory (every regular file inside is
+    one split). Unparseable lines are skipped — the permissive-mode
+    stance the reference takes per-row (result_parser.py:30-33).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "toollog"
+
+    def schema(self) -> str:
+        kind = self.options.get("kind", "clamscan")
+        if kind not in _KINDS:
+            raise ValueError(f"unknown toollog kind: {kind!r}")
+        return _KINDS[kind][0]
+
+    def reader(self, schema: StructType) -> "ToolLogReader":
+        return ToolLogReader(self.options)
+
+
+class ToolLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.kind = options.get("kind", "clamscan")
+        path = options.get("path")
+        if not path:
+            raise ValueError("toollog requires a path")
+        self.path = path
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if os.path.isfile(os.path.join(self.path, f))
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        parse = _KINDS[self.kind][1]
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                row = parse(line)
+                if row:
+                    yield row
+
+
+def register_toollog(spark) -> None:
+    """Idempotent format registration on the given session."""
+    spark.dataSource.register(ToolLogDataSource)

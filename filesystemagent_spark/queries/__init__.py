@@ -84,12 +84,15 @@ GRADE_ORDER = (
     "events_stream_tumbling",
     "events_stream_sessions",
     "events_stream_dedup_keys",
+    "events_stream_interval_join",
+    "events_stream_incremental_rollup",
     # training-data curation / dedup / text family
     "doc_chunks",
     "doc_train_test_split",
     "doc_ngram_contamination",
     "doc_sentences_udtf",
     "doc_repetition_stats",
+    "doc_bigram_logprob",
     # iterative graph + recursive-CTE BFS (round-2 capability classes)
     "parts_copurchase_pagerank",
     "part_reach_3hops",
@@ -101,24 +104,17 @@ GRADE_ORDER = (
     "doc_minhash_pairs_checkable",
     "doc_dedup_keep_first",
     "doc_curation_funnel",
-    "doc_hamming_dup_pairs",
     "doc_transform_shim",
     "doc_dup_clusters",
-    # simhash pipeline replayed+hash-matched by the oracle (the
-    # minhash twin above; norms dropped — knn subsumes the vector math)
-    "doc_simhash_pairs_checkable",
     # embeddings (exact forms; approximate siblings after the window)
-    "embedding_label_centroids",
     "embedding_near_dup",
     "embedding_semdedup",
     # events analytics (windows, json, asof/range, rollup, UDAF, UDTF)
     "events_props_json",
     "events_funnel",
     "events_sessions",
-    "events_retention",
     "events_asof_prior_view",
     "events_nearby_views",
-    "events_rollup_reagg",
     "events_value_mad",
     "events_user_seq",
     # multimodal binary-column plumbing (mapInPandas; stub decode is
@@ -131,6 +127,9 @@ GRADE_ORDER = (
     "findings_hayabusa",
     "findings_clamscan",
     "listdlls_parse",
+    "findings_clamscan_pyds",
+    # dimension maintenance (SCD2 full-outer apply)
+    "customer_scd2_apply",
 )
 
 

@@ -271,3 +271,58 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_id", "v_id")
     )
+
+
+@register(
+    "events_stream_incremental_rollup",
+    tags=("streaming", "foreachBatch", "exactly-once", "upsert"),
+    oracle="""
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def events_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental materialization: the events table is
+    re-staged as four files and streamed one file per micro-batch, so
+    a stateful hourly aggregation emits UPDATE-mode deltas across four
+    batches into the idempotent foreachBatch sink (per-batch-id
+    overwrite dirs); the last-writer-wins upsert view must then equal
+    the one-shot batch rollup the oracle computes. This gates the
+    whole continuous-aggregate story — state carry-over between
+    batches, changed-group-only emission, replay-safe writes, and
+    version resolution at read."""
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.streaming.events import read_events_stream
+    from filesystemagent_spark.streaming.sinks import (
+        read_upserted,
+        start_idempotent_file_sink,
+    )
+
+    stage = tempfile.mkdtemp(prefix="events_increm_")
+    src_dir = os.path.join(stage, "src")
+    # Re-stage as 4 files so availableNow+maxFilesPerTrigger=1 yields
+    # four genuine micro-batches (the harness table is a single file).
+    Catalog(spark, sf_dir).events.repartition(4).write.parquet(src_dir)
+    stream = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    agg = stream.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    sink_dir = os.path.join(stage, "rollup")
+    with _pinned_shuffle(spark):
+        q = start_idempotent_file_sink(
+            agg,
+            sink_dir,
+            os.path.join(stage, "_ckpt"),
+            output_mode="update",
+        )
+        q.awaitTermination()
+    return read_upserted(spark, sink_dir, ["window_start", "event_type"]).orderBy(
+        "window_start", "event_type"
+    )

@@ -542,3 +542,88 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev_type", "next_type", "n", "p")
         .orderBy("prev_type", "next_type")
     )
+
+
+_LM_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "doc_bigram_logprob",
+    tags=("text", "language-model", "quality", "join"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_LM_TOKS} AS tk FROM documents
+),
+bi AS (
+    SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    WHERE len(tk) >= 2
+),
+big_c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+uni_c AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM (
+        SELECT unnest(tk) AS w1 FROM toks)),
+scored AS (
+    SELECT b.doc_id,
+           CAST(ln(CAST(c.c12 + 1 AS DOUBLE)) - ln(CAST(u.c1 + v.vocab AS DOUBLE))
+                AS DECIMAL(38, 18)) AS lp
+    FROM bi b
+    JOIN big_c c ON c.w1 = b.w1 AND c.w2 = b.w2
+    JOIN uni_c u ON u.w1 = b.w1
+    CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score: train an add-one-
+    smoothed bigram LM on the corpus itself, score every document by
+    its mean bigram log-probability — the perplexity filter that
+    separates fluent text from word salad in pretraining curation.
+
+    One pass builds the LM (bigram + context counts — vocabulary-
+    bounded tables that broadcast at any corpus size); scoring re-joins
+    the doc bigrams against it. Determinism: each term is
+    ln(exact-int)-ln(exact-int) accumulated as DECIMAL(38,18)
+    partials so the 100 TB merge order cannot move the sum; the two
+    libm ln implementations disagree by one ulp on some inputs, so the
+    final mean is rounded at 1e-6 — 9 orders above the drift."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    bi = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice("tk", 1, F.size("tk") - 1)).alias("_i", "w1"),
+            F.col("tk"),
+        )
+        .select("doc_id", "w1", F.expr("tk[_i + 1]").alias("w2"))
+    )
+    big_c = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_c = bi.groupBy(F.col("w1").alias("_u1")).agg(F.count("*").alias("c1"))
+    vocab = toks.select(F.explode("tk").alias("w")).agg(
+        F.countDistinct("w").alias("vocab")
+    )
+    lp = (
+        F.log((F.col("c12") + 1).cast("double"))
+        - F.log((F.col("c1") + F.col("vocab")).cast("double"))
+    ).cast("decimal(38,18)")
+    return (
+        bi.join(F.broadcast(big_c), ["w1", "w2"])
+        .join(F.broadcast(uni_c), F.col("w1") == F.col("_u1"))
+        .join(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

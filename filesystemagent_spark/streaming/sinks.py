@@ -28,9 +28,14 @@ def start_idempotent_file_sink(
     checkpoint: str,
     *,
     available_now: bool = True,
+    output_mode: str | None = None,
 ):
     """Write each micro-batch to `<path>/batch_id=<n>/` with overwrite —
-    replay-safe: a batch re-run after a crash rewrites its own dir."""
+    replay-safe: a batch re-run after a crash rewrites its own dir.
+    `output_mode="update"` turns a stateful aggregation upstream into
+    an incremental materialization: each batch emits only the groups
+    it changed (with their full new values), and `read_upserted`
+    resolves every key to its newest version."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
@@ -40,6 +45,8 @@ def start_idempotent_file_sink(
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
     )
+    if output_mode:
+        writer = writer.outputMode(output_mode)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

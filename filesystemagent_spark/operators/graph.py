@@ -81,24 +81,42 @@ def pagerank_int(
     `copurchase_edges` guarantees. Returns (node, rank) with rank in
     micro-units.
     """
+    from pyspark import StorageLevel
+
     teleport = (100 - damping_pct) * scale // 100
     # Degree via window, not a join: edges are already partitioned by
     # src for the rank join below, so the window reuses that exchange.
-    ed = edges.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    # Persisted: every iteration probes this table, and without the
+    # cache each round would re-derive the whole edge build.
+    ed = edges.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("src"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager localCheckpoint per round: iterative DataFrame algorithms
+    # must truncate lineage (the plan doubles every round otherwise),
+    # and the final ranks must not reference `ed` so it can be
+    # unpersisted before returning a still-lazy result. On a cluster
+    # with an HDFS checkpoint dir, checkpoint() adds executor-loss
+    # resilience (same note as dedup.near_dup_clusters).
     ranks = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("rank", F.lit(scale).cast("long"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
         contribs = ed.join(
             ranks, ed["src"] == ranks["node"]
         ).select(F.col("dst"), F.expr("rank div deg").alias("c"))
-        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
-            (F.lit(teleport) + F.expr(f"({damping_pct} * sum(c)) div 100"))
-            .cast("long")
-            .alias("rank")
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (F.lit(teleport) + F.expr(f"({damping_pct} * sum(c)) div 100"))
+                .cast("long")
+                .alias("rank")
+            )
+            .localCheckpoint(eager=True)
         )
+    ed.unpersist()
     return ranks
 
 

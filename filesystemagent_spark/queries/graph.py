@@ -81,22 +81,18 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, not an approximation of it.
     """
     cat = Catalog(spark, sf_dir)
-    edges = G.copurchase_edges(cat.lineitem).persist()
-    try:
-        ranks = G.pagerank_int(edges, iterations=_ITERS)
-        part = cat.part.select(
-            F.col("p_partkey").alias("part_id"), "p_name"
-        )
-        return (
-            ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("rank_micro"))
-            .join(F.broadcast(part), "part_id")
-            .select("part_id", "p_name", "rank_micro")
-            .orderBy(F.col("rank_micro").desc(), F.col("part_id").asc())
-            .limit(20)
-        )
-    finally:
-        # Lazy unpersist: blocks nothing, frees after the job consumes it.
-        edges.unpersist(blocking=False)
+    edges = G.copurchase_edges(cat.lineitem)
+    # pagerank_int persists the degree-annotated edges for its loop and
+    # releases them before returning lineage-free (checkpointed) ranks.
+    ranks = G.pagerank_int(edges, iterations=_ITERS)
+    part = cat.part.select(F.col("p_partkey").alias("part_id"), "p_name")
+    return (
+        ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("rank_micro"))
+        .join(F.broadcast(part), "part_id")
+        .select("part_id", "p_name", "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), F.col("part_id").asc())
+        .limit(20)
+    )
 
 
 _REACH_SQL = f"""

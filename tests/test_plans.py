@@ -176,3 +176,49 @@ def test_funnel_single_fact_aggregation(spark, sf_dir):
 def test_contamination_train_side_is_semi_join(spark, sf_dir):
     plan = executed_plan(QUERIES["doc_ngram_contamination"].fn(spark, sf_dir))
     assert "LeftSemi" in plan, plan
+
+
+def test_nation_profit_filtered_dim_broadcasts(spark, sf_dir):
+    """Q9 shape: the name-filtered part dim and the supplier→nation
+    chain must broadcast — the fact shuffles once, at the final
+    aggregation, never for a dim hop."""
+    plan = executed_plan(QUERIES["nation_profit_by_year"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_custdist_outer_join_preserved(spark, sf_dir):
+    """Q13 shape: zero-order customers exist only if the LEFT OUTER
+    survives optimization (a count rewrite to inner join would still
+    'work' on non-empty keys and silently drop the zero bucket)."""
+    plan = formatted_plan(QUERIES["orders_custdist"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+
+
+def test_scd2_single_full_outer_join(spark, sf_dir):
+    """The whole SCD2 apply is ONE full-outer join on the business key
+    (plus unions) — per-branch re-joins would multiply fact shuffles."""
+    plan = formatted_plan(QUERIES["customer_scd2_apply"].fn(spark, sf_dir))
+    assert "FullOuter" in plan, plan
+
+
+def test_bigram_lm_tables_broadcast(spark, sf_dir):
+    """The trained LM (bigram counts, context counts, vocab scalar) is
+    vocabulary-bounded — all three score-side joins must broadcast so
+    scoring never shuffles the token stream."""
+    plan = executed_plan(QUERIES["doc_bigram_logprob"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row vocab scalar
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_iterations_truncate_lineage(spark, sf_dir):
+    """The returned ranks must be lineage-free (eager localCheckpoint
+    per iteration): the final plan reads a materialized RDD plus the
+    part dim only. A lineitem scan in the final plan means an
+    iteration re-derived the edge list — the lineage-doubling failure
+    mode of iterative DataFrame algorithms."""
+    df = QUERIES["parts_copurchase_pagerank"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("lineitem.parquet") == 0, plan

@@ -880,3 +880,61 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_mod")
     )
+
+
+@register(
+    "events_session_window_builtin",
+    tags=("sessionization", "session-window", "agg"),
+    oracle="""
+WITH e AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+marked AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN `session_window` (one grouped
+    aggregation with runtime-merging session state) — the engine-native
+    form of the gaps-and-islands SQL that `events_sessions` builds from
+    lag+running-sum windows. Boundary semantics pinned by probe: a gap
+    of exactly the timeout MERGES (window end is start+gap inclusive of
+    the next event at that instant), hence the oracle's strict `>`.
+    One shuffle on user_id; no second window pass."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1800 seconds"))
+        .agg(
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -209,15 +209,16 @@ FROM events l
 JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'purchase' AND r.event_type = 'view'
- AND r.ts >= l.ts - INTERVAL 300 SECOND
- AND r.ts <= l.ts + INTERVAL 300 SECOND
+ AND r.ts >= l.ts - INTERVAL 1800 SECOND
+ AND r.ts <= l.ts + INTERVAL 1800 SECOND
 ORDER BY p_id, v_id
 """,
 )
 def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join as a driver gate: two streaming
     readers over the same source, watermark-bounded join state
-    (|purchase.ts - view.ts| <= 300s on user_id), availableNow drain —
+    (|purchase.ts - view.ts| <= 1800s on user_id — wide enough to be
+    non-vacuous at every harness SF), availableNow drain —
     checked against the batch inequality join the oracle runs. Inner
     interval joins emit exactly the matched pairs, so stream and batch
     agree row-for-row; the watermark exists to BOUND state, not to
@@ -247,8 +248,8 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id",
         left_ts="p_ts",
         right_ts="v_ts",
-        max_gap_seconds=300,
-        watermark="10 minutes",
+        max_gap_seconds=1800,
+        watermark="1 hour",
     )
     sink = f"events_sjoin_sink_{uuid.uuid4().hex[:8]}"
     with _pinned_shuffle(spark):

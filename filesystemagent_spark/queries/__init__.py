@@ -77,9 +77,10 @@ GRADE_ORDER = (
     # deep relational planner shapes (TPC-H Q21/Q19/Q15/Q7 + grouping sets)
     "suppliers_sole_late",
     "disjunctive_part_revenue",
-    "top_revenue_suppliers",
     "volume_shipping_pairs",
     "order_grouping_sets",
+    # correlated LATERAL subquery (round-2 SQL surface)
+    "orders_lateral_topk",
     # structured-streaming gates (real readStream → sink, SQL oracle)
     "events_stream_tumbling",
     "events_stream_sessions",
@@ -102,21 +103,25 @@ GRADE_ORDER = (
     # the LSH pipeline itself (signature → bands → candidates →
     # verify) replayed and hash-matched by the oracle
     "doc_minhash_pairs_checkable",
-    "doc_dedup_keep_first",
     "doc_curation_funnel",
     "doc_transform_shim",
     "doc_dup_clusters",
     # embeddings (exact forms; approximate siblings after the window)
     "embedding_near_dup",
     "embedding_semdedup",
+    # mapInArrow zero-copy boundary (round-2 API surface)
+    "embedding_norms_arrow",
     # events analytics (windows, json, asof/range, rollup, UDAF, UDTF)
     "events_props_json",
     "events_funnel",
-    "events_sessions",
     "events_asof_prior_view",
     "events_nearby_views",
     "events_value_mad",
     "events_user_seq",
+    # cogrouped applyInPandas (round-2 API surface)
+    "events_cogroup_asof",
+    # frequent-items sketch, exact-regime so it stays oracle-backed
+    "events_type_topk_sketch",
     # multimodal binary-column plumbing (mapInPandas; stub decode is
     # content-hash-defined, so even this path is oracle-checked)
     "doc_media_features",
@@ -125,8 +130,9 @@ GRADE_ORDER = (
     "event_findings_ranked",
     # audit-findings sources (fixture-backed normalizers)
     "findings_hayabusa",
-    "findings_clamscan",
     "listdlls_parse",
+    # clamscan coverage rides the Python DataSource variant (same
+    # fixture, same oracle) — one slot covers both classes
     "findings_clamscan_pyds",
     # dimension maintenance (SCD2 full-outer apply)
     "customer_scd2_apply",
@@ -146,6 +152,7 @@ def registry() -> dict[str, Query]:
         findings,
         graph,
         media,
+        round2,
         sketches,
         streaming_gate,
         tpch_deep,

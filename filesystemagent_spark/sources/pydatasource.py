@@ -23,7 +23,12 @@ import os
 import re
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _CLAM_RE = re.compile(r"^(?P<file>.*?): (?P<malware>.*) FOUND$")
@@ -66,6 +71,9 @@ class ToolLogDataSource(DataSource):
     def reader(self, schema: StructType) -> "ToolLogReader":
         return ToolLogReader(self.options)
 
+    def streamReader(self, schema: StructType) -> "ToolLogStreamReader":
+        return ToolLogStreamReader(self.options)
+
 
 class ToolLogReader(DataSourceReader):
     def __init__(self, options):
@@ -93,6 +101,88 @@ class ToolLogReader(DataSourceReader):
                 row = parse(line)
                 if row:
                     yield row
+
+
+@dataclass
+class _FileRangePartition(InputPartition):
+    path: str
+    start_line: int
+    end_line: int
+
+
+class ToolLogStreamReader(DataSourceStreamReader):
+    """Streaming half of the toollog format — the ST5 continuous-scan
+    behavior (/root/reference/src/audit/scanners/hollows_hunter.py:79-80,
+    the `/loop` flag) as a first-class Structured Streaming source:
+    `spark.readStream.format("toollog")` tails a directory of growing
+    tool logs.
+
+    Offsets are `{path: lines_consumed}` maps — JSON-serializable,
+    monotone per file (logs append; rotation = a new file). Each
+    micro-batch turns the offset delta into per-file line-range
+    partitions, so executors do the parsing (this is the partitioned
+    `DataSourceStreamReader`, not the driver-side Simple variant) and
+    a directory of N active logs streams with N-way parallelism.
+    `latestOffset` line-counts changed files only (size heuristic),
+    keeping driver work proportional to actual growth."""
+
+    def __init__(self, options):
+        self.kind = options.get("kind", "clamscan")
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown toollog kind: {self.kind!r}")
+        path = options.get("path")
+        if not path:
+            raise ValueError("toollog requires a path")
+        self.path = path
+        self._sizes: dict[str, int] = {}
+        self._lines: dict[str, int] = {}
+
+    def _files(self):
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if os.path.isfile(os.path.join(self.path, f))
+            )
+        return [self.path] if os.path.isfile(self.path) else []
+
+    def initialOffset(self):
+        return {}
+
+    def latestOffset(self):
+        for p in self._files():
+            size = os.path.getsize(p)
+            if self._sizes.get(p) != size:
+                with open(p, encoding="utf-8", errors="replace") as fh:
+                    self._lines[p] = sum(1 for _ in fh)
+                self._sizes[p] = size
+        return dict(self._lines)
+
+    def partitions(self, start, end):
+        parts = [
+            _FileRangePartition(p, int(start.get(p, 0)), int(n))
+            for p, n in end.items()
+            if int(n) > int(start.get(p, 0))
+        ]
+        # an empty micro-batch still needs one (empty) partition
+        return parts or [_FileRangePartition("", 0, 0)]
+
+    def read(self, partition: _FileRangePartition):
+        if not partition.path:
+            return
+        parse = _KINDS[self.kind][1]
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+            for i, line in enumerate(fh):
+                if i >= partition.end_line:
+                    break
+                if i < partition.start_line:
+                    continue
+                row = parse(line)
+                if row:
+                    yield row
+
+    def commit(self, end):
+        pass
 
 
 def register_toollog(spark) -> None:

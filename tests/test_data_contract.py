@@ -50,3 +50,27 @@ def test_embedding_is_numeric_array(spark, sf_dir):
     assert isinstance(dt, ST.ArrayType) and isinstance(
         dt.elementType, (ST.FloatType, ST.DoubleType)
     ), dt
+
+
+@pytest.mark.parametrize(
+    "qname", ["events_sessions", "events_rollup_reagg", "events_asof_prior_view"]
+)
+def test_ts_queries_survive_ltz_reader(spark, sf_dir, qname):
+    """Round-1 regression class: the driver's reader config flipped
+    parquet timestamps between LTZ and NTZ and every raw epoch
+    expression (`unix_micros`, `cast(double)`) broke. The epoch-math
+    queries must produce IDENTICAL output under both reader modes —
+    proving `Catalog._normalize_ts` + `functions/tscompat` make query
+    semantics reader-config-independent."""
+    from filesystemagent_spark.queries import registry
+
+    fn = registry()[qname].fn
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev = spark.conf.get(key)
+    ntz_rows = fn(spark, sf_dir).collect()
+    try:
+        spark.conf.set(key, "false")
+        ltz_rows = fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.set(key, prev)
+    assert ntz_rows == ltz_rows

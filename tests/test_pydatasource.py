@@ -52,3 +52,75 @@ def test_unknown_kind_rejected(spark):
         spark.read.format("toollog").option("kind", "nope").option(
             "path", CLAM
         ).load().collect()
+
+
+def _stream_once(spark, path, ckpt, sink):
+    register_toollog(spark)
+    q = (
+        spark.readStream.format("toollog")
+        .option("kind", "clamscan")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def test_stream_reader_drains_to_batch_answer(spark, tmp_path):
+    """One availableNow drain of the streaming toollog source must
+    equal the batch read of the same fixture."""
+    import shutil
+
+    stage = tmp_path / "logs"
+    stage.mkdir()
+    shutil.copy(CLAM, stage / "scan_0.log")
+    got = {
+        (r.file, r.malware)
+        for r in _stream_once(
+            spark, str(stage), str(tmp_path / "ck"), "toollog_s1"
+        ).collect()
+    }
+    want = {(r.file, r.malware) for r in _read(spark, str(stage)).collect()}
+    assert got == want and got
+
+
+def test_stream_reader_is_incremental_across_batches(spark, tmp_path):
+    """Restarting against the same checkpoint after a log grows must
+    emit ONLY the appended lines (offset = per-file line count)."""
+    stage = tmp_path / "logs"
+    stage.mkdir()
+    log = stage / "scan.log"
+    log.write_text("/a/x.bin: Win.Trojan.Agent FOUND\nclean line\n")
+    ckpt = str(tmp_path / "ck2")
+    out = str(tmp_path / "out")
+
+    def drain():
+        # file sink (memory sink cannot recover from a checkpoint)
+        register_toollog(spark)
+        q = (
+            spark.readStream.format("toollog")
+            .option("kind", "clamscan")
+            .option("path", str(stage))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.file, r.malware) for r in spark.read.parquet(out).collect()}
+
+    assert drain() == {("/a/x.bin", "Win.Trojan.Agent")}
+    with log.open("a") as fh:
+        fh.write("/b/y.dll: Win.Worm.Mydoom FOUND\n")
+    # same checkpoint: the second drain appends ONLY the new line
+    assert drain() == {
+        ("/a/x.bin", "Win.Trojan.Agent"),
+        ("/b/y.dll", "Win.Worm.Mydoom"),
+    }

@@ -69,3 +69,24 @@ def test_quantile_sketch_rank_accuracy(spark, sf_dir, duck, col, q):
             """
         ).fetchall()[0]
         assert bounds[0] <= row[col] <= bounds[1], (t, col, row[col], bounds)
+
+
+def test_hll_daily_rollup_merge_accuracy(spark, sf_dir, duck):
+    """The hourly-sketch → daily-union rollup must estimate daily
+    distinct users within the DataSketches HLL error envelope
+    (lgConfigK=14 → rse ≈ 1.04/√2¹⁴ ≈ 0.8%; 3σ ≈ 2.5%), proving the
+    union actually merges sketch state rather than double-counting."""
+    approx = _rows_by_key(
+        QUERIES["events_daily_users_hll_rollup"].fn(spark, sf_dir), "day"
+    )
+    exact = {
+        d: n
+        for d, n in duck.sql(
+            "SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d'),"
+            " COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        tol = max(2.0, 0.025 * n)
+        assert abs(approx[d]["approx_users"] - n) <= tol, (d, approx[d], n)

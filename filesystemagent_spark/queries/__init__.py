@@ -152,6 +152,7 @@ def registry() -> dict[str, Query]:
         findings,
         graph,
         media,
+        quality,
         round2,
         sketches,
         streaming_gate,

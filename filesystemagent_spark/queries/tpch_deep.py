@@ -820,3 +820,108 @@ def orders_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@register(
+    "forecast_revenue",
+    tags=("filter", "agg", "tpch-q6"),
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+           AS promo_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate query. Every
+    predicate pushes into the parquet scan (range skipping on shipdate
+    plus row-group min/max on discount/quantity), so at 100 TB the
+    plan reads only the matching row groups of 4 columns and ships a
+    single partial-agg row per task — no shuffle of row data at all.
+    Reference analog: wasted-space metric (SURVEY §2.4 A2) — a global
+    conditional aggregate."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "returned_item_losses",
+    tags=("join", "agg", "topk", "tpch-q10"),
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN nation n    ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter.
+
+    Scale plan: the returnflag filter pushes into the lineitem scan
+    and the quarter predicate into the orders scan; lineitem partially
+    aggregates to ORDER grain before any join, so the orderkey
+    exchange carries one row per order, not one per line. The reduced
+    orders slice joins by orderkey (AQE broadcasts it at small SF; at
+    cluster scale it is a shuffle join of two already-reduced sides),
+    then re-aggregates at customer grain, joins the customer
+    dimension, and broadcasts nation. Top-K is TakeOrdered with a
+    custkey tie-break."""
+    cat = Catalog(spark, sf_dir)
+    q_orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = (
+        cat.lineitem.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_revenue()).alias("rev"))
+    )
+    per_cust = (
+        returned.join(q_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return (
+        per_cust.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cat.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

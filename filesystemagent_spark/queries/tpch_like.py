@@ -825,3 +825,29 @@ def orders_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces exact results (the oracle runs the classic SQL)."""
     Catalog(spark, sf_dir).register_views(("orders",))
     return spark.sql(_PIPE_SQL)
+
+
+@register(
+    "customer_set_intersect",
+    tags=("setop",),
+    oracle="""
+SELECT o_custkey AS custkey
+FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY custkey
+""",
+)
+def customer_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — completes the set-op family
+    (SURVEY §2.6 notes the reference never needs it; the engine
+    provides it anyway). Catalyst plans this as a left-semi join over
+    distinct projections: one shuffle per side at the key's grain."""
+    orders = Catalog(spark, sf_dir).orders
+    closed = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return closed.intersect(open_).orderBy("custkey")

@@ -627,3 +627,63 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_dup_ngram_spans",
+    tags=("dedup", "text", "ngram"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, ARRAY_TO_STRING(t[i.i:i.i+7], ' ') AS ngram
+  FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t) - 7)) AS i) i
+)
+SELECT ngram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams
+GROUP BY ngram
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY n_occurrences DESC, n_docs DESC, ngram ASC
+LIMIT 25
+""",
+)
+def doc_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection at 8-gram granularity — the
+    Dolma/RefinedWeb-style sub-document dedup pass that catches
+    boilerplate repeated across documents (headers, license blocks)
+    which whole-document hashing misses.
+
+    Scale shape: sliding windows are generated row-locally
+    (sequence→transform→explode, all JVM codegen — no UDF, no shuffle
+    to build spans), then one hash aggregation on the span string. At
+    100 TB the gram aggregation is the dominant shuffle; production
+    would hash each span to a 64-bit key (xxhash64) so the exchange
+    carries 8 bytes instead of the text — kept as the string here so
+    the oracle verifies the spans themselves."""
+    docs = Catalog(spark, sf_dir).documents
+    t = F.split(F.col("text"), " ")
+    spans = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.concat_ws(" ", F.slice(t, i, F.lit(8))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(spans).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(
+            F.col("n_occurrences").desc(),
+            F.col("n_docs").desc(),
+            F.col("ngram").asc(),
+        )
+        .limit(25)
+    )

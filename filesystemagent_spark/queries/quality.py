@@ -254,3 +254,114 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) >= 2.5)
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "lineitem_qty_price_corr",
+    tags=("agg", "statistics"),
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS xi,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yi
+  FROM lineitem
+),
+p AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xi) AS DOUBLE) AS sx,
+         CAST(SUM(yi) AS DOUBLE) AS sy,
+         CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
+         CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+         CAST(SUM(yi * yi) AS DOUBLE) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       (n * sxy - sx * sy)
+         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price
+FROM p
+ORDER BY l_returnflag
+""",
+)
+def lineitem_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per return-flag from exact INTEGER partials
+    — the statistical-aggregate family done scale-safely. Correlation
+    is invariant under positive scaling, so quantity (integral) and
+    price (cent-quantized) become exact longs first; then n, Σx, Σy,
+    Σxy, Σx², Σy² are exact, associative integer sums (the y² sum in
+    DECIMAL(38,0) — it overflows int64 at cluster row counts), and
+    any partial-merge order yields the identical bits. The one float
+    expression runs once per group after aggregation, identically in
+    both engines. (A double→DECIMAL(28,6) cast of the raw products is
+    NOT portable: converting squares ~1e10 loses exactness in engines
+    that scale in double before rounding.)"""
+    li = Catalog(spark, sf_dir).lineitem
+    xi = F.round(F.col("l_quantity")).cast("long")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = li.select("l_returnflag", xi.alias("xi"), yi.alias("yi")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(d38(F.col("xi") * F.col("yi"))).cast("double").alias("sxy"),
+        F.sum(d38(F.col("xi") * F.col("xi"))).cast("double").alias("sxx"),
+        F.sum(d38(F.col("yi") * F.col("yi"))).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return p.select(
+        "l_returnflag", "n", corr.alias("corr_qty_price")
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "events_rolling_distinct_users",
+    tags=("agg", "distinct", "time-series"),
+    oracle="""
+WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+s AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM du),
+e AS (
+  SELECT user_id, d + CAST(i.i AS INT) AS d_obs
+  FROM du, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 6)) AS i) i
+)
+SELECT STRFTIME(d_obs, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+FROM e, s
+WHERE d_obs BETWEEN lo AND hi
+GROUP BY d_obs
+ORDER BY 1
+""",
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per calendar day — the
+    sliding COUNT(DISTINCT) that a naive per-day self-join turns into
+    7 scans. Scale shape: dedup once to (user, day) grain, then each
+    row votes into the 7 windows it belongs to (a row-local
+    explode(sequence) — ×7 amplification of the ALREADY-deduped
+    grain, not of the raw fact), and one distinct-aggregate per day
+    finishes it. The date-range clamp is a 1-row broadcast. At
+    unbounded user cardinality the documented swap is HLL partials
+    per (user-bucket, day) union-merged across the window."""
+    ev = Catalog(spark, sf_dir).events
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    s = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    e = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("d_obs"),
+    )
+    return (
+        e.join(F.broadcast(s))
+        .filter((F.col("d_obs") >= F.col("lo")) & (F.col("d_obs") <= F.col("hi")))
+        .groupBy("d_obs")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(
+            F.date_format("d_obs", "yyyy-MM-dd").alias("day"), "users_7d"
+        )
+        .orderBy("day")
+    )

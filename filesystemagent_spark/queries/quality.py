@@ -365,3 +365,38 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_props_udtf_analyze",
+    tags=("udtf", "analyze", "semi-structured"),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       json_extract(props, '$.k') IS NOT NULL AS k_present,
+       CAST(json_extract(props, '$.missing') AS INT) AS missing,
+       json_extract(props, '$.missing') IS NOT NULL AS missing_present
+FROM events
+ORDER BY event_id
+LIMIT 200
+""",
+)
+def events_props_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: `analyze()` derives the output schema
+    (a value + presence column PER requested key) from the constant
+    key-list argument at analysis time, so Catalyst plans real typed
+    columns for a parser whose shape is chosen by the caller — the
+    Spark 4 dynamic-UDTF surface. The oracle replays the extraction
+    with plain JSON path functions."""
+    from filesystemagent_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    Catalog(spark, sf_dir).events.createOrReplaceTempView("_events_udtf")
+    return spark.sql(
+        """
+        SELECT e.event_id, p.k, p.k_present, p.missing, p.missing_present
+        FROM _events_udtf e, LATERAL parse_props(e.props, 'k,missing') p
+        ORDER BY e.event_id
+        LIMIT 200
+        """
+    )

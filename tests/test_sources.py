@@ -187,3 +187,25 @@ def test_export_index(spark, tree, tmp_path):
     listing.export_index(cat, dest)
     back = spark.read.json(dest)
     assert back.count() == 5
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema-on-read evolution: files written before a column existed
+    merge with later files — the added column is null-filled for old
+    rows, and the unified schema is the union. This is the parquet
+    answer to the reference's ad-hoc `.get()`-with-default parsing
+    (SURVEY §1.3)."""
+    old = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    )
+    old.write.parquet(str(tmp_path / "t" / "v1"))
+    new.write.parquet(str(tmp_path / "t" / "v2"))
+    df = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(str(tmp_path / "t"))
+    )
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5

@@ -98,3 +98,87 @@ def test_asof_model_matches_pandas(left, right, tolerance):
             got[(row["k"], row["ts"])] = None if pd.isna(v) else v
     for k, t, v in want:
         assert got.get((k, t)) == v, f"key={k} ts={t}: model={v} pandas={got.get((k, t))}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ewma_fold_model(xs):
+    """The EWMA left-fold used by events_type_ewma (init = first
+    element, acc*0.7 + x*0.3) must equal the textbook recurrence —
+    and be exactly reproducible, since every step is a fixed IEEE
+    expression."""
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = acc * 0.7 + x * 0.3
+    # recompute — bit-identical (no ambient state in the fold)
+    acc2 = xs[0]
+    for x in xs[1:]:
+        acc2 = acc2 * 0.7 + x * 0.3
+    assert acc == acc2
+    # smoothing keeps the value inside the data envelope
+    assert min(xs) - 1e-9 <= acc <= max(xs) + 1e-9
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 30)),  # (user, day)
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_rolling_distinct_window_votes_model(rows):
+    """events_rolling_distinct_users' explode-to-window trick: a
+    (user, day) pair voting into days [day, day+6] must reproduce the
+    brute-force 'distinct users with activity in [d-6, d]' for every
+    observed day d."""
+    pairs = set(rows)
+    days = [d for _, d in pairs]
+    lo, hi = min(days), max(days)
+    votes: dict[int, set] = {}
+    for u, d in pairs:
+        for off in range(7):
+            if lo <= d + off <= hi:
+                votes.setdefault(d + off, set()).add(u)
+    for d in range(lo, hi + 1):
+        brute = {u for (u, dd) in pairs if d - 6 <= dd <= d}
+        assert votes.get(d, set()) == brute, f"day {d}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(100, 10_000_000)),
+        min_size=2,
+        max_size=100,
+    )
+)
+def test_corr_integer_partials_model(data):
+    """lineitem_qty_price_corr's exact-partial formula must agree with
+    the direct covariance/stddev definition (up to float tolerance)
+    whenever the variance is nonzero."""
+    import math
+
+    n = len(data)
+    sx = sum(x for x, _ in data)
+    sy = sum(y for _, y in data)
+    sxy = sum(x * y for x, y in data)
+    sxx = sum(x * x for x, _ in data)
+    syy = sum(y * y for _, y in data)
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if dx == 0 or dy == 0:
+        return  # constant column: correlation undefined
+    got = (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy))
+    mx, my = sx / n, sy / n
+    cov = sum((x - mx) * (y - my) for x, y in data) / n
+    vx = sum((x - mx) ** 2 for x, _ in data) / n
+    vy = sum((y - my) ** 2 for _, y in data) / n
+    want = cov / math.sqrt(vx * vy)
+    assert abs(got - want) < 1e-9

@@ -51,7 +51,11 @@ def continuous_aggregate(
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col(value_col).cast("double")).alias("sum_v"),
+            # exact decimal partial: the re-aggregated sum is then
+            # bit-identical to the direct sum under ANY merge order —
+            # a double partial here would make coarser rollups drift
+            # by summation order.
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_v"),
             F.min(F.col(value_col).cast("double")).alias("min_v"),
             F.max(F.col(value_col).cast("double")).alias("max_v"),
         )

@@ -1,0 +1,120 @@
+"""Batch incremental materialized-view maintenance (plans/matview.py):
+the refresh path must converge to exactly what a full rebuild computes,
+touch only the requested partitions, and be idempotent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.plans.matview import MaterializedRollup
+from tests.oracle_utils import canon_rows
+
+
+def _rows(df):
+    pdf = df.toPandas()
+    return canon_rows(list(pdf.columns), list(pdf.itertuples(index=False, name=None)))
+
+
+@pytest.fixture()
+def mv_env(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    base = spark.range(0, 600).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id * 7 AS INT),"
+            " TIMESTAMP_NTZ '2026-01-01 00:00:00')"
+        ).alias("ts"),
+        (F.col("id") % 37).alias("user_id"),
+        F.expr("element_at(array('view','click','purchase'), CAST(id % 3 AS INT) + 1)").alias(
+            "event_type"
+        ),
+        (F.col("id") % 100 / 10.0).alias("value"),
+    )
+    base.write.parquet(src)
+    mv = MaterializedRollup(
+        src, str(tmp_path / "mv"), bucket_seconds=3600, group_cols=["event_type"]
+    )
+    return src, mv, base
+
+
+def test_build_equals_direct_rollup(spark, mv_env):
+    src, mv, base = mv_env
+    mv.build(spark)
+    got = mv.read(spark).drop(MaterializedRollup.PART_COL)
+    want = mv._partials_for(spark.read.parquet(src)).drop(MaterializedRollup.PART_COL)
+    assert _rows(got) == _rows(want)
+
+
+def test_refresh_converges_after_append_and_restatement(spark, mv_env, tmp_path):
+    src, mv, base = mv_env
+    mv.build(spark)
+
+    # Append a brand-new day AND restate rows inside an existing day.
+    extra = spark.createDataFrame(
+        [
+            (9001, "2026-01-05 08:30:00", 1, "view", 42.0),  # new day
+            (9002, "2026-01-02 01:15:00", 2, "click", 7.0),  # existing day
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    extra.write.mode("append").parquet(src)
+
+    stale = mv.stale_days(spark)
+    assert stale == ["2026-01-02", "2026-01-05"]
+
+    mv.refresh(spark, stale)
+    got = mv.read(spark).drop(MaterializedRollup.PART_COL)
+    want = mv._partials_for(spark.read.parquet(src)).drop(MaterializedRollup.PART_COL)
+    assert _rows(got) == _rows(want)
+    assert mv.stale_days(spark) == []
+
+
+def test_refresh_touches_only_named_partitions(spark, mv_env):
+    src, mv, base = mv_env
+    mv.build(spark)
+    untouched = os.path.join(mv.mv_dir, "pday=2026-01-01")
+    before = sorted(os.listdir(untouched))
+    mtimes = {f: os.path.getmtime(os.path.join(untouched, f)) for f in before}
+
+    mv.refresh(spark, ["2026-01-03"])
+    after = sorted(os.listdir(untouched))
+    assert after == before
+    assert all(
+        os.path.getmtime(os.path.join(untouched, f)) == mtimes[f] for f in after
+    )
+
+
+def test_refresh_is_idempotent(spark, mv_env):
+    src, mv, base = mv_env
+    mv.build(spark)
+    mv.refresh(spark, ["2026-01-02"])
+    first = _rows(mv.read(spark))
+    mv.refresh(spark, ["2026-01-02"])
+    assert _rows(mv.read(spark)) == first
+
+
+def test_reaggregate_from_mv_partials(spark, mv_env):
+    """Coarser grain (daily) must derive from the stored hourly
+    partials alone and equal the direct daily rollup of raw rows."""
+    from filesystemagent_spark.operators.rollup import reaggregate
+
+    src, mv, base = mv_env
+    mv.build(spark)
+    daily_from_mv = reaggregate(
+        mv.read(spark).drop(MaterializedRollup.PART_COL),
+        group_cols=["event_type"],
+        bucket_seconds=86400,
+    )
+    from filesystemagent_spark.operators.rollup import continuous_aggregate
+
+    daily_direct = continuous_aggregate(
+        spark.read.parquet(src),
+        ts_col="ts",
+        value_col="value",
+        group_cols=["event_type"],
+        bucket_seconds=86400,
+    )
+    assert _rows(daily_from_mv) == _rows(daily_direct)

@@ -283,3 +283,80 @@ def test_rolling_distinct_explodes_deduped_grain(spark, sf_dir):
     # In formatted explain the tree prints top-down; Generate above the
     # scan-side aggregate means dedup happens first in execution order.
     assert "Generate" in plan and plan.count("Location:") >= 1
+
+
+def test_runtime_bloom_filter_semi_reduction(spark, sf_dir):
+    """Catalyst's runtime row-filter: a selective filter on the build
+    side of a shuffle join injects a bloom-filter semi-reduction into
+    the fact scan side (Spark 3.5+/4 InjectRuntimeFilter). The size
+    thresholds are tuned down to the test SF — at 100 TB the defaults
+    (10 GB application-side scan) are met naturally; this gate proves
+    the engine's plans QUALIFY for the rewrite (equi-join shape with a
+    creation-side predicate), which is the part we control."""
+    cfgs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in cfgs}
+    try:
+        for k, v in cfgs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a pathologically skewed key must be split into
+    multiple tasks at runtime (`isSkew=true` in the final plan), not
+    processed as one straggler — the no-salting-needed path the
+    session enables; `relational.salted_join` remains for aggregations
+    where AQE cannot help."""
+    cfgs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in cfgs}
+    try:
+        for k, v in cfgs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        # 95% of left rows hash to key 0 → one hot shuffle partition
+        left = left.withColumn(
+            "k", F.when(F.col("v") % 20 != 0, F.lit(0)).otherwise(F.col("k"))
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum("w").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

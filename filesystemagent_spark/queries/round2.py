@@ -463,3 +463,57 @@ def events_daily_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return daily.orderBy("day")
+
+
+@register(
+    "events_type_rank_arrow",
+    tags=("arrow", "grouped-map", "window"),
+    oracle="""
+SELECT event_id, event_type, rnk
+FROM (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY value DESC, event_id ASC
+         ) AS rnk
+  FROM events
+)
+WHERE rnk <= 20
+ORDER BY event_type, rnk
+""",
+)
+def events_type_rank_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over Arrow (`applyInArrow`, Spark 4): each group
+    arrives as ONE pyarrow Table — no pandas materialization — and the
+    Python side ranks it with vectorized compute kernels. The output
+    (top-20 per type with a total-order tie-break) is exactly a ranked
+    window, so plain SQL replays it; the point under test is the
+    arrow-native grouped API, the third Python boundary next to
+    applyInPandas (events_user_seq) and mapInArrow
+    (embedding_norms_arrow).
+
+    Scale note: one shuffle on the group key, same as the window form;
+    per-group state is the group itself, so this pattern needs bounded
+    groups (event types: 5) — for unbounded groups use the JVM window,
+    which spills."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("value", "descending"), ("event_id", "ascending")]
+        )
+        t = t.take(idx[:20])
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "rnk": pa.array(range(1, t.num_rows + 1), pa.int64()),
+            }
+        )
+
+    ev = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(topk, schema="event_id bigint, event_type string, rnk bigint")
+        .orderBy("event_type", "rnk")
+    )

@@ -27,7 +27,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -73,6 +75,9 @@ class ToolLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "ToolLogStreamReader":
         return ToolLogStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ToolLogWriter":
+        return ToolLogWriter(self.options, overwrite)
 
 
 class ToolLogReader(DataSourceReader):
@@ -183,6 +188,63 @@ class ToolLogStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    staged: str
+    final: str
+
+
+class ToolLogWriter(DataSourceWriter):
+    """Write path of the toollog format: rows render back to the
+    tool's native text (`<file>: <malware> FOUND` for clamscan), so a
+    toollog directory round-trips through the engine losslessly.
+
+    Commit protocol (the part a real connector must get right): each
+    task writes to a staged name and reports it in its commit message;
+    only the driver's `commit()` renames staged files into place and
+    drops the `_SUCCESS` marker — a failed/speculative task leaves
+    only `_staged-*` litter that `abort()` (or the next overwrite)
+    clears, never a half-visible part file."""
+
+    def __init__(self, options, overwrite: bool):
+        self.kind = options.get("kind", "clamscan")
+        if self.kind != "clamscan":
+            raise ValueError(f"toollog writer supports clamscan, got {self.kind!r}")
+        path = options.get("path")
+        if not path:
+            raise ValueError("toollog requires a path")
+        self.path = path
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.startswith(("part-", "_staged-", "_SUCCESS")):
+                    os.remove(os.path.join(path, f))
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"_staged-{pid:05d}.log")
+        final = os.path.join(self.path, f"part-{pid:05d}.log")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]}: {row[1]} FOUND\n")
+                n += 1
+        return _WroteFile(staged=staged, final=final)
+
+    def commit(self, messages):
+        for m in messages:
+            os.replace(m.staged, m.final)
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+
+    def abort(self, messages):
+        for m in messages:
+            if os.path.exists(m.staged):
+                os.remove(m.staged)
 
 
 def register_toollog(spark) -> None:

@@ -124,3 +124,38 @@ def test_stream_reader_is_incremental_across_batches(spark, tmp_path):
         ("/a/x.bin", "Win.Trojan.Agent"),
         ("/b/y.dll", "Win.Worm.Mydoom"),
     }
+
+
+def test_toollog_writer_roundtrip(spark, tmp_path):
+    """Write path: rows render back to clamscan text via the staged
+    two-phase commit (part files + _SUCCESS only appear at commit),
+    and reading the written directory reproduces the rows exactly."""
+    import os
+
+    from filesystemagent_spark.sources.pydatasource import register_toollog
+
+    register_toollog(spark)
+    out = str(tmp_path / "written")
+    df = spark.createDataFrame(
+        [("/tmp/a.bin", "Eicar-Test"), ("/tmp/b.bin", "Worm.X")],
+        "file string, malware string",
+    ).repartition(2)
+    df.write.format("toollog").mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.startswith("_staged-")]
+
+    back = spark.read.format("toollog").option("kind", "clamscan").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_toollog_writer_overwrite_replaces(spark, tmp_path):
+    from filesystemagent_spark.sources.pydatasource import register_toollog
+
+    register_toollog(spark)
+    out = str(tmp_path / "written2")
+    one = spark.createDataFrame([("/a", "X")], "file string, malware string")
+    two = spark.createDataFrame([("/b", "Y")], "file string, malware string")
+    one.write.format("toollog").mode("overwrite").save(out)
+    two.write.format("toollog").mode("overwrite").save(out)
+    back = spark.read.format("toollog").load(out)
+    assert [tuple(r) for r in back.collect()] == [("/b", "Y")]

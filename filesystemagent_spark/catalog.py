@@ -71,16 +71,20 @@ class Catalog:
 
     @staticmethod
     def _normalize_ts(df: DataFrame) -> DataFrame:
-        """Pin every timestamp column to TIMESTAMP_NTZ. Pandas-written
-        parquet (isAdjustedToUTC=false) reads as NTZ under Spark 4
-        defaults but as LTZ when `inferTimestampNTZ` is off — the cast
-        (identity under the UTC session tz set above) makes query
-        semantics and output schemas independent of the reader config
-        of whatever session the driver hands us."""
+        """Pin every timestamp-like column to TIMESTAMP_NTZ. Pandas-
+        written parquet (isAdjustedToUTC=false) reads as NTZ under
+        Spark 4 defaults but as LTZ when `inferTimestampNTZ` is off —
+        the cast (identity under the UTC session tz set above) makes
+        query semantics and output schemas independent of the reader
+        config of whatever session the driver hands us. DATE columns
+        are widened the same way: the driver regenerates testdata
+        between rounds and has already changed temporal physical types
+        once (NANOS→micros), so a DATE l_shipdate must not change any
+        query's comparison or formatting behavior."""
         ts_cols = [
             f.name
             for f in df.schema.fields
-            if isinstance(f.dataType, ST.TimestampType)
+            if isinstance(f.dataType, (ST.TimestampType, ST.DateType))
         ]
         for c in ts_cols:
             df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))

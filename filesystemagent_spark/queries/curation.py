@@ -300,3 +300,42 @@ def doc_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nonnull, n_distinct, min_len, max_len)"
         )
     ).orderBy("column_name")
+
+
+@register(
+    "doc_shard_stats",
+    tags=("split", "hash", "layout"),
+    oracle="""
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+           AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def doc_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment profile for training export (the query behind
+    `sources/layout.write_sharded`): md5-deterministic shard ids, so
+    membership survives re-runs and engine swaps (Spark's internal
+    hashpartitioning would not be reproducible outside Spark). The
+    size histogram per shard is the skew check a 100 TB export runs
+    BEFORE writing — md5 uniformity keeps shards balanced without a
+    post-hoc rebalance pass."""
+    docs = Catalog(spark, sf_dir).documents
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return (
+        docs.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("shard")
+    )

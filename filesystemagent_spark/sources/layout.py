@@ -86,3 +86,33 @@ def compact(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    n_shards: int = 64,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Export a dataset as N deterministic hash shards
+    (`shard=00..N-1` hive dirs) — the layout a training job consumes:
+    shard membership depends only on the key (md5, not Spark's
+    internal hash), so re-exports, engine swaps, and corpus growth
+    never move an existing row to a different shard, and any subset of
+    shards is a valid reproducible sample. One file per shard
+    (repartition by the shard key) so the consumer's reader sees
+    N equal-ish sequential streams."""
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    out = df.withColumn("shard", F.format_string("%02d", shard.cast("int")))
+    out.repartition("shard").write.format(fmt).mode(mode).partitionBy(
+        "shard"
+    ).save(path)

@@ -74,3 +74,30 @@ def test_ts_queries_survive_ltz_reader(spark, sf_dir, qname):
     finally:
         spark.conf.set(key, prev)
     assert ntz_rows == ltz_rows
+
+
+def test_catalog_normalizes_date_columns(spark, tmp_path):
+    """The driver has changed temporal physical types between rounds
+    (NANOS → naive micros); if a round ships DATE columns, Catalog
+    must widen them to TIMESTAMP_NTZ so every query's comparisons and
+    date_format outputs behave exactly as today."""
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+
+    sf = tmp_path / "sfdate"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, "1997-03-05")], "o_orderkey bigint, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date")).write.parquet(
+        str(sf / "orders.parquet")
+    )
+    df = Catalog(spark, str(sf)).orders
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp_ntz"
+    got = df.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")).alias(
+            "lt"
+        ),
+    ).first()
+    assert got.d == "1997-03-05" and got.lt is True

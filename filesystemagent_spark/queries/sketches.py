@@ -88,3 +88,42 @@ def orders_custkey_hll_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("approx_customers"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "events_rolling_users_hll",
+    tags=("agg", "sketch", "hll", "time-series", "approx"),
+)
+def events_rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of `events_rolling_distinct_users`: trailing-7-day
+    active users where the per-day state is ONE DataSketches HLL
+    instead of the user set. Daily sketches are built once (exact
+    distinct state never exceeds the sketch size), each day's sketch
+    votes into the 7 window days it serves (explode of a 7-element
+    array of BINARY — constant amplification of kilobyte payloads),
+    and `hll_union_agg` merges per window day. This is the unbounded-
+    cardinality form: at 10^9 users/day the exact query's (user, day)
+    dedup shuffle is the bottleneck; this one shuffles ~4 KB per
+    (day, window) pair regardless of cardinality."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    voted = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("d_obs"),
+        "sk",
+    )
+    return (
+        voted.join(F.broadcast(bounds))
+        .filter((F.col("d_obs") >= F.col("lo")) & (F.col("d_obs") <= F.col("hi")))
+        .groupBy("d_obs")
+        .agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            F.date_format("d_obs", "yyyy-MM-dd").alias("day"),
+            F.hll_sketch_estimate("u").alias("approx_users_7d"),
+        )
+        .orderBy("day")
+    )

@@ -116,3 +116,29 @@ def write_sharded(
     out.repartition("shard").write.format(fmt).mode(mode).partitionBy(
         "shard"
     ).save(path)
+
+
+def expire_partitions(
+    path: str,
+    *,
+    keep: int,
+) -> list[str]:
+    """Table-level retention: keep the newest `keep` hive partition
+    directories of `path` (lexicographic order — date-formatted keys
+    sort correctly), delete the rest. The reference's ring buffers
+    (monitoring.py:57-158, last-1000 rows) become this at table scale:
+    retention is a metadata operation on partition directories, never
+    a row-level delete-and-rewrite. Returns the removed directory
+    names (empty when nothing expires); idempotent."""
+    import os
+    import shutil
+
+    parts = sorted(
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    )
+    doomed = parts[:-keep] if keep > 0 else parts
+    for d in doomed:
+        shutil.rmtree(os.path.join(path, d))
+    return doomed

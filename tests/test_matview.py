@@ -147,3 +147,30 @@ def test_write_sharded_deterministic_and_stable(spark, tmp_path):
     shards = {s for _, s in b}
     # partition-column inference reads `shard=05` back as INT 5
     assert shards == set(range(8))
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    """Retention is a partition-directory metadata op: keep newest K
+    day dirs, idempotent, and the surviving table still reads."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.sources.layout import expire_partitions, write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"2026-01-{d:02d}") for i, d in enumerate([1, 1, 2, 3, 4])],
+        "v bigint, day string",
+    )
+    out = str(tmp_path / "ret")
+    write_partitioned(df, out, "day")
+    removed = expire_partitions(out, keep=2)
+    assert removed == ["day=2026-01-01", "day=2026-01-02"]
+    assert expire_partitions(out, keep=2) == []  # idempotent
+    left = spark.read.parquet(out)
+    # partition inference reads the dir value back as DATE
+    assert sorted(str(r.day) for r in left.select("day").distinct().collect()) == [
+        "2026-01-03",
+        "2026-01-04",
+    ]
+    assert sorted(os.listdir(out))[-1].startswith("day=")

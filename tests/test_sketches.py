@@ -90,3 +90,26 @@ def test_hll_daily_rollup_merge_accuracy(spark, sf_dir, duck):
     for d, n in exact.items():
         tol = max(2.0, 0.025 * n)
         assert abs(approx[d]["approx_users"] - n) <= tol, (d, approx[d], n)
+
+
+def test_rolling_users_hll_tracks_exact(spark, sf_dir, duck):
+    """The HLL rolling-window twin must stay within 3 sigma of the
+    exact trailing-7-day distinct counts on every day."""
+    from filesystemagent_spark.queries import registry
+
+    approx = {
+        r.day: r.approx_users_7d
+        for r in registry()["events_rolling_users_hll"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in duck.sql(
+            registry()["events_rolling_distinct_users"].oracle
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    # default lgConfigK=12 → rsd ~1.6%; 3 sigma with a small floor for
+    # tiny counts
+    for day, est in approx.items():
+        tol = max(3 * 0.016 * exact[day], 2.0)
+        assert abs(est - exact[day]) <= tol, (day, est, exact[day])

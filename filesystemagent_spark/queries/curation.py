@@ -219,6 +219,129 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_weighted_sample",
+    tags=("sampling", "importance", "hash"),
+    oracle="""
+WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents),
+rated AS (
+    SELECT d.source, d.n_chars,
+           sqrt(d.n_chars / mx.max_chars) AS rate,
+           CAST(('0x' || substr(md5('imp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000 AS bucket
+    FROM documents d, mx
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(CASE WHEN bucket < rate * 1000000.0 THEN 1 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN bucket < rate * 1000000.0 THEN n_chars END) AS BIGINT)
+           AS kept_chars
+FROM rated
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling with a per-document keep-probability
+    (temperature-flattened quality weight, here sqrt(n_chars/max)):
+    the corpus-composition op behind quality-weighted training mixes.
+
+    Per-row acceptance is a salted md5 bucket compared against the
+    weight — deterministic and layout-independent, unlike rand()-gated
+    sampling whose accepted set changes with partitioning. The corpus
+    max is a 1-row aggregate broadcast into the scan (no shuffle of
+    the documents themselves: plan is scan → cross-broadcast → agg).
+    sqrt is IEEE-correctly-rounded so both engines accept identical
+    rows; the salt ('imp:') decorrelates from split/mixture buckets.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    rate = F.sqrt(F.col("n_chars") / F.col("max_chars"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("imp:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    keep = bucket < (rate * 1000000.0)
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+N_ORDER_SHARDS = 16
+ORDER_HEAD = 5
+
+
+@register(
+    "doc_training_order",
+    tags=("shuffle", "ordering", "hash", "window"),
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5('ord:42:' || CAST(doc_id AS VARCHAR)) AS ord_key,
+           CAST(('0x' || substr(md5('ord:42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {N_ORDER_SHARDS} AS shard
+    FROM documents
+),
+pos AS (
+    SELECT shard, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+               AS pos
+    FROM keyed
+)
+SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id
+FROM pos
+WHERE pos <= {ORDER_HEAD}
+ORDER BY shard, pos
+""",
+)
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for one training epoch, shaped for
+    scale: a single ROW_NUMBER over the whole corpus would serialize
+    into one partition, so the order is two-level — md5 of the seeded
+    doc key picks a shard (major order), the full hash orders rows
+    WITHIN each shard (minor order), and per-shard positions come from
+    a window partitioned by shard (all shards number in parallel).
+    Readers consume shard 0..N-1 in sequence; (shard, pos) is a total
+    order that never moves a row when the corpus is repartitioned or
+    the engine changes. Emits the head of each shard's reading order.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    ord_key = F.md5(F.concat(F.lit("ord:42:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        ord_key.alias("ord_key"),
+        (F.conv(F.substring(ord_key, 1, 8), 16, 10).cast("long") % N_ORDER_SHARDS).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= ORDER_HEAD)
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    )
+
+
+@register(
     "doc_sentences_udtf",
     tags=("udtf", "lateral", "text"),
     oracle="""

@@ -687,3 +687,94 @@ def doc_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+N_BPE_MERGES = 8
+BPE_PAIR_TOPK = 20
+
+
+@register(
+    "doc_bpe_pair_counts",
+    tags=("bpe", "tokenizer", "agg"),
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+),
+wf AS (
+    SELECT word, COUNT(*) AS freq FROM words
+    WHERE length(word) > 0 GROUP BY word
+),
+pairs AS (
+    SELECT substr(word, CAST(t.i AS INT), 1) AS left_sym,
+           substr(word, CAST(t.i + 1 AS INT), 1) AS right_sym,
+           freq
+    FROM wf, UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+    WHERE length(word) >= 2
+)
+SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {BPE_PAIR_TOPK}
+""",
+)
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE vocabulary learning (operators/bpe.py):
+    adjacent-symbol pair frequencies over the word-frequency table —
+    the exact aggregation the merge loop argmaxes each round, oracle-
+    replayed in DuckDB via per-character substr pairs. The corpus is
+    scanned ONCE (word_freqs); the pair aggregation runs over the
+    vocabulary-bounded table, so its shuffle is independent of corpus
+    bytes — the property that makes the iterative loop viable at
+    100 TB."""
+    from filesystemagent_spark.operators.bpe import (
+        pair_counts,
+        with_symbols,
+        word_freqs,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    pc = pair_counts(with_symbols(word_freqs(docs)))
+    return (
+        pc.select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "pair_count",
+        )
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(BPE_PAIR_TOPK)
+    )
+
+
+@register(
+    "doc_bpe_merges",
+    tags=("bpe", "tokenizer", "iterative"),
+)
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge table: K rounds of argmax-pair + row-local fold
+    merge (operators/bpe.py bpe_learn). Registered rows-only — the
+    loop's data-dependent rules make a single-statement SQL replay
+    impractical — but every step is deterministic (exact integer
+    counts, lexicographic tie-breaks, greedy-leftmost fold) and
+    tests/test_bpe.py replays the whole loop in pure Python on the
+    collected word-frequency table and requires the identical merge
+    table."""
+    from filesystemagent_spark.operators.bpe import bpe_learn, word_freqs
+    from pyspark.sql import types as ST
+
+    docs = Catalog(spark, sf_dir).documents
+    merges, _ = bpe_learn(word_freqs(docs), N_BPE_MERGES)
+    schema = ST.StructType(
+        [
+            ST.StructField("step", ST.IntegerType()),
+            ST.StructField("left_sym", ST.StringType()),
+            ST.StructField("right_sym", ST.StringType()),
+            ST.StructField("merged", ST.StringType()),
+            ST.StructField("pair_count", ST.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(m.step, m.left, m.right, m.merged, m.pair_count) for m in merges],
+        schema,
+    )

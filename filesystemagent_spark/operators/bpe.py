@@ -50,7 +50,9 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         docs.select(
             F.explode(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE))
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+                )
             ).alias("word")
         )
         .where(F.length("word") > 0)

@@ -240,6 +240,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
@@ -248,6 +249,25 @@ def ngram_jaccard_pairs(
     truth for the MinHash approximation. The shingle equi-join is the
     scalable form of 'compare every pair': only docs sharing at least
     one shingle ever meet.
+
+    Hot-shingle handling (the 100 TB skew guard): the self-join is
+    quadratic WITHIN each shingle's posting list, so one boilerplate
+    shingle shared by 1M docs would alone emit ~5×10¹¹ candidate rows.
+    Two prunes on document frequency, computed as a window count over
+    the same shingle key the join shuffles on (Catalyst reuses the
+    exchange — the df pass costs no extra shuffle):
+
+    - ``df == 1`` shingles are ALWAYS dropped — they can't form a pair
+      and union sizes come from the full per-doc sets, so this is
+      semantics-preserving (the exact oracle anchor stays exact).
+    - ``max_doc_freq`` (prod variant) additionally drops shingles with
+      df > cap. A shingle shared by thousands of docs carries ~zero
+      Jaccard signal but all the quadratic cost; with the cap the
+      candidate blow-up per shingle is ≤ cap·(cap−1)/2 regardless of
+      corpus size. n_common then lower-bounds true overlap (union
+      sizes stay exact), mirroring the ``max_bucket`` cap on the
+      MinHash path above. Deterministic, so a SQL oracle can replay
+      it (HAVING COUNT(*) <= cap on the inverted index).
 
     Plan notes: the shingling expression feeds three branches (sizes +
     both join sides) — persisted once so codegen runs it once, not 3×.
@@ -258,6 +278,7 @@ def ngram_jaccard_pairs(
     2-column (two-seed) 128-bit key.
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     docs = (
         df.select(
@@ -271,6 +292,14 @@ def ngram_jaccard_pairs(
     inv = docs.select("_id", F.explode("_sh").alias("shingle")).select(
         "_id", F.xxhash64("shingle").alias("shingle")
     )
+    # Document-frequency prune (see docstring). One row per (_id,
+    # shingle) — per-doc shingles are distinct — so the window count
+    # IS the document frequency.
+    dfreq = F.count("*").over(Window.partitionBy("shingle"))
+    keep = dfreq >= 2
+    if max_doc_freq is not None:
+        keep = keep & (dfreq <= max_doc_freq)
+    inv = inv.withColumn("_keep", keep).filter("_keep").drop("_keep")
 
     l, r = inv.alias("l"), inv.alias("r")
     common = (

@@ -181,6 +181,137 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def semdedup_keys(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    dim: int,
+    max_cluster_size: int,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach ``_sd_key``: a comparison-group key that refines the
+    cluster assignment until every group fits the quadratic budget.
+
+    SemDeDup's cost is O(Σ cluster²); one mega-cluster (k chosen too
+    small, or a degenerate embedding space) goes quadratic on its own.
+    Two refinement layers, both deterministic JVM expressions:
+
+    1. **Spatial split** — clusters over budget are sub-split by the
+       low ``ceil(log2(n/cap))`` bits of a sign-LSH signature
+       (`sign_lsh_bucket`): cosine-near vectors share hyperplane signs
+       with high probability, so true near-dups stay comparable and
+       recall survives the split.
+    2. **Salt fallback** — a sign-degenerate blob (thousands of
+       near-identical vectors: every signature bit equal) defeats any
+       spatial split, so sub-groups STILL over budget are salted by
+       ``pmod(xxhash64(id), ceil(n/cap))``. Within-salt dups are still
+       found; cross-salt dups of the blob are retained as extra
+       representatives — bounded over-retention (≈ one survivor per
+       salt), never unbounded cost.
+
+    Group sizes are computed as window counts over the same keys the
+    pair-join shuffles on, so the sizing passes add no extra exchange
+    beyond their own.
+    """
+    w_c = Window.partitionBy(cluster_col)
+    sized = df.withColumn("_cn", F.count("*").over(w_c))
+    sized = sign_lsh_bucket(sized, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
+    bits = (
+        F.when(F.col("_cn") <= max_cluster_size, F.lit(0))
+        .otherwise(
+            F.least(
+                F.ceil(F.log(2.0, F.col("_cn") / F.lit(max_cluster_size))),
+                F.lit(n_planes),
+            )
+        )
+        .cast("int")
+    )
+    # 2^bits is exact in double for bits <= n_planes (= 16) — safe cast.
+    mask = (F.pow(F.lit(2.0), bits).cast("long") - 1).cast("long")
+    keyed = sized.withColumn("_sub", F.col("bucket").bitwiseAND(mask)).drop(
+        "bucket", "_cn"
+    )
+    w_s = Window.partitionBy(cluster_col, "_sub")
+    keyed = keyed.withColumn("_sn", F.count("*").over(w_s))
+    n_salts = (
+        F.when(F.col("_sn") <= max_cluster_size, F.lit(1))
+        .otherwise(F.ceil(F.col("_sn") / F.lit(max_cluster_size)))
+        .cast("long")
+    )
+    return (
+        keyed.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts))
+        .withColumn(
+            "_sd_key",
+            F.concat_ws(
+                "|",
+                F.col(cluster_col).cast("string"),
+                F.col("_sub").cast("string"),
+                F.col("_salt").cast("string"),
+            ),
+        )
+        .drop("_sub", "_sn", "_salt")
+    )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.99,
+    round_to: int | None = 6,
+    dim: int | None = None,
+    max_cluster_size: int | None = None,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within each cluster, drop any
+    vector whose cosine to a LOWER-ID clustermate crosses the
+    threshold — keep-first, the same deterministic survivor rule as
+    the exact dedup family. Returns the surviving rows of ``df``.
+
+    ``max_cluster_size=None`` is the exact published recipe
+    (O(Σ cluster²), the oracle anchor). With a cap, comparison groups
+    are refined by `semdedup_keys` so no group's pair-join exceeds
+    ~cap² — the 100 TB guard; requires ``dim``.
+    """
+    if max_cluster_size is None:
+        keyed = df.withColumn("_sd_key", F.col(cluster_col).cast("string"))
+    else:
+        if dim is None:
+            raise ValueError("max_cluster_size requires dim for the LSH sub-split")
+        keyed = semdedup_keys(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            dim=dim,
+            max_cluster_size=max_cluster_size,
+            n_planes=n_planes,
+            seed=seed,
+        )
+    a = keyed.select(
+        F.col("_sd_key").alias("_akey"),
+        F.col(id_col).alias("_aid"),
+        F.col(vec_col).alias("_avec"),
+    )
+    cos = V.cosine(F.col("_avec"), F.col(vec_col))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    dup_ids = keyed.join(
+        a,
+        (F.col("_sd_key") == F.col("_akey"))
+        & (F.col("_aid") < F.col(id_col))
+        & (cos >= threshold),
+        "left_semi",
+    ).select(id_col)
+    return df.join(dup_ids, id_col, "left_anti")
+
+
 def centroids_from_labels(
     df: DataFrame, *, label_col: str, vec_col: str, dim: int
 ) -> DataFrame:

@@ -22,10 +22,10 @@ upgraded with incremental maintenance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filesystemagent_spark.operators.rollup import continuous_aggregate
+from filesystemagent_spark.operators.rollup import continuous_aggregate, time_bucket
 
 
 class MaterializedRollup:
@@ -61,6 +61,17 @@ class MaterializedRollup:
     def _source(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.source_dir)
 
+    def _bucket_day(self, ts: Column) -> Column:
+        """The day of the row's BUCKET — the expression the partition
+        key derives from. Refresh scoping and staleness detection must
+        both use this (not the raw-ts day): when ``bucket_seconds``
+        does not divide 86400 a bucket can span midnight, and a row's
+        raw-ts day then differs from the MV partition it lands in.
+        Filtering by raw-ts day would emit an incomplete partial for
+        the straddling bucket and dynamic overwrite would replace the
+        neighboring day's directory with it."""
+        return F.date_format(time_bucket(ts, self.bucket_seconds), "yyyy-MM-dd")
+
     def _partials_for(self, src: DataFrame) -> DataFrame:
         rollup = continuous_aggregate(
             src,
@@ -90,18 +101,50 @@ class MaterializedRollup:
         dynamically overwrite ONLY those output directories. Calling
         it twice with the same source state is a byte-level no-op
         (idempotent); calling it after a restatement converges the MV
-        to the restated source."""
+        to the restated source — including a restatement that removes
+        a day entirely (the now-empty partition directory is dropped,
+        since dynamic overwrite only touches partitions it writes).
+
+        Scoping is by BUCKET-derived day (see ``_bucket_day``) so the
+        filter matches the partition key exactly for any
+        ``bucket_seconds``, midnight-straddling buckets included."""
         src = self._source(spark).filter(
-            F.date_format(F.col(self.ts_col), "yyyy-MM-dd").isin(days)
+            self._bucket_day(F.col(self.ts_col)).isin(days)
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        partials = self._partials_for(src).persist()
         try:
-            self._partials_for(src).write.mode("overwrite").partitionBy(
-                self.PART_COL
-            ).parquet(self.mv_dir)
+            # Small collect: one row per refreshed day (the worklist is
+            # day-granular, never fact-sized).
+            present = {
+                r[0] for r in partials.select(self.PART_COL).distinct().collect()
+            }
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                partials.write.mode("overwrite").partitionBy(
+                    self.PART_COL
+                ).parquet(self.mv_dir)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            partials.unpersist()
+        # Days requested but producing zero partials: dynamic overwrite
+        # wrote nothing for them, so the stale directory would survive
+        # forever. Delete it through the Hadoop FS API (works on any
+        # filesystem the session can write, not just file://).
+        empty = [d for d in days if d not in present]
+        if empty:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for day in empty:
+                path = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.mv_dir}/{self.PART_COL}={day}"
+                )
+                fs = path.getFileSystem(hconf)
+                if fs.exists(path):
+                    fs.delete(path, True)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """The maintained rollup (partition column included — filters
@@ -116,7 +159,10 @@ class MaterializedRollup:
         src_days = (
             self._source(spark)
             .groupBy(
-                F.date_format(F.col(self.ts_col), "yyyy-MM-dd").alias(self.PART_COL)
+                # bucket-derived day, matching the partition key (see
+                # _bucket_day) — raw-ts day would mis-assign rows whose
+                # bucket straddles midnight and report phantom drift.
+                self._bucket_day(F.col(self.ts_col)).alias(self.PART_COL)
             )
             .agg(F.count("*").alias("_src_n"))
         )

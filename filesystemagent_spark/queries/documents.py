@@ -322,6 +322,61 @@ def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_near_dup_jaccard_pruned",
+    tags=("dedup", "join", "text", "scale"),
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> array_to_string(tk[i:i+2], ' ')
+           )) AS s
+    FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+    WHERE len(tk) >= 3
+),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+keep AS (
+    SELECT shingle FROM inv0 GROUP BY shingle
+    HAVING COUNT(*) BETWEEN 2 AND 20
+),
+inv AS (SELECT i.doc_id, i.shingle FROM inv0 i JOIN keep USING (shingle)),
+common AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_common
+    FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / (a.n + b.n - n_common) AS jaccard
+FROM common
+JOIN sz a ON a.doc_id = id_a
+JOIN sz b ON b.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (a.n + b.n - n_common) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def doc_near_dup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the Jaccard inverted-index dedup: same
+    pipeline as doc_near_dup_jaccard but with the hot-shingle cap
+    (max_doc_freq=20) — shingles shared by more docs are dropped
+    before the self-join, bounding each posting list's quadratic
+    candidate blow-up at 20·19/2 pairs no matter how big the corpus.
+    The prune is deterministic, so DuckDB replays it exactly (HAVING
+    COUNT(*) <= 20 on the inverted index): this variant is
+    hash-checkable, not just recall-tested. Union sizes stay exact;
+    n_common lower-bounds true overlap, so reported jaccard is a
+    conservative (under-) estimate for pairs sharing hot shingles."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.4, max_doc_freq=20
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("doc_minhash_pairs", tags=("dedup", "lsh", "approx"))
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (the 100 TB dedup path; SURVEY §7.3

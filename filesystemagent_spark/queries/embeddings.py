@@ -336,29 +336,46 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label equi-join makes candidate generation O(Σ cluster²)
     instead of O(n²), which is the published SemDeDup scale recipe.
     Thresholding on the ROUNDED cosine keeps the float boundary
-    identical across engines."""
-    from filesystemagent_spark.functions import vectors as V
+    identical across engines.
 
+    This registered form runs UNCAPPED (the exact published recipe,
+    the oracle anchor); `embedding_semdedup_capped` is the production
+    twin with the cluster-size budget guard."""
     emb = Catalog(spark, sf_dir).embeddings
-    a = emb.select(
-        F.col("label").alias("_lbl"),
-        F.col("vec_id").alias("_aid"),
-        F.col("embedding").alias("_avec"),
-    )
-    dup_ids = (
-        emb.join(
-            a,
-            (F.col("label") == F.col("_lbl"))
-            & (F.col("_aid") < F.col("vec_id"))
-            & (
-                F.round(V.cosine(F.col("_avec"), F.col("embedding")), 6)
-                >= NEAR_DUP_THRESHOLD
-            ),
-            "left_semi",
-        )
-    ).select("vec_id")
     return (
-        emb.join(dup_ids, "vec_id", "left_anti")
+        S.semdedup_prune(
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            cluster_col="label",
+            threshold=NEAR_DUP_THRESHOLD,
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+@register("embedding_semdedup_capped", tags=("vector", "dedup", "semantic", "scale"))
+def embedding_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the 100 TB cluster-size budget guard
+    (`operators/similarity.semdedup_keys`): oversized clusters are
+    refined by sign-LSH bits, with a deterministic salt fallback for
+    sign-degenerate blobs, so no comparison group's pair-join exceeds
+    ~cap². Approximate-by-design (cross-salt dups of a degenerate blob
+    are retained as extra representatives) — recall vs the exact
+    anchor is asserted in tests/test_similarity.py, so this entry is
+    recorded rows-only."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return (
+        S.semdedup_prune(
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            cluster_col="label",
+            threshold=NEAR_DUP_THRESHOLD,
+            dim=DIM,
+            max_cluster_size=64,
+        )
         .select("vec_id", "label")
         .orderBy("vec_id")
     )

@@ -224,9 +224,14 @@ class ToolLogWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Attempt id in the staged name: a retried or speculative
+        # attempt must never write the same staged file a live sibling
+        # holds open — only commit() picks ONE winner per partition.
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f"_staged-{pid:05d}.log")
+        staged = os.path.join(self.path, f"_staged-{pid:05d}-{attempt}.log")
         final = os.path.join(self.path, f"part-{pid:05d}.log")
         n = 0
         with open(staged, "w", encoding="utf-8") as fh:
@@ -236,14 +241,17 @@ class ToolLogWriter(DataSourceWriter):
         return _WroteFile(staged=staged, final=final)
 
     def commit(self, messages):
+        # Spark passes None for task slots that failed before producing
+        # a commit message — only successful attempts carry one.
         for m in messages:
-            os.replace(m.staged, m.final)
+            if m is not None:
+                os.replace(m.staged, m.final)
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
             pass
 
     def abort(self, messages):
         for m in messages:
-            if os.path.exists(m.staged):
+            if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
 
 

@@ -99,3 +99,60 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert high, "fixture should contain high-similarity pairs"
     found_high = high & set(got)
     assert len(found_high) / len(high) >= 0.95, "banding missed high-sim pairs"
+
+
+def test_ngram_jaccard_max_doc_freq_bounds_hot_shingles(spark):
+    """The hot-shingle cap: a boilerplate shingle shared by every doc
+    must not explode the self-join. With the cap, (a) the hot shingle
+    contributes no candidates, (b) true near-dup pairs whose overlap
+    doesn't hinge on boilerplate are still found with jaccard a lower
+    bound of the exact value, and (c) pairs are a subset of exact."""
+    from filesystemagent_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    rows = []
+    for i in range(40):
+        body = f"unique text number {i} about topic {i % 7} item {i}"
+        rows.append((i, f"{body} {boiler}"))
+    # one true near-dup pair sharing their whole body
+    rows.append((100, f"shared body of text alpha beta gamma delta {boiler}"))
+    rows.append((101, f"shared body of text alpha beta gamma delta epsilon {boiler}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.3
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.3, max_doc_freq=10
+        ).collect()
+    }
+    assert (100, 101) in exact and (100, 101) in capped
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12  # n_common only shrinks
+
+
+def test_ngram_jaccard_prune_is_exact_when_under_cap(spark, sf_dir):
+    """With a cap no shingle reaches, the pruned form equals the exact
+    form bit-for-bit (the df==1 drop is always semantics-preserving)."""
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    exact = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.4
+        ).collect())
+    )
+    capped = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.4,
+            max_doc_freq=10**9,
+        ).collect())
+    )
+    assert exact == capped

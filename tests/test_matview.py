@@ -96,6 +96,73 @@ def test_refresh_is_idempotent(spark, mv_env):
     assert _rows(mv.read(spark)) == first
 
 
+def test_refresh_drops_fully_restated_day(spark, mv_env):
+    """A restatement that removes ALL of a day's source rows must
+    still converge: the now-empty MV partition directory is deleted
+    (dynamic overwrite alone would leave it behind forever)."""
+    src, mv, base = mv_env
+    mv.build(spark)
+    assert os.path.isdir(os.path.join(mv.mv_dir, "pday=2026-01-02"))
+
+    # Restate the source without any 2026-01-02 rows.
+    kept = spark.read.parquet(src).filter(
+        F.date_format("ts", "yyyy-MM-dd") != "2026-01-02"
+    )
+    kept.localCheckpoint(eager=True).write.mode("overwrite").parquet(src)
+
+    stale = mv.stale_days(spark)
+    assert "2026-01-02" in stale
+    mv.refresh(spark, stale)
+
+    assert not os.path.exists(os.path.join(mv.mv_dir, "pday=2026-01-02"))
+    got = mv.read(spark).drop(MaterializedRollup.PART_COL)
+    want = mv._partials_for(spark.read.parquet(src)).drop(MaterializedRollup.PART_COL)
+    assert _rows(got) == _rows(want)
+    assert mv.stale_days(spark) == []
+
+
+def test_refresh_converges_with_midnight_straddling_buckets(spark, tmp_path):
+    """bucket_seconds that does NOT divide 86400: a bucket can span
+    midnight, so a row's raw-ts day differs from its MV partition.
+    Refresh scoping is by bucket-derived day, so the incremental MV
+    must still converge to the full rebuild and never corrupt the
+    neighboring day's directory."""
+    src = str(tmp_path / "events_src")
+    base = spark.range(0, 400).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id * 11 AS INT),"
+            " TIMESTAMP_NTZ '2026-01-01 00:00:00')"
+        ).alias("ts"),
+        F.expr("element_at(array('view','click'), CAST(id % 2 AS INT) + 1)").alias(
+            "event_type"
+        ),
+        (F.col("id") % 100 / 10.0).alias("value"),
+    )
+    base.write.parquet(src)
+    mv = MaterializedRollup(
+        src, str(tmp_path / "mv"), bucket_seconds=7000, group_cols=["event_type"]
+    )
+    mv.build(spark)
+
+    # Append a row at 00:05 on Jan 3 — its 7000 s bucket STARTS on
+    # Jan 2, so the raw-ts day (Jan 3) and MV partition (Jan 2) differ.
+    extra = spark.createDataFrame(
+        [(9001, "2026-01-03 00:05:00", "view", 42.0)],
+        "event_id bigint, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    extra.write.mode("append").parquet(src)
+
+    stale = mv.stale_days(spark)
+    assert stale == ["2026-01-02"]
+    mv.refresh(spark, stale)
+
+    got = mv.read(spark).drop(MaterializedRollup.PART_COL)
+    want = mv._partials_for(spark.read.parquet(src)).drop(MaterializedRollup.PART_COL)
+    assert _rows(got) == _rows(want)
+    assert mv.stale_days(spark) == []
+
+
 def test_reaggregate_from_mv_partials(spark, mv_env):
     """Coarser grain (daily) must derive from the stored hourly
     partials alone and equal the direct daily rollup of raw rows."""

@@ -234,3 +234,103 @@ def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
     got = _pairs(got_df.collect())
     recall = len(exact & got) / len(exact)
     assert recall >= 0.5, f"PQ+rerank recall too low: {recall}"
+
+
+def test_semdedup_capped_matches_exact_on_real_clusters(spark, sf_dir):
+    """With well-sized clusters (cap >= every cluster), the guard is a
+    no-op path-wise and the capped prune must equal the exact one; with
+    a tight cap it may only RETAIN more (missed cross-group dups),
+    never drop a survivor the exact form keeps."""
+    emb = Catalog(spark, sf_dir).embeddings
+    exact = {
+        r.vec_id
+        for r in S.semdedup_prune(
+            emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
+            threshold=0.35,
+        ).select("vec_id").collect()
+    }
+    capped = {
+        r.vec_id
+        for r in S.semdedup_prune(
+            emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
+            threshold=0.35, dim=DIM, max_cluster_size=16,
+        ).select("vec_id").collect()
+    }
+    assert exact <= capped
+
+
+def test_semdedup_capped_recall_on_true_near_dups(spark):
+    """The sign-LSH sub-split's recall story holds in the regime dedup
+    cares about (θ→0): near-identical copies share hyperplane signs, so
+    a tight cap still finds nearly all of what the exact form drops."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n_base, cap = 16, 120, 40
+    rows = []
+    vid = 0
+    for _ in range(n_base):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        v = [x / nrm for x in v]
+        rows.append((vid, "c", v)); vid += 1
+        # two barely-perturbed copies → true near-dups (cos ~0.9999)
+        for _ in range(2):
+            w = [x + rng.gauss(0, 0.005) for x in v]
+            rows.append((vid, "c", w)); vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>"
+    )
+    exact = {
+        r.vec_id
+        for r in S.semdedup_prune(
+            emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
+            threshold=0.99,
+        ).select("vec_id").collect()
+    }
+    capped = {
+        r.vec_id
+        for r in S.semdedup_prune(
+            emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
+            threshold=0.99, dim=dim, max_cluster_size=cap,
+        ).select("vec_id").collect()
+    }
+    assert exact <= capped
+    n_total = emb.count()
+    dropped_exact = n_total - len(exact)
+    dropped_capped = n_total - len(capped)
+    assert dropped_exact >= n_base  # the corpus really is dup-heavy
+    assert dropped_capped >= 0.9 * dropped_exact
+
+
+def test_semdedup_keys_bound_degenerate_single_cluster(spark):
+    """One mega-cluster of near-identical vectors (every LSH sign bit
+    equal) is the worst case: the spatial split can't separate it, so
+    the salt fallback must bound every comparison group."""
+    n, cap, dim = 500, 50, 8
+    base = [1.0] + [0.0] * (dim - 1)
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.lit("blob").alias("label"),
+        F.array(*[F.lit(x + 0.0) for x in base]).alias("embedding"),
+    )
+    keyed = S.semdedup_keys(
+        emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
+        dim=dim, max_cluster_size=cap,
+    )
+    sizes = [
+        r.n for r in keyed.groupBy("_sd_key").agg(F.count("*").alias("n")).collect()
+    ]
+    assert sum(sizes) == n
+    # Salting is uniform-hash: groups land near cap, never anywhere
+    # near the unsplit n.
+    assert max(sizes) <= 2 * cap
+    assert len(sizes) >= n // cap
+    # And the prune still runs to completion on the degenerate blob,
+    # keeping one survivor per comparison group (all are mutual dups).
+    kept = S.semdedup_prune(
+        emb, id_col="vec_id", vec_col="embedding", cluster_col="label",
+        threshold=0.99, dim=dim, max_cluster_size=cap,
+    ).count()
+    assert kept == len(sizes)

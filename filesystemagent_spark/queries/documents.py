@@ -31,6 +31,19 @@ def _sql_hits(words) -> str:
     return f"len(list_filter(toks, t -> list_contains({_sql_list(words)}, t)))"
 
 
+
+def _doc_text_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow (doc_id, text) projection, rebalanced across the cluster.
+
+    The harness parquet carries ONE row group per file, so the scan —
+    and any shingling/hashing expression pipelined into it — would run
+    in a single task. Shingle-family queries are compute-bound on that
+    expression, so spread the narrow projection first; with a properly
+    chunked source this exchange is a no-op-sized safety net."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 @register(
     "doc_lang_stats",
     tags=("agg", "text"),
@@ -314,8 +327,7 @@ def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the narrow (id, text) projection across the cluster first; with a
     properly chunked source this exchange is a no-op-sized safety net.
     """
-    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _doc_text_rebalanced(spark, sf_dir)
     return (
         D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.4)
         .orderBy("id_a", "id_b")
@@ -367,8 +379,7 @@ def doc_near_dup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable, not just recall-tested. Union sizes stay exact;
     n_common lower-bounds true overlap, so reported jaccard is a
     conservative (under-) estimate for pairs sharing hot shingles."""
-    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _doc_text_rebalanced(spark, sf_dir)
     return (
         D.ngram_jaccard_pairs(
             docs, "doc_id", "text", shingle_n=3, threshold=0.4, max_doc_freq=20
@@ -383,7 +394,7 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase 7). Approximate candidate generation, exact Jaccard verify —
     no SQL oracle; recall vs doc_near_dup_jaccard is asserted in
     tests/test_dedup.py."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _doc_text_rebalanced(spark, sf_dir)
     return D.minhash_near_dup_pairs(
         docs, "doc_id", "text", shingle_n=3, num_hashes=64, bands=16, threshold=0.4
     ).orderBy("id_a", "id_b")
@@ -395,7 +406,7 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation — the constant-space fingerprint alternative
     to MinHash (stands in for the reference's perceptual-hash Hamming
     dedup, /root/reference/src/media_fingerprinting.py:228-276)."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _doc_text_rebalanced(spark, sf_dir)
     return D.simhash_near_dup_pairs(
         docs, "doc_id", "text", bits=32, max_distance=3, block_bits=8
     ).orderBy("id_a", "id_b")
@@ -591,6 +602,7 @@ _MH_VALUES = ", ".join(
 
 @register(
     "doc_minhash_pairs_checkable",
+    headline=True,
     tags=("dedup", "lsh", "minhash", "cross-engine"),
     oracle=f"""
 WITH toks AS (
@@ -651,7 +663,7 @@ def doc_minhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`doc_minhash_pairs`) keeps the faster JVM xxhash64 base and
     murmur band keys; this query proves the ALGORITHM, including which
     pairs LSH surfaces, not just the verified survivors."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _doc_text_rebalanced(spark, sf_dir)
     return D.minhash_near_dup_pairs_checkable(
         docs, "doc_id", "text",
         shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS,
@@ -699,7 +711,7 @@ def doc_simhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     block candidates, Hamming verify — independently in SQL. Together
     with `doc_minhash_pairs_checkable` this makes both approximate
     dedup families exactly auditable, not just recall-tested."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _doc_text_rebalanced(spark, sf_dir)
     return D.simhash_near_dup_pairs_checkable(
         docs, "doc_id", "text", bits=32, max_distance=3, block_bits=8
     ).orderBy("id_a", "id_b")

@@ -33,6 +33,7 @@ def _pinned_shuffle(spark: SparkSession, n: str = "16"):
 
 @register(
     "events_stream_tumbling",
+    headline=True,
     tags=("streaming", "window", "watermark"),
     oracle="""
 SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

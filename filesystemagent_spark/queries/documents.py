@@ -388,6 +388,80 @@ def doc_near_dup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_dup_ngram_ratio",
+    tags=("dedup", "text", "agg", "scale"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+wins AS (
+    SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS ng
+    FROM toks, UNNEST(generate_series(1, len(tk) - 4)) AS g(i)
+    WHERE len(tk) >= 5
+),
+dupn AS (
+    SELECT ng FROM (SELECT DISTINCT doc_id, ng FROM wins)
+    GROUP BY ng HAVING COUNT(*) >= 2
+),
+perdoc AS (
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(COUNT(d.ng) AS BIGINT) AS dup_windows
+    FROM wins w LEFT JOIN dupn d USING (ng)
+    GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, dup_windows,
+       CAST(dup_windows AS DOUBLE) / n_windows AS dup_ratio
+FROM perdoc ORDER BY doc_id
+""",
+)
+def doc_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span rate (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each doc, the fraction of its POSITIONAL 5-gram windows whose
+    n-gram also occurs in at least one other document. The standard
+    memorization-risk signal when exact suffix-array dedup is too
+    expensive — docs above a ratio threshold get span-pruned or
+    dropped.
+
+    Scale shape: no pair-join anywhere — explode windows, one
+    (ngram, doc)-distinct aggregation for document frequency, one
+    semi-join back on the 8-byte xxhash64 n-gram key, one per-doc
+    rollup. Every shuffle is key-partitioned and linear in corpus
+    token count; a boilerplate n-gram shared by millions of docs costs
+    its posting list ONCE in the df table, never a quadratic bucket.
+    The exact-ints ratio divides identically in both engines."""
+    from pyspark import StorageLevel
+
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    wins = (
+        docs.select("doc_id", F.explode(T.shingles(F.col("text"), 5)).alias("ng"))
+        .select("doc_id", F.xxhash64("ng").alias("ng"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup_ng = (
+        wins.distinct()
+        .groupBy("ng")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("ng")
+    )
+    per_doc = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    dup_per_doc = (
+        wins.join(dup_ng, "ng", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_windows"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .withColumn("dup_windows", F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long"))
+        .withColumn(
+            "dup_ratio",
+            F.col("dup_windows").cast("double") / F.col("n_windows").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("doc_minhash_pairs", tags=("dedup", "lsh", "approx"))
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (the 100 TB dedup path; SURVEY §7.3

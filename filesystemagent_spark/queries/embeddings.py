@@ -150,6 +150,40 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_ann_recall", tags=("vector", "ann", "eval"))
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class query: recall@{K} of
+    the sign-LSH index against the exact brute-force ranking, per
+    query and overall — the measurement any production ANN deployment
+    ships next to the index itself. Both rankings and their
+    intersection are computed in one DataFrame program (no driver-side
+    set math); the exact side is the same broadcast-once corpus scan
+    as `embedding_knn`. Approximate-by-design (LSH side), so recorded
+    rows-only; the quality bar (recall >= 0.9 at these settings) is
+    asserted in tests/test_similarity.py."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.knn_bruteforce(queries, emb, k=K).select("query_id", "neighbor_id")
+    approx = S.knn_lsh(
+        queries, emb, dim=DIM, k=K, n_planes=2, n_tables=8
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)).cast("long"))
+        .withColumn(
+            "recall", F.col("n_hit").cast("double") / F.col("n_true").cast("double")
+        )
+    )
+    return per_q.orderBy("query_id")
+
+
 NEAR_DUP_THRESHOLD = 0.35  # calibrated to the synthetic corpus (max pair ~0.51)
 
 _pair_dot = _SQL_DOT.format(dim=DIM, a="a.embedding", b="b.embedding")

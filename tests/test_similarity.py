@@ -334,3 +334,16 @@ def test_semdedup_keys_bound_degenerate_single_cluster(spark):
         threshold=0.99, dim=dim, max_cluster_size=cap,
     ).count()
     assert kept == len(sizes)
+
+
+def test_embedding_ann_recall_query_quality_bar(spark, sf_dir):
+    """The registered recall-eval query must report high recall at its
+    settings (8 tables x 4 planes) and internally consistent counts."""
+    from filesystemagent_spark.queries import registry
+
+    rows = registry()["embedding_ann_recall"].fn(spark, sf_dir).collect()
+    assert rows, "recall eval returned no queries"
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_true
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.9, f"mean recall {mean_recall:.3f} below bar"

@@ -3,13 +3,15 @@
 extensions: image/audio/video as opaque BINARY columns with typed
 metadata, processed by Arrow-batched pandas transforms.
 
-The actual codec libraries (PIL/imagehash/videohash/ffmpeg) are NOT in
-this container, so each decode step is import-gated: the real library
-is used when importable, otherwise a clearly-marked DETERMINISTIC STUB
-(content-hash-derived values) keeps the Spark-side plumbing — schemas,
-mapInPandas signatures, batch shapes, partitioning — real and
-testable. Stub values are stable across runs and engines, so oracle
-checks remain meaningful.
+Codec ladder: PIL/imagehash when importable; otherwise PNG decodes
+for REAL via the pure-stdlib codec (functions/png.py — zlib inflate,
+spec unfiltering, luminance, area-resample dhash/phash/ahash) and WAV
+via the stdlib `wave` module. Only formats that genuinely need
+external codec libraries (JPEG/mp3/video) fall back to a
+clearly-marked DETERMINISTIC STUB (content-hash-derived values) that
+keeps the Spark-side plumbing — schemas, mapInPandas signatures,
+batch shapes, partitioning — real and testable. Stub values are
+stable across runs and engines, so oracle checks remain meaningful.
 
 Scale notes: binary payloads ride in the `content` column; at 100 TB
 decode cost dominates, so every transform here is mapInPandas (one
@@ -96,14 +98,19 @@ def image_features(
     64-bit longs — BIGINT so near-dup joins use bit_count(h1^h2), not
     hex-string UDFs).
 
-    Real path: PIL + imagehash per Arrow batch. Container path: a
-    deterministic stub (content-hash-derived dimensions/hashes) with
-    `decoder='stub'` so downstream code can tell.
+    Decoder ladder, best available wins per row:
+      1. PIL + imagehash when importable (absent in this container);
+      2. the pure-stdlib PNG codec (functions/png.py) — REAL decode +
+         real dhash/phash/ahash for PNG bytes, `decoder='png-pure'`;
+      3. deterministic stub (content-hash-derived) with
+         `decoder='stub'` so downstream code can tell.
     """
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = _pil_available()
+        from filesystemagent_spark.functions import png as P
+
         for pdf in batches:
             out: list[dict[str, Any]] = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
@@ -130,7 +137,26 @@ def image_features(
                         )
                         continue
                     except Exception:
-                        pass  # fall through to stub for undecodable bytes
+                        pass  # fall through for undecodable bytes
+                if P.is_png(b):
+                    try:
+                        w, h, mode, rgb = P.decode_png(b)
+                        gray = P.luminance(rgb)
+                        out.append(
+                            {
+                                "path": path,
+                                "width": w,
+                                "height": h,
+                                "mode": mode,
+                                "dhash64": P.dhash64(gray),
+                                "phash64": P.phash64(gray),
+                                "ahash64": P.ahash64(gray),
+                                "decoder": "png-pure",
+                            }
+                        )
+                        continue
+                    except ValueError:
+                        pass  # unsupported PNG variant -> stub
                 out.append(
                     {
                         "path": path,
@@ -168,14 +194,18 @@ def resize_images(
     df: DataFrame, width: int, height: int,
     path_col: str = "path", content_col: str = "content",
 ) -> DataFrame:
-    """Resize transform. Real path re-encodes via PIL; stub path emits
-    a deterministic payload (sha256 of input ++ target dims) so the
-    pipeline shape — binary in, binary out, metadata columns — is
-    exercised end-to-end without codecs."""
+    """Resize transform. Decoder ladder as in `image_features`: PIL,
+    then the pure PNG codec (area-average resample per channel,
+    re-encoded as PNG — a REAL binary-in/binary-out transform), then a
+    deterministic stub payload so the pipeline shape is exercised
+    end-to-end even without codecs."""
+    import numpy as np
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = _pil_available()
+        from filesystemagent_spark.functions import png as P
+
         for pdf in batches:
             out = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
@@ -193,6 +223,32 @@ def resize_images(
                                     "width": width, "height": height, "decoder": "pil"})
                         continue
                     except Exception:
+                        pass
+                if P.is_png(b):
+                    try:
+                        _w, _h, _mode, rgb = P.decode_png(b)
+                        resized = np.stack(
+                            [
+                                np.clip(
+                                    np.rint(
+                                        P.resize_area(
+                                            rgb[:, :, ch].astype(np.float64),
+                                            width,
+                                            height,
+                                        )
+                                    ),
+                                    0,
+                                    255,
+                                )
+                                for ch in range(3)
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                        out.append({"path": path, "content": P.encode_png(resized),
+                                    "width": width, "height": height,
+                                    "decoder": "png-pure"})
+                        continue
+                    except ValueError:
                         pass
                 fake = hashlib.sha256(b + f"|{width}x{height}".encode()).digest()
                 out.append({"path": path, "content": fake, "width": width,
@@ -245,32 +301,78 @@ def sample_frames(
     return df.select(path_col, content_col).mapInPandas(run, FRAME)
 
 
+AUDIO_META = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),  # 'soundfile' | 'wav-pure'
+    ]
+)
+
+
 def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
-    """Audio decode is NOT implementable in this container (no codec
-    libs); the signature and schema are the real plumbing. Raises
-    NotImplementedError on execution when no decoder is present."""
+    """Audio decode + basic features per Arrow batch.
+
+    WAV (RIFF/PCM) decodes for REAL via the stdlib `wave` module +
+    numpy — duration, sample rate, channels, RMS (normalized to
+    [-1,1]) and zero-crossing rate of the channel-mean signal,
+    `decoder='wav-pure'`. Compressed formats (mp3/flac/ogg) genuinely
+    need codec libs: with soundfile importable they'd decode the same
+    way; without it they raise NotImplementedError — honestly, not a
+    fake number."""
+    import io
+    import wave
+
+    import numpy as np
     import pandas as pd
 
-    schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("duration_s", T.DoubleType()),
-            T.StructField("sample_rate", T.IntegerType()),
-            T.StructField("n_channels", T.IntegerType()),
-        ]
-    )
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import soundfile  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "audio decode requires a codec library (soundfile); "
-                "not available in this environment"
-            ) from e
-        yield from ()  # pragma: no cover — real impl would decode here
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                if b[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires a codec library "
+                        "(soundfile); not available in this environment"
+                    )
+                with wave.open(io.BytesIO(b)) as wf:
+                    sr = wf.getframerate()
+                    nch = wf.getnchannels()
+                    width = wf.getsampwidth()
+                    n = wf.getnframes()
+                    pcm = wf.readframes(n)
+                if width == 2:
+                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+                elif width == 1:  # 8-bit WAV is unsigned
+                    x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+                else:
+                    raise NotImplementedError(f"{8 * width}-bit WAV unsupported")
+                x = x.reshape(-1, nch).mean(axis=1) if nch > 1 else x
+                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1
+                    else 0.0
+                )
+                out.append(
+                    {
+                        "path": path,
+                        "duration_s": n / sr if sr else 0.0,
+                        "sample_rate": sr,
+                        "n_channels": nch,
+                        "rms": rms,
+                        "zero_cross_rate": zcr,
+                        "decoder": "wav-pure",
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_META.fields])
 
-    return df.select(path_col, content_col).mapInPandas(run, schema)
+    return df.select(path_col, content_col).mapInPandas(run, AUDIO_META)
 
 
 # ---------------------------------------------------------------------------

@@ -127,9 +127,12 @@ GRADE_ORDER = (
     "events_cogroup_asof",
     # frequent-items sketch, exact-regime so it stays oracle-backed
     "events_type_topk_sketch",
-    # multimodal binary-column plumbing (mapInPandas; stub decode is
-    # content-hash-defined, so even this path is oracle-checked)
-    "doc_media_features",
+    # multimodal binary columns with REAL decode (round 3): PNG bytes
+    # built, decoded and perceptually hashed by the pure-stdlib codec
+    # inside mapInPandas, deduped by the banded Hamming join, and the
+    # whole pipeline oracle-checked. Displaces the stub-hash
+    # doc_media_features slot (still registered + sim-checked).
+    "doc_png_roundtrip_dedup",
     # baseline diff + severity ranking (reference's core analyzers)
     "baseline_diff_users",
     "event_findings_ranked",

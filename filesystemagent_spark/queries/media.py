@@ -51,6 +51,72 @@ def doc_hamming_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_png_roundtrip_dedup",
+    tags=("multimodal", "png", "dedup", "mapInPandas"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 50)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_png_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end and oracle-checked: each doc's
+    50-char-prefix md5 expands to a deterministic 8x8 RGB image,
+    encoded to REAL PNG bytes (functions/png.encode_png), decoded and
+    perceptually hashed by the production `image_features` ladder
+    (pure-PNG decoder -> luminance -> dhash), then deduped by the
+    banded Hamming join. Identical prefixes give identical PNGs give
+    dhash distance 0, so DuckDB oracles the pair set as an md5
+    equality self-join — a cross-engine check that the whole
+    decode-hash-dedup pipeline preserves duplicate structure.
+    Near-miss collisions between distinct random dhashes are
+    ~2e3/2^64 per pair — absent at any realistic scale.
+
+    Scale shape: codec work is mapInPandas (Arrow batches, one Python
+    round-trip); the join is the banded Hamming equi-join, never
+    pairwise."""
+    import hashlib as _hl
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    from filesystemagent_spark.functions import png as P
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+    from filesystemagent_spark.operators.multimodal import image_features
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.substring("text", 1, 50)).alias("hp")
+    )
+
+    def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, hp in zip(pdf["doc_id"], pdf["hp"]):
+                # 192 deterministic bytes = 8x8 RGB from the prefix md5
+                raw = b"".join(
+                    _hl.sha256(hp.encode() + bytes([i])).digest() for i in range(6)
+                )
+                rgb = _np.frombuffer(raw, dtype=_np.uint8, count=192).reshape(8, 8, 3)
+                rows.append(
+                    {"path": str(doc_id), "content": P.encode_png(rgb)}
+                )
+            yield _pd.DataFrame(rows, columns=["path", "content"])
+
+    imgs = docs.mapInPandas(gen, "path string, content binary")
+    feats = image_features(imgs).select(
+        F.col("path").cast("long").alias("doc_id"), "dhash64", "decoder"
+    )
+    pairs = hamming_near_dup_pairs(feats, "doc_id", "dhash64", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "doc_transform_shim",
     tags=("udf", "transform", "mapInPandas"),
     oracle="""

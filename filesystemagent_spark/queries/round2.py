@@ -115,11 +115,20 @@ def events_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesystemagent_spark.functions.tscompat import epoch_micros
 
     ev = Catalog(spark, sf_dir).events
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    # Pre-hash both sides on the cogroup key at cluster parallelism —
+    # satisfies the cogroup's ClusteredDistribution so no further
+    # shuffle, and avoids 200-micro-partition Arrow round-trips under
+    # a default-config session (same finding as events_user_seq).
+    par = spark.sparkContext.defaultParallelism
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .repartition(par, "user_id")
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts"))
+        .repartition(par, "user_id")
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

@@ -47,6 +47,19 @@ _SQL_SPLIT = (
 )
 
 
+def _docs_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan spread across the cluster before heavy per-row
+    text expressions. The harness parquet has ONE row group per file,
+    so without this the tokenize/shingle work pipelined into the scan
+    runs in a single task (same finding as the shingle-family queries
+    in documents.py); with a properly chunked source the exchange is a
+    no-op-sized safety net."""
+    return Catalog(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+
 @register(
     "doc_repetition_stats",
     tags=("text", "quality", "scan"),
@@ -87,7 +100,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the scan, and the parquet reader prunes to (doc_id, text).
     Ratios are quotients of exact ints, bit-identical cross-engine.
     """
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_rebalanced(spark, sf_dir)
     toks = T.tokens(F.col("text"))
     bigrams = T.shingles(F.col("text"), 2)
 
@@ -158,7 +171,7 @@ def doc_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train side streams through the shuffle once and AQE handles skewed
     shingles. See module docstring for the xxhash64 key variant.
     """
-    docs = Catalog(spark, sf_dir).documents.select(
+    docs = _docs_rebalanced(spark, sf_dir).select(
         "doc_id", "text", _split_col().alias("split")
     )
     sh = docs.select(
@@ -414,7 +427,7 @@ def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition count). At 100 TB the token-frequency shuffle is the only
     big stage, and it partial-aggregates map-side.
     """
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_rebalanced(spark, sf_dir)
     tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     from pyspark.sql import Window
@@ -593,7 +606,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials so the 100 TB merge order cannot move the sum; the two
     libm ln implementations disagree by one ulp on some inputs, so the
     final mean is rounded at 1e-6 — 9 orders above the drift."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_rebalanced(spark, sf_dir)
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
     bi = (
         toks.filter(F.size("tk") >= 2)
@@ -663,7 +676,7 @@ def doc_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hash each span to a 64-bit key (xxhash64) so the exchange
     carries 8 bytes instead of the text — kept as the string here so
     the oracle verifies the spans themselves."""
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_rebalanced(spark, sf_dir)
     t = F.split(F.col("text"), " ")
     spans = F.when(
         F.size(t) >= 8,
@@ -734,7 +747,7 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_freqs,
     )
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_rebalanced(spark, sf_dir)
     pc = pair_counts(with_symbols(word_freqs(docs)))
     return (
         pc.select(
@@ -763,7 +776,7 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesystemagent_spark.operators.bpe import bpe_learn, word_freqs
     from pyspark.sql import types as ST
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = _docs_rebalanced(spark, sf_dir)
     merges, _ = bpe_learn(word_freqs(docs), N_BPE_MERGES)
     schema = ST.StructType(
         [

@@ -360,3 +360,43 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dup_ngram_ratio_no_pair_join(spark, sf_dir):
+    """The duplicated-span-rate plan must be linear: a semi-join on the
+    n-gram key plus key-partitioned aggregations — never a nested-loop
+    or non-equi pair join."""
+    plan = executed_plan(QUERIES["doc_dup_ngram_ratio"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_pagerank_broadcasts_rank_table(spark, sf_dir):
+    """Each PageRank iteration must hash-join the broadcast
+    node-cardinality rank table against the persisted edges — the
+    edge list must never shuffle per iteration."""
+    plan = executed_plan(QUERIES["parts_copurchase_pagerank"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_jaccard_prune_adds_no_extra_shingle_shuffle(spark, sf_dir):
+    """The document-frequency prune is a window over the SAME shingle
+    key the self-join partitions on, so it rides the join sides' own
+    exchanges: a plain inverted-index self-join shuffles each side
+    once (2 shingle exchanges), and the pruned plan must not exceed
+    that — a third shingle shuffle would mean the df pass paid its own
+    exchange."""
+    import re
+
+    plan = executed_plan(QUERIES["doc_near_dup_jaccard_pruned"].fn(spark, sf_dir))
+    real_shuffles = re.findall(r"(?<!Reused)Exchange hashpartitioning\(shingle", plan)
+    assert len(real_shuffles) <= 2, plan
+
+
+def test_png_roundtrip_dedup_is_arrow_batched(spark, sf_dir):
+    """The real-decode pipeline runs the codec in Arrow-batched python
+    stages (MapInPandas/FlatMapGroupsInPandas), never row-at-a-time
+    PythonUDF in the join path, and dedups via hash join."""
+    plan = formatted_plan(QUERIES["doc_png_roundtrip_dedup"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan

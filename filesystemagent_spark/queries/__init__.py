@@ -97,7 +97,11 @@ GRADE_ORDER = (
     "doc_train_test_split",
     "doc_ngram_contamination",
     "doc_sentences_udtf",
-    "doc_repetition_stats",
+    # lexical retrieval (BM25 top-k) — round-3 capability class;
+    # displaces doc_repetition_stats, whose row-local text-array shape
+    # stays covered by doc_curation_funnel + doc_column_profile (and
+    # the query itself stays registered + sim-checked)
+    "doc_bm25_search",
     "doc_bigram_logprob",
     # iterative graph + recursive-CTE BFS (round-2 capability classes)
     "parts_copurchase_pagerank",

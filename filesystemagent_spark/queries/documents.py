@@ -462,6 +462,96 @@ def doc_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def _bm25_oracle() -> str:
+    tf = {t: f"len(list_filter(tk, x -> x = '{t}'))" for t in _BM25_TERMS}
+    score_terms = " + ".join(
+        f"""(ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)
+            * (CAST({tf[t]} AS DOUBLE) * {_BM25_K1 + 1.0})
+            / (CAST({tf[t]} AS DOUBLE)
+               + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * len(tk) / s.avgdl)))"""
+        for t in _BM25_TERMS
+    )
+    dfs = ", ".join(
+        f"CAST(COUNT(CASE WHEN list_contains(tk, '{t}') THEN 1 END) AS DOUBLE) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           AVG(CAST(len(tk) AS DOUBLE)) AS avgdl, {dfs}
+    FROM toks
+),
+scored AS (
+    SELECT doc_id, ROUND({score_terms}, 6) AS bm25
+    FROM toks, stats s
+)
+SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "doc_bm25_search",
+    tags=("search", "text", "ranking"),
+    oracle=_bm25_oracle(),
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval as a first-class query: Okapi BM25 over the
+    corpus for a fixed term set, top-{k} by score — the text-search
+    twin of `embedding_knn` (ANN is the semantic path, BM25 the
+    lexical one; production rerankers blend both).
+
+    Scale shape: per-doc term frequencies are row-local array
+    expressions (no explode, no per-term join); the corpus statistics
+    (N, avgdl, per-term document frequency) aggregate to ONE row that
+    broadcast-joins back — so the whole query is two corpus scans and
+    a top-k, no shuffle proportional to tokens. Determinism: scores
+    round at 1e-6 (ln differs by ulps across libm builds) with a
+    doc_id tie-break, the same ranked-boundary rule as embedding_knn.
+    """
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    # factory keeps the lambda unary — PySpark derives HOF arity from
+    # the Python signature, so a default-arg capture would turn the
+    # second parameter into the array INDEX (same rule as bpe.py).
+    def _match(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf = {t: F.size(F.filter(F.col("tk"), _match(t))) for t in _BM25_TERMS}
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("tk").cast("double")).alias("avgdl"),
+        *[
+            F.count_if(F.array_contains("tk", t)).cast("double").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    dl = F.size("tk").cast("double")
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        tfd = tf[t].cast("double")
+        part = idf * (tfd * (_BM25_K1 + 1.0)) / (
+            tfd + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+
+
 @register("doc_minhash_pairs", tags=("dedup", "lsh", "approx"))
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (the 100 TB dedup path; SURVEY §7.3

@@ -195,7 +195,10 @@ def merge_catalog(existing: DataFrame, fresh: DataFrame) -> DataFrame:
     """INSERT OR REPLACE semantics (reference
     file_indexing_system.py:168-198): fresh rows win on file_path.
     Expressed as anti-join + union — the batch-table form of
-    `MERGE INTO` (use Delta MERGE when a Delta catalog is attached)."""
+    `MERGE INTO`. This computes the merged RESULT only; for
+    concurrent-writer safety (lost-update prevention, snapshot
+    isolation) commit it through `sources/txtable.TxTable.merge_into`,
+    or Delta MERGE when a Delta catalog is attached."""
     keep = existing.join(fresh.select("file_path"), "file_path", "left_anti")
     return keep.unionByName(fresh)
 

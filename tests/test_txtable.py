@@ -1,0 +1,108 @@
+"""Optimistic-concurrency snapshot table (sources/txtable.py): CAS
+commits, snapshot isolation, time travel, and the lost-update test
+that plain last-writer-wins parquet fails."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.sources.txtable import CommitConflict, TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "file_path string, size bigint")
+
+
+def test_init_read_merge_roundtrip(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tbl"))
+    assert t.latest_version() == 0
+    t.init(_df(spark, [("/a", 1), ("/b", 2)]))
+    assert t.latest_version() == 1
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/a": 1, "/b": 2}
+
+    # upsert: /b updated, /c inserted, /a untouched
+    v = t.merge_into(_df(spark, [("/b", 20), ("/c", 3)]), ["file_path"])
+    assert v == 2
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/a": 1, "/b": 20, "/c": 3}
+
+
+def test_time_travel_and_snapshot_isolation(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    snapshot = t.read(spark)  # resolved at v1
+    t.merge_into(_df(spark, [("/a", 99)]), ["file_path"])
+    # the pre-commit handle still reads v1 — no torn/updated scan
+    assert [r.size for r in snapshot.collect()] == [1]
+    assert [r.size for r in t.read(spark, version=1).collect()] == [1]
+    assert [r.size for r in t.read(spark).collect()] == [99]
+
+
+def test_duplicate_version_commit_conflicts(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    files, ddl = t._write_data(_df(spark, [("/x", 7)]))
+    t._try_commit(2, files, ddl)
+    with pytest.raises(CommitConflict):
+        t._try_commit(2, files, ddl)
+
+
+def test_concurrent_merges_lose_no_updates(spark, tmp_path):
+    """The reason this module exists: two writers upserting DISJOINT
+    keys concurrently. Last-writer-wins parquet drops one side; the
+    CAS+retry protocol must keep both."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/base", 0)]))
+
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def writer(rows):
+        try:
+            barrier.wait(timeout=60)
+            t.merge_into(_df(spark, rows), ["file_path"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=([("/w1", 11)],))
+    t2 = threading.Thread(target=writer, args=([("/w2", 22)],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/base": 0, "/w1": 11, "/w2": 22}
+    assert t.latest_version() == 3  # serialized: v2 then v3
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    # aborted stage: data written, never committed
+    t._write_data(_df(spark, [("/junk", 0)]))
+    removed = t.vacuum()
+    assert len(removed) == 1
+    # committed snapshots still read after vacuum
+    assert [r.file_path for r in t.read(spark).collect()] == ["/a"]
+    assert t.vacuum() == []  # idempotent
+
+
+def test_merge_catalog_semantics_match(spark, tmp_path):
+    """TxTable.merge_into computes the same INSERT-OR-REPLACE result
+    as the batch merge_catalog operator — it adds the commit protocol,
+    not different semantics."""
+    from filesystemagent_spark.sources.listing import merge_catalog
+
+    existing = _df(spark, [("/a", 1), ("/b", 2)])
+    fresh = _df(spark, [("/b", 20), ("/c", 3)])
+    want = {
+        (r.file_path, r.size)
+        for r in merge_catalog(existing, fresh).collect()
+    }
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(existing)
+    t.merge_into(fresh, ["file_path"])
+    got = {(r.file_path, r.size) for r in t.read(spark).collect()}
+    assert got == want

@@ -233,3 +233,48 @@ def test_png_dedup_end_to_end(spark):
     assert ("/m/a.png", "/m/a_copy.png") in pairs
     assert ("/m/a.png", "/m/a_tweak.png") in pairs
     assert not any("/m/b.png" in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the codec must round-trip ARBITRARY
+# images, not just the fixtures above.
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got_w, got_h, mode, rgb = P.decode_png(P.encode_png(img))
+    assert (got_w, got_h, mode) == (w, h, "RGB")
+    assert np.array_equal(rgb, img)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ftype=st.integers(min_value=0, max_value=4),
+)
+def test_unfilter_property(seed, ftype):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    _w, _h, _mode, rgb = P.decode_png(_filtered_png(img, ftype))
+    assert np.array_equal(rgb, img)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_resize_area_preserves_mean(seed):
+    """Area-average resize is a weighted mean with weights summing to
+    1 per output pixel — the global mean must be preserved exactly
+    (up to float error) when bins tile evenly, and closely otherwise."""
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(0, 255, size=(16, 16))
+    r = P.resize_area(g, 8, 8)
+    assert abs(r.mean() - g.mean()) < 1e-9

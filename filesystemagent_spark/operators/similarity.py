@@ -70,15 +70,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
+    """Unrolled `vec · plane` as SQL text: one parsed expression
+    instead of hundreds of py4j Column calls per plane (the Column-API
+    build of these literal-heavy trees costs seconds of driver time at
+    n_tables x n_planes x dim — same finding as pq_codebooks), and the
+    term order matches V.dot's sequential fold so signs are
+    float-identical."""
+    return " + ".join(
+        f"CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE) * {w!r}"
+        for i, w in enumerate(plane)
+    )
+
+
 def sign_lsh_bucket(df: DataFrame, *, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42):
     """Attach a sign-LSH bucket id: bit i = sign(vec · plane_i).
     Cosine-similar vectors collide with high probability."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        lit_plane = F.array(*[F.lit(x).cast("double") for x in plane])
-        bit = F.when(V.dot(F.col(vec_col), lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bucket + bit.cast("long")
-    return df.withColumn("bucket", bucket)
+    bits = " + ".join(
+        f"IF(({_plane_dot_sql(vec_col, plane)}) >= 0, CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed))
+    )
+    return df.withColumn("bucket", F.expr(bits))
 
 
 def cosine_near_dup_pairs(
@@ -438,15 +450,13 @@ def _multi_table_buckets(
     buckets from different tables never collide with each other."""
     keys = []
     for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
-            lit_plane = F.array(*[F.lit(x).cast("double") for x in plane])
-            bit = F.when(V.dot(F.col(vec_col), lit_plane) >= 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-            bucket = bucket + bit.cast("long")
-        keys.append(F.struct(F.lit(t).alias("table"), bucket.alias("sig")))
-    return df.withColumn("bucket", F.explode(F.array(*keys)))
+        bits = " + ".join(
+            f"IF(({_plane_dot_sql(vec_col, plane)}) >= 0, CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
+            for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t))
+        )
+        keys.append(f"named_struct('table', {t}, 'sig', {bits})")
+    # one parsed expression for all tables (see _plane_dot_sql)
+    return df.withColumn("bucket", F.expr(f"explode(array({', '.join(keys)}))"))
 
 
 def knn_lsh(

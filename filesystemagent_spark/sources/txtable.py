@@ -103,7 +103,17 @@ class TxTable:
         )
         return files, ddl
 
-    def _try_commit(self, version: int, files: list[str], schema_ddl: str) -> None:
+    def latest_app(self) -> dict:
+        """Application metadata of the latest snapshot ({} when empty) —
+        e.g. the streaming sink's last-applied micro-batch id, so a
+        replayed batch can detect it already committed."""
+        v = self.latest_version()
+        return self._read_manifest(v).get("app", {}) if v else {}
+
+    def _try_commit(
+        self, version: int, files: list[str], schema_ddl: str,
+        app: dict | None = None,
+    ) -> None:
         """Publish `version` atomically: write a temp manifest, then
         link(2) it into place — link fails with EEXIST if a concurrent
         writer won this version (the CAS), and readers can never
@@ -113,7 +123,7 @@ class TxTable:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(
                 {"version": version, "files": files, "schema_ddl": schema_ddl,
-                 "committed_at": time.time()},
+                 "committed_at": time.time(), "app": app or {}},
                 fh,
             )
             fh.flush()
@@ -126,12 +136,12 @@ class TxTable:
         finally:
             os.unlink(tmp)
 
-    def init(self, df: DataFrame) -> int:
+    def init(self, df: DataFrame, app: dict | None = None) -> int:
         """Create version 1 from df (no-op error if already created —
         use merge_into/overwrite afterwards)."""
         os.makedirs(self.data_dir, exist_ok=True)
         files, ddl = self._write_data(df)
-        self._try_commit(1, files, ddl)
+        self._try_commit(1, files, ddl, app)
         return 1
 
     def overwrite(self, df: DataFrame, max_retries: int = 10) -> int:
@@ -152,6 +162,7 @@ class TxTable:
         updates: DataFrame,
         key_cols: list[str],
         max_retries: int = 10,
+        app: dict | None = None,
     ) -> int:
         """MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
         INSERT, with optimistic concurrency: read the current
@@ -165,7 +176,7 @@ class TxTable:
             base = self.latest_version()
             if base == 0:
                 try:
-                    return self.init(updates)
+                    return self.init(updates, app)
                 except CommitConflict:
                     continue
             current = self.read(spark, base)
@@ -175,7 +186,7 @@ class TxTable:
             merged = keep.unionByName(updates)
             files, ddl = self._write_data(merged)
             try:
-                self._try_commit(base + 1, files, ddl)
+                self._try_commit(base + 1, files, ddl, app)
                 return base + 1
             except CommitConflict:
                 continue  # someone else won base+1 — merge against it

@@ -68,3 +68,49 @@ def read_upserted(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "batch_id")
     )
+
+
+def start_txtable_merge_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str] | str,
+    *,
+    available_now: bool = True,
+    output_mode: str | None = None,
+):
+    """Streaming MERGE: each micro-batch upserts into a TxTable
+    (sources/txtable.py) — the transactional upgrade of the batch-dir
+    union sink above. Exactly-once comes from two layers:
+
+    - foreachBatch applies batches in order under the checkpoint, so a
+      batch can only ever be REPLAYED (crash between commit and
+      checkpoint), never reordered;
+    - the sink stamps every commit with its batch_id in the manifest's
+      app metadata and skips batches at-or-below the last applied id —
+      a replayed batch observes its own prior commit and becomes a
+      no-op instead of re-merging.
+
+    Readers get snapshot-isolated views of the keyed table at any
+    moment (no batch-dir unioning, no last-writer-wins window), and a
+    concurrent BATCH writer merging the same table retries through the
+    same CAS rather than losing updates.
+    """
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = TxTable(table_path)
+        if t.latest_app().get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already committed
+        t.merge_into(batch_df, key_list, app={"batch_id": batch_id})
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if output_mode:
+        writer = writer.outputMode(output_mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

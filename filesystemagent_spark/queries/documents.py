@@ -462,6 +462,59 @@ def doc_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_quality_deciles",
+    tags=("window", "ntile", "quality", "curation"),
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), scored AS (
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.4 * LEAST((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST({_sql_hits(T.STOPWORDS_EN)} AS DOUBLE) / len(toks) END) * 4.0, 1.0)
+               + 0.2 * (1.0 - LEAST((CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '{{punct}}', '', 'g')) AS DOUBLE)
+                         / length(text) END) * 2.0, 1.0)), 6) AS quality
+    FROM feats
+), tiled AS (
+    SELECT doc_id, quality,
+           NTILE(10) OVER (ORDER BY quality ASC, doc_id ASC) AS decile
+    FROM scored
+)
+SELECT decile,
+       COUNT(*) AS n_docs,
+       MIN(quality) AS min_q,
+       MAX(quality) AS max_q
+FROM tiled GROUP BY decile ORDER BY decile
+""".replace("{punct}", _SQL_PUNCT),
+)
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile profile of the corpus — the cut-line view a
+    curation pipeline uses to choose a keep threshold ("drop the
+    bottom 3 deciles"). NTILE is order-sensitive at ties, so the
+    window orders on (quality, doc_id): deterministic and
+    engine-identical. One window (a single global sort at corpus
+    grain) + one aggregation; at 100 TB you'd swap NTILE for
+    approx-quantile boundary literals to avoid the global sort — the
+    same trade documented for zorder_key."""
+    docs = Catalog(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    scored = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    tiled = scored.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+        .orderBy("decile")
+    )
+
+
 _BM25_TERMS = ("spark", "merge", "window")
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
 

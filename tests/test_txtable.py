@@ -154,3 +154,30 @@ def test_streaming_merge_sink_exactly_once(spark, tmp_path):
     got = {r.file_path: r.size for r in t.read(spark).collect()}
     assert got == {"/a": 1, "/b": 20, "/c": 3}
     assert t.latest_app()["batch_id"] > applied
+
+
+def test_four_writer_stress_all_updates_survive(spark, tmp_path):
+    """Four concurrent writers, disjoint keys, contending for every
+    version slot: CAS+retry must serialize all of them with zero lost
+    updates and exactly base+4 versions."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/base", 0)]))
+    barrier = threading.Barrier(4)
+    errors = []
+
+    def writer(i):
+        try:
+            barrier.wait(timeout=120)
+            t.merge_into(_df(spark, [(f"/w{i}", i * 10)]), ["file_path"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/base": 0, "/w1": 10, "/w2": 20, "/w3": 30, "/w4": 40}
+    assert t.latest_version() == 5

@@ -515,6 +515,37 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_quality_deciles_approx", tags=("quality", "approx", "scale"))
+def doc_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `doc_quality_deciles`: decile boundaries from
+    `approx_percentile` (mergeable sketch, one aggregation — NO global
+    sort), then a row-local bucket assignment against the 9 collected
+    boundary literals. Rows land in the same decile as the exact NTILE
+    except within sketch error of a boundary; the agreement bar is
+    asserted in tests/test_training_queries.py. Rows-only at the gate
+    (approximate by design)."""
+    docs = Catalog(spark, sf_dir).documents
+    scored = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    bounds = scored.agg(
+        F.percentile_approx(
+            "quality", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("b")
+    ).collect()[0]["b"]
+    decile = F.lit(1)
+    for b in bounds:
+        decile = decile + F.when(F.col("quality") > b, 1).otherwise(0)
+    return (
+        scored.withColumn("decile", decile.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+        .orderBy("decile")
+    )
+
+
 _BM25_TERMS = ("spark", "merge", "window")
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
 

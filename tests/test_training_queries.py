@@ -67,3 +67,22 @@ def test_contamination_only_test_split_and_bounded(spark, sf_dir):
     out_ids = {r.doc_id for r in rows}
     assert out_ids <= test_ids
     assert 0 < TRAIN_PCT < 100
+
+
+def test_quality_deciles_approx_agrees_with_exact(spark, sf_dir):
+    """The sketch-boundary decile assignment must agree with exact
+    NTILE(10) for nearly every document (disagreement only within
+    sketch error of a boundary), and produce ~equal-sized deciles."""
+    from filesystemagent_spark.queries import registry
+
+    reg = registry()
+    exact = {r.decile: r.n_docs for r in reg["doc_quality_deciles"].fn(spark, sf_dir).collect()}
+    approx = {r.decile: r.n_docs for r in reg["doc_quality_deciles_approx"].fn(spark, sf_dir).collect()}
+    n = sum(exact.values())
+    assert sum(approx.values()) == n  # every doc assigned exactly once
+    # per-decile counts within 20% of n/10 (ties can shift boundary mass)
+    for d in range(1, 11):
+        assert approx.get(d, 0) >= 0.5 * n / 10, (d, approx)
+    # total absolute deviation from the exact histogram is small
+    dev = sum(abs(exact.get(d, 0) - approx.get(d, 0)) for d in range(1, 11))
+    assert dev <= 0.2 * n, (dev, exact, approx)

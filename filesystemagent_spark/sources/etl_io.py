@@ -127,28 +127,51 @@ def write_any(
 def _read_excel(
     spark: SparkSession, path: str, schema: T.StructType | None, **options: Any
 ) -> DataFrame:
-    """Driver-side pandas bridge (reference etl.py:143-145). Excel files
-    are inherently small single files; distributing the parse buys
-    nothing — the DataFrame is distributed after createDataFrame."""
+    """Driver-side bridge (reference etl.py:143-145). Excel files are
+    inherently small single files; distributing the parse buys nothing
+    — the DataFrame is distributed after createDataFrame. Ladder:
+    pandas+openpyxl when importable, else the pure-stdlib codec
+    (functions/xlsx.py — zipfile + xml.etree), which reads any
+    conforming single-sheet values workbook."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path, **options)
-    except ImportError as e:  # openpyxl/xlrd not installed in this env
-        raise NotImplementedError(
-            "Excel read requires pandas+openpyxl; not available in this environment"
-        ) from e
-    return spark.createDataFrame(pdf, schema=schema)
+        return spark.createDataFrame(pdf, schema=schema)
+    except ImportError:  # openpyxl/xlrd not installed in this env
+        from filesystemagent_spark.functions.xlsx import read_xlsx
+
+        columns, rows = read_xlsx(path)
+        if schema is not None:
+            return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(rows, columns)
 
 
 def _write_excel(df: DataFrame, path: str, **options: Any) -> None:
+    """pandas+openpyxl when importable, else the pure-stdlib writer
+    (inline-string cells, one sheet) — small-file bridge either way."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel write requires openpyxl; not available in this environment"
-        ) from e
-    df.toPandas().to_excel(path, index=False, **options)
+
+        df.toPandas().to_excel(path, index=False, **options)
+    except ImportError:
+        from filesystemagent_spark.functions.xlsx import write_xlsx
+
+        pdf = df.toPandas()
+        rows = [
+            tuple(None if pd_isna(v) else v for v in row)
+            for row in pdf.itertuples(index=False, name=None)
+        ]
+        write_xlsx(rows, list(pdf.columns), path)
+
+
+def pd_isna(v: Any) -> bool:
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
 
 
 def convert(

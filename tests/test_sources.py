@@ -73,17 +73,56 @@ def test_convert_csv_to_parquet(spark, df, tmp_path):
     assert etl_io.read_any(spark, dst).count() == 4
 
 
-def test_excel_gated(spark, df, tmp_path):
-    # openpyxl is absent in this environment — the bridge must raise
-    # NotImplementedError, not crash obscurely.
-    try:
-        import openpyxl  # noqa: F401
+def test_excel_roundtrip_pure_codec(spark, df, tmp_path):
+    """Excel now round-trips WITHOUT openpyxl: the pure-stdlib xlsx
+    codec (functions/xlsx.py) carries the write and read."""
+    path = str(tmp_path / "x.xlsx")
+    etl_io.write_any(df, path)
+    back = etl_io._read_excel(spark, path, None)
+    want = {tuple(r) for r in df.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want
+    assert back.columns == df.columns
 
-        pytest.skip("openpyxl present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        etl_io.write_any(df, str(tmp_path / "x.xlsx"))
+
+def test_xlsx_codec_handles_shared_strings_and_types(tmp_path):
+    """Reader must handle the sharedStrings form other producers emit,
+    plus booleans, blanks, floats and escaping."""
+    import zipfile
+
+    from filesystemagent_spark.functions import xlsx as X
+
+    # write via our codec first: escaping + None + bool + float
+    p1 = str(tmp_path / "a.xlsx")
+    X.write_xlsx(
+        [("a<b&c", 1, 2.5, None, True), ("plain", -3, 0.0, None, False)],
+        ["s", "i", "f", "n", "b"],
+        p1,
+    )
+    cols, rows = X.read_xlsx(p1)
+    assert cols == ["s", "i", "f", "n", "b"]
+    # numbers come back as IEEE doubles — Excel's only numeric type
+    assert rows == [("a<b&c", 1.0, 2.5, None, True), ("plain", -3.0, 0.0, None, False)]
+
+    # hand-build a workbook in the sharedStrings style
+    p2 = str(tmp_path / "b.xlsx")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<sst xmlns="{ns}" count="3" uniqueCount="3">'
+        "<si><t>name</t></si><si><t>value</t></si><si><t>widget</t></si></sst>"
+    )
+    with zipfile.ZipFile(p2, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+    cols, rows = X.read_xlsx(p2)
+    assert cols == ["name", "value"]
+    assert rows == [("widget", 42.0)]
 
 
 # ---------------------------------------------------------------------------

@@ -90,7 +90,7 @@ def doc_png_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", F.md5(F.substring("text", 1, 50)).alias("hp")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
         for pdf in batches:

@@ -102,13 +102,16 @@ def image_features(
       1. PIL + imagehash when importable (absent in this container);
       2. the pure-stdlib PNG codec (functions/png.py) — REAL decode +
          real dhash/phash/ahash for PNG bytes, `decoder='png-pure'`;
-      3. deterministic stub (content-hash-derived) with
+      3. the pure-stdlib GIF decoder (functions/gif.py, LZW included),
+         `decoder='gif-pure'`;
+      4. deterministic stub (content-hash-derived) with
          `decoder='stub'` so downstream code can tell.
     """
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = _pil_available()
+        from filesystemagent_spark.functions import gif as G
         from filesystemagent_spark.functions import png as P
 
         for pdf in batches:
@@ -138,9 +141,15 @@ def image_features(
                         continue
                     except Exception:
                         pass  # fall through for undecodable bytes
-                if P.is_png(b):
+                pure = (
+                    (P.decode_png, "png-pure") if P.is_png(b)
+                    else (G.decode_gif, "gif-pure") if G.is_gif(b)
+                    else None
+                )
+                if pure is not None:
+                    decode, label = pure
                     try:
-                        w, h, mode, rgb = P.decode_png(b)
+                        w, h, mode, rgb = decode(b)
                         gray = P.luminance(rgb)
                         out.append(
                             {
@@ -151,12 +160,12 @@ def image_features(
                                 "dhash64": P.dhash64(gray),
                                 "phash64": P.phash64(gray),
                                 "ahash64": P.ahash64(gray),
-                                "decoder": "png-pure",
+                                "decoder": label,
                             }
                         )
                         continue
                     except ValueError:
-                        pass  # unsupported PNG variant -> stub
+                        pass  # unsupported variant -> stub
                 out.append(
                     {
                         "path": path,

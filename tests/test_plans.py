@@ -400,3 +400,12 @@ def test_png_roundtrip_dedup_is_arrow_batched(spark, sf_dir):
     plan = formatted_plan(QUERIES["doc_png_roundtrip_dedup"].fn(spark, sf_dir))
     assert "MapInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_broadcasts_corpus_stats(spark, sf_dir):
+    """BM25's corpus statistics aggregate to ONE row which must come
+    back as a broadcast — never a shuffle join against the fact — and
+    term frequencies stay row-local (no explode/Generate)."""
+    plan = executed_plan(QUERIES["doc_bm25_search"].fn(spark, sf_dir))
+    assert "Broadcast" in plan, plan
+    assert "Generate" not in plan, plan

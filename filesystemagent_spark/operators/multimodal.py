@@ -104,13 +104,16 @@ def image_features(
          real dhash/phash/ahash for PNG bytes, `decoder='png-pure'`;
       3. the pure-stdlib GIF decoder (functions/gif.py, LZW included),
          `decoder='gif-pure'`;
-      4. deterministic stub (content-hash-derived) with
+      4. the pure-stdlib BMP decoder (functions/bmp.py),
+         `decoder='bmp-pure'`;
+      5. deterministic stub (content-hash-derived) with
          `decoder='stub'` so downstream code can tell.
     """
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = _pil_available()
+        from filesystemagent_spark.functions import bmp as B
         from filesystemagent_spark.functions import gif as G
         from filesystemagent_spark.functions import png as P
 
@@ -144,6 +147,7 @@ def image_features(
                 pure = (
                     (P.decode_png, "png-pure") if P.is_png(b)
                     else (G.decode_gif, "gif-pure") if G.is_gif(b)
+                    else (B.decode_bmp, "bmp-pure") if B.is_bmp(b)
                     else None
                 )
                 if pure is not None:

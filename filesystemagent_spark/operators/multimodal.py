@@ -287,16 +287,68 @@ def sample_frames(
     path_col: str = "path", content_col: str = "content",
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (a flatMap —
-    mapInPandas yields more rows than it consumes). Without a video
-    decoder the stub emits ceil(len/64KiB)-bounded deterministic
-    frames, preserving the 1→N explode shape real decode would have."""
+    mapInPandas yields more rows than it consumes).
+
+    Animated GIF decodes for REAL (functions/gif.decode_gif_frames —
+    LZW, compositing, per-frame delays): frames are sampled on the
+    animation's own timeline at `every_s` spacing (always including
+    t=0) and each sampled frame is re-encoded as PNG bytes, so
+    downstream `image_features` consumes them like any other image —
+    `decoder='gif-pure'`. Formats that genuinely need external codecs
+    (mp4/mkv/...) keep the deterministic stub (1 frame per 64 KiB),
+    preserving the 1→N explode shape real decode has.
+
+    Reference parity: media_fingerprinting.py:166-179 hashes videos
+    via frame sampling with the videohash package; this operator is
+    the sampling half, `video_hash64` the hash half."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from filesystemagent_spark.functions import gif as G
+        from filesystemagent_spark.functions import png as P
+
         for pdf in batches:
             out = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
+                if G.is_gif(b):
+                    try:
+                        frames = G.decode_gif_frames(b, max_frames=256)
+                    except ValueError:
+                        frames = None
+                    if frames is not None:
+                        # animation timeline: frame i covers
+                        # [start_i, start_i + delay_i); sample at
+                        # k*every_s, taking the frame active then
+                        starts = []
+                        t = 0.0
+                        for delay, _rgb in frames:
+                            starts.append(t)
+                            t += delay if delay > 0 else every_s
+                        total = t
+                        picked: list[tuple[int, float]] = []
+                        k = 0
+                        while len(picked) < max_frames:
+                            ts = k * every_s
+                            if ts >= total and k > 0:
+                                break
+                            fi = max(
+                                i for i, s in enumerate(starts) if s <= ts
+                            )
+                            if not picked or picked[-1][0] != fi:
+                                picked.append((fi, ts))
+                            k += 1
+                        for idx, (fi, ts) in enumerate(picked):
+                            out.append(
+                                {
+                                    "path": path,
+                                    "frame_index": idx,
+                                    "timestamp_s": ts,
+                                    "frame": P.encode_png(frames[fi][1]),
+                                    "decoder": "gif-pure",
+                                }
+                            )
+                        continue
                 # STUB: pretend 1 frame per 64 KiB of payload
                 n = min(max_frames, max(1, len(b) // 65536 + 1))
                 for i in range(n):
@@ -312,6 +364,40 @@ def sample_frames(
             yield pd.DataFrame(out, columns=[f.name for f in FRAME.fields])
 
     return df.select(path_col, content_col).mapInPandas(run, FRAME)
+
+
+def video_hash64(
+    frame_hashes: DataFrame, path_col: str = "path", hash_col: str = "dhash64"
+) -> DataFrame:
+    """Per-video 64-bit hash from per-frame perceptual hashes by
+    BIT-MAJORITY vote — the classic temporally-robust video
+    fingerprint (reference media_fingerprinting.py:166-179 delegates
+    to the videohash package, which is the same construction: frame
+    hashes collapsed into one).
+
+    Entirely JVM-side: 64 conditional sums (one per bit position)
+    built as a single SQL expression string (thousands of py4j Column
+    calls cost driver seconds — SCALE.md round-3 lesson), then the
+    majority bits reassembled with shiftleft/bor. One shuffle on
+    `path`; state per group is 64 longs. Ties (exactly half) round
+    DOWN to 0 so single-frame videos hash to their frame hash.
+
+    Returns (path, video_hash64 BIGINT, n_frames)."""
+    grouped = frame_hashes.groupBy(path_col).agg(
+        F.count("*").alias("n_frames"),
+        *[
+            F.expr(f"sum(CAST((`{hash_col}` >> {i}) & 1 AS INT)) AS b{i}")
+            for i in range(64)
+        ],
+    )
+    majority = " | ".join(
+        f"(CAST(IF(2 * b{i} > n_frames, 1, 0) AS BIGINT) << {i})" for i in range(64)
+    )
+    return grouped.select(
+        path_col,
+        F.expr(majority).alias("video_hash64"),
+        F.col("n_frames"),
+    )
 
 
 AUDIO_META = T.StructType(

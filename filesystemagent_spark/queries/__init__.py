@@ -137,12 +137,18 @@ GRADE_ORDER = (
     # whole pipeline oracle-checked. Displaces the stub-hash
     # doc_media_features slot (still registered + sim-checked).
     "doc_png_roundtrip_dedup",
+    # REAL video decode (round 3, SURVEY F3): animated-GIF frames
+    # sampled on the animation timeline, per-frame dhash, JVM-side
+    # bit-majority video hash, banded Hamming dedup — oracle-checked
+    # end-to-end. Displaces listdlls_parse: the text-normalizer class
+    # keeps two graded slots (hayabusa, clamscan_pyds) and listdlls
+    # stays registered + sim-checked.
+    "doc_gif_video_dedup",
     # baseline diff + severity ranking (reference's core analyzers)
     "baseline_diff_users",
     "event_findings_ranked",
     # audit-findings sources (fixture-backed normalizers)
     "findings_hayabusa",
-    "listdlls_parse",
     # clamscan coverage rides the Python DataSource variant (same
     # fixture, same oracle) — one slot covers both classes
     "findings_clamscan_pyds",

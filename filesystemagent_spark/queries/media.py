@@ -117,6 +117,96 @@ def doc_png_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_gif_video_dedup",
+    tags=("multimodal", "video", "gif", "dedup", "mapInPandas"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 60)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_gif_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, end-to-end and oracle-checked (SURVEY F3 —
+    reference media_fingerprinting.py:166-179 fingerprints videos by
+    sampling frames and collapsing their hashes): each doc's
+    60-char-prefix md5 expands to a deterministic 3-frame 8x8 animated
+    GIF (<=64 quantized colors so the encoder's single global palette
+    holds), which the production pipeline then processes with NO
+    knowledge of how it was built:
+
+      sample_frames   — pure-stdlib animated-GIF decode (LZW,
+                        compositing, per-frame delays), frames sampled
+                        on the animation timeline, re-encoded as PNG;
+      image_features  — the image ladder perceptually hashes each
+                        sampled frame (pure PNG decode -> dhash64);
+      video_hash64    — per-video BIT-MAJORITY hash, 64 JVM-side
+                        conditional sums, one shuffle on path;
+      hamming dedup   — the banded Hamming equi-join, never pairwise.
+
+    Identical prefixes give byte-identical GIFs, identical sampled
+    frames, identical majority hashes — distance-0 pairs that DuckDB
+    oracles as an md5 equality self-join. Distinct docs produce
+    near-random 64-bit hashes: a <=2-bit collision between any pair is
+    ~2e3/2^64 — absent at any realistic scale.
+
+    Scale shape: decode+hash is linear mapInPandas work; the only
+    shuffles are the 1-per-video majority agg and the band join."""
+    import hashlib as _hl
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    from filesystemagent_spark.functions import gif as G
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+    from filesystemagent_spark.operators.multimodal import (
+        image_features,
+        sample_frames,
+        video_hash64,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.substring("text", 1, 60)).alias("hp")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, hp in zip(pdf["doc_id"], pdf["hp"]):
+                frames = []
+                for f in range(3):
+                    raw = b"".join(
+                        _hl.sha256(hp.encode() + bytes([f, i])).digest()
+                        for i in range(6)
+                    )
+                    px = _np.frombuffer(raw, dtype=_np.uint8, count=192)
+                    # quantize to 4 levels/channel: <=64 colors per GIF
+                    frames.append(((px >> 6) * 85).reshape(8, 8, 3))
+                rows.append(
+                    {
+                        "path": str(doc_id),
+                        "content": G.encode_gif_frames(frames, delay_s=1.0),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["path", "content"])
+
+    vids = docs.mapInPandas(gen, "path string, content binary")
+    frames = sample_frames(vids, every_s=1.0, max_frames=8)
+    feats = image_features(frames.select("path", F.col("frame").alias("content")))
+    vh = video_hash64(feats.select("path", "dhash64"))
+    keyed = vh.select(
+        F.col("path").cast("long").alias("doc_id"), "video_hash64"
+    )
+    pairs = hamming_near_dup_pairs(keyed, "doc_id", "video_hash64", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "doc_transform_shim",
     tags=("udf", "transform", "mapInPandas"),
     oracle="""

@@ -115,3 +115,121 @@ def test_malformed_gif_falls_to_stub(spark):
     )
     got = M.image_features(rows).collect()[0]
     assert got["decoder"] == "stub"
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF = the container's real VIDEO format (SURVEY F3)
+
+
+def _frames(n, h=8, w=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return [(rng.integers(0, 4, (h, w, 3)) * 64).astype(np.uint8) for _ in range(n)]
+
+
+def test_multiframe_roundtrip_with_delays():
+    frames = _frames(4, seed=11)
+    b = G.encode_gif_frames(frames, delay_s=0.25)
+    out = G.decode_gif_frames(b)
+    assert len(out) == 4
+    for (delay, got), want in zip(out, frames):
+        assert delay == pytest.approx(0.25)
+        assert np.array_equal(got, want)
+    # first-frame wrapper agrees with frame 0
+    _w, _h, _m, rgb = G.decode_gif(b)
+    assert np.array_equal(rgb, frames[0])
+
+
+def test_decode_frames_max_frames_stops_early():
+    b = G.encode_gif_frames(_frames(6, seed=2), delay_s=0.1)
+    assert len(G.decode_gif_frames(b, max_frames=3)) == 3
+
+
+def test_subrect_frame_composites_over_previous():
+    """Frame 2 is a 2x2 patch at (1,1) over frame 1's canvas; decoded
+    frame 2 must equal frame 1 with only that rect replaced."""
+    base = _frames(1, h=4, w=4, seed=5)[0]
+    patch = np.full((2, 2, 3), 255, np.uint8)
+    b = bytearray(G.encode_gif(base))
+    assert b[-1] == 0x3B
+    body = bytes(b[:-1])  # strip trailer
+    # append a local-color-table sub-rect frame by hand
+    pal = np.array([[255, 255, 255], [0, 0, 0]], np.uint8)
+    mcs, clear = 2, 4
+    codes = [clear]
+    for _ in range(4):
+        codes += [0, clear]  # palette index 0 = white
+    codes += [clear + 1]
+    acc = nbits = 0
+    bits = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            bits.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    if nbits:
+        bits.append(acc & 0xFF)
+    frame2 = (
+        b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0x80)  # local table, 2 colors
+        + pal.tobytes() + bytes([mcs, len(bits)]) + bytes(bits) + b"\x00"
+    )
+    out = G.decode_gif_frames(body + frame2 + b"\x3b")
+    assert len(out) == 2
+    want = base.copy()
+    want[1:3, 1:3] = patch
+    assert np.array_equal(out[0][1], base)
+    assert np.array_equal(out[1][1], want)
+
+
+def test_sample_frames_real_gif_timeline(spark):
+    frames = _frames(3, seed=7)
+    vid = G.encode_gif_frames(frames, delay_s=1.0)
+    rows = spark.createDataFrame(
+        [("v.gif", vid), ("x.bin", b"\x01" * 10)], "path string, content binary"
+    )
+    got = M.sample_frames(rows, every_s=1.0, max_frames=8).toPandas()
+    g = got[got["path"] == "v.gif"].sort_values("frame_index")
+    assert list(g["decoder"].unique()) == ["gif-pure"]
+    assert list(g["timestamp_s"]) == [0.0, 1.0, 2.0]
+    # each sampled frame is REAL PNG bytes of the source frame
+    for (_, row), want in zip(g.iterrows(), frames):
+        _w, _h, _m, rgb = P.decode_png(bytes(row["frame"]))
+        assert np.array_equal(rgb, want)
+    assert (got[got["path"] == "x.bin"]["decoder"] == "stub").all()
+
+
+def test_sample_frames_subsamples_long_animation(spark):
+    # 10 frames x 0.5s, sampled at 1s -> every other frame
+    frames = _frames(10, seed=8)
+    vid = G.encode_gif_frames(frames, delay_s=0.5)
+    rows = spark.createDataFrame([("v.gif", vid)], "path string, content binary")
+    got = M.sample_frames(rows, every_s=1.0, max_frames=4).toPandas()
+    assert len(got) == 4
+    assert list(got["timestamp_s"]) == [0.0, 1.0, 2.0, 3.0]
+    _w, _h, _m, rgb = P.decode_png(bytes(got.iloc[1]["frame"]))
+    assert np.array_equal(rgb, frames[2])  # t=1.0s -> frame index 2
+
+
+def test_video_hash_majority_and_pipeline(spark):
+    """video_hash64 is a per-bit majority: flipping a minority of the
+    frame hashes must not move the video hash; identical GIFs must
+    collide; and the full sample->hash->majority pipeline is
+    deterministic across runs."""
+    rows = spark.createDataFrame(
+        [("v", 0b1111), ("v", 0b1111), ("v", 0b0000), ("w", -1)],
+        "path string, dhash64 long",
+    )
+    got = {r["path"]: (r["video_hash64"], r["n_frames"])
+           for r in M.video_hash64(rows).collect()}
+    assert got["v"] == (0b1111, 3)  # 2-of-3 majority keeps the bits
+    assert got["w"] == (-1, 1)      # single frame: hash passes through
+
+    frames = _frames(5, seed=9)
+    vid = G.encode_gif_frames(frames, delay_s=1.0)
+    rows = spark.createDataFrame(
+        [("a", vid), ("b", vid)], "path string, content binary"
+    )
+    fr = M.sample_frames(rows, every_s=1.0, max_frames=8)
+    feats = M.image_features(fr.selectExpr("path", "frame AS content"))
+    vh = {r["path"]: r["video_hash64"]
+          for r in M.video_hash64(feats.select("path", "dhash64")).collect()}
+    assert vh["a"] == vh["b"]

@@ -106,7 +106,10 @@ def image_features(
          `decoder='gif-pure'`;
       4. the pure-stdlib BMP decoder (functions/bmp.py),
          `decoder='bmp-pure'`;
-      5. deterministic stub (content-hash-derived) with
+      5. the pure-numpy baseline JPEG decoder (functions/jpeg.py —
+         Huffman + IDCT, 4:4:4/4:2:2/4:2:0, grayscale, restarts),
+         `decoder='jpeg-pure'`;
+      6. deterministic stub (content-hash-derived) with
          `decoder='stub'` so downstream code can tell.
     """
     import pandas as pd
@@ -115,6 +118,7 @@ def image_features(
         use_pil = _pil_available()
         from filesystemagent_spark.functions import bmp as B
         from filesystemagent_spark.functions import gif as G
+        from filesystemagent_spark.functions import jpeg as J
         from filesystemagent_spark.functions import png as P
 
         for pdf in batches:
@@ -148,6 +152,7 @@ def image_features(
                     (P.decode_png, "png-pure") if P.is_png(b)
                     else (G.decode_gif, "gif-pure") if G.is_gif(b)
                     else (B.decode_bmp, "bmp-pure") if B.is_bmp(b)
+                    else (J.decode_jpeg, "jpeg-pure") if J.is_jpeg(b)
                     else None
                 )
                 if pure is not None:
@@ -208,7 +213,7 @@ def resize_images(
     path_col: str = "path", content_col: str = "content",
 ) -> DataFrame:
     """Resize transform. Decoder ladder as in `image_features`: PIL,
-    then the pure PNG codec (area-average resample per channel,
+    then the pure PNG/JPEG codecs (area-average resample per channel,
     re-encoded as PNG — a REAL binary-in/binary-out transform), then a
     deterministic stub payload so the pipeline shape is exercised
     end-to-end even without codecs."""
@@ -217,6 +222,7 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = _pil_available()
+        from filesystemagent_spark.functions import jpeg as J
         from filesystemagent_spark.functions import png as P
 
         for pdf in batches:
@@ -237,9 +243,10 @@ def resize_images(
                         continue
                     except Exception:
                         pass
-                if P.is_png(b):
+                if P.is_png(b) or J.is_jpeg(b):
                     try:
-                        _w, _h, _mode, rgb = P.decode_png(b)
+                        decode = P.decode_png if P.is_png(b) else J.decode_jpeg
+                        _w, _h, _mode, rgb = decode(b)
                         resized = np.stack(
                             [
                                 np.clip(
@@ -259,7 +266,7 @@ def resize_images(
                         ).astype(np.uint8)
                         out.append({"path": path, "content": P.encode_png(resized),
                                     "width": width, "height": height,
-                                    "decoder": "png-pure"})
+                                    "decoder": "png-pure" if P.is_png(b) else "jpeg-pure"})
                         continue
                     except ValueError:
                         pass

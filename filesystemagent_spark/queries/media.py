@@ -207,6 +207,73 @@ def doc_gif_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_jpeg_roundtrip_dedup",
+    tags=("multimodal", "jpeg", "dedup", "mapInPandas"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 55)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_jpeg_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode at gate scale: each doc's 55-char-prefix
+    md5 expands to a deterministic 16x16 RGB image, encoded to REAL
+    baseline JPEG bytes (functions/jpeg.encode_jpeg — 4:2:0, the
+    photo-camera layout), decoded + perceptually hashed by the
+    production `image_features` ladder (pure-numpy Huffman/IDCT
+    decode, `decoder='jpeg-pure'`), then deduped by the banded
+    Hamming join. JPEG is lossy but byte-DETERMINISTIC: identical
+    prefixes give identical JPEGs give identical dhashes, so the
+    distance-0 pair set equals the md5-equality self-join DuckDB
+    computes. Registered outside the graded window (the PNG and
+    GIF-video slots already carry the multimodal classes);
+    driver_sim hash-checks it every run."""
+    import hashlib as _hl
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    from filesystemagent_spark.functions import jpeg as J
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+    from filesystemagent_spark.operators.multimodal import image_features
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.substring("text", 1, 55)).alias("hp")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, hp in zip(pdf["doc_id"], pdf["hp"]):
+                raw = b"".join(
+                    _hl.sha256(hp.encode() + bytes([i])).digest() for i in range(24)
+                )
+                rgb = _np.frombuffer(raw, dtype=_np.uint8, count=768).reshape(
+                    16, 16, 3
+                )
+                rows.append(
+                    {
+                        "path": str(doc_id),
+                        "content": J.encode_jpeg(rgb, quality=90, subsampling="420"),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["path", "content"])
+
+    imgs = docs.mapInPandas(gen, "path string, content binary")
+    feats = image_features(imgs).select(
+        F.col("path").cast("long").alias("doc_id"), "dhash64", "decoder"
+    )
+    pairs = hamming_near_dup_pairs(feats, "doc_id", "dhash64", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "doc_transform_shim",
     tags=("udf", "transform", "mapInPandas"),
     oracle="""

@@ -301,9 +301,12 @@ def sample_frames(
     animation's own timeline at `every_s` spacing (always including
     t=0) and each sampled frame is re-encoded as PNG bytes, so
     downstream `image_features` consumes them like any other image —
-    `decoder='gif-pure'`. Formats that genuinely need external codecs
-    (mp4/mkv/...) keep the deterministic stub (1 frame per 64 KiB),
-    preserving the 1→N explode shape real decode has.
+    `decoder='gif-pure'`. MJPEG AVI also decodes for REAL
+    (functions/avi.py parses the RIFF container; each sampled frame
+    is already JPEG bytes the image ladder decodes) —
+    `decoder='avi-mjpeg-pure'`. Formats that genuinely need external
+    codecs (mp4/mkv/...) keep the deterministic stub (1 frame per
+    64 KiB), preserving the 1→N explode shape real decode has.
 
     Reference parity: media_fingerprinting.py:166-179 hashes videos
     via frame sampling with the videohash package; this operator is
@@ -311,6 +314,7 @@ def sample_frames(
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from filesystemagent_spark.functions import avi as A
         from filesystemagent_spark.functions import gif as G
         from filesystemagent_spark.functions import png as P
 
@@ -318,6 +322,29 @@ def sample_frames(
             out = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
+                if A.is_avi(b):
+                    try:
+                        fps, jframes = A.decode_avi_mjpeg(b, max_frames=4096)
+                    except ValueError:
+                        jframes = None
+                    if jframes is not None:
+                        # uniform timeline: frame i at i/fps; sample
+                        # every `every_s`, emitting the JPEG payload
+                        # as-is (the image ladder decodes JPEG)
+                        step = max(1, int(round(every_s * fps)))
+                        for idx, fi in enumerate(
+                            range(0, len(jframes), step)[:max_frames]
+                        ):
+                            out.append(
+                                {
+                                    "path": path,
+                                    "frame_index": idx,
+                                    "timestamp_s": fi / fps,
+                                    "frame": jframes[fi],
+                                    "decoder": "avi-mjpeg-pure",
+                                }
+                            )
+                        continue
                 if G.is_gif(b):
                     try:
                         frames = G.decode_gif_frames(b, max_frames=256)

@@ -167,3 +167,58 @@ def reach_min_hops(
         GROUP BY node
         """
     )
+
+
+def triangle_counts(edges_oneway: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    given as canonical one-way edges (``src < dst``, distinct).
+    Returns (node, n_triangles) for every node in >= 1 triangle.
+
+    Scale shape — the classic degree-ordered orientation (node
+    iterator / "compact-forward"): each undirected edge is directed
+    from the endpoint with the smaller (degree, id) rank to the
+    larger, which bounds every out-neighborhood by O(sqrt(m)). The
+    wedge self-join therefore generates O(m^1.5) candidates worst
+    case (vs O(Σ deg²) un-oriented — quadratic in the hottest hub),
+    and the closing check is one more equi-join, never a per-node
+    loop. Three shuffles total: degree agg, wedge join on the pivot
+    node, closure join on the (b, c) pair.
+
+    The triangle SET is orientation-invariant, so a SQL oracle that
+    orients by plain id (3-way self-join with a<b<c) counts the
+    same triangles."""
+    both = edges_oneway.unionAll(
+        edges_oneway.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "n")
+
+    keep = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    e = (
+        edges_oneway.join(deg.withColumnsRenamed({"n": "src", "d": "ds"}), "src")
+        .join(deg.withColumnsRenamed({"n": "dst", "d": "dd"}), "dst")
+        .select(
+            F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("a"),
+            F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("b"),
+            # rank of the head endpoint, for ordering wedge arms
+            F.when(keep, F.col("dd")).otherwise(F.col("ds")).alias("rank_b"),
+        )
+    )
+    # wedge: two oriented edges out of the same pivot a, endpoints
+    # ordered by (deg, id) rank so each unordered pair appears once
+    e1 = e.select(F.col("a"), F.col("b"), F.col("rank_b"))
+    e2 = e.select(
+        F.col("a"), F.col("b").alias("c"), F.col("rank_b").alias("rank_c")
+    )
+    wedges = e1.join(e2, "a").where(
+        (F.col("rank_b") < F.col("rank_c"))
+        | ((F.col("rank_b") == F.col("rank_c")) & (F.col("b") < F.col("c")))
+    )
+    closing = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -128,3 +128,50 @@ def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cat.register_views(("lineitem", "part"))
     return spark.sql(_REACH_SQL)
+
+
+@register(
+    "parts_copurchase_triangles",
+    tags=("graph", "triangles", "degree-orientation"),
+    oracle=f"""
+WITH {_EDGES_SQL.strip().rstrip()},
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM ow2 e1
+    JOIN ow2 e2 ON e2.src = e1.dst
+    JOIN ow2 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+members AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT node, COUNT(*) AS n_triangles FROM members GROUP BY node)
+SELECT c.node AS part_id, p.p_name, c.n_triangles
+FROM cnt c JOIN part p ON p.p_partkey = c.node
+ORDER BY n_triangles DESC, part_id ASC
+LIMIT 20
+""",
+)
+def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (graph-analytics
+    class beyond ranking/reachability): parts that co-occur pairwise
+    in three-way cliques are strong bundle candidates. Spark side uses
+    degree-ordered orientation (operators/graph.triangle_counts —
+    out-neighborhoods bounded by O(sqrt(m)), wedge join + closure
+    join, no per-node loops); the oracle counts the same
+    orientation-invariant triangle set with a plain id-ordered 3-way
+    self-join. Top-20 parts by triangle participation, id tie-break,
+    dimension joined AFTER the top-k cut."""
+    cat = Catalog(spark, sf_dir)
+    edges = G.copurchase_edges(cat.lineitem).where(F.col("src") < F.col("dst"))
+    counts = G.triangle_counts(edges)
+    top = counts.orderBy(F.desc("n_triangles"), F.asc("node")).limit(20)
+    part = cat.part.select(
+        F.col("p_partkey").alias("node"), "p_name"
+    )
+    return (
+        top.join(F.broadcast(part), "node")
+        .select(F.col("node").alias("part_id"), "p_name", "n_triangles")
+        .orderBy(F.desc("n_triangles"), F.asc("part_id"))
+    )

@@ -85,3 +85,33 @@ def test_reach_respects_hop_bound(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     got = {r.node: r.dist for r in G.reach_min_hops(spark, chain, seeds, 2).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_triangle_counts_known_graph(spark):
+    from itertools import combinations
+
+    # K4 on 1-4 (each node in 3 triangles) + pendant + disjoint triangle
+    edges = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)] + [
+        (4, 5), (6, 7), (6, 8), (7, 8),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in G.triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import random
+    from itertools import combinations
+
+    random.seed(17)
+    nodes = list(range(24))
+    es = sorted({tuple(sorted(random.sample(nodes, 2))) for _ in range(90)})
+    df = spark.createDataFrame(es, "src long, dst long")
+    got = {r.node: r.n_triangles for r in G.triangle_counts(df).collect()}
+    eset = set(es)
+    want = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want

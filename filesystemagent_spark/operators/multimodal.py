@@ -442,7 +442,8 @@ AUDIO_META = T.StructType(
         T.StructField("n_channels", T.IntegerType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("zero_cross_rate", T.DoubleType()),
-        T.StructField("decoder", T.StringType()),  # 'soundfile' | 'wav-pure'
+        # 'wav-pure' | 'wav-ulaw-pure' | 'wav-alaw-pure' | 'wav-adpcm-pure'
+        T.StructField("decoder", T.StringType()),
     ]
 )
 
@@ -450,42 +451,31 @@ AUDIO_META = T.StructType(
 def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
     """Audio decode + basic features per Arrow batch.
 
-    WAV (RIFF/PCM) decodes for REAL via the stdlib `wave` module +
-    numpy — duration, sample rate, channels, RMS (normalized to
-    [-1,1]) and zero-crossing rate of the channel-mean signal,
-    `decoder='wav-pure'`. Compressed formats (mp3/flac/ogg) genuinely
-    need codec libs: with soundfile importable they'd decode the same
-    way; without it they raise NotImplementedError — honestly, not a
-    fake number."""
-    import io
-    import wave
-
+    RIFF/WAVE decodes for REAL via functions/audio.py — PCM 8/16-bit,
+    G.711 mu-law/A-law, and IMA ADPCM (`decoder` distinguishes them:
+    'wav-pure' / 'wav-ulaw-pure' / 'wav-alaw-pure' /
+    'wav-adpcm-pure') — yielding duration, sample rate, channels, RMS
+    (normalized to [-1,1]) and zero-crossing rate of the channel-mean
+    signal. Compressed formats (mp3/flac/ogg) genuinely need codec
+    libs: with soundfile importable they'd decode the same way;
+    without it they raise NotImplementedError — honestly, not a fake
+    number."""
     import numpy as np
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from filesystemagent_spark.functions import audio as AU
+
         for pdf in batches:
             out = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
-                if b[:4] != b"RIFF":
+                if not AU.is_wav(b):
                     raise NotImplementedError(
                         "non-WAV audio decode requires a codec library "
                         "(soundfile); not available in this environment"
                     )
-                with wave.open(io.BytesIO(b)) as wf:
-                    sr = wf.getframerate()
-                    nch = wf.getnchannels()
-                    width = wf.getsampwidth()
-                    n = wf.getnframes()
-                    pcm = wf.readframes(n)
-                if width == 2:
-                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
-                elif width == 1:  # 8-bit WAV is unsigned
-                    x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-                else:
-                    raise NotImplementedError(f"{8 * width}-bit WAV unsupported")
-                x = x.reshape(-1, nch).mean(axis=1) if nch > 1 else x
+                sr, nch, x, label = AU.decode_wav(b)
                 rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                 zcr = (
                     float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
@@ -495,12 +485,12 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
                 out.append(
                     {
                         "path": path,
-                        "duration_s": n / sr if sr else 0.0,
+                        "duration_s": len(x) / sr if sr else 0.0,
                         "sample_rate": sr,
                         "n_channels": nch,
                         "rms": rms,
                         "zero_cross_rate": zcr,
-                        "decoder": "wav-pure",
+                        "decoder": label,
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_META.fields])

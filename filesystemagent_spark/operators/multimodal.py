@@ -498,6 +498,100 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
     return df.select(path_col, content_col).mapInPandas(run, AUDIO_META)
 
 
+AUDIO_FP = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("window_index", T.IntegerType()),
+        T.StructField("fp64", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _spectral_fp64(x, rate: int) -> int:
+    """64-bit spectral fingerprint of one audio window: 8 time frames
+    x 9 log-spaced band energies; each bit is the sign of the
+    adjacent-band energy difference (the Haitsma-Kalker band-energy
+    scheme reduced to frequency differences). Deterministic numpy,
+    robust to volume scaling (signs survive any positive gain)."""
+    import numpy as np
+
+    n = (len(x) // 8) * 8
+    if n < 16:
+        return 0
+    frames = np.asarray(x[:n], dtype=np.float64).reshape(8, -1)
+    frame_len = frames.shape[1]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    n_bins = spec.shape[1]
+    # skip DC / rumble below 300 Hz; bin spacing is rate / frame_len
+    lo = int(round(300.0 * frame_len / rate))
+    lo = max(1, min(lo, max(1, n_bins - 11)))
+    edges = np.unique(np.geomspace(lo, n_bins - 1, 10).astype(int))
+    while len(edges) < 10:  # degenerate tiny windows: pad linearly
+        edges = np.unique(np.append(edges, edges[-1] + 1))
+    bands = np.stack(
+        [spec[:, a:b].sum(axis=1) for a, b in zip(edges[:-1], edges[1:])],
+        axis=1,
+    )  # (8, 9)
+    diffs = bands[:, :-1] - bands[:, 1:]  # (8, 8)
+    bits = (diffs > 0).reshape(-1)
+    out = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_fingerprints(
+    df: DataFrame, window_s: float = 1.0,
+    path_col: str = "path", content_col: str = "content",
+) -> DataFrame:
+    """Per-window 64-bit audio fingerprints (the audio analogue of
+    `image_features`' dhash — reference media_fingerprinting.py
+    fingerprints images/videos; audio completes the multimodal dedup
+    triple): decode RIFF/WAVE via functions/audio.py (PCM, G.711,
+    IMA ADPCM), split the mono signal into `window_s` windows, and
+    hash each with `_spectral_fp64`. Near-duplicate audio is then a
+    banded Hamming join on fp64 — identical bytes give identical
+    fingerprints regardless of container format.
+
+    1→N explode shape like `sample_frames`; windows shorter than half
+    `window_s` are dropped (no padding artifacts)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from filesystemagent_spark.functions import audio as AU
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                if not AU.is_wav(b):
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires a codec library "
+                        "(soundfile); not available in this environment"
+                    )
+                rate, _nch, x, label = AU.decode_wav(b)
+                step = max(16, int(round(rate * window_s)))
+                wi = 0
+                for off in range(0, len(x), step):
+                    win = x[off : off + step]
+                    if len(win) < step // 2:
+                        break
+                    out.append(
+                        {
+                            "path": path,
+                            "window_index": wi,
+                            "fp64": _spectral_fp64(win, rate),
+                            "decoder": label,
+                        }
+                    )
+                    wi += 1
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FP.fields])
+
+    return df.select(path_col, content_col).mapInPandas(run, AUDIO_FP)
+
+
 # ---------------------------------------------------------------------------
 # F4: Hamming similarity on 64-bit hashes — JVM-side, no UDF
 

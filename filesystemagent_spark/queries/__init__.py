@@ -127,8 +127,13 @@ GRADE_ORDER = (
     "events_nearby_views",
     "events_value_mad",
     "events_user_seq",
-    # cogrouped applyInPandas (round-2 API surface)
-    "events_cogroup_asof",
+    # REAL audio decode + spectral-fingerprint dedup (round 3):
+    # G.711 mu-law WAV synthesized per doc, decoded and fingerprinted
+    # by the production audio ladder, banded-Hamming deduped,
+    # oracle-checked end-to-end. Displaces events_cogroup_asof: its
+    # as-of SEMANTICS stay graded via events_asof_prior_view, and the
+    # cogroup-applyInPandas API gate stays registered + sim-checked.
+    "doc_wav_audio_dedup",
     # frequent-items sketch, exact-regime so it stays oracle-backed
     "events_type_topk_sketch",
     # multimodal binary columns with REAL decode (round 3): PNG bytes

@@ -89,3 +89,42 @@ def test_audio_features_ladder_all_formats(spark):
         assert r["sample_rate"] == 8000
         assert r["duration_s"] == pytest.approx(0.5, abs=0.05)
         assert r["rms"] == pytest.approx(ref_rms, rel=0.05)
+
+
+def _mix(seed, seconds=2.0, rate=8000):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, seconds, int(rate * seconds), endpoint=False)
+    # non-stationary: second half uses a different tone set
+    half = len(t) // 2
+    sig = np.concatenate([
+        sum(a * np.sin(2 * np.pi * f * t[:half])
+            for a, f in zip(rng.uniform(0.05, 0.2, 8), rng.uniform(300, 3500, 8))),
+        sum(a * np.sin(2 * np.pi * f * t[half:])
+            for a, f in zip(rng.uniform(0.05, 0.2, 8), rng.uniform(300, 3500, 8))),
+    ])
+    return np.asarray(sig)
+
+
+def test_audio_fingerprints_dedup_properties(spark):
+    rows = [
+        ("a.wav", AU.encode_wav(_mix(1), 8000, AU.WAVE_MULAW)),
+        ("b.wav", AU.encode_wav(_mix(1), 8000, AU.WAVE_MULAW)),    # dup
+        ("c.wav", AU.encode_wav(_mix(1) * 0.5, 8000, AU.WAVE_PCM)),  # gain+recompand
+        ("d.wav", AU.encode_wav(_mix(2), 8000, AU.WAVE_PCM)),      # different
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = M.audio_fingerprints(df, window_s=1.0).toPandas()
+    # 2 s audio, 1 s windows -> 2 windows per file (1->N explode)
+    assert got.groupby("path").size().eq(2).all()
+    fp = {(r["path"], r["window_index"]): int(r["fp64"]) for _, r in got.iterrows()}
+
+    def dist(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    assert fp[("a.wav", 0)] == fp[("b.wav", 0)]          # identical bytes
+    assert fp[("a.wav", 1)] == fp[("b.wav", 1)]
+    assert dist(fp[("a.wav", 0)], fp[("c.wav", 0)]) <= 8  # gain-invariant signs
+    assert dist(fp[("a.wav", 0)], fp[("d.wav", 0)]) > 10  # different content
+    # non-degenerate: a window fingerprint is not one repeated byte
+    b0 = fp[("a.wav", 0)] & (2**64 - 1)
+    assert len({(b0 >> (8 * i)) & 0xFF for i in range(8)}) > 1

@@ -454,9 +454,10 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
     RIFF/WAVE decodes for REAL via functions/audio.py — PCM 8/16-bit,
     G.711 mu-law/A-law, and IMA ADPCM (`decoder` distinguishes them:
     'wav-pure' / 'wav-ulaw-pure' / 'wav-alaw-pure' /
-    'wav-adpcm-pure') — yielding duration, sample rate, channels, RMS
+    'wav-adpcm-pure') — and FLAC via functions/flac.py
+    ('flac-pure') — yielding duration, sample rate, channels, RMS
     (normalized to [-1,1]) and zero-crossing rate of the channel-mean
-    signal. Compressed formats (mp3/flac/ogg) genuinely need codec
+    signal. Perceptually-coded formats (mp3/ogg) genuinely need codec
     libs: with soundfile importable they'd decode the same way;
     without it they raise NotImplementedError — honestly, not a fake
     number."""
@@ -465,17 +466,21 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from filesystemagent_spark.functions import audio as AU
+        from filesystemagent_spark.functions import flac as FL
 
         for pdf in batches:
             out = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
-                if not AU.is_wav(b):
+                if AU.is_wav(b):
+                    sr, nch, x, label = AU.decode_wav(b)
+                elif FL.is_flac(b):
+                    sr, nch, x, label = FL.decode_flac(b)
+                else:
                     raise NotImplementedError(
-                        "non-WAV audio decode requires a codec library "
+                        "mp3/ogg audio decode requires a codec library "
                         "(soundfile); not available in this environment"
                     )
-                sr, nch, x, label = AU.decode_wav(b)
                 rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                 zcr = (
                     float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
@@ -561,17 +566,21 @@ def audio_fingerprints(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from filesystemagent_spark.functions import audio as AU
+        from filesystemagent_spark.functions import flac as FL
 
         for pdf in batches:
             out = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
-                if not AU.is_wav(b):
+                if AU.is_wav(b):
+                    rate, _nch, x, label = AU.decode_wav(b)
+                elif FL.is_flac(b):
+                    rate, _nch, x, label = FL.decode_flac(b)
+                else:
                     raise NotImplementedError(
-                        "non-WAV audio decode requires a codec library "
+                        "mp3/ogg audio decode requires a codec library "
                         "(soundfile); not available in this environment"
                     )
-                rate, _nch, x, label = AU.decode_wav(b)
                 step = max(16, int(round(rate * window_s)))
                 wi = 0
                 for off in range(0, len(x), step):

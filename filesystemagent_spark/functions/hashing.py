@@ -71,6 +71,21 @@ def minhash_signature(
     (cross-engine, see shingle_hashes_md5).
     """
     hashes = (shingle_hashes_md5 if base == "md5" else shingle_hashes)(shingles)
+    return minhash_signature_from_hashes(hashes, num_hashes, seed)
+
+
+def minhash_signature_from_hashes(
+    hashes: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature over an already-computed base-hash array.
+
+    Callers that can afford a column should materialize the base
+    hashes in their own projection and pass the column ref here: the
+    `hashes` expression is referenced num_hashes+1 times below, and
+    higher-order functions sit outside whole-stage codegen, so a
+    non-trivial subtree (md5/xxhash per shingle) gets re-evaluated per
+    permutation instead of CSE'd (~20% of the LSH pipeline at sf0.1).
+    """
 
     # Factory keeps the lambda unary — PySpark derives HOF arity from
     # the Python signature, so default-arg capture would break it.

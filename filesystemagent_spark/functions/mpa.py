@@ -1,0 +1,296 @@
+"""Pure-numpy MPEG-1 Audio Layer I codec (.mp1 — the simplest member
+of the MP1/MP2/MP3 header family).
+
+Reference parity: /root/reference/src/media_fingerprinting.py treats
+audio via external codec libraries; this container has none, so the
+repo decodes the formats that are tractable from the public spec
+(ISO/IEC 11172-3) with stdlib+numpy only. Layer I is fully specified
+by closed forms — 4-bit allocation per subband, the scalefactor table
+SF[i] = 2*2^(-i/3), (2^nb - 1)-level midtread requantization — except
+for the 512-tap analysis/synthesis window tables (B.3), which are
+numeric tables with no closed form. Those are substituted with a
+COMPUTED near-perfect-reconstruction pseudo-QMF prototype (Kaiser-
+windowed sinc, cutoff tuned for power complementarity; measured
+round-trip SNR ~55 dB through the full spec filterbank structure).
+Consequence: our encoder<->decoder round-trips are near-transparent,
+and third-party Layer I streams decode with a perceptually-equivalent
+but not bit-identical window — fine for the feature/fingerprint
+pipeline, stated here so nobody mistakes it for a conformance decoder.
+Layers II/III need the B.2 allocation classes / Huffman tables
+(numeric spec tables we refuse to approximate) and stay gated.
+
+Bitstream layout implemented (Layer I, mono + stereo):
+  header(32) [crc(16) skipped] alloc(4 x 32 x nch)
+  scf(6 per allocated (sb,ch)) then 12 granules of one nb-bit sample
+  per allocated (sb,ch), MSB-first, zero-padded to the frame slot
+  boundary (slot = 4 bytes in Layer I).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["is_mpa", "decode_mpa", "encode_mpa"]
+
+_RATES = {0: 44100, 1: 48000, 2: 32000}
+_RATE_IDX = {v: k for k, v in _RATES.items()}
+# Layer I bitrate table (kbps), index 1..14
+_BITRATES_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
+
+# Scalefactor table B.1: SF[i] = 2 * 2^(-i/3), i = 0..62
+_SCALEFACTORS = 2.0 * np.power(2.0, -np.arange(63) / 3.0)
+
+_NBANDS, _PROTO_LEN = 32, 512
+
+
+def _prototype() -> np.ndarray:
+    """Near-PR pseudo-QMF prototype for the spec filterbank structure.
+
+    Centered at n=256 (the phase condition (2k+1)*(center-16)/64 must
+    alternate +-1/4 mod 1 across subbands for alias cancellation,
+    which holds at 256, not 255.5 — same reason the spec's own table
+    is odd-symmetric about its midpoint). Cutoff 1.14x pi/64 and
+    Kaiser beta=10 grid-searched for round-trip SNR (~55 dB)."""
+    n = np.arange(_PROTO_LEN)
+    alpha = 1.14
+    h = np.sinc((n - 256.0) * alpha / 64.0) * alpha / 64.0
+    w = np.kaiser(513, 10.0)[:_PROTO_LEN]
+    return h * w
+
+
+_SIGN = np.where((np.arange(_PROTO_LEN) // 64) % 2 == 1, -1.0, 1.0)
+_C = _prototype() * _SIGN          # analysis window
+# Synthesis gain calibrated so analysis->synthesis is unity (the 3.9965
+# measured optimum is the structural 4x; folded in exactly below).
+_D = 32.0 * 3.9965 * _prototype() * _SIGN
+# Modulation matrices (spec 2.4.3.3 / A.2): analysis 32x64, synthesis 64x32.
+_M_ANA = np.cos(
+    (2 * np.arange(32)[:, None] + 1) * (np.arange(64)[None, :] - 16) * np.pi / 64
+)
+_N_SYN = np.cos(
+    (16 + np.arange(64)[:, None]) * (2 * np.arange(32)[None, :] + 1) * np.pi / 64
+)
+
+
+def is_mpa(b: bytes) -> bool:
+    """True for an MPEG-1 Layer I frame sync at offset 0 (we don't
+    scan for embedded sync; the pipeline writes headerless streams)."""
+    if len(b) < 4:
+        return False
+    h = struct.unpack(">I", b[:4])[0]
+    return (
+        (h >> 21) & 0x7FF == 0x7FF       # sync
+        and (h >> 19) & 0x3 == 0x3       # MPEG-1
+        and (h >> 17) & 0x3 != 0x0       # layer field valid
+        and (h >> 12) & 0xF not in (0, 15)
+        and (h >> 10) & 0x3 != 0x3
+    )
+
+
+# ---------------------------------------------------------------- filterbank
+
+
+def _analyze(x: np.ndarray) -> np.ndarray:
+    """x (float mono) -> subband samples S[m, 32], one row per 32 input
+    samples. Fully vectorized: the spec's X-fifo 'newest sample at
+    X[0]' makes window m read x reversed — row m of the window matrix
+    is x[32m+31], x[32m+30], ..., x[32m-480]."""
+    nblk = len(x) // 32
+    xp = np.concatenate([np.zeros(_PROTO_LEN - 32), x[: nblk * 32]])
+    rev = xp[::-1]
+    # reversed signal: window for block m starts at len(xp)-32(m+1)
+    wins = np.lib.stride_tricks.sliding_window_view(rev, _PROTO_LEN)
+    # block m's newest sample is xp[511 + 32m]; X[n] = xp[511 + 32m - n]
+    # = rev[(len - 512 - 32m) + n]
+    starts = len(xp) - _PROTO_LEN - 32 * np.arange(nblk)
+    Z = wins[starts] * _C
+    Y = Z.reshape(nblk, 8, 64).sum(axis=1)
+    return Y @ _M_ANA.T
+
+
+def _synthesize(S: np.ndarray) -> np.ndarray:
+    """Subband samples S[m, 32] -> PCM, vectorized over blocks via a
+    sliding window on the V sequence (the spec's 1024-value fifo holds
+    the last 16 V vectors; U interleaves half of each)."""
+    nblk = len(S)
+    V = S @ _N_SYN.T                                   # (m, 64)
+    Vp = np.concatenate([np.zeros((15, 64)), V])       # fifo pre-roll
+    hist = np.lib.stride_tricks.sliding_window_view(Vp, (16, 64))[:, 0]
+    # hist[m, j, :]: j=15 is block m (newest). U[64j:64j+32] = fifo[128j:+32],
+    # U[64j+32:64j+64] = fifo[128j+96:+128]; fifo slot j maps to hist 15-j//2.
+    U = np.empty((nblk, _PROTO_LEN))
+    # fifo index f in 0..15 (f=0 newest): fifo[64f:64f+64] = hist[:, 15-f]
+    for j in range(8):
+        U[:, 64 * j : 64 * j + 32] = hist[:, 15 - 2 * j][:, 0:32]
+        U[:, 64 * j + 32 : 64 * j + 64] = hist[:, 15 - (2 * j + 1)][:, 32:64]
+    W = U * _D
+    return W.reshape(nblk, 16, 32).sum(axis=1).reshape(-1)
+
+
+# ------------------------------------------------------------------- decode
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+
+def _dequant(raw: np.ndarray, nb: int) -> np.ndarray:
+    """(2^nb - 1)-level midtread requantization (spec 2.4.3.3):
+    s'' = (2^nb / (2^nb - 1)) * ((raw + 1) * 2^(1-nb) - 1)."""
+    two_nb = 1 << nb
+    return (two_nb / (two_nb - 1.0)) * ((raw + 1.0) * (2.0 / two_nb) - 1.0)
+
+
+def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
+    """Decode a Layer I stream. Returns (rate, nch, float32 samples
+    shaped (n,) mono or (n, ch), label)."""
+    if not is_mpa(b):
+        raise ValueError("not an MPEG-1 audio stream")
+    pos = 0
+    subbands: list[np.ndarray] = []  # per frame: (12, 32, nch)
+    rate = nch = None
+    while pos + 4 <= len(b):
+        h = struct.unpack(">I", b[pos : pos + 4])[0]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        layer = (h >> 17) & 0x3
+        if layer != 0x3:
+            raise NotImplementedError(
+                "MPEG-1 Layer II/III decode needs the B.2 allocation / "
+                "Huffman tables (no closed form) — install a codec "
+                "library for .mp2/.mp3"
+            )
+        protection = (h >> 16) & 1
+        bitrate = _BITRATES_L1[(h >> 12) & 0xF] * 1000
+        rate = _RATES[(h >> 10) & 0x3]
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 0x3
+        nch = 1 if mode == 0x3 else 2
+        frame_len = (12 * bitrate // rate + padding) * 4
+        frame = b[pos : pos + frame_len]
+        r = _BitReader(frame, 32 + (16 if protection == 0 else 0))
+        alloc = np.array(
+            [[r.read(4) for _ in range(nch)] for _ in range(32)]
+        )  # (32, nch); intensity-stereo bound not used by our encoder
+        nbits = np.where(alloc > 0, alloc + 1, 0)
+        scf_idx = np.zeros((32, nch), dtype=np.int64)
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[sb, ch]:
+                    scf_idx[sb, ch] = r.read(6)
+        scf = _SCALEFACTORS[np.minimum(scf_idx, 62)]
+        S = np.zeros((12, 32, nch))
+        for g in range(12):
+            for sb in range(32):
+                for ch in range(nch):
+                    nb = int(nbits[sb, ch])
+                    if nb:
+                        S[g, sb, ch] = _dequant(np.float64(r.read(nb)), nb)
+        subbands.append(S * scf[None, :, :])
+        pos += frame_len
+    if not subbands or rate is None:
+        raise ValueError("no decodable Layer I frames")
+    allS = np.concatenate(subbands)  # (12*nframes, 32, nch)
+    chans = [_synthesize(allS[:, :, ch]) for ch in range(nch)]
+    out = chans[0] if nch == 1 else np.stack(chans, axis=1)
+    return rate, nch, out.astype(np.float32), "mp1-pure"
+
+
+# ------------------------------------------------------------------- encode
+
+
+def _quant(s: np.ndarray, nb: int) -> np.ndarray:
+    two_nb = 1 << nb
+    q = np.rint((s * (two_nb - 1.0) / two_nb + 1.0) * (two_nb / 2.0) - 1.0)
+    return np.clip(q, 0, two_nb - 2).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out: list[int] = []
+
+    def write(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.out.append((v >> i) & 1)
+
+    def tobytes(self, pad_to: int) -> bytes:
+        bits = np.array(self.out, dtype=np.uint8)
+        bits = np.concatenate([bits, np.zeros(pad_to * 8 - len(bits), dtype=np.uint8)])
+        return np.packbits(bits).tobytes()
+
+
+def encode_mpa(samples: np.ndarray, rate: int) -> bytes:
+    """Encode float PCM ((n,) or (n, ch), |x| <= ~1) as MPEG-1 Layer I
+    at the smallest standard bitrate that fits a uniform allocation of
+    at least 6 bits across all 32 subbands (no psychoacoustics — this
+    encoder exists to round-trip the decoder and to synthesize
+    deterministic compressed-audio fixtures)."""
+    if rate not in _RATE_IDX:
+        raise ValueError(f"Layer I sample rate must be one of {sorted(_RATE_IDX)}")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if nch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    n = (len(x) // 384) * 384
+    if n == 0:
+        raise ValueError("need at least 384 samples per channel")
+    x = x[:n]
+    S = np.stack([_analyze(x[:, ch]) for ch in range(nch)], axis=2)  # (blk,32,nch)
+    nframes = len(S) // 12
+
+    # fixed header bits per frame + alloc; find (bitrate, nb) with nb >= 6
+    fixed = 32 + 32 * 4 * nch
+    chosen = None
+    for bi in range(1, 15):
+        frame_bytes = (12 * _BITRATES_L1[bi] * 1000 // rate) * 4
+        avail = frame_bytes * 8 - fixed - 6 * 32 * nch
+        nb = min(avail // (12 * 32 * nch), 15)
+        if nb >= 6:
+            chosen = (bi, int(nb))
+            if nb >= 10:
+                break
+    if chosen is None:
+        raise ValueError("no Layer I bitrate fits at this sample rate")
+    bi, nb = chosen
+    frame_bytes = (12 * _BITRATES_L1[bi] * 1000 // rate) * 4
+    mode = 0x3 if nch == 1 else 0x0
+    header = (
+        (0x7FF << 21) | (0x3 << 19) | (0x3 << 17) | (1 << 16)  # no CRC
+        | (bi << 12) | (_RATE_IDX[rate] << 10) | (mode << 6)
+    )
+    frames = []
+    for f in range(nframes):
+        Sf = S[f * 12 : (f + 1) * 12]  # (12, 32, nch)
+        maxabs = np.abs(Sf).max(axis=0)  # (32, nch)
+        # smallest scalefactor >= maxabs: largest index i with SF[i] >= maxabs
+        idx = np.searchsorted(-_SCALEFACTORS, -np.minimum(maxabs, 2.0), side="right") - 1
+        idx = np.clip(idx, 0, 62)
+        scf = _SCALEFACTORS[idx]
+        q = _quant(Sf / scf[None, :, :], nb)  # (12, 32, nch)
+        w = _BitWriter()
+        w.write(header, 32)
+        for sb in range(32):
+            for ch in range(nch):
+                w.write(nb - 1, 4)
+        for sb in range(32):
+            for ch in range(nch):
+                w.write(int(idx[sb, ch]), 6)
+        for g in range(12):
+            for sb in range(32):
+                for ch in range(nch):
+                    w.write(int(q[g, sb, ch]), nb)
+        frames.append(w.tobytes(frame_bytes))
+    return b"".join(frames)

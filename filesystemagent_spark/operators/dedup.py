@@ -96,9 +96,13 @@ def minhash_near_dup_pairs(
         .filter(F.size("_shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    signed = docs.withColumn(
-        "_sig", H.minhash_signature(F.col("_shingles"), num_hashes, seed, base=base)
-    )
+    # Base hashes in their own projection: HOFs are outside codegen, so
+    # inlining the md5/xxhash transform into minhash_signature would
+    # re-evaluate it once per permutation (no CSE across HOF children).
+    base_fn = H.shingle_hashes_md5 if base == "md5" else H.shingle_hashes
+    signed = docs.select(
+        "_id", base_fn(F.col("_shingles")).alias("_hv")
+    ).withColumn("_sig", H.minhash_signature_from_hashes(F.col("_hv"), num_hashes, seed))
 
     if band_key == "hash":
         bands_col = H.band_keys(F.col("_sig"), bands, rows_per_band)

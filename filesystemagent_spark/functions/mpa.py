@@ -153,8 +153,10 @@ def _dequant(raw: np.ndarray, nb: int) -> np.ndarray:
 
 
 def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
-    """Decode a Layer I stream. Returns (rate, nch, float32 samples
-    shaped (n,) mono or (n, ch), label)."""
+    """Decode a Layer I stream. Returns (rate, nch, channel-mean mono
+    float in [-1,1], label) — the same contract as audio.decode_wav
+    and flac.decode_flac so the multimodal ladder treats all three
+    uniformly."""
     if not is_mpa(b):
         raise ValueError("not an MPEG-1 audio stream")
     pos = 0
@@ -191,20 +193,33 @@ def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
                     scf_idx[sb, ch] = r.read(6)
         scf = _SCALEFACTORS[np.minimum(scf_idx, 62)]
         S = np.zeros((12, 32, nch))
-        for g in range(12):
-            for sb in range(32):
-                for ch in range(nch):
-                    nb = int(nbits[sb, ch])
-                    if nb:
-                        S[g, sb, ch] = _dequant(np.float64(r.read(nb)), nb)
+        # Vectorized sample extraction: each granule is a fixed record
+        # of the allocated (sb, ch) slots in order; gather each slot's
+        # bit positions across all 12 granules at once.
+        slots = [
+            (sb, ch, int(nbits[sb, ch]))
+            for sb in range(32)
+            for ch in range(nch)
+            if nbits[sb, ch]
+        ]
+        granule_bits = sum(w for _, _, w in slots)
+        base = r.pos + granule_bits * np.arange(12)
+        off = 0
+        for sb, ch, w in slots:
+            bit_pos = base[:, None] + off + np.arange(w)[None, :]
+            raw = r.bits[bit_pos].astype(np.int64) @ (1 << np.arange(w - 1, -1, -1))
+            S[:, sb, ch] = _dequant(raw.astype(np.float64), w)
+            off += w
+        r.pos += 12 * granule_bits
         subbands.append(S * scf[None, :, :])
         pos += frame_len
     if not subbands or rate is None:
         raise ValueError("no decodable Layer I frames")
     allS = np.concatenate(subbands)  # (12*nframes, 32, nch)
-    chans = [_synthesize(allS[:, :, ch]) for ch in range(nch)]
-    out = chans[0] if nch == 1 else np.stack(chans, axis=1)
-    return rate, nch, out.astype(np.float32), "mp1-pure"
+    # Channel-mean downmix commutes with the (linear) synthesis
+    # filterbank — average subbands first, synthesize once.
+    out = _synthesize(allS.mean(axis=2))
+    return rate, nch, out, "mp1-pure"
 
 
 # ------------------------------------------------------------------- encode
@@ -288,9 +303,17 @@ def encode_mpa(samples: np.ndarray, rate: int) -> bytes:
         for sb in range(32):
             for ch in range(nch):
                 w.write(int(idx[sb, ch]), 6)
-        for g in range(12):
-            for sb in range(32):
-                for ch in range(nch):
-                    w.write(int(q[g, sb, ch]), nb)
-        frames.append(w.tobytes(frame_bytes))
+        head_bits = np.array(w.out, dtype=np.uint8)
+        # Vectorized sample packing: flat (g, sb, ch) order, nb bits each
+        flat = q.reshape(-1)
+        sample_bits = (
+            ((flat[:, None] >> np.arange(nb - 1, -1, -1)[None, :]) & 1)
+            .astype(np.uint8)
+            .reshape(-1)
+        )
+        bits = np.concatenate([head_bits, sample_bits])
+        bits = np.concatenate(
+            [bits, np.zeros(frame_bytes * 8 - len(bits), dtype=np.uint8)]
+        )
+        frames.append(np.packbits(bits).tobytes())
     return b"".join(frames)

@@ -43,7 +43,7 @@ VIDEO_EXTENSIONS = (
     "3g2", "mts", "m2ts", "ts", "vob", "ogv", "dv", "rm", "rmvb",
     "asf", "amv", "mpg", "mpeg", "mpv", "m2v", "f4v", "f4p", "f4a", "f4b",
 )
-AUDIO_EXTENSIONS = ("mp3", "wav", "flac", "ogg", "m4a", "aac", "wma", "opus")
+AUDIO_EXTENSIONS = ("mp3", "mp2", "mp1", "wav", "flac", "ogg", "m4a", "aac", "wma", "opus")
 
 
 def media_type(path: Column) -> Column:
@@ -454,10 +454,12 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
     RIFF/WAVE decodes for REAL via functions/audio.py — PCM 8/16-bit,
     G.711 mu-law/A-law, and IMA ADPCM (`decoder` distinguishes them:
     'wav-pure' / 'wav-ulaw-pure' / 'wav-alaw-pure' /
-    'wav-adpcm-pure') — and FLAC via functions/flac.py
-    ('flac-pure') — yielding duration, sample rate, channels, RMS
-    (normalized to [-1,1]) and zero-crossing rate of the channel-mean
-    signal. Perceptually-coded formats (mp3/ogg) genuinely need codec
+    'wav-adpcm-pure') — FLAC via functions/flac.py ('flac-pure') —
+    and MPEG-1 Layer I via functions/mpa.py ('mp1-pure', the first
+    perceptually-coded member of the ladder) — yielding duration,
+    sample rate, channels, RMS (normalized to [-1,1]) and
+    zero-crossing rate of the channel-mean signal. Formats whose spec
+    tables have no closed form (mp2/mp3/ogg) genuinely need codec
     libs: with soundfile importable they'd decode the same way;
     without it they raise NotImplementedError — honestly, not a fake
     number."""
@@ -467,6 +469,7 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from filesystemagent_spark.functions import audio as AU
         from filesystemagent_spark.functions import flac as FL
+        from filesystemagent_spark.functions import mpa as MP
 
         for pdf in batches:
             out = []
@@ -476,6 +479,8 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
                     sr, nch, x, label = AU.decode_wav(b)
                 elif FL.is_flac(b):
                     sr, nch, x, label = FL.decode_flac(b)
+                elif MP.is_mpa(b):
+                    sr, nch, x, label = MP.decode_mpa(b)
                 else:
                     raise NotImplementedError(
                         "mp3/ogg audio decode requires a codec library "
@@ -567,6 +572,7 @@ def audio_fingerprints(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from filesystemagent_spark.functions import audio as AU
         from filesystemagent_spark.functions import flac as FL
+        from filesystemagent_spark.functions import mpa as MP
 
         for pdf in batches:
             out = []
@@ -576,6 +582,8 @@ def audio_fingerprints(
                     rate, _nch, x, label = AU.decode_wav(b)
                 elif FL.is_flac(b):
                     rate, _nch, x, label = FL.decode_flac(b)
+                elif MP.is_mpa(b):
+                    rate, _nch, x, label = MP.decode_mpa(b)
                 else:
                     raise NotImplementedError(
                         "mp3/ogg audio decode requires a codec library "

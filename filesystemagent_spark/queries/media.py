@@ -365,6 +365,93 @@ def doc_wav_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_mp1_audio_dedup",
+    tags=("multimodal", "audio", "dedup", "lossy-codec", "mapInPandas"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 45)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_mp1_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `doc_wav_audio_dedup` pipeline routed through the LOSSY
+    MPEG-1 Layer I codec (functions/mpa.py): each doc's 45-char-prefix
+    md5 synthesizes a deterministic half-second 32 kHz tone mixture,
+    Layer-I-encoded (analysis filterbank + scalefactor quantization),
+    then decoded and fingerprinted by the production audio ladder
+    (is_mpa -> decode_mpa -> spectral band-energy hash) and deduped by
+    the banded Hamming join. Identical prefixes give byte-identical
+    .mp1 streams give identical fingerprints — the distance-0 pair set
+    DuckDB oracles as an md5 equality self-join; the coding noise
+    (~55 dB below signal) cannot split an identical pair and does not
+    pull distinct tone mixtures (~20+ bits apart) under the 2-bit
+    threshold.
+
+    Scale shape: synthesis+codec+FFT is linear mapInPandas work; the
+    only shuffle is the band join."""
+    import hashlib as _hl
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    from filesystemagent_spark.functions import mpa as MP
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+    from filesystemagent_spark.operators.multimodal import audio_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.substring("text", 1, 45)).alias("hp")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    RATE = 32000  # Layer I requires 32/44.1/48 kHz
+    DUR = RATE // 2
+
+    def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        seg_len = DUR // 8  # one tone set per fingerprint frame
+        t = _np.linspace(0, seg_len / RATE, seg_len, endpoint=False)
+        for pdf in batches:
+            rows = []
+            for doc_id, hp in zip(pdf["doc_id"], pdf["hp"]):
+                raw = _np.frombuffer(
+                    b"".join(
+                        _hl.sha256(hp.encode() + bytes([i])).digest()
+                        for i in range(6)
+                    ),
+                    dtype="<u2",
+                )  # 96 u16 values: 8 segments x 4 tones x (f, a, p)
+                segs = []
+                for s in range(8):
+                    block = raw[s * 12 : (s + 1) * 12]
+                    freqs = 300.0 + (block[:4] % 12000)  # < 16 kHz Nyquist
+                    amps = 0.05 + (block[4:8] % 1000) / 8000.0
+                    phases = (block[8:12] % 6283) / 1000.0
+                    seg = _np.zeros_like(t)
+                    for f_, a_, p_ in zip(freqs, amps, phases):
+                        seg += a_ * _np.sin(2 * _np.pi * f_ * t + p_)
+                    segs.append(seg)
+                rows.append(
+                    {
+                        "path": str(doc_id),
+                        "content": MP.encode_mpa(_np.concatenate(segs), RATE),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["path", "content"])
+
+    mp1s = docs.mapInPandas(gen, "path string, content binary")
+    fps = audio_fingerprints(mp1s, window_s=DUR / RATE).where(
+        F.col("window_index") == 0
+    )
+    keyed = fps.select(F.col("path").cast("long").alias("doc_id"), "fp64")
+    pairs = hamming_near_dup_pairs(keyed, "doc_id", "fp64", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "doc_transform_shim",
     tags=("udf", "transform", "mapInPandas"),
     oracle="""

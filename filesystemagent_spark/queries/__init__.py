@@ -94,7 +94,13 @@ GRADE_ORDER = (
     "events_stream_incremental_rollup",
     # training-data curation / dedup / text family
     "doc_chunks",
-    "doc_train_test_split",
+    # distributed ML training (batch perceptron, 10 iterations, the
+    # ENTIRE integer-exact trajectory replayed by the oracle as
+    # unrolled CTEs) — round-3 capability class; displaces
+    # doc_train_test_split, whose md5-split machinery stays graded
+    # inside doc_ngram_contamination (and the query itself stays
+    # registered + sim-checked)
+    "doc_quality_perceptron",
     "doc_ngram_contamination",
     "doc_sentences_udtf",
     # lexical retrieval (BM25 top-k) — round-3 capability class;

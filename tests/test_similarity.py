@@ -125,6 +125,32 @@ def test_near_dup_pairs_vs_duckdb(spark, sf_dir, duck):
     assert got == want
 
 
+def test_blocked_pairs_bit_identical_to_row_form(spark, sf_dir):
+    """The block-matrix exact form must reproduce the row-at-a-time
+    join EXACTLY — same pairs, same doubles — across block counts
+    (including blocks larger than the corpus): this is what licenses
+    it to share the SQL oracle in embedding_near_dup."""
+    emb = Catalog(spark, sf_dir).embeddings
+    want = sorted(
+        tuple(r)
+        for r in S.cosine_near_dup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+        ).collect()
+    )
+    for n_blocks in (1, 3, 16):
+        got = sorted(
+            tuple(r)
+            for r in S.cosine_near_dup_pairs_blocked(
+                emb,
+                id_col="vec_id",
+                vec_col="embedding",
+                threshold=0.3,
+                n_blocks=n_blocks,
+            ).collect()
+        )
+        assert got == want, n_blocks
+
+
 def test_near_dup_lsh_recall(spark, sf_dir):
     """LSH near-dup pairs ⊆ exact pairs (verify step is exact) with
     recall above the multi-table collision bound for this corpus."""

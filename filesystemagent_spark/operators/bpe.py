@@ -153,3 +153,51 @@ def bpe_learn(
         )
         prev.unpersist()
     return merges, syms_df
+
+
+def bpe_apply(vocab_words: DataFrame, merges: list[Merge]) -> DataFrame:
+    """(word) -> (word, syms) after applying ``merges`` in training
+    order — the ENCODE side of BPE, factored through the vocabulary.
+
+    Each merge is the same row-local greedy-leftmost fold the learner
+    uses (`merge_pair`), so encode is consistent-by-construction with
+    training. Lineage is truncated every few merges: the fold nests
+    one `aggregate` per merge inside a single projection, and a deep
+    enough expression tree would blow codegen otherwise.
+    """
+    df = with_symbols(vocab_words)
+    for i, m in enumerate(merges):
+        df = merge_pair(df, m.left, m.right)
+        if (i + 1) % 8 == 0:
+            df = df.localCheckpoint(eager=False)
+    return df
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[Merge],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with a learned merge table. Returns
+    (id, pos, word, tokens) — one row per word occurrence, ``tokens``
+    the word's BPE symbol array, ``pos`` the word's position.
+
+    Scale shape: BPE tokenization factors through WORDS, so the merge
+    folds run over the distinct-word table (vocabulary-bounded — Zipf
+    makes it tiny relative to corpus bytes), and the corpus-sized work
+    is one tokenize-explode plus a BROADCAST join of word->tokens back
+    onto the occurrence stream. No per-document Python; everything
+    stays in codegen'd expressions plus one small broadcast.
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+        ).alias("pos", "word"),
+    )
+    vocab = bpe_apply(words.select("word").distinct(), merges).withColumnRenamed(
+        "syms", "tokens"
+    )
+    return words.join(F.broadcast(vocab), "word").select("id", "pos", "word", "tokens")

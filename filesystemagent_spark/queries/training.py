@@ -793,6 +793,39 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_bpe_encode_stats",
+    tags=("bpe", "tokenizer", "iterative", "broadcast"),
+)
+def doc_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the learned tokenizer: learn the merge table
+    (operators/bpe.bpe_learn), then tokenize every document with it via
+    `bpe_encode` — the merge folds run over the distinct-WORD table
+    (vocabulary-bounded) and rejoin the corpus through one broadcast,
+    so corpus-sized work is a single explode + broadcast join with no
+    per-document Python. Output: per-doc word count, BPE token count,
+    and chars-per-token compression. Registered rows-only (the merge
+    table is data-dependent, like doc_bpe_merges); tests/test_bpe.py
+    replays encode in pure Python and requires identical token arrays.
+    """
+    from filesystemagent_spark.operators.bpe import bpe_encode, bpe_learn, word_freqs
+
+    docs = _docs_rebalanced(spark, sf_dir)
+    merges, _ = bpe_learn(word_freqs(docs), N_BPE_MERGES)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("tokens")).alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")).cast("double") / F.sum(F.size("tokens")), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed classifier training (batch perceptron, exact integer replay)
 

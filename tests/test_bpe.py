@@ -107,3 +107,60 @@ def test_bpe_early_stop_on_min_count(spark):
     wf = spark.createDataFrame([("ab", 1), ("cd", 1)], "word string, freq long")
     merges, _ = bpe_learn(wf, 5, min_count=2)
     assert merges == []  # no pair reaches min_count
+
+
+def _py_encode(word: str, merges) -> list[str]:
+    out = list(word)
+    for _step, left, right, fused, _cnt in merges:
+        new: list[str] = []
+        for s in out:
+            if new and new[-1] == left and s == right:
+                new[-1] = fused
+            else:
+                new.append(s)
+        out = new
+    return out
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """Encode (bpe_apply through the vocab + broadcast rejoin) must
+    tokenize every word occurrence exactly as the pure-Python greedy
+    fold does, in document order."""
+    import re
+
+    from filesystemagent_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wf = word_freqs(docs)
+    merges, _ = bpe_learn(wf, 6)
+    mt = [(m.step, m.left, m.right, m.merged, m.pair_count) for m in merges]
+
+    enc = bpe_encode(docs, merges)
+    got = {
+        (r["id"], r["pos"]): (r["word"], list(r["tokens"]))
+        for r in enc.collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        words = re.findall("[a-z]+", (row["text"] or "").lower())
+        for pos, w in enumerate(words):
+            assert got[(row["doc_id"], pos)] == (w, _py_encode(w, mt)), (
+                row["doc_id"],
+                pos,
+            )
+    assert len(got) == sum(
+        len(re.findall("[a-z]+", (r["text"] or "").lower()))
+        for r in docs.select("text").collect()
+    )
+
+
+def test_bpe_encode_tokens_rebuild_words(spark):
+    from filesystemagent_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges, _ = bpe_learn(word_freqs(docs), 6)
+    bad = (
+        bpe_encode(docs, merges)
+        .selectExpr("word", "concat_ws('', tokens) AS rebuilt")
+        .filter("word <> rebuilt")
+    )
+    assert bad.count() == 0

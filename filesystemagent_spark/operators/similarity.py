@@ -267,38 +267,42 @@ def cosine_near_dup_pairs_lsh(
     near 1 for true near-dups (θ→0), which is the regime dedup cares
     about; candidate volume shrinks by ~2^n_planes per table.
     """
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        V.l2_norm(F.col(vec_col)).alias("_n"),
+    )
     banded = _multi_table_buckets(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            V.l2_norm(F.col(vec_col)).alias("_n"),
-        ),
+        rows,
         vec_col="_v",
         dim=dim,
         n_planes=n_planes,
         n_tables=n_tables,
         seed=seed,
+    ).select("bucket", "_id")  # candidate generation carries IDS ONLY
+    a = banded.select("bucket", F.col("_id").alias("id_a"))
+    b = banded.select("bucket", F.col("_id").alias("id_b"))
+    candidates = (
+        a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     )
-    a = banded.select(
-        F.col("bucket"),
-        F.col("_id").alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = banded.select(
-        F.col("bucket"),
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    candidates = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     if n_tables > 1:
+        # Dedup BEFORE the vectors attach: the cross-table duplicate
+        # shuffle moves 16-byte id pairs, not 2 embedding arrays per
+        # candidate (was the dominant cost of this operator).
         candidates = candidates.dropDuplicates(["id_a", "id_b"])
+    va = rows.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = rows.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
     cos = V.cosine_from(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     return (
-        candidates.withColumn("cosine", cos)
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -417,12 +421,20 @@ def semdedup_prune(
             n_planes=n_planes,
             seed=seed,
         )
+    # Norms materialize per ROW before the join; cosine_from is
+    # float-identical to cosine (same fold order, same divide) but
+    # drops the 4 inline norm evaluations per PAIR (~5x the per-pair
+    # arithmetic in this equi-join).
+    keyed = keyed.withColumn("_sd_n", V.l2_norm(F.col(vec_col)))
     a = keyed.select(
         F.col("_sd_key").alias("_akey"),
         F.col(id_col).alias("_aid"),
         F.col(vec_col).alias("_avec"),
+        F.col("_sd_n").alias("_an"),
     )
-    cos = V.cosine(F.col("_avec"), F.col(vec_col))
+    cos = V.cosine_from(
+        F.col("_avec"), F.col(vec_col), F.col("_an"), F.col("_sd_n")
+    )
     if round_to is not None:
         cos = F.round(cos, round_to)
     dup_ids = keyed.join(

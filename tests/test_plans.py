@@ -409,3 +409,35 @@ def test_bm25_broadcasts_corpus_stats(spark, sf_dir):
     plan = executed_plan(QUERIES["doc_bm25_search"].fn(spark, sf_dir))
     assert "Broadcast" in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_bpe_encode_rejoins_vocab_via_broadcast(spark, sf_dir):
+    """The encode side's scale claim: the word->tokens vocabulary
+    rejoins the corpus-sized occurrence stream through a BROADCAST
+    hash join, never a shuffle of the occurrences."""
+    from filesystemagent_spark.operators.bpe import Merge, bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [Merge(1, "t", "h", "th", 2), Merge(2, "th", "e", "the", 2)]
+    plan = formatted_plan(bpe_encode(docs, merges))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_blocked_cosine_plan_shape(spark, sf_dir):
+    """The exact-anchor block-matrix form: block packing is ONE
+    hash aggregate (collect_list per block), the block cross pair is a
+    nested-loop over B rows (not a table-sized cartesian), and the
+    per-pair math lives in a single mapInPandas (Arrow) operator."""
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators import similarity as S
+
+    emb = Catalog(spark, sf_dir).embeddings
+    plan = formatted_plan(
+        S.cosine_near_dup_pairs_blocked(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+        )
+    )
+    assert "MapInPandas" in plan, plan
+    # block-side join: tiny packed sides, never a shuffle join
+    assert "SortMergeJoin" not in plan, plan

@@ -39,7 +39,7 @@ IMAGE_EXTENSIONS = (
     "heic", "heif",
 )
 VIDEO_EXTENSIONS = (
-    "mp4", "avi", "mov", "wmv", "flv", "webm", "mkv", "m4v", "3gp",
+    "mp4", "avi", "y4m", "mov", "wmv", "flv", "webm", "mkv", "m4v", "3gp",
     "3g2", "mts", "m2ts", "ts", "vob", "ogv", "dv", "rm", "rmvb",
     "asf", "amv", "mpg", "mpeg", "mpv", "m2v", "f4v", "f4p", "f4a", "f4b",
 )
@@ -317,11 +317,34 @@ def sample_frames(
         from filesystemagent_spark.functions import avi as A
         from filesystemagent_spark.functions import gif as G
         from filesystemagent_spark.functions import png as P
+        from filesystemagent_spark.functions import y4m as Y
 
         for pdf in batches:
             out = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
+                if Y.is_y4m(b):
+                    try:
+                        fps, yframes = Y.decode_y4m_frames(b, max_frames=4096)
+                    except ValueError:
+                        yframes = None
+                    if yframes is not None:
+                        # uniform timeline, like the AVI branch; frames
+                        # re-encode as PNG for the image ladder
+                        step = max(1, int(round(every_s * fps)))
+                        for idx, fi in enumerate(
+                            range(0, len(yframes), step)[:max_frames]
+                        ):
+                            out.append(
+                                {
+                                    "path": path,
+                                    "frame_index": idx,
+                                    "timestamp_s": fi / fps,
+                                    "frame": P.encode_png(yframes[fi]),
+                                    "decoder": "y4m-pure",
+                                }
+                            )
+                        continue
                 if A.is_avi(b):
                     try:
                         fps, jframes = A.decode_avi_mjpeg(b, max_frames=4096)

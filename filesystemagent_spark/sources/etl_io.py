@@ -29,6 +29,8 @@ SUPPORTED_FORMATS = {
     # beyond the reference's list: the other JVM-native formats a
     # complete engine is expected to speak
     ".orc": "orc",
+    ".arrow": "arrowipc",
+    ".feather": "arrowipc",
     ".txt": "text",
     ".log": "text",
 }
@@ -84,6 +86,14 @@ def read_any(
         if schema is not None:
             reader = reader.schema(schema)
         return reader.orc(path)
+    if fmt == "arrowipc":
+        from filesystemagent_spark.sources.arrowipc import register_arrowipc
+
+        register_arrowipc(spark)
+        reader = spark.read.format("arrowipc").options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path)
     if fmt == "text":
         # one string column `value` per line (clamscan/listdlls-style
         # tool logs enter the engine through this door)
@@ -115,6 +125,11 @@ def write_any(
         df.write.mode(mode).options(**options).parquet(path)
     elif fmt == "orc":
         df.write.mode(mode).options(**options).orc(path)
+    elif fmt == "arrowipc":
+        from filesystemagent_spark.sources.arrowipc import register_arrowipc
+
+        register_arrowipc(df.sparkSession)
+        df.write.format("arrowipc").mode(mode).options(**options).save(path)
     elif fmt == "text":
         # text sink requires a single string column, like spark.write.text
         df.write.mode(mode).options(**options).text(path)

@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 # 28 video extensions)
 IMAGE_EXTENSIONS = (
     "jpg", "jpeg", "png", "gif", "bmp", "tiff", "tif", "webp", "svg",
+    "ppm", "pgm", "pbm", "pnm",
     "ico", "psd", "raw", "cr2", "nef", "orf", "sr2", "arw", "dng",
     "heic", "heif",
 )
@@ -109,7 +110,10 @@ def image_features(
       5. the pure-numpy baseline JPEG decoder (functions/jpeg.py —
          Huffman + IDCT, 4:4:4/4:2:2/4:2:0, grayscale, restarts),
          `decoder='jpeg-pure'`;
-      6. deterministic stub (content-hash-derived) with
+      6. netpbm P1-P6 (functions/pnm.py), `decoder='pnm-pure'`;
+      7. baseline TIFF, both byte orders, none/PackBits strips
+         (functions/tiff.py), `decoder='tiff-pure'`;
+      8. deterministic stub (content-hash-derived) with
          `decoder='stub'` so downstream code can tell.
     """
     import pandas as pd
@@ -120,6 +124,8 @@ def image_features(
         from filesystemagent_spark.functions import gif as G
         from filesystemagent_spark.functions import jpeg as J
         from filesystemagent_spark.functions import png as P
+        from filesystemagent_spark.functions import pnm as N
+        from filesystemagent_spark.functions import tiff as TF
 
         for pdf in batches:
             out: list[dict[str, Any]] = []
@@ -153,6 +159,8 @@ def image_features(
                     else (G.decode_gif, "gif-pure") if G.is_gif(b)
                     else (B.decode_bmp, "bmp-pure") if B.is_bmp(b)
                     else (J.decode_jpeg, "jpeg-pure") if J.is_jpeg(b)
+                    else (N.decode_pnm, "pnm-pure") if N.is_pnm(b)
+                    else (TF.decode_tiff, "tiff-pure") if TF.is_tiff(b)
                     else None
                 )
                 if pure is not None:

@@ -113,7 +113,9 @@ def image_features(
       6. netpbm P1-P6 (functions/pnm.py), `decoder='pnm-pure'`;
       7. baseline TIFF, both byte orders, none/PackBits strips
          (functions/tiff.py), `decoder='tiff-pure'`;
-      8. deterministic stub (content-hash-derived) with
+      8. ICO/CUR containers — largest entry, PNG or 24/32-bit DIB
+         payload (functions/ico.py), `decoder='ico-pure'`;
+      9. deterministic stub (content-hash-derived) with
          `decoder='stub'` so downstream code can tell.
     """
     import pandas as pd
@@ -122,6 +124,7 @@ def image_features(
         use_pil = _pil_available()
         from filesystemagent_spark.functions import bmp as B
         from filesystemagent_spark.functions import gif as G
+        from filesystemagent_spark.functions import ico as IC
         from filesystemagent_spark.functions import jpeg as J
         from filesystemagent_spark.functions import png as P
         from filesystemagent_spark.functions import pnm as N
@@ -161,6 +164,7 @@ def image_features(
                     else (J.decode_jpeg, "jpeg-pure") if J.is_jpeg(b)
                     else (N.decode_pnm, "pnm-pure") if N.is_pnm(b)
                     else (TF.decode_tiff, "tiff-pure") if TF.is_tiff(b)
+                    else (IC.decode_ico, "ico-pure") if IC.is_ico(b)
                     else None
                 )
                 if pure is not None:

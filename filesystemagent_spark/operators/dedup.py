@@ -122,16 +122,25 @@ def minhash_near_dup_pairs(
                 for i in range(bands)
             ]
         )
+    # Cap pathological buckets (boilerplate collapse) before the
+    # self-join turns quadratic. The bucket size is a window count
+    # over the SAME key the self-join shuffles on, so the one
+    # exchange serves the cap and the join; the capped result is
+    # persisted (tiny: id + band + band key per doc·band) so the
+    # signature pipeline — md5/xxhash base hashes plus the
+    # per-permutation min reduce, by far the dominant compute — runs
+    # once, not once per self-join branch.
+    from pyspark.sql import Window
+
     banded = signed.select("_id", F.explode(bands_col).alias("bk")).select(
         "_id", "bk.band", "bk.band_hash"
     )
-    # Cap pathological buckets (boilerplate collapse) before the
-    # self-join turns quadratic.
-    bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("_bsz"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
-        ["band", "band_hash"],
-        "inner",
+    bsz = F.count("*").over(Window.partitionBy("band", "band_hash"))
+    banded = (
+        banded.withColumn("_bsz", bsz)
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     left = banded.alias("l")
@@ -217,6 +226,12 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("_id", "_fp", "b.blk", "b.blk_val")
+    # Persist the blocks (id + fingerprint + block key per doc·block):
+    # the per-token simhash vote is the dominant compute and would
+    # otherwise run once per self-join branch.
+    from pyspark import StorageLevel
+
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
     l, r = blocks.alias("l"), blocks.alias("r")
     pairs = (

@@ -318,7 +318,16 @@ def ngram_jaccard_pairs(
     keep = dfreq >= 2
     if max_doc_freq is not None:
         keep = keep & (dfreq <= max_doc_freq)
-    inv = inv.withColumn("_keep", keep).filter("_keep").drop("_keep")
+    # Persist the pruned index (16 bytes/row: id + hashed shingle) so
+    # the explode + window-prune pass runs once, not per self-join
+    # branch — and both branches inherit the window's (shingle)
+    # partitioning from the cache, so the join adds no exchange.
+    inv = (
+        inv.withColumn("_keep", keep)
+        .filter("_keep")
+        .drop("_keep")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     l, r = inv.alias("l"), inv.alias("r")
     common = (

@@ -379,18 +379,45 @@ def test_pagerank_broadcasts_rank_table(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def _strip_initial_plans(plan: str) -> str:
+    """Drop AQE's '== Initial Plan ==' echo sections — they restate
+    nodes the final plan already lists (under pre-AQE plan_ids), so
+    counting them double-counts physical work."""
+    out, skip_indent = [], None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip())
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in line:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def test_jaccard_prune_adds_no_extra_shingle_shuffle(spark, sf_dir):
     """The document-frequency prune is a window over the SAME shingle
-    key the self-join partitions on, so it rides the join sides' own
-    exchanges: a plain inverted-index self-join shuffles each side
-    once (2 shingle exchanges), and the pruned plan must not exceed
-    that — a third shingle shuffle would mean the df pass paid its own
+    key the self-join partitions on, and the pruned index is persisted
+    — so the whole query pays AT MOST the plain self-join's budget of
+    2 shingle shuffles: one inside the one-time cache materialization
+    (the window's), and the join sides read the cache without
+    re-shuffling (the partitioning comes with it) unless AQE picks a
+    broadcast, which shuffles nothing. Distinct plan_ids count each
+    physical exchange once however often the printer repeats the
+    cached build; a third one means the df pass paid its own
     exchange."""
     import re
 
     plan = executed_plan(QUERIES["doc_near_dup_jaccard_pruned"].fn(spark, sf_dir))
-    real_shuffles = re.findall(r"(?<!Reused)Exchange hashpartitioning\(shingle", plan)
-    assert len(real_shuffles) <= 2, plan
+    ids = set(
+        re.findall(
+            r"Exchange hashpartitioning\(shingle[^\n]*\[plan_id=(\d+)\]",
+            _strip_initial_plans(plan),
+        )
+    )
+    assert len(ids) <= 2, plan
 
 
 def test_png_roundtrip_dedup_is_arrow_batched(spark, sf_dir):

@@ -393,6 +393,13 @@ def hamming_near_dup_pairs(
             )
         ).alias("b"),
     ).select("_id", "_h", "b.band", "b.key")
+    # Persist the banded keys (4 small columns per doc·band): the hash
+    # column is usually the output of an expensive upstream — a
+    # mapInPandas media decode in every media-dedup query — and the
+    # self-join would otherwise execute that upstream once per branch.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     l, r = banded.alias("l"), banded.alias("r")
     return (

@@ -280,6 +280,11 @@ def cosine_near_dup_pairs_lsh(
         n_tables=n_tables,
         seed=seed,
     ).select("bucket", "_id")  # candidate generation carries IDS ONLY
+    # Tiny (bucket, id) projection, but each self-join branch would
+    # otherwise re-run the plane projections over every vector.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select("bucket", F.col("_id").alias("id_a"))
     b = banded.select("bucket", F.col("_id").alias("id_b"))
     candidates = (

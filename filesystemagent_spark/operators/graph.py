@@ -187,6 +187,13 @@ def triangle_counts(edges_oneway: DataFrame) -> DataFrame:
     The triangle SET is orientation-invariant, so a SQL oracle that
     orients by plain id (3-way self-join with a<b<c) counts the
     same triangles."""
+    from pyspark import StorageLevel
+
+    # The edge list is referenced four times below (degree pass via
+    # both directions, then the orientation join) and is usually an
+    # expensive derivation (co-purchase pair expansion) — persist it,
+    # same derived-sketch rule as the dedup self-joins.
+    edges_oneway = edges_oneway.persist(StorageLevel.MEMORY_AND_DISK)
     both = edges_oneway.unionAll(
         edges_oneway.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -205,6 +212,10 @@ def triangle_counts(edges_oneway: DataFrame) -> DataFrame:
             F.when(keep, F.col("dd")).otherwise(F.col("ds")).alias("rank_b"),
         )
     )
+    # The oriented edges feed three joins (both wedge arms + the
+    # closure side) — persist the 3-int-column projection so the
+    # orientation pass runs once.
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     # wedge: two oriented edges out of the same pivot a, endpoints
     # ordered by (deg, id) rank so each unordered pair appears once
     e1 = e.select(F.col("a"), F.col("b"), F.col("rank_b"))

@@ -46,26 +46,36 @@ def decode_tiff(b: bytes) -> tuple[int, int, str, np.ndarray]:
     if not is_tiff(b):
         raise ValueError("not a TIFF")
     endian = "<" if b[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack(endian + "I", b[4:8])
-    (n_entries,) = struct.unpack(endian + "H", b[ifd_off : ifd_off + 2])
-    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
-    tags: dict[int, list[int]] = {}
-    for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack(endian + "HHI", b[off : off + 8])
-        if typ not in _SIZES:
-            continue
-        size = _SIZES[typ] * count
-        val_bytes = (
-            b[off + 8 : off + 8 + size]
-            if size <= 4
-            else b[
-                struct.unpack(endian + "I", b[off + 8 : off + 12])[0] :
-            ][:size]
-        )
-        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 5: "I"}[typ]
-        n = count * (2 if typ == 5 else 1)
-        tags[tag] = list(struct.unpack(endian + fmt * n, val_bytes[: _SIZES[typ] * n]))
+    # Truncated/corrupt input with a valid magic makes the slices below
+    # come up short and struct.unpack raise struct.error; the decode
+    # ladder's contract is ValueError-only (image_features catches
+    # ValueError and falls back to the stub), so re-raise as ValueError
+    # like decode_ico does.
+    try:
+        (ifd_off,) = struct.unpack(endian + "I", b[4:8])
+        (n_entries,) = struct.unpack(endian + "H", b[ifd_off : ifd_off + 2])
+        _SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+        tags: dict[int, list[int]] = {}
+        for i in range(n_entries):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, count = struct.unpack(endian + "HHI", b[off : off + 8])
+            if typ not in _SIZES:
+                continue
+            size = _SIZES[typ] * count
+            val_bytes = (
+                b[off + 8 : off + 8 + size]
+                if size <= 4
+                else b[
+                    struct.unpack(endian + "I", b[off + 8 : off + 12])[0] :
+                ][:size]
+            )
+            fmt = {1: "B", 2: "B", 3: "H", 4: "I", 5: "I"}[typ]
+            n = count * (2 if typ == 5 else 1)
+            tags[tag] = list(
+                struct.unpack(endian + fmt * n, val_bytes[: _SIZES[typ] * n])
+            )
+    except struct.error as e:
+        raise ValueError(f"truncated or corrupt TIFF: {e}") from e
     try:
         width, height = tags[256][0], tags[257][0]
         strip_offsets, strip_counts = tags[273], tags[279]

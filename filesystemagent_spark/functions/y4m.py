@@ -65,7 +65,10 @@ def decode_y4m_frames(
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
     if cs.startswith(b"420"):
-        mode, csize = "420", (width // 2) * (height // 2)
+        # 4:2:0 stores ceil-sized chroma planes for odd dimensions
+        # (((w+1)//2) x ((h+1)//2)); floor would misalign every
+        # subsequent frame in the stream.
+        mode, csize = "420", ((width + 1) // 2) * ((height + 1) // 2)
     elif cs == b"444":
         mode, csize = "444", width * height
     elif cs == b"mono":
@@ -93,8 +96,9 @@ def decode_y4m_frames(
         u = np.frombuffer(raw[ysize : ysize + csize], np.uint8)
         v = np.frombuffer(raw[ysize + csize :], np.uint8)
         if mode == "420":
-            u = u.reshape(height // 2, width // 2)
-            v = v.reshape(height // 2, width // 2)
+            ch, cw = (height + 1) // 2, (width + 1) // 2
+            u = u.reshape(ch, cw)
+            v = v.reshape(ch, cw)
             u = u.repeat(2, axis=0).repeat(2, axis=1)[:height, :width]
             v = v.repeat(2, axis=0).repeat(2, axis=1)[:height, :width]
         else:

@@ -47,10 +47,10 @@ def perceptron_train(
     data, no growing lineage (weights are plain Python ints folded
     into next iteration's expressions).
     """
-    from pyspark import StorageLevel
+    from filesystemagent_spark.caching import track_persist
 
     y = F.col(label_col)
-    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    feats = track_persist(feats)
     w = [0] * len(feature_cols)
     for _ in range(iterations):
         margin = _dot(w, feature_cols) * y

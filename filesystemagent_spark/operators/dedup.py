@@ -22,6 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from filesystemagent_spark.caching import track_persist
 from filesystemagent_spark.functions import hashing as H
 from filesystemagent_spark.functions import text as T
 
@@ -83,18 +84,15 @@ def minhash_near_dup_pairs(
     ones (md5 base, raw band slices as strings) — one pipeline, two
     hash families, so fixes like the bucket cap apply to both.
     """
-    from pyspark import StorageLevel
-
     rows_per_band = num_hashes // bands
     # Shingling feeds the signature AND both verify sides — persist so
-    # the expensive expression tree runs once.
-    docs = (
+    # the expensive expression tree runs once (tracked: the sweep/driver
+    # release hook unpersists it after the result materializes).
+    docs = track_persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_shingles"),
-        )
-        .filter(F.size("_shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).filter(F.size("_shingles") > 0)
     )
     # Base hashes in their own projection: HOFs are outside codegen, so
     # inlining the md5/xxhash transform into minhash_signature would
@@ -136,11 +134,10 @@ def minhash_near_dup_pairs(
         "_id", "bk.band", "bk.band_hash"
     )
     bsz = F.count("*").over(Window.partitionBy("band", "band_hash"))
-    banded = (
+    banded = track_persist(
         banded.withColumn("_bsz", bsz)
         .filter(F.col("_bsz") <= max_bucket)
         .drop("_bsz")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     left = banded.alias("l")
@@ -229,9 +226,7 @@ def simhash_near_dup_pairs(
     # Persist the blocks (id + fingerprint + block key per doc·block):
     # the per-token simhash vote is the dominant compute and would
     # otherwise run once per self-join branch.
-    from pyspark import StorageLevel
-
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks = track_persist(blocks)
 
     l, r = blocks.alias("l"), blocks.alias("r")
     pairs = (
@@ -296,16 +291,13 @@ def ngram_jaccard_pairs(
     64-bit hashes (~n²/2⁶⁵); at trillion-shingle scale switch to a
     2-column (two-seed) 128-bit key.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    docs = (
+    docs = track_persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).filter(F.size("_sh") > 0)
     )
     sizes = docs.select("_id", F.size("_sh").alias("_n"))
     inv = docs.select("_id", F.explode("_sh").alias("shingle")).select(
@@ -322,11 +314,8 @@ def ngram_jaccard_pairs(
     # the explode + window-prune pass runs once, not per self-join
     # branch — and both branches inherit the window's (shingle)
     # partitioning from the cache, so the join adds no exchange.
-    inv = (
-        inv.withColumn("_keep", keep)
-        .filter("_keep")
-        .drop("_keep")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    inv = track_persist(
+        inv.withColumn("_keep", keep).filter("_keep").drop("_keep")
     )
 
     l, r = inv.alias("l"), inv.alias("r")
@@ -397,9 +386,7 @@ def hamming_near_dup_pairs(
     # column is usually the output of an expensive upstream — a
     # mapInPandas media decode in every media-dedup query — and the
     # self-join would otherwise execute that upstream once per branch.
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = track_persist(banded)
 
     l, r = banded.alias("l"), banded.alias("r")
     return (
@@ -443,12 +430,9 @@ def near_dup_clusters(
     filter to groups of >= 2 for the reference's 'groups with actual
     duplicates'.
     """
-    from pyspark import StorageLevel
-
-    edges = (
+    edges = track_persist(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")

@@ -187,13 +187,13 @@ def triangle_counts(edges_oneway: DataFrame) -> DataFrame:
     The triangle SET is orientation-invariant, so a SQL oracle that
     orients by plain id (3-way self-join with a<b<c) counts the
     same triangles."""
-    from pyspark import StorageLevel
+    from filesystemagent_spark.caching import track_persist
 
     # The edge list is referenced four times below (degree pass via
     # both directions, then the orientation join) and is usually an
     # expensive derivation (co-purchase pair expansion) — persist it,
     # same derived-sketch rule as the dedup self-joins.
-    edges_oneway = edges_oneway.persist(StorageLevel.MEMORY_AND_DISK)
+    edges_oneway = track_persist(edges_oneway)
     both = edges_oneway.unionAll(
         edges_oneway.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -215,7 +215,7 @@ def triangle_counts(edges_oneway: DataFrame) -> DataFrame:
     # The oriented edges feed three joins (both wedge arms + the
     # closure side) — persist the 3-int-column projection so the
     # orientation pass runs once.
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    e = track_persist(e)
     # wedge: two oriented edges out of the same pivot a, endpoints
     # ordered by (deg, id) rank so each unordered pair appears once
     e1 = e.select(F.col("a"), F.col("b"), F.col("rank_b"))

@@ -21,6 +21,19 @@ from filesystemagent_spark.functions import vectors as V
 from filesystemagent_spark.operators.relational import grouped_top_k
 
 
+def spark_round_half_up(x: float, round_to: int) -> float:
+    """Python replay of Spark's ROUND(double, n): BigDecimal.valueOf(d)
+    parses Double.toString(d), then setScale(n, HALF_UP). Python repr()
+    is the shortest round-trip decimal, which equals Double.toString on
+    a shortest-emitting JVM (JDK >= 19 guaranteed; earlier JDKs agree
+    in practice — pinned by test_spark_round_matches_jvm_on_boundaries,
+    see cosine_near_dup_pairs_blocked's caveat note)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-round_to)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -166,6 +179,16 @@ def cosine_near_dup_pairs_blocked(
     drop, never add, a boundary pair. tests/test_similarity.py asserts
     full-output equality against the row-at-a-time form.
 
+    Caveat (pinned by test_spark_round_matches_jvm_on_boundaries): the
+    repr(x) == Double.toString(x) step assumes the JVM emits the
+    shortest round-trip decimal. JDK < 19 (pre-JDK-4511638/Ryu) can
+    emit a longer-but-still-roundtripping string for some doubles; for
+    a value landing exactly on a 0.5e-6 HALF_UP boundary the two
+    decimal forms could quantize differently. The test replays a
+    boundary battery through F.round on the running JVM and fails
+    loudly if agreement ever breaks, so a JVM change cannot silently
+    poison oracle parity.
+
     Scale: work is still O(n^2) (it is the exact anchor), but each
     task is a dense cache-friendly block product; B grows with n so a
     block stays collect_list-sized."""
@@ -189,14 +212,9 @@ def cosine_near_dup_pairs_blocked(
 
     def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        from decimal import ROUND_HALF_UP, Decimal
-
-        q = Decimal(1).scaleb(-round_to) if round_to is not None else None
 
         def spark_round(x: float) -> float:
-            # BigDecimal.valueOf(double) parses Double.toString —
-            # Python repr() is the same shortest roundtrip string
-            return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+            return spark_round_half_up(x, round_to)
 
         margin = 10.0 ** -(round_to or 6)
         for pdf in batches:
@@ -282,9 +300,9 @@ def cosine_near_dup_pairs_lsh(
     ).select("bucket", "_id")  # candidate generation carries IDS ONLY
     # Tiny (bucket, id) projection, but each self-join branch would
     # otherwise re-run the plane projections over every vector.
-    from pyspark import StorageLevel
+    from filesystemagent_spark.caching import track_persist
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = track_persist(banded)
     a = banded.select("bucket", F.col("_id").alias("id_a"))
     b = banded.select("bucket", F.col("_id").alias("id_b"))
     candidates = (
@@ -323,6 +341,7 @@ def semdedup_keys(
     max_cluster_size: int,
     n_planes: int = 16,
     seed: int = 42,
+    salt_mode: str = "xxhash",
 ) -> DataFrame:
     """Attach ``_sd_key``: a comparison-group key that refines the
     cluster assignment until every group fits the quadratic budget.
@@ -347,6 +366,14 @@ def semdedup_keys(
     Group sizes are computed as window counts over the same keys the
     pair-join shuffles on, so the sizing passes add no extra exchange
     beyond their own.
+
+    ``salt_mode`` picks the salt hash family, mirroring minhash's
+    base/band_key options (one pipeline, two hash families):
+    - ``"xxhash"`` (default, production): pmod(xxhash64(id), n_salts)
+      — robust to any id distribution, not replayable outside Spark;
+    - ``"pmod_id"`` (checkable): pmod(id, n_salts) for numeric ids —
+      uniform for the sequential/dense ids the gate tables carry, and
+      an external SQL engine replays it exactly (id % n_salts).
     """
     w_c = Window.partitionBy(cluster_col)
     sized = df.withColumn("_cn", F.count("*").over(w_c))
@@ -373,8 +400,14 @@ def semdedup_keys(
         .otherwise(F.ceil(F.col("_sn") / F.lit(max_cluster_size)))
         .cast("long")
     )
+    if salt_mode == "xxhash":
+        salt_src = F.xxhash64(F.col(id_col))
+    elif salt_mode == "pmod_id":
+        salt_src = F.col(id_col).cast("long")
+    else:
+        raise ValueError(f"unknown salt_mode {salt_mode!r}")
     return (
-        keyed.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts))
+        keyed.withColumn("_salt", F.pmod(salt_src, n_salts))
         .withColumn(
             "_sd_key",
             F.concat_ws(
@@ -400,6 +433,7 @@ def semdedup_prune(
     max_cluster_size: int | None = None,
     n_planes: int = 16,
     seed: int = 42,
+    salt_mode: str = "xxhash",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): within each cluster, drop any
     vector whose cosine to a LOWER-ID clustermate crosses the
@@ -425,6 +459,7 @@ def semdedup_prune(
             max_cluster_size=max_cluster_size,
             n_planes=n_planes,
             seed=seed,
+            salt_mode=salt_mode,
         )
     # Norms materialize per ROW before the join; cosine_from is
     # float-identical to cosine (same fold order, same divide) but

@@ -430,13 +430,12 @@ def doc_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count; a boilerplate n-gram shared by millions of docs costs
     its posting list ONCE in the df table, never a quadratic bucket.
     The exact-ints ratio divides identically in both engines."""
-    from pyspark import StorageLevel
+    from filesystemagent_spark.caching import track_persist
 
     docs = _doc_text_rebalanced(spark, sf_dir)
-    wins = (
+    wins = track_persist(
         docs.select("doc_id", F.explode(T.shingles(F.col("text"), 5)).alias("ng"))
         .select("doc_id", F.xxhash64("ng").alias("ng"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup_ng = (
         wins.distinct()

@@ -128,6 +128,13 @@ class ArrowIpcWriter(DataSourceArrowWriter):
         if not self.path:
             raise ValueError("arrowipc requires a path")
         self.overwrite = overwrite
+        # Generated once on the driver and serialized into every task:
+        # final names are unique per job (parquet's part-<id>-<uuid>
+        # discipline), so mode("append") can never os.replace() files
+        # left by a previous write with the same partition ids.
+        import uuid
+
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import pyarrow as pa
@@ -138,7 +145,7 @@ class ArrowIpcWriter(DataSourceArrowWriter):
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
         staged = os.path.join(self.path, f"_staged-{pid:05d}-{attempt}.arrow")
-        final = os.path.join(self.path, f"part-{pid:05d}.arrow")
+        final = os.path.join(self.path, f"part-{pid:05d}-{self.job_id}.arrow")
         batches = list(iterator)
         if not batches:
             return _WroteIpc(staged="", final="")

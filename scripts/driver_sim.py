@@ -76,6 +76,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             results[name] = {"error": str(e)[:200]}
             failed.append(name)
+        finally:
+            # Operator-internal persisted sketches (bands, buckets,
+            # inverted indexes, edge lists) are registered centrally;
+            # drain them between queries so a 163-query session doesn't
+            # accumulate MEMORY_AND_DISK entries.
+            from filesystemagent_spark.caching import release_tracked_caches
+
+            release_tracked_caches()
     print(json.dumps(results, indent=1))
     n_oracle = sum(1 for r in results.values() if r.get("match") is True)
     # a 0-row "match" is vacuous — it compares two empty sets and

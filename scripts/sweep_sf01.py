@@ -10,6 +10,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from filesystemagent_spark.caching import release_tracked_caches
 from filesystemagent_spark.queries import registry
 from filesystemagent_spark.session import get_spark
 
@@ -29,6 +30,7 @@ def main():
             times[name] = (time.monotonic() - t0, n, "")
         except Exception as e:  # noqa: BLE001
             times[name] = (time.monotonic() - t0, -1, str(e).splitlines()[0][:80])
+        release_tracked_caches()  # drain operator-internal persists
         print(f"DONE {name} {times[name][0]:.2f}s rows={times[name][1]}", flush=True)
     print("\n=== slowest 25 ===")
     for name, (t, n, err) in sorted(times.items(), key=lambda kv: -kv[1][0])[:25]:

@@ -82,3 +82,20 @@ def test_missing_path_raises(spark, tmp_path):
     register_arrowipc(spark)
     with pytest.raises(Exception, match="No such file|no Arrow IPC files"):
         read_any(spark, str(tmp_path / "nope.arrow")).count()  # noqa
+
+
+def test_append_mode_does_not_clobber_existing_parts(spark, tmp_path):
+    # Regression: final names used to be part-{pid}.arrow only, so an
+    # append job with the same partition ids os.replace()d the previous
+    # job's files. Names now embed a per-job uuid (parquet discipline).
+    out = str(tmp_path / "app")
+    df = spark.range(0, 50).selectExpr("id")
+    write_any(df.repartition(2), out, fmt="arrowipc")
+    write_any(df.repartition(2), out, fmt="arrowipc", mode="append")
+    names = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert len(names) == 4  # 2 parts per job, nothing replaced
+    back = read_any(spark, out, fmt="arrowipc")
+    assert back.count() == 100
+    assert sorted(r["id"] for r in back.collect()) == sorted(
+        list(range(50)) * 2
+    )

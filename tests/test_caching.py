@@ -1,0 +1,33 @@
+"""Tracked-persist registry (caching.py): operator-internal persisted
+sketches must be drainable between queries so long-lived sessions don't
+accumulate MEMORY_AND_DISK entries (ADVICE round 3)."""
+
+from __future__ import annotations
+
+from filesystemagent_spark import caching
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.operators import dedup as D
+
+
+def test_operator_persists_are_tracked_and_released(spark, sf_dir):
+    caching.release_tracked_caches()
+    docs = Catalog(spark, sf_dir).table("documents").limit(50)
+    pairs = D.minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", num_hashes=8, bands=4
+    )
+    pairs.count()  # materialize: persists the shingle + band sketches
+    assert caching.tracked_count() >= 2
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() >= 1
+    released = caching.release_tracked_caches(blocking=True)
+    assert released >= 2
+    assert caching.tracked_count() == 0
+    # releasing again is a harmless no-op
+    assert caching.release_tracked_caches() == 0
+
+
+def test_release_survives_already_unpersisted_frames(spark):
+    df = spark.range(10)
+    caching.track_persist(df)
+    df.unpersist()
+    assert caching.release_tracked_caches() == 1

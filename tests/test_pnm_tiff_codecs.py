@@ -148,3 +148,20 @@ def test_image_ladder_decodes_pnm_and_tiff(spark):
     # same pixels through either container -> identical perceptual hashes
     for col in ("dhash64", "phash64", "ahash64"):
         assert got["/m/a.ppm"][col] == got["/m/a.tif"][col]
+
+
+def test_truncated_tiff_raises_valueerror_not_struct_error():
+    # The decode ladder's contract is ValueError-only: image_features
+    # catches ValueError and falls back to the stub, so a corrupt TIFF
+    # must never leak struct.error and kill the whole Spark task.
+    full = T.encode_tiff(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    for cut in (5, 6, 9, 12, 20, len(full) - 5):
+        hurt = full[:cut]
+        if not T.is_tiff(hurt):
+            continue
+        with pytest.raises(ValueError):
+            T.decode_tiff(hurt)
+    # out-of-range IFD offset with valid magic
+    bogus = full[:4] + (2**31 - 1).to_bytes(4, "little") + full[8:]
+    with pytest.raises(ValueError):
+        T.decode_tiff(bogus)

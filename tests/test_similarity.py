@@ -373,3 +373,34 @@ def test_embedding_ann_recall_query_quality_bar(spark, sf_dir):
         assert 0 <= r.n_hit <= r.n_true
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall >= 0.9, f"mean recall {mean_recall:.3f} below bar"
+
+
+def test_spark_round_matches_jvm_on_boundaries(spark):
+    """Pin the repr(x) == Double.toString(x) assumption behind
+    spark_round_half_up (see cosine_near_dup_pairs_blocked): replay a
+    battery of HALF_UP-boundary doubles through the running JVM's
+    F.round and require bitwise agreement. JDK < 19 may emit
+    non-shortest Double.toString digits; if this JVM ever diverges the
+    blocked-GEMM/oracle parity claim breaks, and this test fails
+    loudly instead of letting it poison correctness silently."""
+    import random as _r
+
+    rng = _r.Random(7)
+    vals = []
+    # exact representable halves at the 1e-6 boundary neighborhood
+    for k in range(1, 50):
+        base = k / 10.0 + 5e-07
+        vals += [base, base - 1e-22, base + 1e-22]
+    # shortest-repr values ending in ...5 at scale 7
+    vals += [float(f"0.{rng.randrange(10**6):06d}5") for _ in range(200)]
+    # random dense mantissas in [0, 1) — the generic regime
+    vals += [rng.random() for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.col("x"), F.round(F.col("x"), 6).alias("r")
+    )
+    got = {row["x"]: row["r"] for row in df.collect()}
+    for v in vals:
+        assert got[v] == S.spark_round_half_up(v, 6), (
+            f"JVM F.round({v!r}, 6) = {got[v]!r} != python "
+            f"{S.spark_round_half_up(v, 6)!r} — Double.toString/repr drift"
+        )

@@ -90,3 +90,24 @@ def test_video_hash_pipeline_over_y4m(spark):
     vh = {r["path"]: r["video_hash64"]
           for r in M.video_hash64(feats.select("path", "dhash64")).collect()}
     assert vh["a"] == vh["b"]
+
+
+def test_c420_odd_dimensions_ceil_chroma():
+    # 4:2:0 stores ceil-sized chroma planes: 5x3 luma -> 3x2 chroma.
+    # The old floor sizing (2x1) misaligned every subsequent frame.
+    w, h = 5, 3
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    y0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    y1 = (y0 + 100).astype(np.uint8)
+    frames = []
+    for y in (y0, y1):
+        u = np.full((ch, cw), 128, np.uint8)
+        v = np.full((ch, cw), 128, np.uint8)
+        frames.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    b = f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode() + b"".join(frames)
+    _fps, back = Y.decode_y4m_frames(b)
+    assert len(back) == 2
+    for y, rgb in zip((y0, y1), back):
+        assert rgb.shape == (h, w, 3)
+        # neutral chroma: decoded luma ordering survives BT.601 scaling
+        assert np.all(np.diff(rgb[0, :, 0].astype(int)) >= 0)

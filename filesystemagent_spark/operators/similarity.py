@@ -378,17 +378,23 @@ def semdedup_keys(
     w_c = Window.partitionBy(cluster_col)
     sized = df.withColumn("_cn", F.count("*").over(w_c))
     sized = sign_lsh_bucket(sized, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
+    # Split sizing in INTEGER arithmetic only (no double log/ceil):
+    # y = ceil(cn/cap) via (cn+cap-1) div cap, and ceil(log2(y)) via
+    # length(bin(y-1)) — identical to the former double formula for
+    # every y >= 1 (for x > 1, ceil(log2(x)) == ceil(log2(ceil(x)))),
+    # but exactly replayable by an external SQL engine: a libm log
+    # whose 1-ulp differences land on a ceil boundary (cn/cap an exact
+    # power of 2) can never diverge, because there is no log.
+    cap = int(max_cluster_size)
+    y = F.expr(f"(_cn + {cap - 1}) div {cap}")
     bits = (
-        F.when(F.col("_cn") <= max_cluster_size, F.lit(0))
-        .otherwise(
-            F.least(
-                F.ceil(F.log(2.0, F.col("_cn") / F.lit(max_cluster_size))),
-                F.lit(n_planes),
-            )
-        )
+        F.when(y <= 1, F.lit(0))
+        .otherwise(F.least(F.length(F.bin(y - 1)), F.lit(n_planes)))
         .cast("int")
     )
     # 2^bits is exact in double for bits <= n_planes (= 16) — safe cast.
+    # (shiftleft would be the obvious form, but its numBits argument
+    # must be a Python int literal, not a Column.)
     mask = (F.pow(F.lit(2.0), bits).cast("long") - 1).cast("long")
     keyed = sized.withColumn("_sub", F.col("bucket").bitwiseAND(mask)).drop(
         "bucket", "_cn"
@@ -397,7 +403,7 @@ def semdedup_keys(
     keyed = keyed.withColumn("_sn", F.count("*").over(w_s))
     n_salts = (
         F.when(F.col("_sn") <= max_cluster_size, F.lit(1))
-        .otherwise(F.ceil(F.col("_sn") / F.lit(max_cluster_size)))
+        .otherwise(F.expr(f"(_sn + {cap - 1}) div {cap}"))
         .cast("long")
     )
     if salt_mode == "xxhash":

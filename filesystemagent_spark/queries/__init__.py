@@ -72,7 +72,12 @@ GRADE_ORDER = (
     "top_customers_by_revenue",
     "large_orders",
     "events_hourly",
-    "doc_near_dup_jaccard",
+    # round 4: the PRUNED inverted-index Jaccard (hot-shingle cap,
+    # itself hash-matched — the prune is a deterministic HAVING both
+    # engines replay) takes the headline+graded slot; the unpruned
+    # anchor stays registered + sim-checked. The graded plan is now
+    # the one you'd run at 100x (no posting-list skew cliff).
+    "doc_near_dup_jaccard_pruned",
     "embedding_knn",
     # deep relational planner shapes (TPC-H Q21/Q19/Q15 + grouping
     # sets; Q7's volume_shipping_pairs was displaced in round 3 by the
@@ -121,9 +126,15 @@ GRADE_ORDER = (
     "doc_curation_funnel",
     "doc_transform_shim",
     "doc_dup_clusters",
-    # embeddings (exact forms; approximate siblings after the window)
-    "embedding_near_dup",
-    "embedding_semdedup",
+    # embeddings — round 4: the graded slots carry the scale-safe
+    # forms, each STILL hash-matched because the LSH planes are seeded
+    # deterministic literals the oracle replays (same discipline as
+    # doc_minhash_pairs_checkable). The O(n²) exact anchor
+    # (embedding_near_dup, blocked-GEMM) and the uncapped published
+    # recipe (embedding_semdedup) stay registered + sim-checked as
+    # recall anchors.
+    "embedding_near_dup_lsh",
+    "embedding_semdedup_capped_checkable",
     # mapInArrow zero-copy boundary (round-2 API surface)
     "embedding_norms_arrow",
     # events analytics (windows, json, asof/range, rollup, UDAF, UDTF)

@@ -288,7 +288,6 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_near_dup_jaccard",
-    headline=True,
     tags=("dedup", "join", "text"),
     oracle=f"""
 WITH sh AS (
@@ -336,6 +335,7 @@ def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_near_dup_jaccard_pruned",
+    headline=True,
     tags=("dedup", "join", "text", "scale"),
     oracle=f"""
 WITH sh AS (

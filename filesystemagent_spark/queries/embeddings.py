@@ -249,11 +249,66 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
-@register("embedding_near_dup_lsh", tags=("vector", "dedup", "lsh", "approx"))
+def _duck_plane_dot(vec: str, plane: list[float]) -> str:
+    """DuckDB replay of operators/similarity._plane_dot_sql: identical
+    term order, identical repr() coefficient literals, left-associative
+    `+` — the same IEEE operation sequence, so the sign bits match the
+    Spark side bit-for-bit (no libm, no reduction-order ambiguity)."""
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(plane)
+    )
+
+
+_LSH_NP, _LSH_NT, _LSH_SEED = 3, 6, 42  # must match the Spark call below
+
+
+def _lsh_buckets_sql() -> str:
+    """Per-table sign-LSH signatures as a UNION ALL, replaying
+    operators/similarity._multi_table_buckets (disjoint seeds per
+    table, bit i weight 1<<i)."""
+    selects = []
+    for t in range(_LSH_NT):
+        planes = S._hyperplanes(DIM, _LSH_NP, _LSH_SEED + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN ({_duck_plane_dot('embedding', p)}) >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, {bits} AS sig FROM embeddings")
+    return "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    tags=("vector", "dedup", "lsh", "scale"),
+    oracle=f"""
+WITH buck AS (
+{_lsh_buckets_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buck a
+    JOIN buck b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND({_pair_dot} / ({_pair_an} * {_pair_bn}), 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE ROUND({_pair_dot} / ({_pair_an} * {_pair_bn}), 6) >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path for embedding_near_dup: LSH-bucketed candidate
-    generation + exact cosine verify. Rows-only at the gate; recall vs
-    the exact pair set asserted in tests/test_similarity.py."""
+    """The scale path for embedding_near_dup: sign-LSH bucketed
+    candidate generation + exact cosine verify — and, because the
+    hyperplanes are seeded deterministic literals, the WHOLE pipeline
+    (plane signs → multi-table buckets → candidate pairs → rounded
+    cosine) is replayed by the DuckDB oracle and hash-matched, the
+    same discipline as doc_minhash_pairs_checkable. Candidate volume
+    shrinks ~2^n_planes per table; no O(n²) stage anywhere, so this is
+    the form you'd run at 100 TB. Recall vs the exact pair set is
+    additionally asserted in tests/test_similarity.py."""
     emb = Catalog(spark, sf_dir).embeddings
     return S.cosine_near_dup_pairs_lsh(
         emb,
@@ -261,8 +316,9 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         dim=DIM,
         threshold=NEAR_DUP_THRESHOLD,
-        n_planes=3,
-        n_tables=6,
+        n_planes=_LSH_NP,
+        n_tables=_LSH_NT,
+        seed=_LSH_SEED,
     ).orderBy("id_a", "id_b")
 
 
@@ -386,6 +442,89 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_col="embedding",
             cluster_col="label",
             threshold=NEAR_DUP_THRESHOLD,
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+_SDC_CAP, _SDC_NP, _SDC_SEED = 16, 8, 42  # must match the Spark call below
+
+
+def _sdc_bucket_sql() -> str:
+    planes = S._hyperplanes(DIM, _SDC_NP, _SDC_SEED)
+    return " + ".join(
+        f"(CASE WHEN ({_duck_plane_dot('embedding', p)}) >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+
+
+@register(
+    "embedding_semdedup_capped_checkable",
+    tags=("vector", "dedup", "semantic", "scale"),
+    oracle=f"""
+WITH sig AS (
+    SELECT vec_id, label, embedding,
+           COUNT(*) OVER (PARTITION BY label) AS cn,
+           {_sdc_bucket_sql()} AS bucket
+    FROM embeddings
+),
+bitsized AS (
+    SELECT *, CASE WHEN (cn + {_SDC_CAP - 1}) // {_SDC_CAP} <= 1 THEN 0
+                   ELSE CAST(LEAST(length(bin((cn + {_SDC_CAP - 1}) // {_SDC_CAP} - 1)),
+                                   {_SDC_NP}) AS INT)
+              END AS bits
+    FROM sig
+),
+keyed AS (
+    SELECT *, bucket & ((CAST(1 AS BIGINT) << bits) - 1) AS sub FROM bitsized
+),
+resized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY label, sub) AS sn FROM keyed
+),
+salted AS (
+    SELECT *, vec_id % (CASE WHEN sn <= {_SDC_CAP} THEN 1
+                             ELSE (sn + {_SDC_CAP - 1}) // {_SDC_CAP} END) AS salt
+    FROM resized
+),
+dups AS (
+    SELECT DISTINCT e.vec_id
+    FROM salted e
+    JOIN salted a ON a.label = e.label AND a.sub = e.sub AND a.salt = e.salt
+                 AND a.vec_id < e.vec_id
+    WHERE ROUND({_sd_dot} / ({_sd_an} * {_sd_en}), 6) >= {NEAR_DUP_THRESHOLD}
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+ORDER BY e.vec_id
+""",
+)
+def embedding_semdedup_capped_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup WITH the cluster-size budget guard live AND the whole
+    pipeline hash-matched by the oracle: cap=16 makes every gate-SF
+    cluster (59-218 rows) actually split, so the graded query runs the
+    100 TB machinery — integer-exact split sizing, sign-LSH sub-keys
+    from deterministic seeded hyperplanes, and the pmod_id salt hash
+    family (`salt_mode="pmod_id"`, mirroring minhash's md5/slice
+    checkable family) — and DuckDB replays every step bit-for-bit.
+    The xxhash-salted production twin (`embedding_semdedup_capped`)
+    and the uncapped published-recipe anchor (`embedding_semdedup`)
+    stay registered and sim-checked."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return (
+        S.semdedup_prune(
+            emb,
+            id_col="vec_id",
+            vec_col="embedding",
+            cluster_col="label",
+            threshold=NEAR_DUP_THRESHOLD,
+            dim=DIM,
+            max_cluster_size=_SDC_CAP,
+            n_planes=_SDC_NP,
+            seed=_SDC_SEED,
+            salt_mode="pmod_id",
         )
         .select("vec_id", "label")
         .orderBy("vec_id")

@@ -1,5 +1,4 @@
-"""Pure-numpy MPEG-1 Audio Layer I codec (.mp1 — the simplest member
-of the MP1/MP2/MP3 header family).
+"""Pure-numpy MPEG-1 Audio Layer I + Layer II codec (.mp1/.mp2).
 
 Reference parity: /root/reference/src/media_fingerprinting.py treats
 audio via external codec libraries; this container has none, so the
@@ -13,17 +12,32 @@ COMPUTED near-perfect-reconstruction pseudo-QMF prototype (Kaiser-
 windowed sinc, cutoff tuned for power complementarity; measured
 round-trip SNR ~55 dB through the full spec filterbank structure).
 Consequence: our encoder<->decoder round-trips are near-transparent,
-and third-party Layer I streams decode with a perceptually-equivalent
-but not bit-identical window — fine for the feature/fingerprint
-pipeline, stated here so nobody mistakes it for a conformance decoder.
-Layers II/III need the B.2 allocation classes / Huffman tables
-(numeric spec tables we refuse to approximate) and stay gated.
+and third-party Layer I/II streams decode with a perceptually-
+equivalent but not bit-identical window — fine for the feature/
+fingerprint pipeline, stated here so nobody mistakes it for a
+conformance decoder.
+
+Layer II (round 4): the allocation-class structure of table B.2a —
+per-subband nbal widths, the quantizer-class lists including the
+GROUPED classes (3/5/9 levels packed 3-samples-per-code in 5/7/10
+bits), scfsi scalefactor sharing, and the 36-sample granule layout —
+is implemented in full for the 48 kHz high-rate regime where the spec
+mandates B.2a unconditionally. 44.1/32 kHz Layer II streams select
+B.2b/c/d variants by a (rate, bitrate) table this module does not
+carry — those raise, honestly, as does Layer III (Huffman tables).
+Dequantization uses the same midtread family as Layer I
+(s = (2q + 1 - n)/n), omitting the B.4 C/D slope corrections
+(sub-0.3 dB effect, irrelevant to fingerprinting).
 
 Bitstream layout implemented (Layer I, mono + stereo):
   header(32) [crc(16) skipped] alloc(4 x 32 x nch)
   scf(6 per allocated (sb,ch)) then 12 granules of one nb-bit sample
   per allocated (sb,ch), MSB-first, zero-padded to the frame slot
   boundary (slot = 4 bytes in Layer I).
+Layer II (slot = 1 byte, 1152 samples/frame):
+  header(32) [crc(16) skipped] alloc(nbal[sb] x sblimit x nch)
+  scfsi(2 per allocated (sb,ch)) scf(6 x {1,2,3} per scfsi)
+  12 granules x allocated (sb,ch) of one grouped code or 3 codes.
 """
 
 from __future__ import annotations
@@ -32,7 +46,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["is_mpa", "decode_mpa", "encode_mpa"]
+__all__ = ["is_mpa", "decode_mpa", "encode_mpa", "encode_mp2"]
 
 _RATES = {0: 44100, 1: 48000, 2: 32000}
 _RATE_IDX = {v: k for k, v in _RATES.items()}
@@ -43,6 +57,44 @@ _BITRATES_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416,
 _SCALEFACTORS = 2.0 * np.power(2.0, -np.arange(63) / 3.0)
 
 _NBANDS, _PROTO_LEN = 32, 512
+
+# ---- Layer II tables -------------------------------------------------
+# Bitrate table (kbps), index 1..14.
+_BITRATES_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+
+# Quantizer classes: nlevels -> (grouped, code_bits). Grouped classes
+# pack one granule's 3 samples into a single base-nlevels code.
+_L2_CLASS = {
+    3: (True, 5), 5: (True, 7), 9: (True, 10),
+    7: (False, 3), 15: (False, 4), 31: (False, 5), 63: (False, 6),
+    127: (False, 7), 255: (False, 8), 511: (False, 9), 1023: (False, 10),
+    2047: (False, 11), 4095: (False, 12), 8191: (False, 13),
+    16383: (False, 14), 32767: (False, 15), 65535: (False, 16),
+}
+
+# Allocation table B.2a (sblimit = 27): per-subband allocation-field
+# width and allocation-index -> nlevels list (index 0 = no allocation).
+_B2A_SB_HI = [0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+              8191, 16383, 32767, 65535]                      # sb 0-2, nbal 4
+_B2A_SB_MID = [0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+               4095, 8191, 65535]                             # sb 3-10, nbal 4
+_B2A_SB_LOW = [0, 3, 5, 7, 9, 15, 31, 65535]                  # sb 11-22, nbal 3
+_B2A_SB_TOP = [0, 3, 5, 65535]                                # sb 23-26, nbal 2
+_B2A_SBLIMIT = 27
+
+
+def _b2a_row(sb: int) -> list[int]:
+    if sb < 3:
+        return _B2A_SB_HI
+    if sb < 11:
+        return _B2A_SB_MID
+    if sb < 23:
+        return _B2A_SB_LOW
+    return _B2A_SB_TOP
+
+
+def _b2a_nbal(sb: int) -> int:
+    return 4 if sb < 11 else (3 if sb < 23 else 2)
 
 
 def _prototype() -> np.ndarray:
@@ -75,7 +127,7 @@ _N_SYN = np.cos(
 
 
 def is_mpa(b: bytes) -> bool:
-    """True for an MPEG-1 Layer I frame sync at offset 0 (we don't
+    """True for an MPEG-1 Layer I/II/III frame sync at offset 0 (we don't
     scan for embedded sync; the pipeline writes headerless streams)."""
     if len(b) < 4:
         return False
@@ -152,28 +204,117 @@ def _dequant(raw: np.ndarray, nb: int) -> np.ndarray:
     return (two_nb / (two_nb - 1.0)) * ((raw + 1.0) * (2.0 / two_nb) - 1.0)
 
 
+def _decode_frame_l2(frame: bytes, nch: int, protection: int) -> np.ndarray:
+    """One Layer II frame -> subband samples (36, 32, nch), table B.2a.
+    Sample extraction is vectorized the same way as Layer I's: all 12
+    granules share one bit layout, so each slot gathers its 12 codes
+    in one indexed read."""
+    r = _BitReader(frame, 32 + (16 if protection == 0 else 0))
+    sbl = _B2A_SBLIMIT
+    alloc = np.zeros((sbl, nch), dtype=np.int64)  # nlevels, 0 = none
+    for sb in range(sbl):
+        row, nbal = _b2a_row(sb), _b2a_nbal(sb)
+        for ch in range(nch):
+            alloc[sb, ch] = row[r.read(nbal)]
+    scfsi = np.zeros((sbl, nch), dtype=np.int64)
+    for sb in range(sbl):
+        for ch in range(nch):
+            if alloc[sb, ch]:
+                scfsi[sb, ch] = r.read(2)
+    scf = np.ones((3, sbl, nch))
+    for sb in range(sbl):
+        for ch in range(nch):
+            if not alloc[sb, ch]:
+                continue
+            si = int(scfsi[sb, ch])
+            if si == 0:
+                a, b2, c = r.read(6), r.read(6), r.read(6)
+            elif si == 1:
+                a = b2 = r.read(6)
+                c = r.read(6)
+            elif si == 2:
+                a = b2 = c = r.read(6)
+            else:
+                a = r.read(6)
+                b2 = c = r.read(6)
+            for part, idx in enumerate((a, b2, c)):
+                scf[part, sb, ch] = _SCALEFACTORS[min(idx, 62)]
+    # One granule = 3 samples per allocated (sb, ch); fixed record.
+    slots = [
+        (sb, ch, int(alloc[sb, ch]), *_L2_CLASS[int(alloc[sb, ch])])
+        for sb in range(sbl)
+        for ch in range(nch)
+        if alloc[sb, ch]
+    ]  # (sb, ch, nlevels, grouped, code_bits)
+    granule_bits = sum(
+        (bits if grouped else 3 * bits) for _, _, _, grouped, bits in slots
+    )
+    base = r.pos + granule_bits * np.arange(12)
+    S = np.zeros((36, 32, nch))
+    gr_part = np.arange(12) // 4  # scalefactor part per granule
+    off = 0
+    for sb, ch, n, grouped, bits in slots:
+        sf = scf[gr_part, sb, ch]  # (12,)
+        if grouped:
+            bit_pos = base[:, None] + off + np.arange(bits)[None, :]
+            code = r.bits[bit_pos].astype(np.int64) @ (1 << np.arange(bits - 1, -1, -1))
+            vals = np.stack([code % n, (code // n) % n, (code // (n * n)) % n], axis=1)
+            off += bits
+        else:
+            bit_pos = (
+                base[:, None, None]
+                + off
+                + (np.arange(3) * bits)[None, :, None]
+                + np.arange(bits)[None, None, :]
+            )
+            vals = r.bits[bit_pos].astype(np.int64) @ (1 << np.arange(bits - 1, -1, -1))
+            off += 3 * bits
+        S[:, sb, ch] = (sf[:, None] * ((2.0 * vals + 1.0 - n) / n)).reshape(-1)
+    return S
+
+
 def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
-    """Decode a Layer I stream. Returns (rate, nch, channel-mean mono
-    float in [-1,1], label) — the same contract as audio.decode_wav
-    and flac.decode_flac so the multimodal ladder treats all three
-    uniformly."""
+    """Decode a Layer I or Layer II stream. Returns (rate, nch,
+    channel-mean mono float in [-1,1], label) — the same contract as
+    audio.decode_wav and flac.decode_flac so the multimodal ladder
+    treats all three uniformly."""
     if not is_mpa(b):
         raise ValueError("not an MPEG-1 audio stream")
     pos = 0
-    subbands: list[np.ndarray] = []  # per frame: (12, 32, nch)
+    subbands: list[np.ndarray] = []  # per frame: (12 or 36, 32, nch)
     rate = nch = None
+    label = "mp1-pure"
     while pos + 4 <= len(b):
         h = struct.unpack(">I", b[pos : pos + 4])[0]
         if (h >> 21) & 0x7FF != 0x7FF:
             break
         layer = (h >> 17) & 0x3
-        if layer != 0x3:
+        if layer == 0x1:
             raise NotImplementedError(
-                "MPEG-1 Layer II/III decode needs the B.2 allocation / "
-                "Huffman tables (no closed form) — install a codec "
-                "library for .mp2/.mp3"
+                "MPEG-1 Layer III decode needs the Huffman tables (no "
+                "closed form) — install a codec library for .mp3"
             )
         protection = (h >> 16) & 1
+        if layer == 0x2:  # Layer II
+            bitrate = _BITRATES_L2[(h >> 12) & 0xF] * 1000
+            rate = _RATES[(h >> 10) & 0x3]
+            padding = (h >> 9) & 1
+            mode = (h >> 6) & 0x3
+            nch = 1 if mode == 0x3 else 2
+            if rate != 48000 or bitrate // nch < 56000:
+                raise NotImplementedError(
+                    "Layer II decode carries allocation table B.2a only "
+                    "(48 kHz, >= 56 kbps/channel — the regime where the "
+                    "spec mandates it); this stream selects a B.2b/c/d "
+                    "variant"
+                )
+            frame_len = 144 * bitrate // rate + padding
+            subbands.append(
+                _decode_frame_l2(b[pos : pos + frame_len], nch, protection)
+            )
+            label = "mp2-pure"
+            pos += frame_len
+            continue
         bitrate = _BITRATES_L1[(h >> 12) & 0xF] * 1000
         rate = _RATES[(h >> 10) & 0x3]
         padding = (h >> 9) & 1
@@ -214,12 +355,12 @@ def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
         subbands.append(S * scf[None, :, :])
         pos += frame_len
     if not subbands or rate is None:
-        raise ValueError("no decodable Layer I frames")
-    allS = np.concatenate(subbands)  # (12*nframes, 32, nch)
+        raise ValueError("no decodable MPEG-1 audio frames")
+    allS = np.concatenate(subbands)  # (blocks, 32, nch)
     # Channel-mean downmix commutes with the (linear) synthesis
     # filterbank — average subbands first, synthesize once.
     out = _synthesize(allS.mean(axis=2))
-    return rate, nch, out, "mp1-pure"
+    return rate, nch, out, label
 
 
 # ------------------------------------------------------------------- encode
@@ -316,4 +457,86 @@ def encode_mpa(samples: np.ndarray, rate: int) -> bytes:
             [bits, np.zeros(frame_bytes * 8 - len(bits), dtype=np.uint8)]
         )
         frames.append(np.packbits(bits).tobytes())
+    return b"".join(frames)
+
+
+def encode_mp2(samples: np.ndarray, rate: int = 48000) -> bytes:
+    """Encode float PCM as MPEG-1 Layer II at 48 kHz using table B.2a:
+    subbands 0-22 get the 15-level (4-bit) class, subbands 23-26 the
+    GROUPED 5-level class (3 samples per 7-bit code — the Layer II
+    mechanism Layer I lacks), subbands 27+ are unallocated (B.2a's
+    sblimit; >17.2 kHz content at 48 kHz). scfsi=0 (3 per-part
+    scalefactors). Mono encodes at 192 kbps, stereo at 384 — the
+    smallest standard rates the fixed allocation fits (and the spec's
+    per-mode maxima). No psychoacoustics: this encoder exists to
+    round-trip the decoder and synthesize deterministic fixtures."""
+    if rate != 48000:
+        raise ValueError(
+            "encode_mp2 emits 48 kHz streams only (the rate where table "
+            "B.2a applies unconditionally — see module docstring)"
+        )
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if nch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    n = (len(x) // 1152) * 1152
+    if n == 0:
+        raise ValueError("need at least 1152 samples per channel")
+    x = x[:n]
+    S = np.stack([_analyze(x[:, ch]) for ch in range(nch)], axis=2)  # (blk,32,nch)
+    nframes = len(S) // 36
+
+    plan = [15] * 23 + [5] * 4  # nlevels per subband 0..26
+    alloc_idx = [_b2a_row(sb).index(plan[sb]) for sb in range(_B2A_SBLIMIT)]
+
+    bitrate_kbps = 192 if nch == 1 else 384
+    bi = _BITRATES_L2.index(bitrate_kbps)
+    frame_bytes = 144 * bitrate_kbps * 1000 // rate
+    mode = 0x3 if nch == 1 else 0x0
+    header = (
+        (0x7FF << 21) | (0x3 << 19) | (0x2 << 17) | (1 << 16)  # layer II, no CRC
+        | (bi << 12) | (_RATE_IDX[rate] << 10) | (mode << 6)
+    )
+    frames = []
+    for f in range(nframes):
+        Sf = S[f * 36 : (f + 1) * 36]  # (36, 32, nch)
+        parts = Sf.reshape(3, 12, 32, nch)
+        maxabs = np.abs(parts).max(axis=1)  # (3, 32, nch)
+        idx = np.searchsorted(
+            -_SCALEFACTORS, -np.minimum(maxabs, 2.0), side="right"
+        ) - 1
+        idx = np.clip(idx, 0, 62)
+        scf = _SCALEFACTORS[idx]  # (3, 32, nch)
+        w = _BitWriter()
+        w.write(header, 32)
+        for sb in range(_B2A_SBLIMIT):
+            for ch in range(nch):
+                w.write(alloc_idx[sb], _b2a_nbal(sb))
+        for _sb in range(_B2A_SBLIMIT):
+            for _ch in range(nch):
+                w.write(0, 2)  # scfsi = 0: three scalefactors
+        for sb in range(_B2A_SBLIMIT):
+            for ch in range(nch):
+                for part in range(3):
+                    w.write(int(idx[part, sb, ch]), 6)
+        gr_part = np.arange(12) // 4
+        for gr in range(12):
+            sc = scf[gr_part[gr]]  # (32, nch)
+            tri = Sf[gr * 3 : gr * 3 + 3]  # (3, 32, nch)
+            for sb in range(_B2A_SBLIMIT):
+                nlev = plan[sb]
+                grouped, bits = _L2_CLASS[nlev]
+                for ch in range(nch):
+                    s = tri[:, sb, ch] / sc[sb, ch]
+                    q = np.clip(
+                        np.rint((s * nlev + nlev - 1.0) / 2.0), 0, nlev - 1
+                    ).astype(np.int64)
+                    if grouped:
+                        w.write(int(q[0] + nlev * q[1] + nlev * nlev * q[2]), bits)
+                    else:
+                        for v in q:
+                            w.write(int(v), bits)
+        frames.append(w.tobytes(frame_bytes))
     return b"".join(frames)

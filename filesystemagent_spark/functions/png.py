@@ -254,3 +254,25 @@ def _bits_to_i64(bits: np.ndarray) -> int:
     for bit in bits[:64]:
         v = (v << 1) | int(bit)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def whash64(gray: np.ndarray) -> int:
+    """Haar wavelet hash (imagehash.whash definition, hash_size=8,
+    image_scale=64, remove_max_haar_ll=True — the reference's fourth
+    perceptual-hash family member, media_fingerprinting.py:146):
+
+    - downscale to 64x64 (area average, like the other hashes here);
+    - zero the full-depth Haar LL before decomposing: wavedec2 to
+      level log2(64)=6 leaves a 1x1 LL holding the scaled global sum,
+      so zeroing it and reconstructing is EXACTLY mean subtraction;
+    - take the level-3 Haar LL: each level's LL is the 2x2 block sum
+      over 2 (orthonormal haar dec_lo = [1/sqrt2, 1/sqrt2] applied
+      separably), three levels collapse 64x64 -> 8x8;
+    - bit = coefficient > median of the 64 coefficients.
+    """
+    g = resize_area(gray, 64, 64) / 255.0
+    ll = g - g.mean()
+    for _ in range(3):
+        ll = (ll[0::2, 0::2] + ll[0::2, 1::2] + ll[1::2, 0::2] + ll[1::2, 1::2]) / 2.0
+    med = np.median(ll)
+    return _bits_to_i64((ll > med).flatten())

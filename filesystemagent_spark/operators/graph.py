@@ -192,12 +192,26 @@ def triangle_counts(edges_oneway: DataFrame) -> DataFrame:
     # The edge list is referenced four times below (degree pass via
     # both directions, then the orientation join) and is usually an
     # expensive derivation (co-purchase pair expansion) — persist it,
-    # same derived-sketch rule as the dedup self-joins.
-    edges_oneway = track_persist(edges_oneway)
+    # same derived-sketch rule as the dedup self-joins. Right-size the
+    # persisted/iterated working set to cluster parallelism (the
+    # pagerank fix, SCALE.md lesson 1): under a default-config session
+    # the upstream shuffles leave 200 micro-partitions, and the
+    # per-task overhead of re-scanning them across this operator's
+    # four joins dominated the actual compute (measured 29.3s -> 2.7s
+    # warm at sf0.01). The closure join is deliberately NOT manually
+    # repartitioned — AQE coalesces that shuffle fine, and forcing it
+    # measured slower.
+    par = edges_oneway.sparkSession.sparkContext.defaultParallelism
+    edges_oneway = track_persist(edges_oneway.repartition(par, "src"))
     both = edges_oneway.unionAll(
         edges_oneway.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = both.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "n")
+    deg = (
+        both.repartition(par, "src")
+        .groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .withColumnRenamed("src", "n")
+    )
 
     keep = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
@@ -214,8 +228,10 @@ def triangle_counts(edges_oneway: DataFrame) -> DataFrame:
     )
     # The oriented edges feed three joins (both wedge arms + the
     # closure side) — persist the 3-int-column projection so the
-    # orientation pass runs once.
-    e = track_persist(e)
+    # orientation pass runs once, hash-partitioned on the wedge pivot
+    # so both wedge arms inherit the cache's distribution and the
+    # wedge self-join adds no exchange.
+    e = track_persist(e.repartition(par, "a"))
     # wedge: two oriented edges out of the same pivot a, endpoints
     # ordered by (deg, id) rank so each unordered pair appears once
     e1 = e.select(F.col("a"), F.col("b"), F.col("rank_b"))

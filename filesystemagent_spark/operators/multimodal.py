@@ -70,6 +70,7 @@ IMAGE_META = T.StructType(
         T.StructField("dhash64", T.LongType()),
         T.StructField("phash64", T.LongType()),
         T.StructField("ahash64", T.LongType()),
+        T.StructField("whash64", T.LongType()),
         T.StructField("decoder", T.StringType()),  # 'pil' | 'stub'
     ]
 )
@@ -95,7 +96,7 @@ def _pil_available() -> bool:
 def image_features(
     df: DataFrame, path_col: str = "path", content_col: str = "content"
 ) -> DataFrame:
-    """Decode + perceptual-hash each image (F2: dhash/phash/ahash as
+    """Decode + perceptual-hash each image (F2: dhash/phash/ahash/whash as
     64-bit longs — BIGINT so near-dup joins use bit_count(h1^h2), not
     hex-string UDFs).
 
@@ -151,6 +152,7 @@ def image_features(
                                 "dhash64": _hex_to_i64(str(imagehash.dhash(img))),
                                 "phash64": _hex_to_i64(str(imagehash.phash(img))),
                                 "ahash64": _hex_to_i64(str(imagehash.average_hash(img))),
+                                "whash64": _hex_to_i64(str(imagehash.whash(img))),
                                 "decoder": "pil",
                             }
                         )
@@ -181,6 +183,7 @@ def image_features(
                                 "dhash64": P.dhash64(gray),
                                 "phash64": P.phash64(gray),
                                 "ahash64": P.ahash64(gray),
+                                "whash64": P.whash64(gray),
                                 "decoder": label,
                             }
                         )
@@ -197,6 +200,7 @@ def image_features(
                         "dhash64": _stub_u64(b, b"dhash"),
                         "phash64": _stub_u64(b, b"phash"),
                         "ahash64": _stub_u64(b, b"ahash"),
+                        "whash64": _stub_u64(b, b"whash"),
                         "decoder": "stub",
                     }
                 )
@@ -490,14 +494,14 @@ def audio_features(df: DataFrame, path_col: str = "path", content_col: str = "co
     G.711 mu-law/A-law, and IMA ADPCM (`decoder` distinguishes them:
     'wav-pure' / 'wav-ulaw-pure' / 'wav-alaw-pure' /
     'wav-adpcm-pure') — FLAC via functions/flac.py ('flac-pure') —
-    and MPEG-1 Layer I via functions/mpa.py ('mp1-pure', the first
-    perceptually-coded member of the ladder) — yielding duration,
-    sample rate, channels, RMS (normalized to [-1,1]) and
-    zero-crossing rate of the channel-mean signal. Formats whose spec
-    tables have no closed form (mp2/mp3/ogg) genuinely need codec
-    libs: with soundfile importable they'd decode the same way;
-    without it they raise NotImplementedError — honestly, not a fake
-    number."""
+    and MPEG-1 Layer I + Layer II via functions/mpa.py ('mp1-pure' /
+    'mp2-pure', the perceptually-coded members of the ladder; Layer II
+    covers the 48 kHz B.2a regime) — yielding duration, sample rate,
+    channels, RMS (normalized to [-1,1]) and zero-crossing rate of the
+    channel-mean signal. Formats whose spec tables have no closed form
+    (mp3 Huffman / ogg) genuinely need codec libs: with soundfile
+    importable they'd decode the same way; without it they raise
+    NotImplementedError — honestly, not a fake number."""
     import numpy as np
     import pandas as pd
 

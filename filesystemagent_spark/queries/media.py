@@ -117,6 +117,62 @@ def doc_png_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_png_whash_dedup",
+    tags=("multimodal", "png", "whash", "dedup", "mapInPandas"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 45)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_png_whash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wavelet-hash member of the perceptual-hash family
+    (imagehash.whash semantics; reference media_fingerprinting.py:146
+    — the last F2 gap), exercised end-to-end like
+    doc_png_roundtrip_dedup: 45-char-prefix md5 -> deterministic 8x8
+    RGB -> REAL PNG encode -> production image_features ladder
+    (pure-PNG decode -> luminance -> Haar whash64) -> banded Hamming
+    dedup. Identical prefixes give whash distance 0, so DuckDB oracles
+    the pair set as an md5 equality self-join."""
+    import hashlib as _hl
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    from filesystemagent_spark.functions import png as P
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+    from filesystemagent_spark.operators.multimodal import image_features
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.substring("text", 1, 45)).alias("hp")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, hp in zip(pdf["doc_id"], pdf["hp"]):
+                raw = b"".join(
+                    _hl.sha256(hp.encode() + bytes([i])).digest() for i in range(6)
+                )
+                rgb = _np.frombuffer(raw, dtype=_np.uint8, count=192).reshape(8, 8, 3)
+                rows.append({"path": str(doc_id), "content": P.encode_png(rgb)})
+            yield _pd.DataFrame(rows, columns=["path", "content"])
+
+    imgs = docs.mapInPandas(gen, "path string, content binary")
+    feats = image_features(imgs).select(
+        F.col("path").cast("long").alias("doc_id"), "whash64", "decoder"
+    )
+    pairs = hamming_near_dup_pairs(feats, "doc_id", "whash64", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "doc_gif_video_dedup",
     tags=("multimodal", "video", "gif", "dedup", "mapInPandas"),
     oracle="""
@@ -442,6 +498,87 @@ def doc_mp1_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mp1s = docs.mapInPandas(gen, "path string, content binary")
     fps = audio_fingerprints(mp1s, window_s=DUR / RATE).where(
+        F.col("window_index") == 0
+    )
+    keyed = fps.select(F.col("path").cast("long").alias("doc_id"), "fp64")
+    pairs = hamming_near_dup_pairs(keyed, "doc_id", "fp64", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "doc_mp2_audio_dedup",
+    tags=("multimodal", "audio", "dedup", "lossy-codec", "mapInPandas"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 55)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_mp2_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`doc_mp1_audio_dedup` moved up one codec rung: the same
+    synthesize -> encode -> production-ladder-decode -> fingerprint ->
+    banded-Hamming-dedup pipeline, but through MPEG-1 LAYER II
+    (functions/mpa.encode_mp2 at 48 kHz — table B.2a allocation with
+    the grouped 5-level class live on subbands 23-26 of every frame).
+    Identical 55-char prefixes give byte-identical .mp2 streams give
+    identical fingerprints; the oracle replays the distance-0 pair set
+    as an md5 equality self-join. Closes the round-3 'missing #2' item
+    down to mp3/mp4 only."""
+    import hashlib as _hl
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    from filesystemagent_spark.functions import mpa as MP
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+    from filesystemagent_spark.operators.multimodal import audio_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.substring("text", 1, 55)).alias("hp")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    RATE = 48000  # encode_mp2's B.2a-certain rate
+    DUR = (RATE // 2 // 1152) * 1152  # whole Layer II frames
+
+    def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        seg_len = DUR // 8
+        t = _np.linspace(0, seg_len / RATE, seg_len, endpoint=False)
+        for pdf in batches:
+            rows = []
+            for doc_id, hp in zip(pdf["doc_id"], pdf["hp"]):
+                raw = _np.frombuffer(
+                    b"".join(
+                        _hl.sha256(hp.encode() + bytes([i])).digest()
+                        for i in range(6)
+                    ),
+                    dtype="<u2",
+                )
+                segs = []
+                for s in range(8):
+                    block = raw[s * 12 : (s + 1) * 12]
+                    freqs = 300.0 + (block[:4] % 12000)  # inside B.2a passband
+                    amps = 0.05 + (block[4:8] % 1000) / 8000.0
+                    phases = (block[8:12] % 6283) / 1000.0
+                    seg = _np.zeros_like(t)
+                    for f_, a_, p_ in zip(freqs, amps, phases):
+                        seg += a_ * _np.sin(2 * _np.pi * f_ * t + p_)
+                    segs.append(seg)
+                rows.append(
+                    {
+                        "path": str(doc_id),
+                        "content": MP.encode_mp2(_np.concatenate(segs), RATE),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["path", "content"])
+
+    mp2s = docs.mapInPandas(gen, "path string, content binary")
+    fps = audio_fingerprints(mp2s, window_s=DUR / RATE).where(
         F.col("window_index") == 0
     )
     keyed = fps.select(F.col("path").cast("long").alias("doc_id"), "fp64")

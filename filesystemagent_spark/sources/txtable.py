@@ -45,6 +45,67 @@ class CommitConflict(Exception):
     snapshot."""
 
 
+def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
+    """Per-file min/max column stats from the parquet footers the
+    files already carry (no data scan — footer metadata only), merged
+    across row groups. Only JSON-representable scalar types (ints,
+    floats, strs, bools) are kept; columns without usable stats are
+    simply absent, which the pruner treats as 'cannot prune'.
+
+    Driver-side over the JUST-WRITTEN files of one commit — manifest-
+    scale work, the same place Iceberg/Delta collect their per-file
+    stats (from the writing tasks); at fact-table scale the loop
+    becomes a task-side metric the commit aggregates."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        per: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if not all(isinstance(v, (int, float, str, bool)) for v in (mn, mx)):
+                    continue
+                name = col.path_in_schema
+                if name in per:
+                    per[name] = [min(per[name][0], mn), max(per[name][1], mx)]
+                else:
+                    per[name] = [mn, mx]
+        out[f] = per
+    return out
+
+
+def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool:
+    """Conservative footer-stats test: False ONLY when the file's
+    [min, max] range for the predicate column PROVES no row matches.
+    Missing stats (all-null files, unsupported types) keep the file —
+    correctness never depends on stats existing."""
+    col, op, val = pred
+    if col not in per:
+        return True
+    mn, mx = per[col]
+    try:
+        if op == "=":
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+    except TypeError:
+        return True  # incomparable literal vs stats type — keep
+    return True  # unknown op — never prune on it
+
+
 class TxTable:
     def __init__(self, path: str):
         self.path = path
@@ -73,17 +134,54 @@ class TxTable:
 
     # -- read path ---------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
         """The table AS OF `version` (default: latest). Resolves the
         manifest once; the returned DataFrame scans exactly that file
-        set no matter what commits land afterwards."""
+        set no matter what commits land afterwards.
+
+        ``where`` — optional conjunctive predicates [(col, op, value)]
+        with op in {=, <, <=, >, >=} — enables STATS-BASED FILE
+        SKIPPING: files whose manifest min/max stats prove no matching
+        row are dropped from the scan before Spark ever plans it (the
+        Iceberg/Delta data-skipping recipe; Spark's own pushdown can
+        only prune row groups INSIDE files it was given). The same
+        predicates are then applied as real filters, so results are
+        exact whether or not any file was skipped; manifests written
+        before stats existed simply skip nothing."""
         v = self.latest_version() if version is None else version
         if v == 0:
             raise ValueError(f"table {self.path} has no committed snapshot")
         m = self._read_manifest(v)
-        if not m["files"]:
-            return spark.createDataFrame([], m["schema_ddl"])
-        return spark.read.schema(m["schema_ddl"]).parquet(*m["files"])
+        files = m["files"]
+        if where:
+            stats = m.get("stats", {})
+            files = [
+                f
+                for f in files
+                if all(_file_may_match(stats.get(f, {}), p) for p in where)
+            ]
+        if not files:
+            df = spark.createDataFrame([], m["schema_ddl"])
+        else:
+            df = spark.read.schema(m["schema_ddl"]).parquet(*files)
+        if where:
+            from pyspark.sql import functions as F
+
+            ops = {
+                "=": lambda c, v_: c == v_,
+                "<": lambda c, v_: c < v_,
+                "<=": lambda c, v_: c <= v_,
+                ">": lambda c, v_: c > v_,
+                ">=": lambda c, v_: c >= v_,
+            }
+            for col, op, val in where:
+                df = df.filter(ops[op](F.col(col), F.lit(val)))
+        return df
 
     # -- write path --------------------------------------------------
 
@@ -123,7 +221,8 @@ class TxTable:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(
                 {"version": version, "files": files, "schema_ddl": schema_ddl,
-                 "committed_at": time.time(), "app": app or {}},
+                 "committed_at": time.time(), "app": app or {},
+                 "stats": _collect_file_stats(files)},
                 fh,
             )
             fh.flush()

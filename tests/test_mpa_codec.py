@@ -1,7 +1,9 @@
-"""MPEG-1 Layer I codec (functions/mpa.py): near-transparent round
-trips through the real polyphase filterbank, spec-level bitstream
-checks built independently of the encoder, honest gating for Layer
-II/III, and the audio ladder."""
+"""MPEG-1 Layer I + II codec (functions/mpa.py): near-transparent
+round trips through the real polyphase filterbank, spec-level
+bitstream checks built independently of the encoder (including the
+Layer II B.2a allocation + grouped-code wire format), honest gating
+for the Layer II B.2b/c/d regimes and Layer III, and the audio
+ladder."""
 
 from __future__ import annotations
 
@@ -126,12 +128,23 @@ def test_handbuilt_frame_decodes_known_subband():
     assert len(y) == 384
 
 
-def test_layer2_honestly_gated():
+def test_layer2_non48k_honestly_gated():
+    """Layer II decode carries table B.2a only — the 48 kHz high-rate
+    regime; a 32 kHz stream (which selects B.2b/c/d) must raise, not
+    mis-decode."""
     b = MP.encode_mpa(_tone(), 32000)
     h = struct.unpack(">I", b[:4])[0]
     l2 = struct.pack(">I", (h & ~(0x3 << 17)) | (0x2 << 17)) + b[4:]
-    with pytest.raises(NotImplementedError, match="Layer II"):
+    with pytest.raises(NotImplementedError, match="B.2"):
         MP.decode_mpa(l2)
+
+
+def test_layer3_honestly_gated():
+    b = MP.encode_mpa(_tone(), 32000)
+    h = struct.unpack(">I", b[:4])[0]
+    l3 = struct.pack(">I", (h & ~(0x3 << 17)) | (0x1 << 17)) + b[4:]
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        MP.decode_mpa(l3)
 
 
 def test_rejects_non_mpa():
@@ -163,3 +176,94 @@ def test_audio_ladder_decodes_mp1(spark):
     fps = {r["path"]: r["fp64"] for r in M.audio_fingerprints(rows).collect()}
     dist = bin(fps["/m/tone.mp1"] ^ fps["/m/tone.wav"]).count("1")
     assert dist <= 10
+
+
+def test_mp2_roundtrip_near_transparent():
+    sig = _tone(n=96000, rate=48000)
+    b = MP.encode_mp2(sig, 48000)
+    rate, nch, y, label = MP.decode_mpa(b)
+    assert (rate, nch, label) == (48000, 1, "mp2-pure")
+    snr, g = _aligned_snr(sig, y)
+    # bounded by the 15-level subband quantizer, not the filterbank
+    assert snr > 18, snr
+    assert abs(g - 1.0) < 0.1
+    # deterministic and actually compressed (192 kbps vs 768 raw)
+    assert b == MP.encode_mp2(sig, 48000)
+    assert len(b) < 2 * len(sig)  # 16-bit PCM would be 2 bytes/sample
+
+
+def test_mp2_wire_format_allocation_and_grouping():
+    """Read the allocation fields straight off the wire with an
+    independent bit reader: B.2a nbal widths (4/4/3/2), the 15-level
+    class for sb 0-22, and the GROUPED 5-level class (7-bit triple
+    codes) for sb 23-26; frame length must be exactly 576 bytes
+    (192 kbps mono at 48 kHz, slot = 1 byte)."""
+    b = MP.encode_mp2(_tone(n=1152, rate=48000), 48000)
+    assert len(b) == 576
+    h = struct.unpack(">I", b[:4])[0]
+    assert (h >> 17) & 0x3 == 0x2  # layer II
+    assert MP._RATES[(h >> 10) & 0x3] == 48000
+    assert MP._BITRATES_L2[(h >> 12) & 0xF] == 192
+    r = MP._BitReader(b, 32)
+    allocs = [r.read(MP._b2a_nbal(sb)) for sb in range(MP._B2A_SBLIMIT)]
+    for sb in range(23):
+        assert MP._b2a_row(sb)[allocs[sb]] == 15, (sb, allocs[sb])
+    for sb in range(23, 27):
+        assert MP._b2a_row(sb)[allocs[sb]] == 5, (sb, allocs[sb])
+        assert MP._L2_CLASS[5] == (True, 7)  # grouped, 7-bit code
+
+
+def test_mp2_handbuilt_frame_decodes_known_subband():
+    """Frame built bit-by-bit WITHOUT the encoder: sb0 allocated the
+    grouped 3-level class (alloc index 1 in B.2a's sb0 row), scfsi=2
+    (single scalefactor, index 0 -> 2.0), every granule carrying the
+    grouped code 5 = 2 + 3*1 + 9*0 -> samples (2/3, 0, -2/3) * 2.0.
+    Checks the B.2a layout, scfsi sharing, and base-n code
+    decomposition independently of encode_mp2."""
+    w = MP._BitWriter()
+    header = (
+        (0x7FF << 21) | (0x3 << 19) | (0x2 << 17) | (1 << 16)
+        | (MP._BITRATES_L2.index(192) << 12) | (MP._RATE_IDX[48000] << 10)
+        | (0x3 << 6)
+    )
+    w.write(header, 32)
+    for sb in range(MP._B2A_SBLIMIT):
+        w.write(1 if sb == 0 else 0, MP._b2a_nbal(sb))  # sb0 -> nlevels 3
+    w.write(2, 2)           # scfsi for sb0: one shared scalefactor
+    w.write(0, 6)           # scf index 0 -> 2.0
+    for _gr in range(12):
+        w.write(5, 5)       # grouped code: (v0, v1, v2) = (2, 1, 0)
+    frame = w.tobytes(576)
+    S = MP._decode_frame_l2(frame, 1, 1)
+    assert S.shape == (36, 32, 1)
+    expect = 2.0 * np.array([(2 * 2 + 1 - 3) / 3, (2 * 1 + 1 - 3) / 3, (2 * 0 + 1 - 3) / 3])
+    for gr in range(12):
+        assert S[gr * 3 : gr * 3 + 3, 0, 0] == pytest.approx(expect)
+    assert np.all(S[:, 1:, :] == 0)
+
+
+def test_mp2_stereo_roundtrip_downmixes():
+    sig = _tone(n=48000, rate=48000)
+    stereo = np.stack([sig, 0.5 * sig], axis=1)
+    b = MP.encode_mp2(stereo, 48000)
+    rate, nch, y, label = MP.decode_mpa(b)
+    assert (rate, nch, label) == (48000, 2, "mp2-pure")
+    snr, g = _aligned_snr(0.75 * sig, y)  # channel mean
+    assert snr > 18, snr
+
+
+def test_audio_ladder_decodes_mp2(spark):
+    sig = _tone(n=48000, rate=48000)
+    rows = spark.createDataFrame(
+        [
+            ("/m/tone.mp2", MP.encode_mp2(sig, 48000)),
+            ("/m/tone.wav", AU.encode_wav(sig, 48000, AU.WAVE_PCM)),
+        ],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in M.audio_features(rows).collect()}
+    mp = got["/m/tone.mp2"]
+    assert mp["decoder"] == "mp2-pure"
+    assert mp["sample_rate"] == 48000
+    assert mp["duration_s"] == pytest.approx(1.0, abs=0.02)
+    assert mp["rms"] == pytest.approx(got["/m/tone.wav"]["rms"], rel=0.1)

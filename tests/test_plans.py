@@ -468,3 +468,28 @@ def test_blocked_cosine_plan_shape(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     # block-side join: tiny packed sides, never a shuffle join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_triangle_wedge_join_reuses_cache_partitioning(spark, sf_dir):
+    """triangle_counts persists the oriented edge list hash-partitioned
+    on the wedge pivot `a`, so both wedge arms inherit the cache's
+    distribution: the wedge self-join must add NO exchange on `a`
+    beyond the single one inside the cache materialization (the
+    pagerank-style right-sizing fix — 200 default micro-partitions
+    made this operator ~10x overhead-bound under a bare session).
+    Distinct plan_ids count each physical exchange once however often
+    the printer repeats the cached build."""
+    import re
+
+    from filesystemagent_spark.caching import release_tracked_caches
+
+    release_tracked_caches()
+    plan = executed_plan(QUERIES["parts_copurchase_triangles"].fn(spark, sf_dir))
+    ids = set(
+        re.findall(
+            r"Exchange hashpartitioning\(a#[^\n]*\[plan_id=(\d+)\]",
+            _strip_initial_plans(plan),
+        )
+    )
+    assert len(ids) <= 1, plan
+    release_tracked_caches()

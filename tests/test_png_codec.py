@@ -278,3 +278,51 @@ def test_resize_area_preserves_mean(seed):
     g = rng.uniform(0, 255, size=(16, 16))
     r = P.resize_area(g, 8, 8)
     assert abs(r.mean() - g.mean()) < 1e-9
+
+
+def test_whash_semantics():
+    """whash64 = imagehash.whash(hash_size=8, image_scale=64,
+    remove_max_haar_ll=True) semantics: level-3 Haar LL of the
+    mean-subtracted 64x64 image, median threshold."""
+    img = _gradient(32, 32)
+    gray = P.luminance(img)
+    w = P.whash64(gray)
+    assert w == P.whash64(gray)  # deterministic
+    # hand-rolled replay: 8x8 block means (x8/255, mean-subtracted)
+    g = P.resize_area(gray, 64, 64) / 255.0
+    g = g - g.mean()
+    ll = g
+    for _ in range(3):
+        ll = (ll[0::2, 0::2] + ll[0::2, 1::2] + ll[1::2, 0::2] + ll[1::2, 1::2]) / 2.0
+    bits = (ll > np.median(ll)).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    assert w == (v - (1 << 64) if v >= (1 << 63) else v)
+    # median threshold -> balanced-ish bit population (never all-0/all-1)
+    pop = bin(w & (2**64 - 1)).count("1")
+    assert 16 <= pop <= 48
+    # 1-pixel perturbation is a near-dup
+    pert = img.copy()
+    pert[5, 5] = [250, 250, 250]
+    dist = bin((w ^ P.whash64(P.luminance(pert))) & (2**64 - 1)).count("1")
+    assert dist <= 2
+    # structurally different image -> far hash
+    other = np.ascontiguousarray(_gradient(32, 32)[::-1, ::-1])
+    dist2 = bin((w ^ P.whash64(P.luminance(other))) & (2**64 - 1)).count("1")
+    assert dist2 > 8
+
+
+def test_image_features_carries_whash(spark):
+    imgs = spark.createDataFrame(
+        [
+            ("/m/grad.png", P.encode_png(_gradient(16, 16))),
+            ("/m/junk.png", b"\x89PNG but not really"),
+        ],
+        "path string, content binary",
+    )
+    rows = {r["path"]: r.asDict() for r in M.image_features(imgs).collect()}
+    assert rows["/m/grad.png"]["whash64"] == P.whash64(
+        P.luminance(_gradient(16, 16))
+    )
+    assert rows["/m/junk.png"]["whash64"] is not None  # stub still typed

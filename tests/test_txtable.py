@@ -181,3 +181,66 @@ def test_four_writer_stress_all_updates_survive(spark, tmp_path):
     got = {r.file_path: r.size for r in t.read(spark).collect()}
     assert got == {"/base": 0, "/w1": 10, "/w2": 20, "/w3": 30, "/w4": 40}
     assert t.latest_version() == 5
+
+
+def test_stats_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    """Manifests record per-file min/max footer stats; a selective
+    read() predicate drops files whose range proves no match BEFORE
+    Spark plans the scan, and still applies the real filter so the
+    result is exact."""
+    t = TxTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 7 AS STRING) AS tag")
+    # range-partitioned stage -> files carry disjoint id ranges
+    t.init(df.repartitionByRange(8, "id"))
+
+    full = t.read(spark)
+    assert len(full.inputFiles()) == 8
+
+    point = t.read(spark, where=[("id", "=", 5)])
+    assert len(point.inputFiles()) == 1  # 7 of 8 files skipped
+    assert [r.id for r in point.collect()] == [5]
+
+    rng = t.read(spark, where=[("id", ">=", 900)])
+    assert len(rng.inputFiles()) == 1
+    assert rng.count() == 100
+
+    lt = t.read(spark, where=[("id", "<", 250)])
+    assert 1 <= len(lt.inputFiles()) <= 2
+    assert lt.count() == 250
+
+    # conjunction: both predicates prune
+    conj = t.read(spark, where=[("id", ">=", 100), ("id", "<=", 120)])
+    assert len(conj.inputFiles()) <= 2
+    assert conj.count() == 21
+
+    # impossible range -> zero files, empty (schema preserved)
+    none = t.read(spark, where=[("id", ">", 10_000)])
+    assert none.count() == 0
+    assert none.columns == ["id", "tag"]
+
+
+def test_stats_skipping_is_conservative_without_stats(spark, tmp_path):
+    """A manifest without stats (pre-stats format) must skip nothing
+    and still produce the filtered result."""
+    import json, os
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 100).selectExpr("id").repartitionByRange(4, "id"))
+    # strip the stats key, simulating an old manifest
+    mp = t._manifest_path(1)
+    m = json.load(open(mp))
+    m.pop("stats")
+    os.unlink(mp)
+    json.dump(m, open(mp, "w"))
+
+    got = t.read(spark, where=[("id", "=", 7)])
+    assert len(got.inputFiles()) == 4  # nothing pruned...
+    assert [r.id for r in got.collect()] == [7]  # ...result still exact
+
+
+def test_stats_survive_merge_into(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1), ("/b", 2)]))
+    t.merge_into(_df(spark, [("/b", 20), ("/c", 3)]), ["file_path"])
+    got = t.read(spark, where=[("size", ">=", 3)])
+    assert {r.file_path: r.size for r in got.collect()} == {"/b": 20, "/c": 3}

@@ -21,13 +21,23 @@ same protocol the real table formats use:
   the link fails, and `merge_into` RETRIES against the new snapshot —
   so both writers' upserts survive, in commit order.
 
-At 100 TB the protocol is unchanged; what upgrades is the conflict
-granularity (manifest lists per-partition file sets so disjoint
-writers don't contend) and the CAS primitive (object stores use
-put-if-absent / a log service instead of link(2)). The rewrite inside
-`merge_into` is full-table here — right for catalog/baseline-sized
-tables; partition-scoped rewrite is the fact-table path (see
-plans/matview.py for the partition-swap half of that story).
+At 100 TB the protocol is unchanged; what upgrades is the CAS
+primitive (object stores use put-if-absent / a log service instead of
+link(2)). The two fact-table-scale properties real formats add on top
+of the protocol are BOTH here as of round 4:
+
+- FILE-GRANULAR MERGE: `merge_into` consults the manifest's per-file
+  min/max stats and rewrites ONLY the files whose key ranges may
+  contain an update key; every other file is carried into the new
+  manifest verbatim (stats included — no footer re-read). A 10-row
+  upsert against a 100 TB table stages kilobytes, not the table.
+- DISJOINT-FILE CONFLICT REBASE: when the CAS loses, the loser checks
+  the winner's manifest — if the winner left the loser's rewritten
+  files alone and none of the winner's new files can contain the
+  loser's keys (stats proof), the loser RE-PUBLISHES its already-
+  staged files against the new head instead of recomputing the merge.
+  Disjoint writers contend only on the manifest pointer, never on
+  data work — Delta/Iceberg's conflict-resolution semantics.
 """
 
 from __future__ import annotations
@@ -104,6 +114,60 @@ def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool
     except TypeError:
         return True  # incomparable literal vs stats type — keep
     return True  # unknown op — never prune on it
+
+
+# Upper bound on distinct update-key values probed per key column; a
+# wider batch falls back to a [min, max] range test. Driver-side and
+# manifest-scale by construction.
+_MERGE_PROBE_CAP = 10_000
+
+
+def _merge_probe(updates: DataFrame, key_cols: list[str]) -> dict[str, tuple | None]:
+    """Per key column, a summary of the update batch's key values used
+    to decide which existing files a merge must rewrite: ('vals',
+    sorted distinct values) when the batch is narrow, ('range', mn, mx)
+    when wide, None when the values aren't orderable scalars (→ no
+    pruning: every file is treated as possibly matching)."""
+    import bisect as _b  # noqa: F401  (documents the lookup strategy)
+
+    probe: dict[str, tuple | None] = {}
+    for c in key_cols:
+        rows = updates.select(c).distinct().limit(_MERGE_PROBE_CAP + 1).collect()
+        vals = [r[0] for r in rows]
+        if not vals or not all(
+            isinstance(v, (int, float, str, bool)) for v in vals
+        ):
+            probe[c] = None
+            continue
+        if len(vals) > _MERGE_PROBE_CAP:
+            probe[c] = ("range", min(vals), max(vals))
+        else:
+            probe[c] = ("vals", sorted(vals))
+    return probe
+
+
+def _file_overlaps_probe(per: dict[str, list], probe: dict[str, tuple | None]) -> bool:
+    """Conservative: True unless the file's stats PROVE no update key
+    tuple can live in it. Per-column test (tuple coherence across
+    columns is ignored — that only ever keeps extra files)."""
+    import bisect
+
+    for col, p in probe.items():
+        if p is None or col not in per:
+            continue  # can't prune on this column
+        mn, mx = per[col]
+        try:
+            if p[0] == "range":
+                if p[2] < mn or mx < p[1]:  # ranges disjoint
+                    return False
+            else:
+                vals = p[1]
+                i = bisect.bisect_left(vals, mn)
+                if i >= len(vals) or vals[i] > mx:
+                    return False
+        except TypeError:
+            continue  # incomparable — keep the file
+    return True
 
 
 class TxTable:
@@ -210,19 +274,25 @@ class TxTable:
 
     def _try_commit(
         self, version: int, files: list[str], schema_ddl: str,
-        app: dict | None = None,
+        app: dict | None = None, stats: dict | None = None,
     ) -> None:
         """Publish `version` atomically: write a temp manifest, then
         link(2) it into place — link fails with EEXIST if a concurrent
         writer won this version (the CAS), and readers can never
-        observe a half-written manifest."""
+        observe a half-written manifest.
+
+        ``stats`` carries per-file stats already known (files inherited
+        from a previous manifest keep theirs without a footer re-read);
+        stats are collected fresh only for files missing from it."""
+        known = stats or {}
+        fresh = _collect_file_stats([f for f in files if f not in known])
         os.makedirs(self.manifest_dir, exist_ok=True)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(
                 {"version": version, "files": files, "schema_ddl": schema_ddl,
                  "committed_at": time.time(), "app": app or {},
-                 "stats": _collect_file_stats(files)},
+                 "stats": {f: (known[f] if f in known else fresh[f]) for f in files}},
                 fh,
             )
             fh.flush()
@@ -264,32 +334,120 @@ class TxTable:
         app: dict | None = None,
     ) -> int:
         """MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
-        INSERT, with optimistic concurrency: read the current
-        snapshot, merge (updates win on the key), stage the result,
-        CAS-commit the next version; on conflict, RE-READ and retry —
-        a concurrent writer's rows are merged, never silently dropped
-        (the lost-update case of plain last-writer-wins parquet).
-        Returns the committed version."""
+        INSERT, with optimistic concurrency — FILE-GRANULAR: only the
+        files whose manifest stats say they MAY contain an update key
+        are read, anti-joined, and rewritten; every other file is
+        carried into the new manifest verbatim (stats included). Files
+        without key-column stats (e.g. pre-stats manifests) are
+        conservatively rewritten, so correctness never depends on
+        stats existing.
+
+        On a CAS conflict the loser first attempts a REBASE (see
+        `_try_rebase`): if the winner's commit provably didn't touch
+        the loser's key space, the already-staged files are
+        re-published against the new head with zero re-read/re-write;
+        only an actual data overlap forces the full re-merge retry —
+        so a concurrent writer's rows are merged, never silently
+        dropped (the lost-update case of plain last-writer-wins
+        parquet). Returns the committed version; `last_merge_info`
+        records what the commit did (rewritten/carried file counts,
+        whether a rebase happened) for observability and tests."""
         spark = updates.sparkSession
         for _ in range(max_retries):
             base = self.latest_version()
             if base == 0:
                 try:
-                    return self.init(updates, app)
+                    v = self.init(updates, app)
+                    self.last_merge_info = {
+                        "base": 0, "rewritten": 0, "carried": 0, "rebased": False,
+                    }
+                    return v
                 except CommitConflict:
                     continue
-            current = self.read(spark, base)
-            keep = current.join(
-                updates.select(*key_cols).distinct(), key_cols, "left_anti"
-            )
-            merged = keep.unionByName(updates)
-            files, ddl = self._write_data(merged)
+            m = self._read_manifest(base)
+            ddl = m["schema_ddl"]
+            stats = m.get("stats", {})
+            probe = _merge_probe(updates, key_cols)
+            touched = [
+                f for f in m["files"]
+                if _file_overlaps_probe(stats.get(f, {}), probe)
+            ]
+            carried = [f for f in m["files"] if f not in set(touched)]
+            cols = spark.createDataFrame([], ddl).columns
+            if touched:
+                current = spark.read.schema(ddl).parquet(*touched)
+                keep = current.join(
+                    updates.select(*key_cols).distinct(), key_cols, "left_anti"
+                )
+                merged = keep.unionByName(updates).select(*cols)
+            else:
+                merged = updates.select(*cols)
+            new_files, new_ddl = self._write_data(merged)
+            carried_stats = {f: stats[f] for f in carried if f in stats}
             try:
-                self._try_commit(base + 1, files, ddl, app)
+                self._try_commit(
+                    base + 1, carried + new_files, new_ddl, app, stats=carried_stats
+                )
+                self.last_merge_info = {
+                    "base": base, "rewritten": len(touched),
+                    "carried": len(carried), "rebased": False,
+                }
                 return base + 1
             except CommitConflict:
-                continue  # someone else won base+1 — merge against it
+                v = self._try_rebase(
+                    base, touched, new_files, new_ddl, probe, app
+                )
+                if v is not None:
+                    self.last_merge_info = {
+                        "base": base, "rewritten": len(touched),
+                        "carried": len(carried), "rebased": True,
+                    }
+                    return v
+                continue  # overlap with the winner — re-merge on its snapshot
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def _try_rebase(
+        self,
+        base: int,
+        touched: list[str],
+        new_files: list[str],
+        ddl: str,
+        probe: dict,
+        app: dict | None,
+    ) -> int | None:
+        """After losing the CAS at `base + 1`: re-publish the ALREADY
+        STAGED merge against the new head iff the winner's commits
+        provably didn't interact with ours — (a) same schema, (b) every
+        file we rewrote is still live at the head (nobody else rewrote
+        or dropped it), and (c) none of the files added since `base`
+        can contain any of our update keys (their manifest stats prove
+        it; a stats-less new file means no proof → no rebase). Then the
+        head's file list minus our touched files plus our staged files
+        is exactly what a re-merge would produce, without re-reading or
+        re-writing anything. Returns the committed version, or None if
+        the proof fails and the caller must re-merge for real."""
+        base_files = set(self._read_manifest(base)["files"])
+        while True:
+            head = self.latest_version()
+            w = self._read_manifest(head)
+            if w["schema_ddl"] != ddl:
+                return None
+            head_files = list(w["files"])
+            if not set(touched) <= set(head_files):
+                return None  # winner rewrote one of our files — real conflict
+            wstats = w.get("stats", {})
+            added = [f for f in head_files if f not in base_files]
+            if any(
+                _file_overlaps_probe(wstats.get(f, {}), probe) for f in added
+            ):
+                return None  # winner may hold our keys — must re-merge
+            files2 = [f for f in head_files if f not in set(touched)] + new_files
+            carried_stats = {f: wstats[f] for f in head_files if f in wstats}
+            try:
+                self._try_commit(head + 1, files2, ddl, app, stats=carried_stats)
+                return head + 1
+            except CommitConflict:
+                continue  # another commit landed — re-check against it
 
     def vacuum(self) -> list[str]:
         """Delete data directories not referenced by ANY manifest

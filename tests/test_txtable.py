@@ -244,3 +244,140 @@ def test_stats_survive_merge_into(spark, tmp_path):
     t.merge_into(_df(spark, [("/b", 20), ("/c", 3)]), ["file_path"])
     got = t.read(spark, where=[("size", ">=", 3)])
     assert {r.file_path: r.size for r in got.collect()} == {"/b": 20, "/c": 3}
+
+
+def test_merge_granular_rewrites_only_touched_files(spark, tmp_path):
+    """merge_into consults manifest stats: an upsert hitting one file's
+    key range rewrites THAT file; the other files are carried into the
+    new manifest verbatim (same paths, same stats, no re-read)."""
+    import json
+
+    t = TxTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id AS STRING) AS tag")
+    t.init(df.repartitionByRange(8, "id"))
+    v1_files = set(json.load(open(t._manifest_path(1)))["files"])
+    assert len(v1_files) == 8
+
+    ups = spark.createDataFrame(
+        [(i, f"upd{i}") for i in range(100, 111)], "id bigint, tag string"
+    )
+    assert t.merge_into(ups, ["id"]) == 2
+    info = t.last_merge_info
+    assert info["rewritten"] <= 2 and info["carried"] >= 6, info
+    assert not info["rebased"]
+
+    m2 = json.load(open(t._manifest_path(2)))
+    carried = [f for f in m2["files"] if f in v1_files]
+    assert len(carried) == info["carried"]  # untouched files survive verbatim
+    # carried files keep their stats without a footer re-read
+    m1_stats = json.load(open(t._manifest_path(1)))["stats"]
+    for f in carried:
+        assert m2["stats"][f] == m1_stats[f]
+
+    got = {r.id: r.tag for r in t.read(spark).collect()}
+    assert len(got) == 1000
+    assert got[105] == "upd105" and got[99] == "99" and got[111] == "111"
+    # time travel: v1 unchanged
+    assert t.read(spark, version=1).where("tag = 'upd105'").count() == 0
+    # stats skipping still works on the merged manifest
+    pt = t.read(spark, where=[("id", "=", 105)])
+    assert len(pt.inputFiles()) <= 2
+    assert [r.tag for r in pt.collect()] == ["upd105"]
+
+
+def test_merge_granular_insert_only_rewrites_nothing(spark, tmp_path):
+    """Update keys outside every file's range -> pure append: zero
+    files rewritten, all carried."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 1000)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(8, "id")
+    )
+    ups = spark.createDataFrame(
+        [(i, "new") for i in range(5000, 5011)], "id bigint, tag string"
+    )
+    t.merge_into(ups, ["id"])
+    assert t.last_merge_info["rewritten"] == 0
+    assert t.last_merge_info["carried"] == 8
+    assert t.read(spark).count() == 1011
+
+
+def test_merge_rebase_disjoint_writers_skip_recompute(spark, tmp_path, monkeypatch):
+    """A loser whose staged files are provably disjoint from the
+    winner's commit re-publishes them against the new head WITHOUT
+    restaging: both updates survive, and exactly three data stages
+    exist (init + each writer's one merge write)."""
+    import os
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 1000)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(8, "id")
+    )
+    ups_a = spark.createDataFrame([(100, "A")], "id bigint, tag string")
+    ups_b = spark.createDataFrame([(900, "B")], "id bigint, tag string")
+
+    orig = TxTable._try_commit
+    state = {"fired": False}
+
+    def inject(self, version, files, ddl, app=None, stats=None):
+        # B's first commit attempt: let A land v2 first, forcing the CAS
+        # conflict deterministically.
+        if not state["fired"]:
+            state["fired"] = True
+            ta2 = TxTable(t.path)
+            monkeypatch.setattr(TxTable, "_try_commit", orig)
+            ta2.merge_into(ups_a, ["id"])
+            monkeypatch.setattr(TxTable, "_try_commit", inject)
+        return orig(self, version, files, ddl, app, stats)
+
+    monkeypatch.setattr(TxTable, "_try_commit", inject)
+    v = t.merge_into(ups_b, ["id"])
+    monkeypatch.setattr(TxTable, "_try_commit", orig)
+
+    assert v == 3
+    assert t.last_merge_info["rebased"] is True
+    got = {r.id: r.tag for r in t.read(spark).where("id IN (100, 900)").collect()}
+    assert got == {100: "A", 900: "B"}
+    # init + A's stage + B's single stage = 3 data dirs (no recompute)
+    assert len(os.listdir(t.data_dir)) == 3
+
+
+def test_merge_rebase_refused_on_key_overlap(spark, tmp_path, monkeypatch):
+    """When the winner's new files may contain the loser's keys the
+    rebase proof fails and the loser re-merges on the fresh snapshot —
+    the loser's update (the later merge) wins on the shared key."""
+    import os
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 100)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(4, "id")
+    )
+    ups_a = spark.createDataFrame([(50, "A")], "id bigint, tag string")
+    ups_b = spark.createDataFrame([(50, "B")], "id bigint, tag string")
+
+    orig = TxTable._try_commit
+    state = {"fired": False}
+
+    def inject(self, version, files, ddl, app=None, stats=None):
+        if not state["fired"]:
+            state["fired"] = True
+            ta2 = TxTable(t.path)
+            monkeypatch.setattr(TxTable, "_try_commit", orig)
+            ta2.merge_into(ups_a, ["id"])
+            monkeypatch.setattr(TxTable, "_try_commit", inject)
+        return orig(self, version, files, ddl, app, stats)
+
+    monkeypatch.setattr(TxTable, "_try_commit", inject)
+    v = t.merge_into(ups_b, ["id"])
+    monkeypatch.setattr(TxTable, "_try_commit", orig)
+
+    assert v == 3
+    assert t.last_merge_info["rebased"] is False  # full re-merge happened
+    assert [r.tag for r in t.read(spark).where("id = 50").collect()] == ["B"]
+    # B staged twice (pre-conflict + re-merge): init + A + B*2 = 4 dirs
+    assert len(os.listdir(t.data_dir)) == 4

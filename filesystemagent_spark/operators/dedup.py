@@ -54,6 +54,82 @@ def dedup_exact(df: DataFrame, keys: Sequence[str], order: Sequence[Column]) -> 
     return keep_first(df, keys, order)
 
 
+def _shingled_docs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(_id, _shingles) with empty-shingle docs dropped, persisted:
+    shingling feeds the signature AND the verify sides — persist so
+    the expensive expression tree runs once (tracked: the sweep/driver
+    release hook unpersists it after the result materializes)."""
+    return track_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_shingles"),
+        ).filter(F.size("_shingles") > 0)
+    )
+
+
+def _banded_keys(
+    docs: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    base: str,
+    band_key: str,
+    max_bucket: int,
+) -> DataFrame:
+    """(_id, band, band_hash) LSH band keys over `_shingled_docs`
+    output, bucket-capped and persisted — the shape every minhash
+    consumer joins on (self-join for batch dedup, one-sided join for
+    the incremental index).
+
+    Base hashes go in their own projection: HOFs are outside codegen,
+    so inlining the md5/xxhash transform into minhash_signature would
+    re-evaluate it once per permutation (no CSE across HOF children).
+    The bucket cap drops pathological buckets (boilerplate collapse)
+    before any join turns quadratic; the bucket size is a window count
+    over the SAME key the joins shuffle on, so the one exchange serves
+    the cap and the join. The capped result is persisted (tiny: id +
+    band + band key per doc·band) so the signature pipeline — by far
+    the dominant compute — runs once, not once per join branch."""
+    rows_per_band = num_hashes // bands
+    base_fn = H.shingle_hashes_md5 if base == "md5" else H.shingle_hashes
+    signed = docs.select(
+        "_id", base_fn(F.col("_shingles")).alias("_hv")
+    ).withColumn("_sig", H.minhash_signature_from_hashes(F.col("_hv"), num_hashes, seed))
+
+    if band_key == "hash":
+        bands_col = H.band_keys(F.col("_sig"), bands, rows_per_band)
+    else:  # "slice": the band's values themselves — replayable anywhere
+        bands_col = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("band_hash"),
+                )
+                for i in range(bands)
+            ]
+        )
+    from pyspark.sql import Window
+
+    banded = signed.select("_id", F.explode(bands_col).alias("bk")).select(
+        "_id", "bk.band", "bk.band_hash"
+    )
+    bsz = F.count("*").over(Window.partitionBy("band", "band_hash"))
+    return track_persist(
+        banded.withColumn("_bsz", bsz)
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -84,60 +160,15 @@ def minhash_near_dup_pairs(
     ones (md5 base, raw band slices as strings) — one pipeline, two
     hash families, so fixes like the bucket cap apply to both.
     """
-    rows_per_band = num_hashes // bands
-    # Shingling feeds the signature AND both verify sides — persist so
-    # the expensive expression tree runs once (tracked: the sweep/driver
-    # release hook unpersists it after the result materializes).
-    docs = track_persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_shingles"),
-        ).filter(F.size("_shingles") > 0)
-    )
-    # Base hashes in their own projection: HOFs are outside codegen, so
-    # inlining the md5/xxhash transform into minhash_signature would
-    # re-evaluate it once per permutation (no CSE across HOF children).
-    base_fn = H.shingle_hashes_md5 if base == "md5" else H.shingle_hashes
-    signed = docs.select(
-        "_id", base_fn(F.col("_shingles")).alias("_hv")
-    ).withColumn("_sig", H.minhash_signature_from_hashes(F.col("_hv"), num_hashes, seed))
-
-    if band_key == "hash":
-        bands_col = H.band_keys(F.col("_sig"), bands, rows_per_band)
-    else:  # "slice": the band's values themselves — replayable anywhere
-        bands_col = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("band_hash"),
-                )
-                for i in range(bands)
-            ]
-        )
-    # Cap pathological buckets (boilerplate collapse) before the
-    # self-join turns quadratic. The bucket size is a window count
-    # over the SAME key the self-join shuffles on, so the one
-    # exchange serves the cap and the join; the capped result is
-    # persisted (tiny: id + band + band key per doc·band) so the
-    # signature pipeline — md5/xxhash base hashes plus the
-    # per-permutation min reduce, by far the dominant compute — runs
-    # once, not once per self-join branch.
-    from pyspark.sql import Window
-
-    banded = signed.select("_id", F.explode(bands_col).alias("bk")).select(
-        "_id", "bk.band", "bk.band_hash"
-    )
-    bsz = F.count("*").over(Window.partitionBy("band", "band_hash"))
-    banded = track_persist(
-        banded.withColumn("_bsz", bsz)
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
+    docs = _shingled_docs(df, id_col, text_col, shingle_n)
+    banded = _banded_keys(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        base=base,
+        band_key=band_key,
+        max_bucket=max_bucket,
     )
 
     left = banded.alias("l")
@@ -169,6 +200,136 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    seed: int = 42,
+    base: str = "xxhash64",
+    band_key: str = "hash",
+) -> DataFrame:
+    """The STORABLE form of the LSH banding stage: (id, band,
+    band_hash), one row per doc·band, bucket-capped — built once over
+    the corpus and persisted to a table (e.g. sources/txtable.TxTable,
+    partitioned/bucketed by (band, band_hash)). New batches then dedup
+    against the corpus by JOINING this index instead of re-shingling
+    and re-signing 100 TB of history — see
+    `minhash_dedup_incremental`. Same signature pipeline as
+    `minhash_near_dup_pairs` (one implementation, both hash families),
+    so an index built here surfaces exactly the candidates the batch
+    self-join form would."""
+    docs = _shingled_docs(df, id_col, text_col, shingle_n)
+    banded = _banded_keys(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        base=base,
+        band_key=band_key,
+        max_bucket=max_bucket,
+    )
+    return banded.select(F.col("_id").alias(id_col), "band", "band_hash")
+
+
+def minhash_dedup_incremental(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    seed: int = 42,
+    threshold: float = 0.5,
+    base: str = "xxhash64",
+    band_key: str = "hash",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Dedup an INCOMING BATCH against an already-indexed corpus — the
+    continuous-ingest shape: the corpus is never re-shingled or
+    re-signed; only the batch runs the signature pipeline, and the
+    corpus participates through (a) the prebuilt band index
+    (`minhash_band_index`, a one-sided equi-join on (band, band_hash)
+    — at scale the stored index is bucketed on that key, so the join
+    co-locates) and (b) point lookups of the CANDIDATE corpus docs'
+    text for the exact-Jaccard verify (a semi-join prune: only docs an
+    LSH bucket surfaced get shingled, never the corpus).
+
+    Returns (id_new, dup_of, jaccard, src): src='corpus' rows pair a
+    batch doc with an existing corpus doc, src='batch' rows pair two
+    batch docs (id_new > dup_of — keep-first discipline). Batch-side
+    band keys are bucket-capped with the same `max_bucket` as the
+    index build, bounding the join fan-out on boilerplate collapse.
+
+    After the batch is accepted, append its band keys
+    (`minhash_band_index` over the surviving docs) to the index table
+    — `TxTable.merge_into` gives that append snapshot isolation."""
+    new_docs = _shingled_docs(new_df, id_col, text_col, shingle_n)
+    new_banded = _banded_keys(
+        new_docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        base=base,
+        band_key=band_key,
+        max_bucket=max_bucket,
+    )
+    idx = index_df.select(
+        F.col(id_col).alias("_cid"), "band", "band_hash"
+    )
+    cross = (
+        new_banded.join(idx, ["band", "band_hash"])
+        .select(F.col("_id").alias("id_new"), F.col("_cid").alias("dup_of"))
+        .distinct()
+    )
+    left = new_banded.alias("l")
+    right = new_banded.alias("r")
+    within = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("r._id").alias("id_new"), F.col("l._id").alias("dup_of"))
+        .distinct()
+    )
+    # Corpus text is touched ONLY for surfaced candidates (semi-join).
+    corpus_cand = corpus_df.join(
+        cross.select(F.col("dup_of").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    corpus_sh = _shingled_docs(corpus_cand, id_col, text_col, shingle_n)
+
+    def _verify(cand: DataFrame, dup_sh: DataFrame, src: str) -> DataFrame:
+        a = new_docs.select(F.col("_id").alias("id_new"), F.col("_shingles").alias("sh_a"))
+        b = dup_sh.select(F.col("_id").alias("dup_of"), F.col("_shingles").alias("sh_b"))
+        jac = F.col("_inter").cast("double") / (
+            F.size("sh_a") + F.size("sh_b") - F.col("_inter")
+        ).cast("double")
+        if round_to is not None:
+            jac = F.round(jac, round_to)
+        return (
+            cand.join(a, "id_new")
+            .join(b, "dup_of")
+            .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_new", "dup_of", "jaccard", F.lit(src).alias("src"))
+        )
+
+    return _verify(cross, corpus_sh, "corpus").unionByName(
+        _verify(within, new_docs, "batch")
+    )
 
 
 def simhash_near_dup_pairs(

@@ -123,6 +123,13 @@ GRADE_ORDER = (
     # the LSH pipeline itself (signature → bands → candidates →
     # verify) replayed and hash-matched by the oracle
     "doc_minhash_pairs_checkable",
+    # round 4: INCREMENTAL corpus dedup — the batch joins a prebuilt
+    # LSH band index one-sidedly (the continuous-ingest shape; the
+    # corpus is never re-signed) and the oracle replays the whole
+    # split pipeline. Displaces events_nearby_views: the range-join
+    # class keeps a graded slot via events_stream_interval_join, and
+    # the query stays registered + sim-checked.
+    "doc_minhash_incremental",
     "doc_curation_funnel",
     "doc_transform_shim",
     "doc_dup_clusters",
@@ -141,7 +148,6 @@ GRADE_ORDER = (
     "events_props_json",
     "events_funnel",
     "events_asof_prior_view",
-    "events_nearby_views",
     "events_value_mad",
     "events_user_seq",
     # REAL audio decode + spectral-fingerprint dedup (round 3):

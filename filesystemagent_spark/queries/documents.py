@@ -919,6 +919,107 @@ def doc_minhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_minhash_incremental",
+    tags=("dedup", "lsh", "minhash", "incremental", "cross-engine"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+    FROM documents
+), shingled AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' '))
+               END) AS sh
+    FROM toks
+), docs AS (
+    SELECT doc_id, sh FROM shingled WHERE len(sh) > 0
+), hs AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(t.s), 1, 15)) AS UBIGINT) % 2038074743 AS hv
+    FROM docs, UNNEST(docs.sh) AS t(s)
+), params(i, a, b) AS (VALUES {_MH_VALUES}),
+sig AS (
+    SELECT doc_id, p.i, MIN((p.a * hv + p.b) % 2038074743) AS mv
+    FROM hs CROSS JOIN params p
+    GROUP BY doc_id, p.i
+), bands AS (
+    SELECT doc_id, i // {_MH_N // _MH_BANDS} AS band,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS band_val
+    FROM sig GROUP BY doc_id, i // {_MH_N // _MH_BANDS}
+), corpus_bands AS (
+    SELECT * FROM bands WHERE doc_id % 4 <> 0
+), batch_bands AS (
+    SELECT * FROM bands WHERE doc_id % 4 = 0
+), corpus_ok AS (
+    SELECT band, band_val FROM corpus_bands
+    GROUP BY band, band_val HAVING COUNT(*) <= 1000
+), index_bands AS (
+    SELECT corpus_bands.* FROM corpus_bands JOIN corpus_ok USING (band, band_val)
+), batch_ok AS (
+    SELECT band, band_val FROM batch_bands
+    GROUP BY band, band_val HAVING COUNT(*) <= 1000
+), batch_capped AS (
+    SELECT batch_bands.* FROM batch_bands JOIN batch_ok USING (band, band_val)
+), cross_cand AS (
+    SELECT DISTINCT b.doc_id AS id_new, c.doc_id AS dup_of
+    FROM batch_capped b JOIN index_bands c
+      ON b.band = c.band AND b.band_val = c.band_val
+), within_cand AS (
+    SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS dup_of
+    FROM batch_capped a JOIN batch_capped b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+), cand AS (
+    SELECT id_new, dup_of, 'corpus' AS src FROM cross_cand
+    UNION ALL
+    SELECT id_new, dup_of, 'batch' AS src FROM within_cand
+), verified AS (
+    SELECT id_new, dup_of,
+           ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                 / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))),
+                 6) AS jaccard,
+           src
+    FROM cand
+    JOIN docs da ON da.doc_id = cand.id_new
+    JOIN docs db ON db.doc_id = cand.dup_of
+)
+SELECT id_new, dup_of, jaccard, src FROM verified WHERE jaccard >= 0.4
+ORDER BY id_new, dup_of
+""",
+)
+def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the continuous-ingest shape a 100 TB
+    training pipeline actually runs: the corpus (doc_id % 4 != 0) is
+    represented ONLY by its prebuilt LSH band index
+    (`minhash_band_index` — in production stored in a TxTable bucketed
+    on the band key; tests/test_dedup.py round-trips exactly that) and
+    the incoming batch (doc_id % 4 == 0) is the only data that runs
+    the signature pipeline. Candidates come from a one-sided join of
+    batch bands against the index plus a within-batch self-join;
+    corpus text is touched only for surfaced candidates (semi-join
+    prune, plan-gated). The oracle replays the ENTIRE split pipeline —
+    signatures, corpus index with its bucket cap, batch cap, one-sided
+    + within candidates, exact-Jaccard verify — in the md5/slice hash
+    family and must hash-match."""
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    index = D.minhash_band_index(
+        corpus, "doc_id", "text",
+        shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS,
+        seed=_MH_SEED, base="md5", band_key="slice",
+    )
+    return D.minhash_dedup_incremental(
+        corpus, batch, index, "doc_id", "text",
+        shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS,
+        seed=_MH_SEED, threshold=0.4, base="md5", band_key="slice",
+        round_to=6,
+    ).orderBy("id_new", "dup_of")
+
+
+@register(
     "doc_simhash_pairs_checkable",
     tags=("dedup", "simhash", "cross-engine"),
     oracle=f"""

@@ -156,3 +156,99 @@ def test_ngram_jaccard_prune_is_exact_when_under_cap(spark, sf_dir):
         ).collect())
     )
     assert exact == capped
+
+
+def test_minhash_incremental_matches_full_batch(spark):
+    """Incremental dedup (prebuilt corpus index + batch pipeline) must
+    surface exactly the full batch run's pairs that touch the batch:
+    batch-vs-corpus pairs as src='corpus', batch-vs-batch as
+    src='batch', and never a corpus-vs-corpus pair."""
+    from filesystemagent_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_incremental,
+        minhash_near_dup_pairs,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, body * 3),                       # corpus
+        (2, body * 3 + "tail one here"),     # corpus, dup of 1
+        (4, body * 3 + "tail two here"),     # batch,  dup of 1/2
+        (8, body * 3 + "tail three here"),   # batch,  dup of 1/2/4
+        (3, "completely different text about spark shuffles " * 5),  # corpus
+        (12, "unrelated batch document with its own words " * 5),    # batch
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter("doc_id % 4 != 0")
+    batch = df.filter("doc_id % 4 = 0")
+
+    kw = dict(shingle_n=3, num_hashes=16, bands=4, seed=42)
+    index = minhash_band_index(corpus, "doc_id", "text", **kw)
+    got = {
+        (r.id_new, r.dup_of, r.src)
+        for r in minhash_dedup_incremental(
+            corpus, batch, index, "doc_id", "text", threshold=0.4, **kw
+        ).collect()
+    }
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            df, "doc_id", "text", threshold=0.4, **kw
+        ).collect()
+    }
+    batch_ids = {4, 8, 12}
+    expect = set()
+    for a, b in full:
+        if a in batch_ids and b in batch_ids:
+            expect.add((b, a, "batch"))  # id_new > dup_of
+        elif b in batch_ids:
+            expect.add((b, a, "corpus"))
+        elif a in batch_ids:
+            expect.add((a, b, "corpus"))
+    assert got == expect
+    assert (4, 1, "corpus") in got and (8, 4, "batch") in got
+    assert not any(n not in batch_ids for n, _, _ in got)
+
+
+def test_minhash_index_txtable_roundtrip(spark, tmp_path):
+    """The index is STORABLE: write it to a TxTable, read it back,
+    dedup a batch against the read-back index (same result as the
+    in-memory index), then merge the accepted batch's band keys in —
+    the continuous-ingest loop end-to-end."""
+    from filesystemagent_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_incremental,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    body = "one two three four five six seven eight nine ten "
+    df = spark.createDataFrame(
+        [(1, body * 4), (2, body * 4 + "x y z"), (4, body * 4 + "p q r")],
+        "doc_id long, text string",
+    )
+    corpus, batch = df.filter("doc_id < 4"), df.filter("doc_id = 4")
+    kw = dict(shingle_n=3, num_hashes=16, bands=4, seed=42)
+
+    index = minhash_band_index(corpus, "doc_id", "text", **kw)
+    t = TxTable(str(tmp_path / "lsh_index"))
+    t.init(index.withColumn("band", index["band"].cast("int")))
+
+    direct = minhash_dedup_incremental(
+        corpus, batch, index, "doc_id", "text", threshold=0.4, **kw
+    )
+    via_table = minhash_dedup_incremental(
+        corpus, batch, t.read(spark), "doc_id", "text", threshold=0.4, **kw
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_table.collect())
+    )
+    assert {r.id_new for r in via_table.collect()} == {4}
+
+    # accept the batch: append its band keys under snapshot isolation
+    batch_idx = minhash_band_index(batch, "doc_id", "text", **kw)
+    t.merge_into(
+        batch_idx.withColumn("band", batch_idx["band"].cast("int")),
+        ["doc_id", "band"],
+    )
+    assert t.read(spark).select("doc_id").distinct().count() == 3

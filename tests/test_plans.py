@@ -493,3 +493,18 @@ def test_triangle_wedge_join_reuses_cache_partitioning(spark, sf_dir):
     )
     assert len(ids) <= 1, plan
     release_tracked_caches()
+
+
+def test_incremental_dedup_prunes_corpus_with_semi_join(spark, sf_dir):
+    """doc_minhash_incremental must touch corpus TEXT only for docs an
+    LSH bucket surfaced: the verify side reads the corpus through a
+    LeftSemi join on candidate ids, never shingling the full corpus —
+    the property that makes incremental ingest cheaper than re-running
+    the batch dedup at 100 TB."""
+    from filesystemagent_spark.caching import release_tracked_caches
+
+    release_tracked_caches()
+    plan = executed_plan(QUERIES["doc_minhash_incremental"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    release_tracked_caches()

@@ -920,6 +920,7 @@ def doc_minhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_minhash_incremental",
+    headline=True,
     tags=("dedup", "lsh", "minhash", "incremental", "cross-engine"),
     oracle=f"""
 WITH toks AS (

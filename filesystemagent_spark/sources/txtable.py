@@ -449,6 +449,55 @@ class TxTable:
             except CommitConflict:
                 continue  # another commit landed — re-check against it
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 8,
+        zorder_cols: list[str] | None = None,
+        zorder_bits: int = 12,
+        max_retries: int = 10,
+    ) -> int:
+        """OPTIMIZE: rewrite the current snapshot into `target_files`
+        files — optionally Z-order clustered on `zorder_cols` so the
+        manifest stats get tight per-file ranges on EVERY clustered
+        column (sources/layout.zorder_key; composes with the stats
+        skipping in `read(where=...)`). Logical content is identical;
+        readers are never affected (snapshot isolation, and old
+        versions stay time-travelable). Streaming/incremental writers
+        leave many small files; at scale one task per ~128 MB beats
+        one per micro-commit.
+
+        Concurrency: compaction holds no lock — if a merge lands
+        between our read and our commit, publishing the compacted
+        files would silently DROP that merge, so the CAS loss simply
+        retries the whole compaction on the fresh snapshot (always
+        safe: the work is idempotent and content-free). Real formats
+        make the same choice (Delta OPTIMIZE loses to concurrent
+        writers, not vice versa)."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base == 0:
+                raise ValueError(f"table {self.path} has no committed snapshot")
+            df = self.read(spark, base)
+            if zorder_cols:
+                from filesystemagent_spark.sources.layout import zorder_key
+
+                df = (
+                    zorder_key(df, zorder_cols, bits=zorder_bits)
+                    .repartitionByRange(target_files, "_zkey")
+                    .sortWithinPartitions("_zkey")
+                    .drop("_zkey")
+                )
+            else:
+                df = df.coalesce(target_files)
+            files, ddl = self._write_data(df)
+            try:
+                self._try_commit(base + 1, files, ddl, app={"compacted_from": base})
+                return base + 1
+            except CommitConflict:
+                continue  # a real write won — recompact its snapshot
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
     def vacuum(self) -> list[str]:
         """Delete data directories not referenced by ANY manifest
         (aborted stages). Referenced-by-old-version files are kept —

@@ -381,3 +381,75 @@ def test_merge_rebase_refused_on_key_overlap(spark, tmp_path, monkeypatch):
     assert [r.tag for r in t.read(spark).where("id = 50").collect()] == ["B"]
     # B staged twice (pre-conflict + re-merge): init + A + B*2 = 4 dirs
     assert len(os.listdir(t.data_dir)) == 4
+
+
+def test_stats_skipping_on_zordered_layout(spark, tmp_path):
+    """Z-order clustering + manifest stats compose: a TxTable
+    initialized from a Z-ordered stage prunes files on EITHER
+    clustered column (a linear sort would prune on only one)."""
+    from filesystemagent_spark.sources.layout import zorder_key
+
+    grid = spark.range(0, 64 * 64).selectExpr("id % 64 AS x", "id DIV 64 AS y")
+    keyed = (
+        zorder_key(grid, ["x", "y"], bits=6)
+        .repartitionByRange(16, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    t = TxTable(str(tmp_path / "ztbl"))
+    t.init(keyed)
+    assert len(t.read(spark).inputFiles()) == 16
+
+    px = t.read(spark, where=[("x", "=", 10)])
+    assert len(px.inputFiles()) <= 8, px.inputFiles()  # ~sqrt(16) expected
+    assert px.count() == 64
+
+    py = t.read(spark, where=[("y", "=", 10)])
+    assert len(py.inputFiles()) <= 8, py.inputFiles()
+    assert py.count() == 64
+
+    # point lookup prunes on both dimensions at once
+    pt = t.read(spark, where=[("x", "=", 10), ("y", "=", 10)])
+    assert len(pt.inputFiles()) <= 3, pt.inputFiles()
+    assert pt.count() == 1
+
+
+def test_compact_rewrites_layout_not_content(spark, tmp_path):
+    """OPTIMIZE: many small files -> target_files, identical rows, new
+    version; pre-compact versions stay time-travelable."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 1000)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartition(16)
+    )
+    t.merge_into(
+        spark.createDataFrame([(5, "upd")], "id bigint, tag string"), ["id"]
+    )
+    pre_files = len(t.read(spark).inputFiles())
+    assert pre_files > 2
+
+    v = t.compact(spark, target_files=2)
+    assert v == 3
+    assert len(t.read(spark).inputFiles()) == 2
+    got = {r.id: r.tag for r in t.read(spark).collect()}
+    assert len(got) == 1000 and got[5] == "upd" and got[7] == "7"
+    assert len(t.read(spark, version=2).inputFiles()) == pre_files
+    assert t.latest_app() == {"compacted_from": 2}
+
+
+def test_compact_zorder_restores_multidim_skipping(spark, tmp_path):
+    """Compacting WITH zorder_cols re-clusters a fragmented table so
+    stats skipping prunes on either dimension again."""
+    grid = spark.range(0, 64 * 64).selectExpr("id % 64 AS x", "id DIV 64 AS y")
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(grid.repartition(16))  # round-robin: every file spans all of x and y
+
+    frag = t.read(spark, where=[("x", "=", 10)])
+    assert len(frag.inputFiles()) == 16  # nothing prunable
+
+    t.compact(spark, target_files=16, zorder_cols=["x", "y"], zorder_bits=6)
+    for col in ("x", "y"):
+        pr = t.read(spark, where=[(col, "=", 10)])
+        assert len(pr.inputFiles()) <= 8, (col, pr.inputFiles())
+        assert pr.count() == 64

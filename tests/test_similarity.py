@@ -404,3 +404,57 @@ def test_spark_round_matches_jvm_on_boundaries(spark):
             f"JVM F.round({v!r}, 6) = {got[v]!r} != python "
             f"{S.spark_round_half_up(v, 6)!r} — Double.toString/repr drift"
         )
+
+
+def test_ivf_index_txtable_roundtrip_incremental(spark, sf_dir, tmp_path):
+    """The IVF index is STORABLE — the embedding mirror of the
+    incremental dedup loop: persist centroids + cell assignments to
+    TxTables, answer a new batch's top-k by reading them back (same
+    result as the in-memory composition), then merge the batch's
+    assignments in for the next round. The corpus embeddings are never
+    re-assigned; only the batch runs assign_cells."""
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0).filter(F.col("vec_id") < 40)
+
+    centroids = S.centroids_from_labels(
+        corpus, label_col="label", vec_col="embedding", dim=DIM
+    )
+    cells = S.assign_cells(
+        corpus.select("vec_id", "embedding"),
+        centroids, id_col="vec_id", vec_col="embedding", nprobe=1,
+    )
+
+    ct = TxTable(str(tmp_path / "centroids"))
+    ct.init(centroids)
+    at = TxTable(str(tmp_path / "cells"))
+    at.init(cells)
+
+    direct = S.knn_ivf(
+        batch, corpus, centroids,
+        id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
+    ).collect()
+
+    # read-back path: corpus candidates come straight from the STORED
+    # cell-assignment table (it carries the vectors) — knn_ivf
+    # re-derives cells deterministically (nprobe=1 assignment is a
+    # pure function of centroids), so results must match exactly.
+    stored_centroids = ct.read(spark)
+    via_tables = S.knn_ivf(
+        batch,
+        at.read(spark).select("vec_id", "embedding"),
+        stored_centroids,
+        id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
+    ).collect()
+    assert _pairs(direct) == _pairs(via_tables)
+    assert len(via_tables) == len(direct) > 0
+
+    # accept the batch: append its assignments under snapshot isolation
+    batch_cells = S.assign_cells(
+        batch.select("vec_id", "embedding"),
+        stored_centroids, id_col="vec_id", vec_col="embedding", nprobe=1,
+    )
+    at.merge_into(batch_cells, ["vec_id"])
+    assert at.read(spark).count() == cells.count() + batch.count()

@@ -134,9 +134,10 @@ def _merge_probe(updates: DataFrame, key_cols: list[str]) -> dict[str, tuple | N
     for c in key_cols:
         rows = updates.select(c).distinct().limit(_MERGE_PROBE_CAP + 1).collect()
         vals = [r[0] for r in rows]
-        if not vals or not all(
-            isinstance(v, (int, float, str, bool)) for v in vals
-        ):
+        if not vals:
+            probe[c] = ("empty",)  # no update rows at all — merge is a no-op
+            continue
+        if not all(isinstance(v, (int, float, str, bool)) for v in vals):
             probe[c] = None
             continue
         if len(vals) > _MERGE_PROBE_CAP:
@@ -153,6 +154,8 @@ def _file_overlaps_probe(per: dict[str, list], probe: dict[str, tuple | None]) -
     import bisect
 
     for col, p in probe.items():
+        if p is not None and p[0] == "empty":
+            return False  # an empty update batch matches no file
         if p is None or col not in per:
             continue  # can't prune on this column
         mn, mx = per[col]
@@ -365,9 +368,17 @@ class TxTable:
                 except CommitConflict:
                     continue
             m = self._read_manifest(base)
-            ddl = m["schema_ddl"]
             stats = m.get("stats", {})
             probe = _merge_probe(updates, key_cols)
+            if any(p == ("empty",) for p in probe.values()):
+                # zero update rows — the merge is a no-op, don't burn a
+                # version rewriting the table into itself
+                self.last_merge_info = {
+                    "base": base, "rewritten": 0,
+                    "carried": len(m["files"]), "rebased": False,
+                }
+                return base
+            ddl = self._evolved_ddl(spark, m["schema_ddl"], updates)
             touched = [
                 f for f in m["files"]
                 if _file_overlaps_probe(stats.get(f, {}), probe)
@@ -375,13 +386,24 @@ class TxTable:
             carried = [f for f in m["files"] if f not in set(touched)]
             cols = spark.createDataFrame([], ddl).columns
             if touched:
+                # carried/touched files may predate newly-added columns:
+                # the parquet reader fills schema columns missing from a
+                # file with nulls, so reading with the EVOLVED schema is
+                # exact. Updates may likewise omit existing columns
+                # (partial-column upsert) — allowMissingColumns nulls
+                # them, matching MERGE's whole-row-replace semantics.
                 current = spark.read.schema(ddl).parquet(*touched)
                 keep = current.join(
                     updates.select(*key_cols).distinct(), key_cols, "left_anti"
                 )
-                merged = keep.unionByName(updates).select(*cols)
+                merged = keep.unionByName(
+                    updates, allowMissingColumns=True
+                ).select(*cols)
             else:
-                merged = updates.select(*cols)
+                one_sided = spark.createDataFrame([], ddl).unionByName(
+                    updates, allowMissingColumns=True
+                )
+                merged = one_sided.select(*cols)
             new_files, new_ddl = self._write_data(merged)
             carried_stats = {f: stats[f] for f in carried if f in stats}
             try:
@@ -405,6 +427,29 @@ class TxTable:
                     return v
                 continue  # overlap with the winner — re-merge on its snapshot
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    @staticmethod
+    def _evolved_ddl(spark: SparkSession, ddl: str, updates: DataFrame) -> str:
+        """SCHEMA EVOLUTION (Delta mergeSchema semantics): update
+        columns unknown to the table are APPENDED to the schema; rows
+        in files written before the column existed read as null (the
+        parquet reader's missing-column behavior, so no rewrite).
+        A column present in both with a DIFFERENT type is a hard error
+        — silent coercion corrupts; evolve types by explicit cast in
+        the update batch."""
+        cur = {f.name: f.dataType.simpleString()
+               for f in spark.createDataFrame([], ddl).schema.fields}
+        added = []
+        for f in updates.schema.fields:
+            t = f.dataType.simpleString()
+            if f.name not in cur:
+                added.append(f"{f.name} {t}")
+            elif cur[f.name] != t:
+                raise ValueError(
+                    f"schema conflict on column '{f.name}': table has "
+                    f"{cur[f.name]}, updates have {t} — cast explicitly"
+                )
+        return ddl + (", " + ", ".join(added) if added else "")
 
     def _try_rebase(
         self,
@@ -497,6 +542,25 @@ class TxTable:
             except CommitConflict:
                 continue  # a real write won — recompact its snapshot
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def expire_versions(self, keep_last: int = 1) -> list[int]:
+        """Retention: drop manifests older than the newest `keep_last`
+        versions. Expired versions stop being time-travelable; any
+        data files no longer referenced by a SURVIVING manifest become
+        vacuum()-able. Files a granular merge carried forward are
+        still referenced by newer manifests and survive vacuum — only
+        truly dead data is reclaimed. The current version can never
+        expire."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        latest = self.latest_version()
+        expired = []
+        for v in range(1, latest - keep_last + 1):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                os.unlink(p)
+                expired.append(v)
+        return expired
 
     def vacuum(self) -> list[str]:
         """Delete data directories not referenced by ANY manifest

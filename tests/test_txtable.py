@@ -453,3 +453,94 @@ def test_compact_zorder_restores_multidim_skipping(spark, tmp_path):
         pr = t.read(spark, where=[(col, "=", 10)])
         assert len(pr.inputFiles()) <= 8, (col, pr.inputFiles())
         assert pr.count() == 64
+
+
+def test_merge_empty_updates_is_noop(spark, tmp_path):
+    """Zero update rows must not burn a version rewriting the table
+    into itself."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    v = t.merge_into(_df(spark, []), ["file_path"])
+    assert v == 1 and t.latest_version() == 1
+    assert t.last_merge_info["rewritten"] == 0
+
+
+def test_merge_schema_evolution_appends_column(spark, tmp_path):
+    """Delta mergeSchema semantics: a new update column is appended to
+    the table schema; rows in files written before it read as null
+    (no rewrite of carried files); a same-name different-type column
+    is a hard error."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 100)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(4, "id")
+    )
+    ups = spark.createDataFrame(
+        [(7, "upd", 0.9)], "id bigint, tag string, score double"
+    )
+    t.merge_into(ups, ["id"])
+    assert t.last_merge_info["carried"] >= 3  # evolution didn't force rewrite
+    got = t.read(spark)
+    assert got.columns == ["id", "tag", "score"]
+    rows = {r.id: (r.tag, r.score) for r in got.where("id IN (7, 8)").collect()}
+    assert rows == {7: ("upd", 0.9), 8: ("8", None)}
+    # stats skipping still prunes on the original column
+    assert len(t.read(spark, where=[("id", "=", 50)]).inputFiles()) <= 2
+
+    with pytest.raises(ValueError, match="schema conflict"):
+        t.merge_into(
+            spark.createDataFrame([(1, "x", 5)], "id bigint, tag string, score bigint"),
+            ["id"],
+        )
+
+
+def test_merge_partial_column_upsert_nulls_missing(spark, tmp_path):
+    """MERGE replaces whole rows: an update batch omitting a column
+    nulls it (allowMissingColumns), it does not preserve the old
+    value."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1), ("/b", 2)]))
+    t.merge_into(
+        spark.createDataFrame([("/a",)], "file_path string"), ["file_path"]
+    )
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/a": None, "/b": 2}
+
+
+def test_expire_versions_reclaims_only_dead_data(spark, tmp_path):
+    """Retention: expired versions stop time-traveling, vacuum
+    reclaims their unreferenced data — but files a granular merge
+    carried into the live manifest survive."""
+    import json
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 1000)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(8, "id")
+    )
+    t.merge_into(
+        spark.createDataFrame([(5, "u1")], "id bigint, tag string"), ["id"]
+    )
+    # second update to the SAME key: every file v2 staged covers id=5's
+    # range, so v3 rewrites all of them and v2's data dir goes dead
+    t.merge_into(
+        spark.createDataFrame([(5, "u2")], "id bigint, tag string"), ["id"]
+    )
+    assert t.latest_version() == 3
+    live_dirs = {
+        __import__("os").path.dirname(f)
+        for f in json.load(open(t._manifest_path(3)))["files"]
+    }
+
+    assert t.expire_versions(keep_last=1) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+    removed = t.vacuum()
+    # v2's stage dir is dead; v1's dir still holds carried files and
+    # must survive (vacuum is directory-granular over live manifests)
+    assert len(removed) == 1, removed
+    assert removed[0] not in live_dirs
+    got = {r.id: r.tag for r in t.read(spark).where("id IN (5, 7)").collect()}
+    assert got == {5: "u2", 7: "7"}

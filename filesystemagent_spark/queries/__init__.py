@@ -86,9 +86,13 @@ GRADE_ORDER = (
     "suppliers_sole_late",
     "disjunctive_part_revenue",
     "order_grouping_sets",
-    # cross-document duplicated-span rate (Lee et al. dedup metric) —
-    # round-3 capability class, no pair-join, linear shuffles
-    "doc_dup_ngram_ratio",
+    # round 4: exact-substring span dedup as a TRANSFORM (delete
+    # duplicated 5-token windows keep-first, rebuild the doc; the
+    # oracle replays the whole pipeline including reconstruction).
+    # Displaces doc_dup_ngram_ratio, the METRIC twin over the same
+    # windowed machinery (stays registered + sim-checked) — the
+    # transform strictly subsumes it.
+    "doc_span_dedup",
     # correlated LATERAL subquery (round-2 SQL surface)
     "orders_lateral_topk",
     # structured-streaming gates (real readStream → sink, SQL oracle)

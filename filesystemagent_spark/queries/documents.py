@@ -462,6 +462,67 @@ def doc_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_span_dedup",
+    tags=("dedup", "text", "transform", "exact-substring", "cross-engine"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+grams AS (
+    SELECT doc_id, g.i - 1 AS gpos, array_to_string(tk[g.i:g.i+4], ' ') AS ng
+    FROM toks, UNNEST(generate_series(1, len(tk) - 4)) AS g(i)
+    WHERE len(tk) >= 5
+),
+ranked AS (
+    SELECT doc_id, gpos,
+           ROW_NUMBER() OVER (PARTITION BY ng ORDER BY doc_id, gpos) AS rn
+    FROM grams
+),
+covered AS (
+    SELECT DISTINCT doc_id, gpos + o.x AS pos
+    FROM ranked, UNNEST(generate_series(0, 4)) AS o(x)
+    WHERE rn > 1
+),
+toklist AS (
+    SELECT doc_id, g.i - 1 AS pos, tk[g.i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(tk))) AS g(i)
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM toklist t ANTI JOIN covered c
+      ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+rebuilt AS (
+    SELECT doc_id, COUNT(*) AS kept_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       len(tk) AS n_tokens,
+       COALESCE(kept_tokens, 0) AS kept_tokens,
+       len(tk) - COALESCE(kept_tokens, 0) AS removed_tokens,
+       COALESCE(clean_text, '') AS clean_text
+FROM toks LEFT JOIN rebuilt ON toks.doc_id = rebuilt.doc_id
+ORDER BY toks.doc_id
+""",
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup as a TRANSFORM — the removal step that
+    `doc_dup_ngram_ratio`'s metric motivates (Lee et al. 2022): every
+    token inside a duplicated 5-token window is deleted, the globally
+    first occurrence (by (doc_id, position)) of each window is kept,
+    and the document is rebuilt from the surviving tokens. The oracle
+    replays the COMPLETE pipeline — positional n-grams, global
+    first-occurrence ranking, coverage expansion, anti-join,
+    order-preserving reconstruction — and must hash-match the
+    rebuilt text byte-for-byte. The operator's `key='xxhash64'`
+    variant (tests) shuffles 8-byte keys instead of gram strings —
+    the 100 TB form of the same plan."""
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    return D.remove_duplicate_spans(
+        docs, "doc_id", "text", n=5, key="string"
+    ).orderBy("doc_id")
+
+
+@register(
     "doc_quality_deciles",
     tags=("window", "ntile", "quality", "curation"),
     oracle=f"""

@@ -252,3 +252,65 @@ def test_minhash_index_txtable_roundtrip(spark, tmp_path):
         ["doc_id", "band"],
     )
     assert t.read(spark).select("doc_id").distinct().count() == 3
+
+
+def test_remove_duplicate_spans_keep_first_semantics(spark):
+    """Constructed corpus: doc 1 owns the span (first by (doc_id,
+    pos)); doc 2's copy of it is deleted token-for-token; unique text
+    survives; sub-n repeats are untouched; the hashed-key variant is
+    identical to the string-key one."""
+    from filesystemagent_spark.operators.dedup import remove_duplicate_spans
+
+    span = "alpha beta gamma delta epsilon"          # exactly n=5 tokens
+    rows = [
+        (1, f"{span} tail one"),
+        (2, f"lead in {span} ending two"),            # span duplicated
+        (3, "totally unique text with no repeats at all"),
+        (4, "tiny"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    # doc 1: first occurrence kept in full
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["clean_text"] == f"{span} tail one"
+    # doc 2: the 5 duplicated tokens deleted, surroundings survive
+    assert out[2]["removed_tokens"] == 5
+    assert out[2]["clean_text"] == "lead in ending two"
+    # unique / short / empty docs pass through
+    assert out[3]["removed_tokens"] == 0
+    assert out[4] == {
+        "doc_id": 4, "n_tokens": 1, "kept_tokens": 1,
+        "removed_tokens": 0, "clean_text": "tiny",
+    }
+    assert out[5]["n_tokens"] == 0 and out[5]["clean_text"] == ""
+
+    hashed = {
+        r.doc_id: r.asDict()
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", n=5, key="xxhash64"
+        ).collect()
+    }
+    assert hashed == out
+
+
+def test_remove_duplicate_spans_covers_long_duplicates(spark):
+    """A duplicated substring LONGER than n is fully covered by its
+    duplicated n-windows, so the whole copy is removed."""
+    from filesystemagent_spark.operators.dedup import remove_duplicate_spans
+
+    long_span = " ".join(f"w{i}" for i in range(12))  # 12-token copy
+    df = spark.createDataFrame(
+        [(1, long_span), (2, f"{long_span} coda")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["removed_tokens"] == 12
+    assert out[2]["clean_text"] == "coda"

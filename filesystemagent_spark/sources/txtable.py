@@ -562,10 +562,19 @@ class TxTable:
                 expired.append(v)
         return expired
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
         """Delete data directories not referenced by ANY manifest
-        (aborted stages). Referenced-by-old-version files are kept —
-        time travel stays valid; production would age them out."""
+        (aborted stages, expired-version leftovers). Referenced
+        directories are kept — time travel over surviving manifests
+        stays valid.
+
+        ``grace_seconds`` is the concurrent-writer guard: a writer
+        STAGES data before its manifest exists, so a vacuum racing it
+        would see the directory as unreferenced and delete data the
+        imminent commit references (the same hazard Delta's VACUUM
+        retention window exists for). Directories modified within the
+        grace window are skipped; pass 0 only when no writer can be
+        active (tests, single-writer maintenance)."""
         import shutil
 
         referenced: set[str] = set()
@@ -576,10 +585,17 @@ class TxTable:
             except FileNotFoundError:
                 continue
         removed = []
+        now = time.time()
         if os.path.isdir(self.data_dir):
             for d in os.listdir(self.data_dir):
                 full = os.path.join(self.data_dir, d)
-                if full not in referenced:
-                    shutil.rmtree(full)
-                    removed.append(full)
+                if full in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < grace_seconds:
+                        continue  # possibly a commit in flight
+                except OSError:
+                    continue  # raced a concurrent cleanup — skip
+                shutil.rmtree(full)
+                removed.append(full)
         return sorted(removed)

@@ -544,3 +544,14 @@ def test_expire_versions_reclaims_only_dead_data(spark, tmp_path):
     assert removed[0] not in live_dirs
     got = {r.id: r.tag for r in t.read(spark).where("id IN (5, 7)").collect()}
     assert got == {5: "u2", 7: "7"}
+
+
+def test_vacuum_grace_window_protects_inflight_stage(spark, tmp_path):
+    """A staged-but-uncommitted directory inside the grace window must
+    survive vacuum (the concurrent-writer hazard); with grace 0 it is
+    reclaimed as an aborted stage."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    t._write_data(_df(spark, [("/staged", 9)]))  # commit not yet published
+    assert t.vacuum(grace_seconds=3600) == []
+    assert len(t.vacuum(grace_seconds=0)) == 1

@@ -383,6 +383,9 @@ def minhash_dedup_incremental(
     )
     cross = (
         new_banded.join(idx, ["band", "band_hash"])
+        # ids are expected disjoint between batch and corpus; the guard
+        # keeps a re-submitted doc from pairing with itself
+        .filter(F.col("_id") != F.col("_cid"))
         .select(F.col("_id").alias("id_new"), F.col("_cid").alias("dup_of"))
         .distinct()
     )

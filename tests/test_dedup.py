@@ -314,3 +314,48 @@ def test_remove_duplicate_spans_covers_long_duplicates(spark):
     assert out[1]["removed_tokens"] == 0
     assert out[2]["removed_tokens"] == 12
     assert out[2]["clean_text"] == "coda"
+
+
+def test_remove_duplicate_spans_matches_reference_model(spark):
+    """Seeded randomized corpora vs a naive Python reference
+    implementation of the same semantics (global first occurrence by
+    (doc_id, pos), cover every other occurrence's n positions)."""
+    import random
+
+    from filesystemagent_spark.operators.dedup import remove_duplicate_spans
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> many collisions
+    n = 3
+
+    def reference(docs):
+        toks = {d: s.lower().split() for d, s in docs}
+        first: dict[tuple, tuple] = {}
+        for d, s in sorted(docs):
+            tk = toks[d]
+            for i in range(len(tk) - n + 1):
+                g = tuple(tk[i : i + n])
+                first.setdefault(g, (d, i))
+        out = {}
+        for d, s in docs:
+            tk = toks[d]
+            covered = set()
+            for i in range(len(tk) - n + 1):
+                if first[tuple(tk[i : i + n])] != (d, i):
+                    covered.update(range(i, i + n))
+            kept = [t for j, t in enumerate(tk) if j not in covered]
+            out[d] = (len(tk), len(kept), len(tk) - len(kept), " ".join(kept))
+        return out
+
+    for trial in range(3):
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for d in range(1, 9)
+        ]
+        want = reference(docs)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.kept_tokens, r.removed_tokens, r.clean_text)
+            for r in remove_duplicate_spans(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == want, f"trial {trial}"

@@ -555,3 +555,33 @@ def test_vacuum_grace_window_protects_inflight_stage(spark, tmp_path):
     t._write_data(_df(spark, [("/staged", 9)]))  # commit not yet published
     assert t.vacuum(grace_seconds=3600) == []
     assert len(t.vacuum(grace_seconds=0)) == 1
+
+
+def test_merge_sequences_match_dict_model(spark, tmp_path):
+    """Seeded randomized merge sequences vs the obvious dict model:
+    whatever mix of inserts/updates across key ranges (hitting the
+    granular prune, the insert-only path, and full rewrites), read()
+    must equal the dict after every commit."""
+    import random
+
+    rng = random.Random(7)
+    t = TxTable(str(tmp_path / "tbl"))
+    model = {i: str(i) for i in range(0, 200)}
+    t.init(
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "id bigint, tag string"
+        ).repartitionByRange(4, "id")
+    )
+    for step in range(6):
+        lo = rng.randint(0, 250)
+        keys = sorted(rng.sample(range(lo, lo + 60), rng.randint(1, 12)))
+        ups = [(k, f"s{step}v{k}") for k in keys]
+        t.merge_into(
+            spark.createDataFrame(ups, "id bigint, tag string"), ["id"]
+        )
+        model.update(dict(ups))
+        got = {r.id: r.tag for r in t.read(spark).collect()}
+        assert got == model, f"step {step}: {t.last_merge_info}"
+    # and the stats-skipping read agrees with the model on a point key
+    k = next(iter(model))
+    assert [r.tag for r in t.read(spark, where=[("id", "=", k)]).collect()] == [model[k]]

@@ -499,7 +499,34 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000) -> bytes:
         (0x7FF << 21) | (0x3 << 19) | (0x2 << 17) | (1 << 16)  # layer II, no CRC
         | (bi << 12) | (_RATE_IDX[rate] << 10) | (mode << 6)
     )
+    # The frame layout is STATIC (fixed allocation, scfsi=0), so the
+    # (field -> width) sequence — and therefore the map from every
+    # output bit to (its field, its shift) — is computed once; each
+    # frame then packs with three vectorized array ops instead of a
+    # per-field Python loop (the loop made encoding ~25x slower than
+    # the filterbank it feeds).
+    sbl = _B2A_SBLIMIT
+    widths: list[int] = [32]                                   # header
+    widths += [_b2a_nbal(sb) for sb in range(sbl) for _ in range(nch)]
+    widths += [2] * (sbl * nch)                                # scfsi
+    widths += [6] * (3 * sbl * nch)                            # scalefactors
+    per_gr = [4] * (23 * nch * 3) + [7] * (4 * nch)            # granule codes
+    widths += per_gr * 12
+    W = np.array(widths, dtype=np.int64)
+    field_of_bit = np.repeat(np.arange(len(W)), W)
+    shift_of_bit = np.concatenate([np.arange(w - 1, -1, -1) for w in widths])
+    static_head = np.array(
+        [header]
+        + [alloc_idx[sb] for sb in range(sbl) for _ in range(nch)]
+        + [0] * (sbl * nch),
+        dtype=np.int64,
+    )
+    nlev_u = np.array(plan[:23], dtype=np.float64)             # ungrouped levels
+    total_bits = frame_bytes * 8
+    pad = np.zeros(total_bits - int(W.sum()), dtype=np.int64)
+
     frames = []
+    gr_part = np.arange(12) // 4
     for f in range(nframes):
         Sf = S[f * 36 : (f + 1) * 36]  # (36, 32, nch)
         parts = Sf.reshape(3, 12, 32, nch)
@@ -509,34 +536,23 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000) -> bytes:
         ) - 1
         idx = np.clip(idx, 0, 62)
         scf = _SCALEFACTORS[idx]  # (3, 32, nch)
-        w = _BitWriter()
-        w.write(header, 32)
-        for sb in range(_B2A_SBLIMIT):
-            for ch in range(nch):
-                w.write(alloc_idx[sb], _b2a_nbal(sb))
-        for _sb in range(_B2A_SBLIMIT):
-            for _ch in range(nch):
-                w.write(0, 2)  # scfsi = 0: three scalefactors
-        for sb in range(_B2A_SBLIMIT):
-            for ch in range(nch):
-                for part in range(3):
-                    w.write(int(idx[part, sb, ch]), 6)
-        gr_part = np.arange(12) // 4
-        for gr in range(12):
-            sc = scf[gr_part[gr]]  # (32, nch)
-            tri = Sf[gr * 3 : gr * 3 + 3]  # (3, 32, nch)
-            for sb in range(_B2A_SBLIMIT):
-                nlev = plan[sb]
-                grouped, bits = _L2_CLASS[nlev]
-                for ch in range(nch):
-                    s = tri[:, sb, ch] / sc[sb, ch]
-                    q = np.clip(
-                        np.rint((s * nlev + nlev - 1.0) / 2.0), 0, nlev - 1
-                    ).astype(np.int64)
-                    if grouped:
-                        w.write(int(q[0] + nlev * q[1] + nlev * nlev * q[2]), bits)
-                    else:
-                        for v in q:
-                            w.write(int(v), bits)
-        frames.append(w.tobytes(frame_bytes))
+        # quantize every (granule, sample, subband, channel) at once
+        tri_all = Sf.reshape(12, 3, 32, nch)
+        sc_all = scf[gr_part]  # (12, 32, nch)
+        s_u = tri_all[:, :, :23, :] / sc_all[:, None, :23, :]
+        q_u = np.clip(
+            np.rint((s_u * nlev_u[None, None, :, None] + nlev_u[None, None, :, None] - 1.0) / 2.0),
+            0, nlev_u[None, None, :, None] - 1,
+        ).astype(np.int64)  # (12, 3, 23, nch)
+        s_g = tri_all[:, :, 23:sbl, :] / sc_all[:, None, 23:sbl, :]
+        q_g = np.clip(np.rint((s_g * 5.0 + 4.0) / 2.0), 0, 4).astype(np.int64)
+        code_g = q_g[:, 0] + 5 * q_g[:, 1] + 25 * q_g[:, 2]  # (12, 4, nch)
+        # field order per granule: sb -> ch -> (q0 q1 q2), then grouped
+        ung = q_u.transpose(0, 2, 3, 1).reshape(12, -1)
+        grp = code_g.reshape(12, -1)
+        gran_vals = np.concatenate([ung, grp], axis=1).ravel()
+        scf_vals = idx[:, :sbl, :].transpose(1, 2, 0).ravel()  # sb -> ch -> part
+        V = np.concatenate([static_head, scf_vals, gran_vals])
+        bits = np.concatenate([(V[field_of_bit] >> shift_of_bit) & 1, pad])
+        frames.append(np.packbits(bits.astype(np.uint8)).tobytes())
     return b"".join(frames)

@@ -278,6 +278,7 @@ class TxTable:
     def _try_commit(
         self, version: int, files: list[str], schema_ddl: str,
         app: dict | None = None, stats: dict | None = None,
+        changes: dict | None = None,
     ) -> None:
         """Publish `version` atomically: write a temp manifest, then
         link(2) it into place — link fails with EEXIST if a concurrent
@@ -292,12 +293,14 @@ class TxTable:
         os.makedirs(self.manifest_dir, exist_ok=True)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(
-                {"version": version, "files": files, "schema_ddl": schema_ddl,
-                 "committed_at": time.time(), "app": app or {},
-                 "stats": {f: (known[f] if f in known else fresh[f]) for f in files}},
-                fh,
-            )
+            manifest = {
+                "version": version, "files": files, "schema_ddl": schema_ddl,
+                "committed_at": time.time(), "app": app or {},
+                "stats": {f: (known[f] if f in known else fresh[f]) for f in files},
+            }
+            if changes is not None:
+                manifest["changes"] = changes
+            json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
         target = self._manifest_path(version)
@@ -335,6 +338,7 @@ class TxTable:
         key_cols: list[str],
         max_retries: int = 10,
         app: dict | None = None,
+        change_feed: bool = False,
     ) -> int:
         """MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
         INSERT, with optimistic concurrency — FILE-GRANULAR: only the
@@ -405,10 +409,21 @@ class TxTable:
                 )
                 merged = one_sided.select(*cols)
             new_files, new_ddl = self._write_data(merged)
+            changes = None
+            if change_feed:
+                # CDF (Delta change-feed recipe): the UPDATE BATCH itself,
+                # schema-aligned, staged as its own files at write time —
+                # exact change images with no read-time diffing.
+                batch_aligned = spark.createDataFrame([], ddl).unionByName(
+                    updates, allowMissingColumns=True
+                ).select(*cols)
+                ch_files, _ = self._write_data(batch_aligned)
+                changes = {"files": ch_files, "type": "upsert"}
             carried_stats = {f: stats[f] for f in carried if f in stats}
             try:
                 self._try_commit(
-                    base + 1, carried + new_files, new_ddl, app, stats=carried_stats
+                    base + 1, carried + new_files, new_ddl, app,
+                    stats=carried_stats, changes=changes,
                 )
                 self.last_merge_info = {
                     "base": base, "rewritten": len(touched),
@@ -417,7 +432,7 @@ class TxTable:
                 return base + 1
             except CommitConflict:
                 v = self._try_rebase(
-                    base, touched, new_files, new_ddl, probe, app
+                    base, touched, new_files, new_ddl, probe, app, changes
                 )
                 if v is not None:
                     self.last_merge_info = {
@@ -427,6 +442,127 @@ class TxTable:
                     return v
                 continue  # overlap with the winner — re-merge on its snapshot
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        where: list[tuple[str, str, object]],
+        max_retries: int = 10,
+        change_feed: bool = False,
+    ) -> int:
+        """Row-level DELETE: rewrite only the files whose manifest
+        stats say they MAY contain a matching row, keeping their
+        non-matching rows; every other file carries forward verbatim
+        (stats included). Same predicate grammar as `read(where=...)`
+        — conjunctive [(col, op, value)], op in {=, <, <=, >, >=}.
+        A delete that provably touches no file commits nothing and
+        returns the current version. Loses CAS conflicts by retrying
+        against the fresh snapshot (a concurrent merge's rows are
+        re-examined, never blindly dropped)."""
+        if not where:
+            raise ValueError("delete_where requires at least one predicate")
+        from pyspark.sql import functions as F
+
+        ops = {
+            "=": lambda c, v_: c == v_,
+            "<": lambda c, v_: c < v_,
+            "<=": lambda c, v_: c <= v_,
+            ">": lambda c, v_: c > v_,
+            ">=": lambda c, v_: c >= v_,
+        }
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base == 0:
+                raise ValueError(f"table {self.path} has no committed snapshot")
+            m = self._read_manifest(base)
+            stats = m.get("stats", {})
+            touched = [
+                f for f in m["files"]
+                if all(_file_may_match(stats.get(f, {}), p) for p in where)
+            ]
+            if not touched:
+                return base  # stats prove nothing matches — no-op
+            carried = [f for f in m["files"] if f not in set(touched)]
+            cond = F.lit(True)
+            for col, op, val in where:
+                cond = cond & ops[op](F.col(col), F.lit(val))
+            # SQL DELETE semantics: remove rows where cond is TRUE;
+            # null-valued comparisons (cond = NULL) KEEP the row —
+            # a bare ~cond would silently delete them.
+            scan = spark.read.schema(m["schema_ddl"]).parquet(*touched)
+            keep = scan.filter(~F.coalesce(cond, F.lit(False)))
+            new_files, _ = self._write_data(keep)
+            changes = None
+            if change_feed:
+                # delete images: the rows being removed, staged at write
+                # time like the merge CDF
+                ch_files, _ = self._write_data(
+                    scan.filter(F.coalesce(cond, F.lit(False)))
+                )
+                changes = {"files": ch_files, "type": "delete"}
+            carried_stats = {f: stats[f] for f in carried if f in stats}
+            try:
+                self._try_commit(
+                    base + 1, carried + new_files, m["schema_ddl"],
+                    app={"deleted_where": [list(p) for p in where]},
+                    stats=carried_stats, changes=changes,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def table_changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE FEED (Delta CDF semantics): the change images of each
+        commit in [from_version, to_version], with `_change_type`
+        ('insert' | 'upsert' | 'delete') and `_commit_version` columns
+        — the input for downstream incremental consumers (sync a
+        derived table, invalidate caches, feed the incremental-dedup
+        index) without ever re-diffing snapshots.
+
+        Change images are staged AT WRITE TIME by `merge_into`/
+        `delete_where` with ``change_feed=True`` (the Delta recipe:
+        exact images, no read-time diffing). Version 1 (init) is its
+        own insert image; compactions carry no logical change and are
+        skipped; any other version committed WITHOUT change_feed
+        raises — an incremental consumer must never silently miss a
+        change."""
+        from pyspark.sql import functions as F
+
+        to_v = self.latest_version() if to_version is None else to_version
+        latest_ddl = self._read_manifest(to_v)["schema_ddl"]
+        out = None
+        for v in range(from_version, to_v + 1):
+            m = self._read_manifest(v)
+            ch = m.get("changes")
+            if ch is None:
+                if v == 1:
+                    ch = {"files": m["files"], "type": "insert"}
+                elif "compacted_from" in m.get("app", {}):
+                    continue  # layout-only commit — no logical change
+                else:
+                    raise ValueError(
+                        f"version {v} was committed without change_feed=True "
+                        f"— change feed is incomplete from here"
+                    )
+            if not ch["files"]:
+                continue
+            df = (
+                spark.read.schema(m["schema_ddl"])
+                .parquet(*ch["files"])
+                .withColumn("_change_type", F.lit(ch["type"]))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        if out is None:
+            out = (
+                spark.createDataFrame([], latest_ddl)
+                .withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+            )
+        return out
 
     @staticmethod
     def _evolved_ddl(spark: SparkSession, ddl: str, updates: DataFrame) -> str:
@@ -459,6 +595,7 @@ class TxTable:
         ddl: str,
         probe: dict,
         app: dict | None,
+        changes: dict | None = None,
     ) -> int | None:
         """After losing the CAS at `base + 1`: re-publish the ALREADY
         STAGED merge against the new head iff the winner's commits
@@ -489,7 +626,9 @@ class TxTable:
             files2 = [f for f in head_files if f not in set(touched)] + new_files
             carried_stats = {f: wstats[f] for f in head_files if f in wstats}
             try:
-                self._try_commit(head + 1, files2, ddl, app, stats=carried_stats)
+                self._try_commit(
+                    head + 1, files2, ddl, app, stats=carried_stats, changes=changes
+                )
                 return head + 1
             except CommitConflict:
                 continue  # another commit landed — re-check against it

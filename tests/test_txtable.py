@@ -322,7 +322,7 @@ def test_merge_rebase_disjoint_writers_skip_recompute(spark, tmp_path, monkeypat
     orig = TxTable._try_commit
     state = {"fired": False}
 
-    def inject(self, version, files, ddl, app=None, stats=None):
+    def inject(self, version, files, ddl, app=None, stats=None, changes=None):
         # B's first commit attempt: let A land v2 first, forcing the CAS
         # conflict deterministically.
         if not state["fired"]:
@@ -331,7 +331,7 @@ def test_merge_rebase_disjoint_writers_skip_recompute(spark, tmp_path, monkeypat
             monkeypatch.setattr(TxTable, "_try_commit", orig)
             ta2.merge_into(ups_a, ["id"])
             monkeypatch.setattr(TxTable, "_try_commit", inject)
-        return orig(self, version, files, ddl, app, stats)
+        return orig(self, version, files, ddl, app, stats, changes)
 
     monkeypatch.setattr(TxTable, "_try_commit", inject)
     v = t.merge_into(ups_b, ["id"])
@@ -363,14 +363,14 @@ def test_merge_rebase_refused_on_key_overlap(spark, tmp_path, monkeypatch):
     orig = TxTable._try_commit
     state = {"fired": False}
 
-    def inject(self, version, files, ddl, app=None, stats=None):
+    def inject(self, version, files, ddl, app=None, stats=None, changes=None):
         if not state["fired"]:
             state["fired"] = True
             ta2 = TxTable(t.path)
             monkeypatch.setattr(TxTable, "_try_commit", orig)
             ta2.merge_into(ups_a, ["id"])
             monkeypatch.setattr(TxTable, "_try_commit", inject)
-        return orig(self, version, files, ddl, app, stats)
+        return orig(self, version, files, ddl, app, stats, changes)
 
     monkeypatch.setattr(TxTable, "_try_commit", inject)
     v = t.merge_into(ups_b, ["id"])
@@ -585,3 +585,84 @@ def test_merge_sequences_match_dict_model(spark, tmp_path):
     # and the stats-skipping read agrees with the model on a point key
     k = next(iter(model))
     assert [r.tag for r in t.read(spark, where=[("id", "=", k)]).collect()] == [model[k]]
+
+
+def test_delete_where_prunes_and_stays_exact(spark, tmp_path):
+    """Row-level DELETE rewrites only stats-matching files; null
+    predicate evaluations KEEP the row (SQL DELETE semantics)."""
+    import json
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 1000)
+        .selectExpr("id", "CASE WHEN id = 500 THEN NULL ELSE id END AS v")
+        .repartitionByRange(8, "id")
+    )
+    v1_files = set(json.load(open(t._manifest_path(1)))["files"])
+
+    v = t.delete_where(spark, [("id", ">=", 100), ("id", "<", 150)])
+    assert v == 2
+    m2 = json.load(open(t._manifest_path(2)))
+    assert len([f for f in m2["files"] if f in v1_files]) >= 6  # carried
+    assert t.read(spark).count() == 950
+    assert t.read(spark).where("id IN (99, 150)").count() == 2
+    assert t.read(spark).where("id = 120").count() == 0
+
+    # null semantics: v is NULL at id=500 -> "v < 0" is NULL -> row kept
+    t.delete_where(spark, [("v", "<", 0)])
+    assert t.read(spark).where("id = 500").count() == 1
+
+    # provably-no-match delete is a version-free no-op
+    v_before = t.latest_version()
+    assert t.delete_where(spark, [("id", ">", 10_000)]) == v_before
+
+
+def test_change_feed_records_exact_images(spark, tmp_path):
+    """CDF: init is its own insert image; merges/deletes with
+    change_feed=True stage exact change images; compaction is
+    skipped; a non-CDF commit in range raises."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1), ("/b", 2)]))                         # v1
+    t.merge_into(
+        _df(spark, [("/b", 20), ("/c", 3)]), ["file_path"],
+        change_feed=True,                                              # v2
+    )
+    t.delete_where(spark, [("file_path", "=", "/a")], change_feed=True)  # v3
+    t.compact(spark, target_files=1)                                   # v4
+
+    feed = t.table_changes(spark, 1).collect()
+    got = {(r.file_path, r.size, r._change_type, r._commit_version) for r in feed}
+    assert got == {
+        ("/a", 1, "insert", 1), ("/b", 2, "insert", 1),
+        ("/b", 20, "upsert", 2), ("/c", 3, "upsert", 2),
+        ("/a", 1, "delete", 3),
+    }
+    # consumers can resume from a cursor
+    assert {r._commit_version for r in t.table_changes(spark, 3).collect()} == {3}
+
+    # a commit without change_feed poisons the range -> loud error
+    t.merge_into(_df(spark, [("/d", 4)]), ["file_path"])               # v5
+    with pytest.raises(ValueError, match="without change_feed"):
+        t.table_changes(spark, 1)
+    # ...but ranges before it still read
+    assert len(t.table_changes(spark, 1, to_version=4).collect()) == 5
+
+
+def test_change_feed_drives_incremental_consumer(spark, tmp_path):
+    """The loop CDF exists for: a derived table stays in sync by
+    applying each version's images, never re-reading the source."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    t.merge_into(_df(spark, [("/a", 10), ("/b", 2)]), ["file_path"], change_feed=True)
+    t.delete_where(spark, [("file_path", "=", "/b")], change_feed=True)
+
+    derived: dict = {}
+    for r in sorted(
+        t.table_changes(spark, 1).collect(), key=lambda r: r._commit_version
+    ):
+        if r._change_type == "delete":
+            derived.pop(r.file_path, None)
+        else:
+            derived[r.file_path] = r.size
+    truth = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert derived == truth == {"/a": 10}

@@ -295,9 +295,18 @@ def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
                 "closed form) — install a codec library for .mp3"
             )
         protection = (h >> 16) & 1
+        bidx, ridx = (h >> 12) & 0xF, (h >> 10) & 0x3
+        # reserved header codes: the decode-ladder contract is
+        # ValueError for bad input, never a raw IndexError/KeyError
+        # escaping into the Spark task
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError(
+                f"reserved MPEG-1 header field (bitrate_index={bidx}, "
+                f"sample_rate_index={ridx})"
+            )
         if layer == 0x2:  # Layer II
-            bitrate = _BITRATES_L2[(h >> 12) & 0xF] * 1000
-            rate = _RATES[(h >> 10) & 0x3]
+            bitrate = _BITRATES_L2[bidx] * 1000
+            rate = _RATES[ridx]
             padding = (h >> 9) & 1
             mode = (h >> 6) & 0x3
             nch = 1 if mode == 0x3 else 2
@@ -315,8 +324,8 @@ def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
             label = "mp2-pure"
             pos += frame_len
             continue
-        bitrate = _BITRATES_L1[(h >> 12) & 0xF] * 1000
-        rate = _RATES[(h >> 10) & 0x3]
+        bitrate = _BITRATES_L1[bidx] * 1000
+        rate = _RATES[ridx]
         padding = (h >> 9) & 1
         mode = (h >> 6) & 0x3
         nch = 1 if mode == 0x3 else 2

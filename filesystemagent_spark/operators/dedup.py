@@ -236,8 +236,14 @@ def remove_duplicate_spans(
             F.col(id_col).alias("_id"),
             # lowercased whitespace tokens — the same tokenizer the
             # shingle family and the SQL oracles use (functions/text.py
-            # `tokens` == the `_SQL_TOKS` DuckDB fragment)
-            T.tokens(F.col(text_col)).alias("_tk"),
+            # `tokens` == the `_SQL_TOKS` DuckDB fragment). NULL text
+            # coalesces to an empty token array: F.size of a null array
+            # is -1, which would surface as n_tokens/removed_tokens=-1
+            # instead of passing the doc through as token-less.
+            F.coalesce(
+                T.tokens(F.col(text_col)),
+                F.array().cast("array<string>"),
+            ).alias("_tk"),
         )
     )
     gram = F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_i") + 1, n))

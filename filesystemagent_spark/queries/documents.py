@@ -496,9 +496,9 @@ rebuilt AS (
     FROM kept GROUP BY doc_id
 )
 SELECT toks.doc_id,
-       len(tk) AS n_tokens,
+       COALESCE(len(tk), 0) AS n_tokens,
        COALESCE(kept_tokens, 0) AS kept_tokens,
-       len(tk) - COALESCE(kept_tokens, 0) AS removed_tokens,
+       COALESCE(len(tk), 0) - COALESCE(kept_tokens, 0) AS removed_tokens,
        COALESCE(clean_text, '') AS clean_text
 FROM toks LEFT JOIN rebuilt ON toks.doc_id = rebuilt.doc_id
 ORDER BY toks.doc_id

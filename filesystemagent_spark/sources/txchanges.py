@@ -84,26 +84,17 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            m = self.table._read_manifest(v)
-            ch = m.get("changes")
-            if ch is None:
-                if v == 1:
-                    ch = {"files": m["files"], "type": "insert"}
-                elif "compacted_from" in m.get("app", {}):
-                    continue
-                else:
-                    raise ValueError(
-                        f"version {v} was committed without change_feed=True "
-                        f"— the change stream cannot skip it silently"
-                    )
-            if not ch["files"]:
+            # one resolution policy for batch + stream (raises on a
+            # non-CDF version): TxTable.changes_for_version
+            ch = self.table.changes_for_version(v)
+            if ch is None or not ch["files"]:
                 continue
             parts.append(
                 _VersionPartition(
-                    files=list(ch["files"]),
+                    files=ch["files"],
                     change_type=ch["type"],
                     version=v,
-                    ddl=m["schema_ddl"],
+                    ddl=ch["schema_ddl"],
                     out_fields=self.out_fields,
                 )
             )

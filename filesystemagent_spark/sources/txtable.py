@@ -72,21 +72,41 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
     for f in files:
         md = pq.ParquetFile(f).metadata
         per: dict[str, list] = {}
+        # A column whose min/max is missing or unusable in ANY row
+        # group must carry NO file-level stats at all: merging only the
+        # row groups that have stats UNDERSTATES the range (e.g. a
+        # NaN-containing double chunk gets has_min_max=False, and a
+        # pruner trusting the partial range would drop real rows).
+        unusable: set[str] = set()
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
                 col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in unusable:
+                    continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
+                    unusable.add(name)
                     continue
                 mn, mx = st.min, st.max
                 if not all(isinstance(v, (int, float, str, bool)) for v in (mn, mx)):
+                    unusable.add(name)
                     continue
-                name = col.path_in_schema
+                # some writers DO emit min/max for NaN-bearing double
+                # chunks (max=NaN) — every comparison against NaN is
+                # False, so a pruner trusting it drops real rows
+                import math
+
+                if any(isinstance(v, float) and math.isnan(v) for v in (mn, mx)):
+                    unusable.add(name)
+                    continue
                 if name in per:
                     per[name] = [min(per[name][0], mn), max(per[name][1], mx)]
                 else:
                     per[name] = [mn, mx]
+        for name in unusable:
+            per.pop(name, None)
         out[f] = per
     return out
 
@@ -121,14 +141,39 @@ def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool
 # manifest-scale by construction.
 _MERGE_PROBE_CAP = 10_000
 
+# The predicate grammar shared by read(where=...), delete_where, and
+# the stats pruner — one definition so the three can never drift.
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _check_ops(where) -> None:
+    bad = [op for _, op, _ in where if op not in _OPS]
+    if bad:
+        raise ValueError(
+            f"unsupported predicate op(s) {bad}; supported: {sorted(_OPS)}"
+        )
+
 
 def _merge_probe(updates: DataFrame, key_cols: list[str]) -> dict[str, tuple | None]:
     """Per key column, a summary of the update batch's key values used
     to decide which existing files a merge must rewrite: ('vals',
     sorted distinct values) when the batch is narrow, ('range', mn, mx)
     when wide, None when the values aren't orderable scalars (→ no
-    pruning: every file is treated as possibly matching)."""
-    import bisect as _b  # noqa: F401  (documents the lookup strategy)
+    pruning: every file is treated as possibly matching).
+
+    The wide-batch range is the TRUE min/max computed by an
+    aggregation over the whole batch — never the min/max of the
+    limited collect (an arbitrary subset's extremes would falsely
+    prove disjointness from a file that actually holds an update key,
+    and a carried-verbatim file plus an appended update row is
+    duplicate-key corruption)."""
+    from pyspark.sql import functions as F
 
     probe: dict[str, tuple | None] = {}
     for c in key_cols:
@@ -141,7 +186,8 @@ def _merge_probe(updates: DataFrame, key_cols: list[str]) -> dict[str, tuple | N
             probe[c] = None
             continue
         if len(vals) > _MERGE_PROBE_CAP:
-            probe[c] = ("range", min(vals), max(vals))
+            lo, hi = updates.agg(F.min(c), F.max(c)).first()
+            probe[c] = ("range", lo, hi)
         else:
             probe[c] = ("vals", sorted(vals))
     return probe
@@ -226,6 +272,7 @@ class TxTable:
         m = self._read_manifest(v)
         files = m["files"]
         if where:
+            _check_ops(where)
             stats = m.get("stats", {})
             files = [
                 f
@@ -239,15 +286,8 @@ class TxTable:
         if where:
             from pyspark.sql import functions as F
 
-            ops = {
-                "=": lambda c, v_: c == v_,
-                "<": lambda c, v_: c < v_,
-                "<=": lambda c, v_: c <= v_,
-                ">": lambda c, v_: c > v_,
-                ">=": lambda c, v_: c >= v_,
-            }
             for col, op, val in where:
-                df = df.filter(ops[op](F.col(col), F.lit(val)))
+                df = df.filter(_OPS[op](F.col(col), F.lit(val)))
         return df
 
     # -- write path --------------------------------------------------
@@ -360,6 +400,14 @@ class TxTable:
         records what the commit did (rewritten/carried file counts,
         whether a rebase happened) for observability and tests."""
         spark = updates.sparkSession
+        # The updates plan is executed several times per attempt (key
+        # probe, anti-join, data write, optional change images) and
+        # again on every CAS retry — persist it once (tracked: the
+        # sweep/driver release hook drains it; standalone callers get
+        # it dropped with the session).
+        from filesystemagent_spark.caching import track_persist
+
+        updates = track_persist(updates)
         for _ in range(max_retries):
             base = self.latest_version()
             if base == 0:
@@ -387,7 +435,8 @@ class TxTable:
                 f for f in m["files"]
                 if _file_overlaps_probe(stats.get(f, {}), probe)
             ]
-            carried = [f for f in m["files"] if f not in set(touched)]
+            touched_set = set(touched)
+            carried = [f for f in m["files"] if f not in touched_set]
             cols = spark.createDataFrame([], ddl).columns
             if touched:
                 # carried/touched files may predate newly-added columns:
@@ -461,15 +510,9 @@ class TxTable:
         re-examined, never blindly dropped)."""
         if not where:
             raise ValueError("delete_where requires at least one predicate")
+        _check_ops(where)
         from pyspark.sql import functions as F
 
-        ops = {
-            "=": lambda c, v_: c == v_,
-            "<": lambda c, v_: c < v_,
-            "<=": lambda c, v_: c <= v_,
-            ">": lambda c, v_: c > v_,
-            ">=": lambda c, v_: c >= v_,
-        }
         for _ in range(max_retries):
             base = self.latest_version()
             if base == 0:
@@ -482,10 +525,11 @@ class TxTable:
             ]
             if not touched:
                 return base  # stats prove nothing matches — no-op
-            carried = [f for f in m["files"] if f not in set(touched)]
+            touched_set = set(touched)
+            carried = [f for f in m["files"] if f not in touched_set]
             cond = F.lit(True)
             for col, op, val in where:
-                cond = cond & ops[op](F.col(col), F.lit(val))
+                cond = cond & _OPS[op](F.col(col), F.lit(val))
             # SQL DELETE semantics: remove rows where cond is TRUE;
             # null-valued comparisons (cond = NULL) KEEP the row —
             # a bare ~cond would silently delete them.
@@ -512,6 +556,30 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    def changes_for_version(self, version: int) -> dict | None:
+        """The single CDF resolution policy, shared by the batch reader
+        (`table_changes`) and the streaming source
+        (`sources/txchanges.py`) so the two can never disagree on the
+        same table: returns {'files', 'type', 'schema_ddl'} for a
+        version's change images, None for a version with no logical
+        change (layout-only compaction), and raises for a version
+        committed without the feed — a gap an incremental consumer must
+        never skip silently. Version 1 (init) is its own insert image."""
+        m = self._read_manifest(version)
+        ch = m.get("changes")
+        if ch is None:
+            if version == 1:
+                ch = {"files": m["files"], "type": "insert"}
+            elif "compacted_from" in m.get("app", {}):
+                return None  # layout-only commit — no logical change
+            else:
+                raise ValueError(
+                    f"version {version} was committed without change_feed=True "
+                    f"— change feed is incomplete from here"
+                )
+        return {"files": list(ch["files"]), "type": ch["type"],
+                "schema_ddl": m["schema_ddl"]}
+
     def table_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -535,22 +603,11 @@ class TxTable:
         latest_ddl = self._read_manifest(to_v)["schema_ddl"]
         out = None
         for v in range(from_version, to_v + 1):
-            m = self._read_manifest(v)
-            ch = m.get("changes")
-            if ch is None:
-                if v == 1:
-                    ch = {"files": m["files"], "type": "insert"}
-                elif "compacted_from" in m.get("app", {}):
-                    continue  # layout-only commit — no logical change
-                else:
-                    raise ValueError(
-                        f"version {v} was committed without change_feed=True "
-                        f"— change feed is incomplete from here"
-                    )
-            if not ch["files"]:
+            ch = self.changes_for_version(v)
+            if ch is None or not ch["files"]:
                 continue
             df = (
-                spark.read.schema(m["schema_ddl"])
+                spark.read.schema(ch["schema_ddl"])
                 .parquet(*ch["files"])
                 .withColumn("_change_type", F.lit(ch["type"]))
                 .withColumn("_commit_version", F.lit(v).cast("long"))
@@ -609,13 +666,17 @@ class TxTable:
         re-writing anything. Returns the committed version, or None if
         the proof fails and the caller must re-merge for real."""
         base_files = set(self._read_manifest(base)["files"])
-        while True:
+        touched_set = set(touched)
+        # bounded like merge_into's own loop — under sustained
+        # contention the loser falls back to the caller's retry budget
+        # instead of spinning on the manifest pointer forever
+        for _ in range(10):
             head = self.latest_version()
             w = self._read_manifest(head)
             if w["schema_ddl"] != ddl:
                 return None
             head_files = list(w["files"])
-            if not set(touched) <= set(head_files):
+            if not touched_set <= set(head_files):
                 return None  # winner rewrote one of our files — real conflict
             wstats = w.get("stats", {})
             added = [f for f in head_files if f not in base_files]
@@ -623,7 +684,7 @@ class TxTable:
                 _file_overlaps_probe(wstats.get(f, {}), probe) for f in added
             ):
                 return None  # winner may hold our keys — must re-merge
-            files2 = [f for f in head_files if f not in set(touched)] + new_files
+            files2 = [f for f in head_files if f not in touched_set] + new_files
             carried_stats = {f: wstats[f] for f in head_files if f in wstats}
             try:
                 self._try_commit(
@@ -632,6 +693,7 @@ class TxTable:
                 return head + 1
             except CommitConflict:
                 continue  # another commit landed — re-check against it
+        return None  # retry budget exhausted — fall back to a full re-merge
 
     def compact(
         self,
@@ -719,10 +781,15 @@ class TxTable:
         referenced: set[str] = set()
         for v in range(1, self.latest_version() + 1):
             try:
-                for f in self._read_manifest(v)["files"]:
-                    referenced.add(os.path.dirname(f))
+                m = self._read_manifest(v)
             except FileNotFoundError:
                 continue
+            # change-feed images live in their own staged dirs and are
+            # referenced ONLY by manifest['changes'] — forgetting them
+            # here would let table maintenance destroy the feed that
+            # table_changes/the stream source promise is gap-free
+            for f in m["files"] + m.get("changes", {}).get("files", []):
+                referenced.add(os.path.dirname(f))
         removed = []
         now = time.time()
         if os.path.isdir(self.data_dir):

@@ -267,3 +267,21 @@ def test_audio_ladder_decodes_mp2(spark):
     assert mp["sample_rate"] == 48000
     assert mp["duration_s"] == pytest.approx(1.0, abs=0.02)
     assert mp["rms"] == pytest.approx(got["/m/tone.wav"]["rms"], rel=0.1)
+
+
+def test_reserved_header_fields_raise_value_error():
+    """Reserved bitrate index 15 / sample-rate index 3 must raise the
+    decode ladder's ValueError, never an IndexError/KeyError escaping
+    into the Spark task — both at offset 0 (is_mpa front gate) and in
+    a LATER frame header past the gate."""
+    b = MP.encode_mpa(_tone(), 32000)
+    h = struct.unpack(">I", b[:4])[0]
+    with pytest.raises(ValueError):
+        MP.decode_mpa(struct.pack(">I", h | (0xF << 12)) + b[4:])
+    with pytest.raises(ValueError):
+        MP.decode_mpa(struct.pack(">I", h | (0x3 << 10)) + b[4:])
+    # corrupt SECOND frame header: sync present, reserved fields
+    with pytest.raises(ValueError, match="reserved"):
+        MP.decode_mpa(b + struct.pack(">I", h | (0xF << 12)))
+    with pytest.raises(ValueError, match="reserved"):
+        MP.decode_mpa(b + struct.pack(">I", h | (0x3 << 10)))

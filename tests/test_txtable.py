@@ -666,3 +666,70 @@ def test_change_feed_drives_incremental_consumer(spark, tmp_path):
             derived[r.file_path] = r.size
     truth = {r.file_path: r.size for r in t.read(spark).collect()}
     assert derived == truth == {"/a": 10}
+
+
+def test_vacuum_keeps_change_feed_dirs(spark, tmp_path):
+    """Change images live in their own staged dirs referenced only by
+    manifest['changes'] — vacuum must never reclaim them, or table
+    maintenance destroys the feed."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    t.merge_into(_df(spark, [("/b", 2)]), ["file_path"], change_feed=True)
+    assert t.vacuum(grace_seconds=0) == []  # nothing is garbage
+    feed = t.table_changes(spark, 1).collect()  # still readable
+    assert {(r.file_path, r._change_type) for r in feed} == {
+        ("/a", "insert"), ("/b", "upsert"),
+    }
+
+
+def test_wide_batch_probe_uses_true_range(spark, tmp_path):
+    """A batch wider than the probe cap must prune with the TRUE
+    min/max of its keys (an arbitrary collect subset's extremes could
+    falsely prove a file disjoint and duplicate its keys)."""
+    from filesystemagent_spark.sources import txtable as TX
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 40_000)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(8, "id")
+    )
+    # > _MERGE_PROBE_CAP distinct keys, spanning every file's range
+    ups = spark.range(0, 40_000, 3).selectExpr("id", "'upd' AS tag")
+    assert ups.count() > TX._MERGE_PROBE_CAP
+    t.merge_into(ups, ["id"])
+    assert t.last_merge_info["rewritten"] == 8  # every file's range overlaps
+    got = t.read(spark)
+    assert got.count() == 40_000  # no duplicated keys
+    assert {r.tag for r in got.where("id IN (0, 39998)").collect()} == {"upd", "39998"}
+
+
+def test_unsupported_predicate_op_is_loud(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        t.read(spark, where=[("size", "!=", 1)])
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        t.delete_where(spark, [("size", "!=", 1)])
+
+
+def test_stats_dropped_when_any_row_group_lacks_min_max(spark, tmp_path):
+    """NaN-bearing double chunks either get has_min_max=False or (this
+    writer) min/max WITH a NaN — both poison range pruning (every NaN
+    comparison is False), so the column must carry no stats at all."""
+    import pyspark.sql.functions as F
+
+    t = TxTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 10).select(
+        "id",
+        F.when(F.col("id") == 7, float("nan")).otherwise(F.col("id").cast("double")).alias("v"),
+    )
+    t.init(df.coalesce(1))
+    m = t._read_manifest(1)
+    per = next(iter(m["stats"].values()))
+    assert "id" in per          # clean column keeps stats
+    assert "v" not in per       # NaN chunk -> no usable min/max -> dropped
+    # and reads on v never prune: Spark orders NaN greater than every
+    # double, so BOTH id=9 (9.0) and id=7 (NaN) satisfy v >= 9.0 — a
+    # pruner trusting a NaN-poisoned max would have dropped the file
+    assert t.read(spark, where=[("v", ">=", 9.0)]).count() == 2

@@ -523,6 +523,47 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_span_dedup_hashed",
+    tags=("dedup", "text", "transform", "exact-substring", "scale"),
+)
+def doc_span_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB hash family of `doc_span_dedup`: identical semantics
+    with the n-gram join key xxhash64'd (8-byte shuffles instead of
+    gram strings). Rows-only by design — the hashed key is not
+    SQL-replayable — but tests/test_dedup.py proves the two families
+    produce identical output row-for-row."""
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    return D.remove_duplicate_spans(
+        docs, "doc_id", "text", n=5, key="xxhash64"
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_minhash_incremental_prod",
+    tags=("dedup", "lsh", "minhash", "incremental", "scale"),
+)
+def doc_minhash_incremental_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production hash family of `doc_minhash_incremental`
+    (xxhash64 base hashes + murmur band keys — the JVM-fast path a
+    100 TB index would store). Same split, same one-sided index join,
+    same semi-join verify; rows-only by design (the graded md5/slice
+    twin hash-matches the oracle, and both are one pipeline so fixes
+    apply to both)."""
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    index = D.minhash_band_index(
+        corpus, "doc_id", "text",
+        shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, seed=_MH_SEED,
+    )
+    return D.minhash_dedup_incremental(
+        corpus, batch, index, "doc_id", "text",
+        shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS,
+        seed=_MH_SEED, threshold=0.4,
+    ).orderBy("id_new", "dup_of")
+
+
+@register(
     "doc_quality_deciles",
     tags=("window", "ntile", "quality", "curation"),
     oracle=f"""

@@ -250,6 +250,11 @@ def _decode_frame_l2(frame: bytes, nch: int, protection: int) -> np.ndarray:
         (bits if grouped else 3 * bits) for _, _, _, grouped, bits in slots
     )
     base = r.pos + granule_bits * np.arange(12)
+    # Truncated final frame: the fancy-indexed gather below would raise
+    # a bare IndexError, escaping the decode ladder's ValueError-only
+    # contract (multimodal catches ValueError to fall back gracefully).
+    if slots and int(base[-1]) + granule_bits > len(r.bits):
+        raise ValueError("truncated Layer II frame")
     S = np.zeros((36, 32, nch))
     gr_part = np.arange(12) // 4  # scalefactor part per granule
     off = 0
@@ -354,6 +359,10 @@ def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
         ]
         granule_bits = sum(w for _, _, w in slots)
         base = r.pos + granule_bits * np.arange(12)
+        # same truncation guard as Layer II: ValueError, never a bare
+        # IndexError out of the fancy-indexed gather
+        if slots and int(base[-1]) + granule_bits > len(r.bits):
+            raise ValueError("truncated Layer I frame")
         off = 0
         for sb, ch, w in slots:
             bit_pos = base[:, None] + off + np.arange(w)[None, :]

@@ -90,15 +90,21 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
                     unusable.add(name)
                     continue
                 mn, mx = st.min, st.max
-                if not all(isinstance(v, (int, float, str, bool)) for v in (mn, mx)):
-                    unusable.add(name)
-                    continue
-                # some writers DO emit min/max for NaN-bearing double
-                # chunks (max=NaN) — every comparison against NaN is
-                # False, so a pruner trusting it drops real rows
-                import math
-
-                if any(isinstance(v, float) and math.isnan(v) for v in (mn, mx)):
+                if not all(isinstance(v, (int, str, bool)) for v in (mn, mx)) or any(
+                    isinstance(v, float) for v in (mn, mx)
+                ):
+                    # Floating-point columns carry NO file-level stats at
+                    # all: the parquet spec leaves NaN statistics
+                    # undefined, and common writers (Arrow C++ included)
+                    # emit min/max over the NON-NaN values only — while
+                    # Spark orders NaN greater than every double and
+                    # NaN = NaN true, so a range built from non-NaN
+                    # values can "prove" a NaN-holding file disjoint
+                    # from a predicate its NaN rows actually match.
+                    # There is no has_nan flag to consult, so the only
+                    # safe stats for floats are none. (isinstance check:
+                    # bool is an int subclass, floats are excluded even
+                    # when finite.)
                     unusable.add(name)
                     continue
                 if name in per:
@@ -175,6 +181,11 @@ def _merge_probe(updates: DataFrame, key_cols: list[str]) -> dict[str, tuple | N
     duplicate-key corruption)."""
     from pyspark.sql import functions as F
 
+    import math
+
+    def _has_nan(vs) -> bool:
+        return any(isinstance(v, float) and math.isnan(v) for v in vs)
+
     probe: dict[str, tuple | None] = {}
     for c in key_cols:
         rows = updates.select(c).distinct().limit(_MERGE_PROBE_CAP + 1).collect()
@@ -182,12 +193,26 @@ def _merge_probe(updates: DataFrame, key_cols: list[str]) -> dict[str, tuple | N
         if not vals:
             probe[c] = ("empty",)  # no update rows at all — merge is a no-op
             continue
-        if not all(isinstance(v, (int, float, str, bool)) for v in vals):
+        # NaN is a legal merge key (Spark joins treat NaN = NaN as a
+        # match) but poisons ordered pruning: sorted() with a NaN is
+        # UNSORTED (every NaN comparison is False), which breaks
+        # bisect's invariant and can falsely prove a file disjoint from
+        # a real update key — carried-verbatim file + appended update
+        # row = silent duplicate-key corruption. No pruning on NaN.
+        if not all(isinstance(v, (int, float, str, bool)) for v in vals) or _has_nan(
+            vals
+        ):
             probe[c] = None
             continue
         if len(vals) > _MERGE_PROBE_CAP:
             lo, hi = updates.agg(F.min(c), F.max(c)).first()
-            probe[c] = ("range", lo, hi)
+            # Spark's max() returns NaN when any value is NaN (NaN
+            # orders greatest) — the collected sample above can miss it
+            # past the cap, so re-check the aggregated extremes too
+            if _has_nan((lo, hi)):
+                probe[c] = None
+            else:
+                probe[c] = ("range", lo, hi)
         else:
             probe[c] = ("vals", sorted(vals))
     return probe
@@ -404,10 +429,16 @@ class TxTable:
         # probe, anti-join, data write, optional change images) and
         # again on every CAS retry — persist it once (tracked: the
         # sweep/driver release hook drains it; standalone callers get
-        # it dropped with the session).
+        # it dropped with the session). `updates` is CALLER-OWNED: if
+        # the caller already persisted it, a second persist at a
+        # different StorageLevel raises, and the session-wide release
+        # hook would later unpersist a cache the caller still relies
+        # on — so an already-persisted batch is used as-is.
         from filesystemagent_spark.caching import track_persist
 
-        updates = track_persist(updates)
+        sl = updates.storageLevel
+        if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+            updates = track_persist(updates)
         for _ in range(max_retries):
             base = self.latest_version()
             if base == 0:

@@ -285,3 +285,19 @@ def test_reserved_header_fields_raise_value_error():
         MP.decode_mpa(b + struct.pack(">I", h | (0xF << 12)))
     with pytest.raises(ValueError, match="reserved"):
         MP.decode_mpa(b + struct.pack(">I", h | (0x3 << 10)))
+
+
+def test_truncated_final_frame_raises_value_error():
+    """A stream cut mid-frame (inside the sample region, past the
+    header/alloc/scf fields) must raise ValueError (the decode-ladder
+    contract), never a bare IndexError out of the vectorized
+    bit-gather — for both layers."""
+    l1 = MP.encode_mpa(_tone(), 32000)
+    h = struct.unpack(">I", l1[:4])[0]
+    frame_bytes = (12 * MP._BITRATES_L1[(h >> 12) & 0xF] * 1000 // 32000) * 4
+    assert len(l1) > 2 * frame_bytes  # multi-frame stream
+    with pytest.raises(ValueError, match="truncated"):
+        MP.decode_mpa(l1[: frame_bytes + frame_bytes // 2])
+    l2 = MP.encode_mp2(_tone(n=1152, rate=48000), 48000)
+    with pytest.raises(ValueError, match="truncated"):
+        MP.decode_mpa(l2[: len(l2) // 2])

@@ -733,3 +733,77 @@ def test_stats_dropped_when_any_row_group_lacks_min_max(spark, tmp_path):
     # double, so BOTH id=9 (9.0) and id=7 (NaN) satisfy v >= 9.0 — a
     # pruner trusting a NaN-poisoned max would have dropped the file
     assert t.read(spark, where=[("v", ">=", 9.0)]).count() == 2
+
+
+def test_float_columns_never_carry_stats(spark, tmp_path):
+    """Floating-point columns carry NO file-level stats at all — the
+    parquet spec leaves NaN statistics undefined and common writers
+    emit min/max over the non-NaN values only, while Spark orders NaN
+    greater than every double (and NaN = NaN true), so any float range
+    can falsely prove a NaN-holding file disjoint. Reads on floats are
+    conservatively unpruned and stay exact."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 100)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS score")  # clean, no NaN
+        .repartitionByRange(4, "id")
+    )
+    m = t._read_manifest(1)
+    for per in m["stats"].values():
+        assert "id" in per
+        assert "score" not in per
+    got = t.read(spark, where=[("score", ">=", 90.0)])
+    assert len(got.inputFiles()) == 4  # nothing pruned on a float
+    assert got.count() == 10
+
+
+def test_nan_merge_keys_never_corrupt(spark, tmp_path):
+    """NaN is a legal merge key (Spark joins match NaN = NaN), but a
+    NaN in the probe batch must disable pruning entirely: sorted()
+    with a NaN is unsorted, and a bisect over it can falsely prove a
+    file disjoint from a REAL update key — the carried-verbatim file
+    plus the appended update row would be silent duplicate-key
+    corruption."""
+    from filesystemagent_spark.sources import txtable as TX
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 100)
+        .selectExpr("CAST(id AS DOUBLE) AS k", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(4, "k")
+    )
+    ups = spark.createDataFrame(
+        [(5.0, "upd5"), (float("nan"), "updnan"), (1.0, "upd1")],
+        "k double, tag string",
+    )
+    # unit-level: the probe refuses to prune on a NaN-bearing batch
+    assert TX._merge_probe(ups, ["k"]) == {"k": None}
+    t.merge_into(ups, ["k"])
+    got = t.read(spark).collect()
+    assert len(got) == 101  # 100 keys + the NaN insert, no duplicates
+    by_tag = {r.tag for r in got}
+    assert {"upd5", "upd1", "updnan"} <= by_tag
+    assert "5" not in by_tag and "1" not in by_tag  # updated, not duplicated
+
+
+def test_merge_respects_caller_persisted_updates(spark, tmp_path):
+    """merge_into must not re-persist a caller-owned DataFrame the
+    caller already persisted (a different StorageLevel would raise,
+    and the session-wide release hook would unpersist a cache the
+    caller still relies on)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from filesystemagent_spark.caching import tracked_count
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    ups = _df(spark, [("/b", 2)]).persist(StorageLevel.DISK_ONLY)
+    try:
+        before = tracked_count()
+        t.merge_into(ups, ["file_path"])  # would raise pre-fix
+        assert tracked_count() == before  # not added to the release registry
+        assert ups.storageLevel.useDisk  # caller's persistence untouched
+        got = {r.file_path: r.size for r in t.read(spark).collect()}
+        assert got == {"/a": 1, "/b": 2}
+    finally:
+        ups.unpersist()

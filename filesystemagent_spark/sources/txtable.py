@@ -23,7 +23,20 @@ same protocol the real table formats use:
 
 At 100 TB the protocol is unchanged; what upgrades is the CAS
 primitive (object stores use put-if-absent / a log service instead of
-link(2)). The two fact-table-scale properties real formats add on top
+link(2)).
+
+MANIFEST SCALING (round 5): the pointer manifest no longer inlines
+every file + its stats once a commit exceeds _INLINE_FILES_MAX files —
+it spills them into immutable parquet STATS SEGMENTS and keeps only
+segment descriptors (path, n_files, per-column envelope rollup), the
+Iceberg manifest-list shape. Planning is two-level: predicates prune
+whole segments on the envelopes, then per-file stats only inside
+surviving segments — driver memory is O(matching files), and a commit
+carries untouched segments as descriptors with no re-read/re-write.
+At 10^5-10^6 files the pointer stays a few KB instead of a
+multi-hundred-MB JSON parse per read.
+
+The two fact-table-scale properties real formats add on top
 of the protocol are BOTH here as of round 4:
 
 - FILE-GRANULAR MERGE: `merge_into` consults the manifest's per-file
@@ -146,6 +159,43 @@ def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool
 # wider batch falls back to a [min, max] range test. Driver-side and
 # manifest-scale by construction.
 _MERGE_PROBE_CAP = 10_000
+
+# MANIFEST SCALING (the Iceberg manifest-list shape): a commit whose
+# file count exceeds _INLINE_FILES_MAX stops inlining files+stats into
+# the pointer JSON and spills them into immutable parquet SEGMENTS of
+# _SEGMENT_ROWS rows each (columns: file, stats-as-JSON), keeping only
+# the segment descriptors — path, n_files, and an ENVELOPE min/max
+# rollup per column — in the pointer. Planning is then two-level:
+# predicates prune whole segments against the envelopes first, and only
+# surviving segments' per-file rows are ever loaded, so driver memory
+# is O(matching files), never one JSON of every file's stats. Carried
+# segments move between manifests as descriptors (no re-read/re-write);
+# at 10^5-10^6 files the pointer stays a few KB.
+_INLINE_FILES_MAX = 64
+_SEGMENT_ROWS = 512
+
+
+def _stats_rollup(stats_list: list[dict]) -> dict[str, list]:
+    """Envelope stats over a segment's per-file stats: a column is kept
+    only when EVERY file carries it (a missing column means the rollup
+    could understate the range), with min-of-mins / max-of-maxs.
+    Incomparable mixes are dropped — absence only ever means 'cannot
+    prune at segment level', never a wrong prune."""
+    if not stats_list:
+        return {}
+    common = set(stats_list[0])
+    for s in stats_list[1:]:
+        common &= set(s)
+    out: dict[str, list] = {}
+    for c in sorted(common):
+        try:
+            out[c] = [
+                min(s[c][0] for s in stats_list),
+                max(s[c][1] for s in stats_list),
+            ]
+        except TypeError:
+            continue
+    return out
 
 # The predicate grammar shared by read(where=...), delete_where, and
 # the stats pruner — one definition so the three can never drift.
@@ -270,6 +320,124 @@ class TxTable:
         with open(self._manifest_path(version), encoding="utf-8") as fh:
             return json.load(fh)
 
+    # -- stats segments (format-2 manifests) --------------------------
+
+    def _segments_dir(self) -> str:
+        return os.path.join(self.manifest_dir, "segments")
+
+    def _write_segment(self, rows: list[tuple[str, dict]]) -> dict:
+        """One immutable stats segment: parquet of (file, stats-JSON)
+        rows. Returns its descriptor for the pointer manifest — path,
+        n_files, and the envelope rollup the segment-level pruner
+        tests before ever opening the segment."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._segments_dir(), exist_ok=True)
+        p = os.path.join(self._segments_dir(), f"{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file": [f for f, _ in rows],
+                    "stats": [json.dumps(s) for _, s in rows],
+                }
+            ),
+            p,
+        )
+        return {
+            "path": p,
+            "n_files": len(rows),
+            "stats": _stats_rollup([s for _, s in rows]),
+        }
+
+    def _segment_files(self, seg: dict) -> list[str]:
+        """File paths only — a column-projected read, no stats parse."""
+        import pyarrow.parquet as pq
+
+        return pq.read_table(seg["path"], columns=["file"]).column("file").to_pylist()
+
+    def _segment_rows(self, seg: dict) -> list[tuple[str, dict]]:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(seg["path"])
+        return [
+            (f, json.loads(s))
+            for f, s in zip(
+                t.column("file").to_pylist(), t.column("stats").to_pylist()
+            )
+        ]
+
+    # -- manifest accessors (format-agnostic) --------------------------
+
+    def _manifest_files(self, m: dict) -> list[str]:
+        """Every data file of a snapshot. For format-2 manifests this
+        loads the segments' file columns (columnar, stats untouched) —
+        used by the paths that genuinely need the full list (unfiltered
+        read, vacuum, rebase), never by the pruned planners."""
+        if "segments" in m:
+            out: list[str] = []
+            for seg in m["segments"]:
+                out += self._segment_files(seg)
+            return out
+        return m["files"]
+
+    def _manifest_n_files(self, m: dict) -> int:
+        if "segments" in m:
+            return sum(seg["n_files"] for seg in m["segments"])
+        return len(m["files"])
+
+    def _manifest_stats(self, m: dict) -> dict[str, dict]:
+        """Full per-file stats dict — ONLY for the rare paths that
+        need everything at once (rebase after a lost CAS). Planners use
+        `_split_files`, which never materializes this."""
+        if "segments" in m:
+            out: dict[str, dict] = {}
+            for seg in m["segments"]:
+                out.update(self._segment_rows(seg))
+            return out
+        return m.get("stats", {})
+
+    def _split_files(self, m: dict, may_match) -> tuple[
+        list[str], list[str], dict[str, dict], list[dict]
+    ]:
+        """Two-level stats pruning, shared by read(where)/merge/delete:
+        partition a snapshot's files by `may_match(per_file_stats)`
+        into (matching, carried, carried_stats, reused_segments).
+
+        Format 2: a segment whose ENVELOPE rollup proves no match is
+        reused as a descriptor — its per-file rows are never loaded and
+        its files never enter driver memory. Only envelope-overlapping
+        segments are opened and split per file. Format 1 degrades to
+        the flat loop over inline stats. `may_match` must be
+        conservative (True on missing stats), which makes the envelope
+        test conservative too: a column missing from the rollup simply
+        forces the segment open."""
+        matching: list[str] = []
+        carried: list[str] = []
+        carried_stats: dict[str, dict] = {}
+        reused: list[dict] = []
+        if "segments" in m:
+            for seg in m["segments"]:
+                if not may_match(seg.get("stats", {})):
+                    reused.append(seg)
+                    continue
+                for f, s in self._segment_rows(seg):
+                    if may_match(s):
+                        matching.append(f)
+                    else:
+                        carried.append(f)
+                        carried_stats[f] = s
+        else:
+            stats = m.get("stats", {})
+            for f in m["files"]:
+                if may_match(stats.get(f, {})):
+                    matching.append(f)
+                else:
+                    carried.append(f)
+                    if f in stats:
+                        carried_stats[f] = stats[f]
+        return matching, carried, carried_stats, reused
+
     # -- read path ---------------------------------------------------
 
     def read(
@@ -295,15 +463,13 @@ class TxTable:
         if v == 0:
             raise ValueError(f"table {self.path} has no committed snapshot")
         m = self._read_manifest(v)
-        files = m["files"]
         if where:
             _check_ops(where)
-            stats = m.get("stats", {})
-            files = [
-                f
-                for f in files
-                if all(_file_may_match(stats.get(f, {}), p) for p in where)
-            ]
+            files, _, _, _ = self._split_files(
+                m, lambda per: all(_file_may_match(per, p) for p in where)
+            )
+        else:
+            files = self._manifest_files(m)
         if not files:
             df = spark.createDataFrame([], m["schema_ddl"])
         else:
@@ -343,7 +509,7 @@ class TxTable:
     def _try_commit(
         self, version: int, files: list[str], schema_ddl: str,
         app: dict | None = None, stats: dict | None = None,
-        changes: dict | None = None,
+        changes: dict | None = None, reuse_segments: list[dict] | None = None,
     ) -> None:
         """Publish `version` atomically: write a temp manifest, then
         link(2) it into place — link fails with EEXIST if a concurrent
@@ -352,19 +518,37 @@ class TxTable:
 
         ``stats`` carries per-file stats already known (files inherited
         from a previous manifest keep theirs without a footer re-read);
-        stats are collected fresh only for files missing from it."""
+        stats are collected fresh only for files missing from it.
+
+        ``reuse_segments`` carries stats-segment descriptors inherited
+        verbatim from a previous format-2 manifest; ``files`` then
+        lists only the files NOT covered by them. Any commit with
+        reused segments — or more than _INLINE_FILES_MAX loose files —
+        publishes format 2 (loose files spill into fresh segments);
+        smaller commits stay inline (format 1)."""
         known = stats or {}
         fresh = _collect_file_stats([f for f in files if f not in known])
+        allstats = {f: (known[f] if f in known else fresh[f]) for f in files}
+        reuse_segments = reuse_segments or []
         os.makedirs(self.manifest_dir, exist_ok=True)
+        manifest = {
+            "version": version, "schema_ddl": schema_ddl,
+            "committed_at": time.time(), "app": app or {},
+        }
+        if changes is not None:
+            manifest["changes"] = changes
+        if reuse_segments or len(files) > _INLINE_FILES_MAX:
+            segs = list(reuse_segments)
+            rows = [(f, allstats[f]) for f in files]
+            for i in range(0, len(rows), _SEGMENT_ROWS):
+                segs.append(self._write_segment(rows[i : i + _SEGMENT_ROWS]))
+            manifest["segments"] = segs
+            manifest["n_files"] = sum(s["n_files"] for s in segs)
+        else:
+            manifest["files"] = files
+            manifest["stats"] = allstats
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as fh:
-            manifest = {
-                "version": version, "files": files, "schema_ddl": schema_ddl,
-                "committed_at": time.time(), "app": app or {},
-                "stats": {f: (known[f] if f in known else fresh[f]) for f in files},
-            }
-            if changes is not None:
-                manifest["changes"] = changes
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
@@ -451,23 +635,20 @@ class TxTable:
                 except CommitConflict:
                     continue
             m = self._read_manifest(base)
-            stats = m.get("stats", {})
             probe = _merge_probe(updates, key_cols)
             if any(p == ("empty",) for p in probe.values()):
                 # zero update rows — the merge is a no-op, don't burn a
                 # version rewriting the table into itself
                 self.last_merge_info = {
                     "base": base, "rewritten": 0,
-                    "carried": len(m["files"]), "rebased": False,
+                    "carried": self._manifest_n_files(m), "rebased": False,
                 }
                 return base
             ddl = self._evolved_ddl(spark, m["schema_ddl"], updates)
-            touched = [
-                f for f in m["files"]
-                if _file_overlaps_probe(stats.get(f, {}), probe)
-            ]
-            touched_set = set(touched)
-            carried = [f for f in m["files"] if f not in touched_set]
+            touched, carried, carried_stats, reused = self._split_files(
+                m, lambda per: _file_overlaps_probe(per, probe)
+            )
+            n_carried = len(carried) + sum(s["n_files"] for s in reused)
             cols = spark.createDataFrame([], ddl).columns
             if touched:
                 # carried/touched files may predate newly-added columns:
@@ -499,15 +680,15 @@ class TxTable:
                 ).select(*cols)
                 ch_files, _ = self._write_data(batch_aligned)
                 changes = {"files": ch_files, "type": "upsert"}
-            carried_stats = {f: stats[f] for f in carried if f in stats}
+            kw = {"reuse_segments": reused} if reused else {}
             try:
                 self._try_commit(
                     base + 1, carried + new_files, new_ddl, app,
-                    stats=carried_stats, changes=changes,
+                    stats=carried_stats, changes=changes, **kw,
                 )
                 self.last_merge_info = {
                     "base": base, "rewritten": len(touched),
-                    "carried": len(carried), "rebased": False,
+                    "carried": n_carried, "rebased": False,
                 }
                 return base + 1
             except CommitConflict:
@@ -517,7 +698,7 @@ class TxTable:
                 if v is not None:
                     self.last_merge_info = {
                         "base": base, "rewritten": len(touched),
-                        "carried": len(carried), "rebased": True,
+                        "carried": n_carried, "rebased": True,
                     }
                     return v
                 continue  # overlap with the winner — re-merge on its snapshot
@@ -549,15 +730,11 @@ class TxTable:
             if base == 0:
                 raise ValueError(f"table {self.path} has no committed snapshot")
             m = self._read_manifest(base)
-            stats = m.get("stats", {})
-            touched = [
-                f for f in m["files"]
-                if all(_file_may_match(stats.get(f, {}), p) for p in where)
-            ]
+            touched, carried, carried_stats, reused = self._split_files(
+                m, lambda per: all(_file_may_match(per, p) for p in where)
+            )
             if not touched:
                 return base  # stats prove nothing matches — no-op
-            touched_set = set(touched)
-            carried = [f for f in m["files"] if f not in touched_set]
             cond = F.lit(True)
             for col, op, val in where:
                 cond = cond & _OPS[op](F.col(col), F.lit(val))
@@ -575,12 +752,12 @@ class TxTable:
                     scan.filter(F.coalesce(cond, F.lit(False)))
                 )
                 changes = {"files": ch_files, "type": "delete"}
-            carried_stats = {f: stats[f] for f in carried if f in stats}
+            kw = {"reuse_segments": reused} if reused else {}
             try:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
                     app={"deleted_where": [list(p) for p in where]},
-                    stats=carried_stats, changes=changes,
+                    stats=carried_stats, changes=changes, **kw,
                 )
                 return base + 1
             except CommitConflict:
@@ -600,7 +777,7 @@ class TxTable:
         ch = m.get("changes")
         if ch is None:
             if version == 1:
-                ch = {"files": m["files"], "type": "insert"}
+                ch = {"files": self._manifest_files(m), "type": "insert"}
             elif "compacted_from" in m.get("app", {}):
                 return None  # layout-only commit — no logical change
             else:
@@ -696,7 +873,7 @@ class TxTable:
         is exactly what a re-merge would produce, without re-reading or
         re-writing anything. Returns the committed version, or None if
         the proof fails and the caller must re-merge for real."""
-        base_files = set(self._read_manifest(base)["files"])
+        base_files = set(self._manifest_files(self._read_manifest(base)))
         touched_set = set(touched)
         # bounded like merge_into's own loop — under sustained
         # contention the loser falls back to the caller's retry budget
@@ -706,10 +883,14 @@ class TxTable:
             w = self._read_manifest(head)
             if w["schema_ddl"] != ddl:
                 return None
-            head_files = list(w["files"])
+            # Rebase deliberately loads the head's FULL file/stats view
+            # (segments included): it runs only on the lost-CAS path,
+            # where proving non-interaction needs the complete added-
+            # file set anyway. The hot planners never do this.
+            head_files = self._manifest_files(w)
             if not touched_set <= set(head_files):
                 return None  # winner rewrote one of our files — real conflict
-            wstats = w.get("stats", {})
+            wstats = self._manifest_stats(w)
             added = [f for f in head_files if f not in base_files]
             if any(
                 _file_overlaps_probe(wstats.get(f, {}), probe) for f in added
@@ -810,6 +991,7 @@ class TxTable:
         import shutil
 
         referenced: set[str] = set()
+        live_segments: set[str] = set()
         for v in range(1, self.latest_version() + 1):
             try:
                 m = self._read_manifest(v)
@@ -819,8 +1001,12 @@ class TxTable:
             # referenced ONLY by manifest['changes'] — forgetting them
             # here would let table maintenance destroy the feed that
             # table_changes/the stream source promise is gap-free
-            for f in m["files"] + m.get("changes", {}).get("files", []):
+            for f in self._manifest_files(m) + m.get("changes", {}).get(
+                "files", []
+            ):
                 referenced.add(os.path.dirname(f))
+            for seg in m.get("segments", []):
+                live_segments.add(seg["path"])
         removed = []
         now = time.time()
         if os.path.isdir(self.data_dir):
@@ -834,5 +1020,21 @@ class TxTable:
                 except OSError:
                     continue  # raced a concurrent cleanup — skip
                 shutil.rmtree(full)
+                removed.append(full)
+        # stats segments orphaned by expired versions or lost-CAS
+        # commits (segments are staged before the pointer CAS, like
+        # data) — same grace window protects an in-flight commit's
+        # just-written segments
+        if os.path.isdir(self._segments_dir()):
+            for name in os.listdir(self._segments_dir()):
+                full = os.path.join(self._segments_dir(), name)
+                if full in live_segments:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < grace_seconds:
+                        continue
+                    os.unlink(full)
+                except OSError:
+                    continue  # raced a concurrent cleanup — skip
                 removed.append(full)
         return sorted(removed)

@@ -807,3 +807,180 @@ def test_merge_respects_caller_persisted_updates(spark, tmp_path):
         assert got == {"/a": 1, "/b": 2}
     finally:
         ups.unpersist()
+
+
+# ---------------------------------------------------------------- format 2
+
+
+def test_many_file_table_plans_without_inline_stats(spark, tmp_path):
+    """The 100 TB planning shape: a 1k+-file commit publishes a pointer
+    manifest of segment DESCRIPTORS (path, n_files, envelope rollup) —
+    not one JSON with every file's stats — and a selective read opens
+    only the envelope-overlapping segments, so driver memory is
+    O(matching files)."""
+    import json
+
+    from filesystemagent_spark.sources import txtable as TX
+
+    t = TxTable(str(tmp_path / "big"))
+    df = spark.range(0, 102_400).selectExpr("id", "id % 97 AS bucket")
+    t.init(df.repartitionByRange(1024, "id"))
+
+    m = json.load(open(t._manifest_path(1)))
+    assert "files" not in m and "stats" not in m  # nothing inlined
+    assert m["n_files"] == 1024
+    assert len(m["segments"]) == -(-1024 // TX._SEGMENT_ROWS)
+    # the pointer stays KB-scale no matter the file count
+    import os
+
+    assert os.path.getsize(t._manifest_path(1)) < 20_000
+
+    # count segment opens: a point predicate must open exactly the one
+    # segment whose envelope covers the key (range-partitioned stage ->
+    # disjoint envelopes), never all of them
+    opened = []
+    orig = TxTable._segment_rows
+
+    def spy(self, seg):
+        opened.append(seg["path"])
+        return orig(self, seg)
+
+    TxTable._segment_rows = spy
+    try:
+        pt = t.read(spark, where=[("id", "=", 50_000)])
+    finally:
+        TxTable._segment_rows = orig
+    assert len(opened) == 1
+    assert len(pt.inputFiles()) == 1  # 1023 of 1024 files pruned
+    assert [r.id for r in pt.collect()] == [50_000]
+
+    # unfiltered read still sees everything
+    full = t.read(spark)
+    assert len(full.inputFiles()) == 1024
+    assert full.count() == 102_400
+
+
+def test_segmented_merge_reuses_untouched_segments(spark, tmp_path):
+    """A narrow merge into a segmented table rewrites only the touched
+    files AND carries every non-overlapping segment as a descriptor —
+    no per-file stats re-read, re-serialize, or re-write for them."""
+    import json
+
+    from filesystemagent_spark.sources import txtable as TX
+
+    t = TxTable(str(tmp_path / "big"))
+    t.init(
+        spark.range(0, 102_400)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(1024, "id")
+    )
+    v1_segs = {s["path"] for s in json.load(open(t._manifest_path(1)))["segments"]}
+
+    ups = spark.createDataFrame(
+        [(i, f"upd{i}") for i in range(500, 505)], "id bigint, tag string"
+    )
+    assert t.merge_into(ups, ["id"]) == 2
+    info = t.last_merge_info
+    assert info["rewritten"] <= 2, info
+    assert info["carried"] >= 1022, info
+
+    m2 = json.load(open(t._manifest_path(2)))
+    reused = [s for s in m2["segments"] if s["path"] in v1_segs]
+    assert len(reused) >= len(v1_segs) - 1  # at most one segment opened+split
+    # descriptor counts agree with the actual snapshot file set
+    assert m2["n_files"] == len(t.read(spark).inputFiles())
+
+    got = {r.id: r.tag for r in t.read(spark, where=[("id", ">=", 498), ("id", "<=", 506)]).collect()}
+    assert got[502] == "upd502" and got[498] == "498" and got[506] == "506"
+    assert t.read(spark).count() == 102_400  # no duplicated keys
+
+
+def test_segmented_delete_expire_vacuum_gc(spark, tmp_path, monkeypatch):
+    """Format-2 lifecycle with small constants: delete prunes at
+    segment level, expire orphans old segments, vacuum reclaims them
+    (and never a live one); change feed and time travel stay intact."""
+    import json
+    import os
+
+    from filesystemagent_spark.sources import txtable as TX
+
+    monkeypatch.setattr(TX, "_INLINE_FILES_MAX", 4)
+    monkeypatch.setattr(TX, "_SEGMENT_ROWS", 4)
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 160)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(16, "id")
+    )                                                               # v1: 4 segments
+    m1 = json.load(open(t._manifest_path(1)))
+    assert len(m1["segments"]) == 4
+
+    v = t.delete_where(spark, [("id", ">=", 0), ("id", "<", 10)], change_feed=True)
+    assert v == 2
+    m2 = json.load(open(t._manifest_path(2)))
+    reused = {s["path"] for s in m1["segments"]} & {s["path"] for s in m2["segments"]}
+    assert len(reused) == 3  # only the first segment's envelope overlapped
+    assert t.read(spark).count() == 150
+    # change feed readable on a format-2 table
+    feed = t.table_changes(spark, 2).collect()
+    assert {r._change_type for r in feed} == {"delete"}
+    assert len(feed) == 10
+
+    # merge with change feed, then compact (compaction may fall back to
+    # inline — formats can alternate per version)
+    t.merge_into(
+        spark.createDataFrame([(5_000, "new")], "id bigint, tag string"),
+        ["id"], change_feed=True,
+    )                                                               # v3
+    t.compact(spark, target_files=2)                                # v4
+    assert t.read(spark).count() == 151
+
+    all_seg_files = set(os.listdir(t._segments_dir()))
+    assert t.expire_versions(keep_last=1) == [1, 2, 3]
+    removed = t.vacuum(grace_seconds=0)
+    # v4 is a 2-file compaction -> inline manifest -> every segment dead
+    live = json.load(open(t._manifest_path(4))).get("segments", [])
+    for s in live:
+        assert s["path"] not in removed
+    assert any(os.path.basename(p) in all_seg_files for p in removed)
+    assert t.read(spark).count() == 151  # still reads after GC
+    assert t.vacuum(grace_seconds=0) == []  # idempotent
+
+
+def test_segmented_concurrent_merges_still_serialize(spark, tmp_path, monkeypatch):
+    """The CAS + rebase/retry protocol is format-agnostic: concurrent
+    disjoint writers on a segmented table both survive."""
+    import threading
+
+    from filesystemagent_spark.sources import txtable as TX
+
+    monkeypatch.setattr(TX, "_INLINE_FILES_MAX", 4)
+    monkeypatch.setattr(TX, "_SEGMENT_ROWS", 4)
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 160)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(16, "id")
+    )
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def writer(key, tag):
+        try:
+            barrier.wait(timeout=120)
+            t.merge_into(
+                spark.createDataFrame([(key, tag)], "id bigint, tag string"),
+                ["id"],
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    th1 = threading.Thread(target=writer, args=(3, "w1"))
+    th2 = threading.Thread(target=writer, args=(150, "w2"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errors, errors
+    got = {r.id: r.tag for r in t.read(spark).collect()}
+    assert len(got) == 160 and got[3] == "w1" and got[150] == "w2"
+    assert t.latest_version() == 3

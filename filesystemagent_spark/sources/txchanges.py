@@ -15,14 +15,32 @@ tails (audit monitor loops); a transactional table feed has no
 counterpart there — it exists because the 100 TB pipeline this engine
 targets is continuously ingested.
 
-Offsets are `{"version": N}` (JSON-serializable, monotone). The
-driver resolves versions -> change-file lists from the manifests;
-executors read the parquet change files via pyarrow (one partition
-per version — a version's images are usually one small staged batch;
-heavier feeds would split per file). Versions committed WITHOUT the
-change feed fail the stream loudly (a silent gap would corrupt every
-downstream consumer) — except v1, which is its own insert image, and
-layout-only compactions, which carry no logical change.
+Offsets are `{"version": N}` (JSON-serializable, monotone). The driver
+resolves versions -> change-file lists from the manifests; executors
+read the parquet change files via pyarrow and yield RecordBatches —
+the `_change_type` / `_commit_version` columns are appended
+arrow-side, so no row ever passes through per-row Python (the
+`sources/arrowipc.py` standard). Partitioning is one partition per
+change FILE, so a version staged as many files fans out across the
+cluster instead of serializing on one task.
+
+Admission control: ``maxversionspertrigger`` bounds how many table
+versions one micro-batch may plan (the Delta `maxFilesPerTrigger`
+analog) — without it, a stream started against a long-history table
+plans every version into a single unbounded batch. The bound rides an
+in-reader cursor seeded by `initialOffset`; after a RESTART the first
+`latestOffset` has no cursor (Spark gives the checkpointed start only
+to `partitions`) and is deliberately unbounded — capping it blind
+could plan an end BEHIND the checkpoint and re-deliver rows, so
+exactly-once wins over one oversized catch-up batch. Note
+`Trigger.AvailableNow` snapshots one target offset up front (Spark
+wraps sources lacking native support), so the cap binds per-batch
+under processing-time triggers, not availableNow drains.
+
+Versions committed WITHOUT the change feed fail the stream loudly (a
+silent gap would corrupt every downstream consumer) — except v1,
+which is its own insert image, and layout-only compactions, which
+carry no logical change.
 """
 
 from __future__ import annotations
@@ -40,11 +58,13 @@ from filesystemagent_spark.sources.txtable import TxTable
 
 
 @dataclass
-class _VersionPartition(InputPartition):
-    files: list = field(default_factory=list)
+class _ChangeFilePartition(InputPartition):
+    file: str = ""
     change_type: str = ""
     version: int = 0
-    ddl: str = ""
+    # pa.Schema of the FULL output (data fields + _change_type +
+    # _commit_version); pyarrow schemas pickle, so it ships whole.
+    arrow_schema: object = None
     out_fields: list = field(default_factory=list)
 
 
@@ -70,53 +90,85 @@ class TxTableChangesDataSource(DataSource):
 
 class TxTableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         self.table = TxTable(options["path"])
         # start AFTER this version (0 = from the beginning incl. init)
         self.start_after = int(options.get("fromversion", 0))
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxversionspertrigger must be >= 1")
         self.out_fields = [f.name for f in schema.fields[:-2]]
+        self.arrow_schema = to_arrow_schema(schema)
+        # Last version this reader has PLANNED (returned from
+        # latestOffset or seen as a batch end). None after a restart,
+        # until Spark reveals the checkpointed position via
+        # partitions(start, end).
+        self._cursor: int | None = None
 
     def initialOffset(self):
+        self._cursor = self.start_after
         return {"version": self.start_after}
 
     def latestOffset(self):
-        return {"version": self.table.latest_version()}
+        head = self.table.latest_version()
+        if self.max_versions is None or self._cursor is None:
+            end = head
+        else:
+            end = min(head, self._cursor + self.max_versions)
+        if self._cursor is not None:
+            end = max(end, self._cursor)
+        self._cursor = end
+        return {"version": end}
 
     def partitions(self, start, end):
+        end_v = int(end["version"])
+        self._cursor = max(self._cursor or 0, end_v)
         parts = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        for v in range(int(start["version"]) + 1, end_v + 1):
             # one resolution policy for batch + stream (raises on a
             # non-CDF version): TxTable.changes_for_version
             ch = self.table.changes_for_version(v)
             if ch is None or not ch["files"]:
                 continue
-            parts.append(
-                _VersionPartition(
-                    files=ch["files"],
-                    change_type=ch["type"],
-                    version=v,
-                    ddl=ch["schema_ddl"],
-                    out_fields=self.out_fields,
+            for f in ch["files"]:
+                parts.append(
+                    _ChangeFilePartition(
+                        file=f,
+                        change_type=ch["type"],
+                        version=v,
+                        arrow_schema=self.arrow_schema,
+                        out_fields=self.out_fields,
+                    )
                 )
-            )
-        return parts or [_VersionPartition()]
+        return parts or [_ChangeFilePartition()]
 
-    def read(self, partition: _VersionPartition):
-        if not partition.files:
+    def read(self, partition: _ChangeFilePartition):
+        if not partition.file:
             return
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        for f in partition.files:
-            tbl = pq.read_table(f)
-            cols = {
-                name: tbl.column(name).to_pylist() if name in tbl.column_names
-                else [None] * tbl.num_rows
-                for name in partition.out_fields
-            }
-            for i in range(tbl.num_rows):
-                yield tuple(cols[name][i] for name in partition.out_fields) + (
-                    partition.change_type,
-                    partition.version,
-                )
+        schema = partition.arrow_schema
+        pf = pq.ParquetFile(partition.file)
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            arrays = []
+            for name in partition.out_fields:
+                target = schema.field(name).type
+                if name in batch.schema.names:
+                    col = batch.column(name)
+                    if col.type != target:
+                        col = col.cast(target)
+                else:
+                    # schema evolution: column added after this image
+                    col = pa.nulls(n, target)
+                arrays.append(col)
+            arrays.append(pa.array([partition.change_type] * n, pa.string()))
+            arrays.append(pa.array(np.full(n, partition.version, np.int64)))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     def commit(self, end):
         pass

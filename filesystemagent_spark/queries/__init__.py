@@ -153,7 +153,14 @@ GRADE_ORDER = (
     "events_funnel",
     "events_asof_prior_view",
     "events_value_mad",
-    "events_user_seq",
+    # round 5: the transactional table's full DML lifecycle (init →
+    # MERGE → DELETE → snapshot read → change-feed replay) under the
+    # oracle — the flagship storage component was pytest-only before.
+    # Displaces events_user_seq: its grouped-map applyInPandas
+    # mechanism stays graded via events_stream_sessions
+    # (applyInPandasWithState) and the query stays registered +
+    # sim-checked.
+    "events_txtable_dml",
     # REAL audio decode + spectral-fingerprint dedup (round 3):
     # G.711 mu-law WAV synthesized per doc, decoded and fingerprinted
     # by the production audio ladder, banded-Hamming deduped,
@@ -209,6 +216,7 @@ def registry() -> dict[str, Query]:
         tpch_deep,
         tpch_like,
         training,
+        txdml,
     )
 
     dangling = [n for n in GRADE_ORDER if n not in _REGISTRY]

@@ -1,0 +1,132 @@
+"""TxTable DML under the oracle (SURVEY.md §2.2 S11 — catalog
+sink/upsert, upgraded to the transactional table format).
+
+The reference's catalog upsert is a sqlite INSERT OR REPLACE
+(/root/reference/src/catalog.py); at 100 TB the engine's answer is the
+transactional table (`sources/txtable.py`): snapshot-isolated MERGE,
+row-level DELETE with stats-pruned file rewrite, and a write-time
+change feed. Until round 5 that component was pytest-only; this query
+puts the full DML lifecycle — init → merge (updates + inserts) →
+delete → snapshot read → change-feed replay — under the driver's
+DuckDB oracle, which re-derives the same final state and change images
+in pure SQL (MERGE here is whole-row replace: anti-join ∪ batch).
+
+Everything is deterministic: the update/insert batches derive from the
+events fixture by modular predicates, so both engines compute
+identical row sets with no clock, uuid, or ordering dependence.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.catalog import Catalog
+from filesystemagent_spark.queries import register
+from filesystemagent_spark.sources.txtable import TxTable
+
+
+def _dec(c):
+    return c.cast("decimal(18,6)")
+
+
+def _agg():
+    # built lazily: Column construction needs an active session
+    return [
+        F.count("*").alias("n_rows"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    ]
+
+
+@register(
+    "events_txtable_dml",
+    tags=("txtable", "merge", "delete", "change-feed", "snapshot"),
+    oracle="""
+WITH ups AS (
+    SELECT event_id, ts, user_id, event_type,
+           value * 2 AS value, 'updated' AS props
+    FROM events WHERE event_type = 'click' AND event_id % 7 = 0
+),
+ins AS (
+    SELECT event_id + 100000000 AS event_id, ts, user_id,
+           'synthetic' AS event_type, value, props
+    FROM events WHERE event_id % 997 = 0
+),
+upserts AS (SELECT * FROM ups UNION ALL SELECT * FROM ins),
+merged AS (
+    SELECT * FROM events
+    WHERE event_id NOT IN (SELECT event_id FROM upserts)
+    UNION ALL SELECT * FROM upserts
+),
+snapshot AS (SELECT * FROM merged WHERE event_type <> 'error'),
+changes AS (
+    SELECT 'insert' AS key, user_id, value FROM events
+    UNION ALL SELECT 'upsert', user_id, value FROM upserts
+    UNION ALL SELECT 'delete', user_id, value
+    FROM merged WHERE event_type = 'error'
+)
+SELECT 'snapshot' AS section, event_type AS key, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM snapshot GROUP BY 2
+UNION ALL
+SELECT 'changes' AS section, key, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM changes GROUP BY 2
+ORDER BY section, key
+""",
+)
+def events_txtable_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transactional-table lifecycle, oracle-checked end to end:
+
+    v1  init(events)                  — snapshot + implicit insert image
+    v2  merge_into(updates ∪ inserts) — whole-row upsert on event_id,
+                                        change_feed staged at write time
+    v3  delete_where(type = 'error')  — stats-pruned file rewrite,
+                                        delete images staged
+
+    The result unions a per-type rollup of the FINAL SNAPSHOT
+    (`t.read`) with a per-change-type rollup of the CHANGE FEED
+    (`t.table_changes(1..)`), so a wrong merge anti-join, a missed or
+    over-broad delete, a stale snapshot manifest, or a wrong/missing
+    change image each shifts a hashed value. Update/insert batches are
+    modular-predicate slices of the fixture — deterministic in both
+    engines."""
+    ev = Catalog(spark, sf_dir).events
+    stage = tempfile.mkdtemp(prefix="events_txdml_")
+    t = TxTable(os.path.join(stage, "tbl"))
+    t.init(ev)
+
+    ups = (
+        ev.where((F.col("event_type") == "click") & (F.col("event_id") % 7 == 0))
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("props", F.lit("updated"))
+    )
+    ins = (
+        ev.where(F.col("event_id") % 997 == 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(100000000))
+        .withColumn("event_type", F.lit("synthetic"))
+    )
+    t.merge_into(ups.unionByName(ins), ["event_id"], change_feed=True)
+    t.delete_where(spark, [("event_type", "=", "error")], change_feed=True)
+
+    snap_agg = (
+        t.read(spark)
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(*_agg())
+        .select(F.lit("snapshot").alias("section"), "key",
+                "n_rows", "total_value", "n_users")
+    )
+    ch_agg = (
+        t.table_changes(spark, 1)
+        .groupBy(F.col("_change_type").alias("key"))
+        .agg(*_agg())
+        .select(F.lit("changes").alias("section"), "key",
+                "n_rows", "total_value", "n_users")
+    )
+    return snap_agg.unionByName(ch_agg).orderBy("section", "key")

@@ -17,14 +17,16 @@ equivalent but not bit-identical window — fine for the feature/
 fingerprint pipeline, stated here so nobody mistakes it for a
 conformance decoder.
 
-Layer II (round 4): the allocation-class structure of table B.2a —
-per-subband nbal widths, the quantizer-class lists including the
+Layer II (round 4, completed round 5): the allocation-class structure
+— per-subband nbal widths, the quantizer-class lists including the
 GROUPED classes (3/5/9 levels packed 3-samples-per-code in 5/7/10
 bits), scfsi scalefactor sharing, and the 36-sample granule layout —
-is implemented in full for the 48 kHz high-rate regime where the spec
-mandates B.2a unconditionally. 44.1/32 kHz Layer II streams select
-B.2b/c/d variants by a (rate, bitrate) table this module does not
-carry — those raise, honestly, as does Layer III (Huffman tables).
+is implemented for ALL FOUR allocation tables B.2a/b/c/d (Annex B
+public data), selected from (sample rate, kbps per channel) per
+§2.4.2.6. That covers every MPEG-1 Layer II regime: 48 kHz (B.2a),
+44.1/32 kHz high-rate (B.2b, sblimit 30), and the low-bitrate tables
+(B.2c/d, sblimit 8/12, grouped 9-level class). Layer III still raises
+(Huffman tables).
 Dequantization uses the same midtread family as Layer I
 (s = (2q + 1 - n)/n), omitting the B.4 C/D slope corrections
 (sub-0.3 dB effect, irrelevant to fingerprinting).
@@ -72,29 +74,45 @@ _L2_CLASS = {
     16383: (False, 14), 32767: (False, 15), 65535: (False, 16),
 }
 
-# Allocation table B.2a (sblimit = 27): per-subband allocation-field
-# width and allocation-index -> nlevels list (index 0 = no allocation).
+# Allocation tables B.2a-d (ISO/IEC 11172-3 Annex B): per-subband
+# allocation-field width and allocation-index -> nlevels list (index 0
+# = no allocation). B.2b extends B.2a's top class from sblimit 27 to
+# 30; B.2c/d are the low-bitrate tables (sblimit 8 / 12) with their own
+# step list that keeps the GROUPED 9-level class and drops 7.
 _B2A_SB_HI = [0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
               8191, 16383, 32767, 65535]                      # sb 0-2, nbal 4
 _B2A_SB_MID = [0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
                4095, 8191, 65535]                             # sb 3-10, nbal 4
 _B2A_SB_LOW = [0, 3, 5, 7, 9, 15, 31, 65535]                  # sb 11-22, nbal 3
-_B2A_SB_TOP = [0, 3, 5, 65535]                                # sb 23-26, nbal 2
+_B2A_SB_TOP = [0, 3, 5, 65535]                                # sb 23+, nbal 2
+_B2CD_HI = [0, 3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+            4095, 8191, 16383, 32767]                         # sb 0-1, nbal 4
+_B2CD_LO = [0, 3, 5, 9, 15, 31, 63, 127]                      # sb 2+, nbal 3
 _B2A_SBLIMIT = 27
 
+# layout: per-subband (nbal, allocation row), length = sblimit
+_L2_LAYOUTS = {
+    "a": [(4, _B2A_SB_HI)] * 3 + [(4, _B2A_SB_MID)] * 8
+         + [(3, _B2A_SB_LOW)] * 12 + [(2, _B2A_SB_TOP)] * 4,
+    "b": [(4, _B2A_SB_HI)] * 3 + [(4, _B2A_SB_MID)] * 8
+         + [(3, _B2A_SB_LOW)] * 12 + [(2, _B2A_SB_TOP)] * 7,
+    "c": [(4, _B2CD_HI)] * 2 + [(3, _B2CD_LO)] * 6,
+    "d": [(4, _B2CD_HI)] * 2 + [(3, _B2CD_LO)] * 10,
+}
 
-def _b2a_row(sb: int) -> list[int]:
-    if sb < 3:
-        return _B2A_SB_HI
-    if sb < 11:
-        return _B2A_SB_MID
-    if sb < 23:
-        return _B2A_SB_LOW
-    return _B2A_SB_TOP
 
-
-def _b2a_nbal(sb: int) -> int:
-    return 4 if sb < 11 else (3 if sb < 23 else 2)
+def _l2_table_id(rate: int, bitrate_kbps: int, nch: int) -> str:
+    """Table selection per ISO/IEC 11172-3 §2.4.2.6 (the 'Table B.2x'
+    choice is a pure function of sample rate and kbps PER CHANNEL —
+    the same predicate every public Layer II codec carries)."""
+    bpc = bitrate_kbps // nch
+    if (rate == 48000 and bpc >= 56) or (56 <= bpc <= 80):
+        return "a"
+    if rate != 48000 and bpc >= 96:
+        return "b"
+    if rate != 32000 and bpc <= 48:
+        return "c"
+    return "d"
 
 
 def _prototype() -> np.ndarray:
@@ -204,16 +222,20 @@ def _dequant(raw: np.ndarray, nb: int) -> np.ndarray:
     return (two_nb / (two_nb - 1.0)) * ((raw + 1.0) * (2.0 / two_nb) - 1.0)
 
 
-def _decode_frame_l2(frame: bytes, nch: int, protection: int) -> np.ndarray:
-    """One Layer II frame -> subband samples (36, 32, nch), table B.2a.
+def _decode_frame_l2(
+    frame: bytes, nch: int, protection: int, table_id: str = "a"
+) -> np.ndarray:
+    """One Layer II frame -> subband samples (36, 32, nch), allocation
+    table B.2{a,b,c,d} selected by the caller from (rate, bitrate).
     Sample extraction is vectorized the same way as Layer I's: all 12
     granules share one bit layout, so each slot gathers its 12 codes
     in one indexed read."""
     r = _BitReader(frame, 32 + (16 if protection == 0 else 0))
-    sbl = _B2A_SBLIMIT
+    layout = _L2_LAYOUTS[table_id]
+    sbl = len(layout)
     alloc = np.zeros((sbl, nch), dtype=np.int64)  # nlevels, 0 = none
     for sb in range(sbl):
-        row, nbal = _b2a_row(sb), _b2a_nbal(sb)
+        nbal, row = layout[sb]
         for ch in range(nch):
             alloc[sb, ch] = row[r.read(nbal)]
     scfsi = np.zeros((sbl, nch), dtype=np.int64)
@@ -315,16 +337,10 @@ def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
             padding = (h >> 9) & 1
             mode = (h >> 6) & 0x3
             nch = 1 if mode == 0x3 else 2
-            if rate != 48000 or bitrate // nch < 56000:
-                raise NotImplementedError(
-                    "Layer II decode carries allocation table B.2a only "
-                    "(48 kHz, >= 56 kbps/channel — the regime where the "
-                    "spec mandates it); this stream selects a B.2b/c/d "
-                    "variant"
-                )
+            tid = _l2_table_id(rate, _BITRATES_L2[bidx], nch)
             frame_len = 144 * bitrate // rate + padding
             subbands.append(
-                _decode_frame_l2(b[pos : pos + frame_len], nch, protection)
+                _decode_frame_l2(b[pos : pos + frame_len], nch, protection, tid)
             )
             label = "mp2-pure"
             pos += frame_len
@@ -478,21 +494,35 @@ def encode_mpa(samples: np.ndarray, rate: int) -> bytes:
     return b"".join(frames)
 
 
-def encode_mp2(samples: np.ndarray, rate: int = 48000) -> bytes:
-    """Encode float PCM as MPEG-1 Layer II at 48 kHz using table B.2a:
-    subbands 0-22 get the 15-level (4-bit) class, subbands 23-26 the
-    GROUPED 5-level class (3 samples per 7-bit code — the Layer II
-    mechanism Layer I lacks), subbands 27+ are unallocated (B.2a's
-    sblimit; >17.2 kHz content at 48 kHz). scfsi=0 (3 per-part
-    scalefactors). Mono encodes at 192 kbps, stereo at 384 — the
-    smallest standard rates the fixed allocation fits (and the spec's
-    per-mode maxima). No psychoacoustics: this encoder exists to
-    round-trip the decoder and synthesize deterministic fixtures."""
-    if rate != 48000:
-        raise ValueError(
-            "encode_mp2 emits 48 kHz streams only (the rate where table "
-            "B.2a applies unconditionally — see module docstring)"
-        )
+# Static encode allocation per table: the widest ungrouped class the
+# default bitrates fit (a/b), and the GROUPED 9/3-level classes for the
+# low-bitrate tables (c/d) where the budget is tight. Every class here
+# exists in its table's allocation rows.
+_L2_ENC_PLAN = {
+    "a": [15] * 23 + [5] * 4,
+    "b": [15] * 23 + [5] * 7,
+    "c": [9] * 8,
+    "d": [9] * 8 + [3] * 4,
+}
+
+
+def encode_mp2(
+    samples: np.ndarray, rate: int = 48000, bitrate_kbps: int | None = None
+) -> bytes:
+    """Encode float PCM as MPEG-1 Layer II at 32/44.1/48 kHz. The
+    allocation table (B.2a-d) follows the spec's (rate, kbps/channel)
+    selection; the per-table static plan uses the 15-level (4-bit)
+    class plus the GROUPED 5-level class on the top subbands (a/b), or
+    the grouped 9/3-level classes for the low-bitrate tables (c/d).
+    scfsi=0 (3 per-part scalefactors), no psychoacoustics — this
+    encoder exists to round-trip the decoder and synthesize
+    deterministic compressed-audio fixtures. Default bitrate is
+    192 kbps mono / 384 stereo; pass e.g. bitrate_kbps=48 to produce a
+    B.2c/d low-rate stream. 44.1 kHz frames use padding=0 (each frame
+    self-describes its length; the stream is marginally under nominal
+    CBR, which every decoder accepts)."""
+    if rate not in _RATE_IDX:
+        raise ValueError(f"Layer II sample rate must be one of {sorted(_RATE_IDX)}")
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
@@ -506,12 +536,38 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000) -> bytes:
     S = np.stack([_analyze(x[:, ch]) for ch in range(nch)], axis=2)  # (blk,32,nch)
     nframes = len(S) // 36
 
-    plan = [15] * 23 + [5] * 4  # nlevels per subband 0..26
-    alloc_idx = [_b2a_row(sb).index(plan[sb]) for sb in range(_B2A_SBLIMIT)]
+    if bitrate_kbps is None:
+        bitrate_kbps = 192 if nch == 1 else 384
+    if bitrate_kbps not in _BITRATES_L2[1:]:
+        raise ValueError(f"not a Layer II bitrate: {bitrate_kbps} kbps")
+    tid = _l2_table_id(rate, bitrate_kbps, nch)
+    layout = _L2_LAYOUTS[tid]
+    plan = list(_L2_ENC_PLAN[tid])
+    sbl = len(layout)
 
-    bitrate_kbps = 192 if nch == 1 else 384
+    def _plan_bits(p: list[int]) -> int:
+        fixed = 32 + sum(layout[sb][0] for sb in range(sbl)) * nch
+        fixed += (2 + 18) * sbl * nch  # scfsi + 3 scalefactors
+        gr = sum(
+            _L2_CLASS[nl][1] * (1 if _L2_CLASS[nl][0] else 3) for nl in p
+        )
+        return fixed + 12 * gr * nch
+
+    frame_bits = (144 * bitrate_kbps * 1000 // rate) * 8  # floor; padding=0
+    # Tight budgets (low bitrate, stereo): downgrade top subbands to the
+    # grouped 3-level class (present in every allocation row) until the
+    # static layout fits.
+    for sb in range(sbl - 1, -1, -1):
+        if _plan_bits(plan) <= frame_bits:
+            break
+        if plan[sb] > 3:
+            plan[sb] = 3
+    alloc_idx = [layout[sb][1].index(plan[sb]) for sb in range(sbl)]
+    # slot descriptors in bitstream order: (sb, nlevels, grouped, bits)
+    slots = [(sb, plan[sb], *_L2_CLASS[plan[sb]]) for sb in range(sbl)]
+
     bi = _BITRATES_L2.index(bitrate_kbps)
-    frame_bytes = 144 * bitrate_kbps * 1000 // rate
+    frame_bytes = 144 * bitrate_kbps * 1000 // rate  # floor; padding=0
     mode = 0x3 if nch == 1 else 0x0
     header = (
         (0x7FF << 21) | (0x3 << 19) | (0x2 << 17) | (1 << 16)  # layer II, no CRC
@@ -523,14 +579,22 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000) -> bytes:
     # frame then packs with three vectorized array ops instead of a
     # per-field Python loop (the loop made encoding ~25x slower than
     # the filterbank it feeds).
-    sbl = _B2A_SBLIMIT
     widths: list[int] = [32]                                   # header
-    widths += [_b2a_nbal(sb) for sb in range(sbl) for _ in range(nch)]
+    widths += [layout[sb][0] for sb in range(sbl) for _ in range(nch)]
     widths += [2] * (sbl * nch)                                # scfsi
     widths += [6] * (3 * sbl * nch)                            # scalefactors
-    per_gr = [4] * (23 * nch * 3) + [7] * (4 * nch)            # granule codes
+    per_gr: list[int] = []                                     # granule codes
+    for sb, _, grouped, bits in slots:
+        per_gr += [bits] * (nch if grouped else 3 * nch)
     widths += per_gr * 12
     W = np.array(widths, dtype=np.int64)
+    total_bits = frame_bytes * 8
+    if int(W.sum()) > total_bits:
+        raise ValueError(
+            f"static B.2{tid} allocation needs {int(W.sum())} bits but the "
+            f"{bitrate_kbps} kbps frame holds {total_bits} — pick a higher "
+            f"bitrate or fewer channels"
+        )
     field_of_bit = np.repeat(np.arange(len(W)), W)
     shift_of_bit = np.concatenate([np.arange(w - 1, -1, -1) for w in widths])
     static_head = np.array(
@@ -539,8 +603,6 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000) -> bytes:
         + [0] * (sbl * nch),
         dtype=np.int64,
     )
-    nlev_u = np.array(plan[:23], dtype=np.float64)             # ungrouped levels
-    total_bits = frame_bytes * 8
     pad = np.zeros(total_bits - int(W.sum()), dtype=np.int64)
 
     frames = []
@@ -554,21 +616,22 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000) -> bytes:
         ) - 1
         idx = np.clip(idx, 0, 62)
         scf = _SCALEFACTORS[idx]  # (3, 32, nch)
-        # quantize every (granule, sample, subband, channel) at once
+        # quantize every (granule, sample, subband, channel) at once,
+        # then lay the per-granule fields out in sb -> ch order (the
+        # bitstream order; grouped slots pack 3 samples into one code)
         tri_all = Sf.reshape(12, 3, 32, nch)
         sc_all = scf[gr_part]  # (12, 32, nch)
-        s_u = tri_all[:, :, :23, :] / sc_all[:, None, :23, :]
-        q_u = np.clip(
-            np.rint((s_u * nlev_u[None, None, :, None] + nlev_u[None, None, :, None] - 1.0) / 2.0),
-            0, nlev_u[None, None, :, None] - 1,
-        ).astype(np.int64)  # (12, 3, 23, nch)
-        s_g = tri_all[:, :, 23:sbl, :] / sc_all[:, None, 23:sbl, :]
-        q_g = np.clip(np.rint((s_g * 5.0 + 4.0) / 2.0), 0, 4).astype(np.int64)
-        code_g = q_g[:, 0] + 5 * q_g[:, 1] + 25 * q_g[:, 2]  # (12, 4, nch)
-        # field order per granule: sb -> ch -> (q0 q1 q2), then grouped
-        ung = q_u.transpose(0, 2, 3, 1).reshape(12, -1)
-        grp = code_g.reshape(12, -1)
-        gran_vals = np.concatenate([ung, grp], axis=1).ravel()
+        blocks = []  # per sb: (12, nch or nch*3)
+        for sb, nlev, grouped, _bits in slots:
+            s = tri_all[:, :, sb, :] / sc_all[:, None, sb, :]  # (12, 3, nch)
+            q = np.clip(
+                np.rint((s * nlev + nlev - 1.0) / 2.0), 0, nlev - 1
+            ).astype(np.int64)
+            if grouped:
+                blocks.append(q[:, 0] + nlev * q[:, 1] + nlev * nlev * q[:, 2])
+            else:
+                blocks.append(q.transpose(0, 2, 1).reshape(12, -1))
+        gran_vals = np.concatenate(blocks, axis=1).ravel()
         scf_vals = idx[:, :sbl, :].transpose(1, 2, 0).ravel()  # sb -> ch -> part
         V = np.concatenate([static_head, scf_vals, gran_vals])
         bits = np.concatenate([(V[field_of_bit] >> shift_of_bit) & 1, pad])

@@ -522,12 +522,13 @@ ORDER BY id_a, id_b
 def doc_mp2_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`doc_mp1_audio_dedup` moved up one codec rung: the same
     synthesize -> encode -> production-ladder-decode -> fingerprint ->
-    banded-Hamming-dedup pipeline, but through MPEG-1 LAYER II
-    (functions/mpa.encode_mp2 at 48 kHz — table B.2a allocation with
-    the grouped 5-level class live on subbands 23-26 of every frame).
+    banded-Hamming-dedup pipeline, but through MPEG-1 LAYER II at
+    44.1 kHz — the dominant real-world music rate, which selects
+    allocation table B.2b (sblimit 30, round 5; functions/mpa.py) with
+    the grouped 5-level class live on subbands 23-29 of every frame.
     Identical 55-char prefixes give byte-identical .mp2 streams give
     identical fingerprints; the oracle replays the distance-0 pair set
-    as an md5 equality self-join. Closes the round-3 'missing #2' item
+    as an md5 equality self-join. Closes the round-4 'missing #1' item
     down to mp3/mp4 only."""
     import hashlib as _hl
     from collections.abc import Iterator
@@ -543,7 +544,7 @@ def doc_mp2_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(F.substring("text", 1, 55)).alias("hp")
     ).repartition(spark.sparkContext.defaultParallelism)
 
-    RATE = 48000  # encode_mp2's B.2a-certain rate
+    RATE = 44100  # selects table B.2b — the 44.1 kHz high-rate regime
     DUR = (RATE // 2 // 1152) * 1152  # whole Layer II frames
 
     def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
@@ -562,7 +563,7 @@ def doc_mp2_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 segs = []
                 for s in range(8):
                     block = raw[s * 12 : (s + 1) * 12]
-                    freqs = 300.0 + (block[:4] % 12000)  # inside B.2a passband
+                    freqs = 300.0 + (block[:4] % 12000)  # inside B.2b passband
                     amps = 0.05 + (block[4:8] % 1000) / 8000.0
                     phases = (block[8:12] % 6283) / 1000.0
                     seg = _np.zeros_like(t)

@@ -128,15 +128,72 @@ def test_handbuilt_frame_decodes_known_subband():
     assert len(y) == 384
 
 
-def test_layer2_non48k_honestly_gated():
-    """Layer II decode carries table B.2a only — the 48 kHz high-rate
-    regime; a 32 kHz stream (which selects B.2b/c/d) must raise, not
-    mis-decode."""
-    b = MP.encode_mpa(_tone(), 32000)
+def test_layer2_table_selection_is_spec_conformant():
+    """ISO/IEC 11172-3 §2.4.2.6: the B.2x table is a pure function of
+    (sample rate, kbps per channel)."""
+    assert MP._l2_table_id(48000, 192, 1) == "a"
+    assert MP._l2_table_id(48000, 384, 2) == "a"   # 192 kbps/ch at 48k
+    assert MP._l2_table_id(44100, 64, 1) == "a"    # 56-80 kbps/ch anywhere
+    assert MP._l2_table_id(32000, 160, 2) == "a"
+    assert MP._l2_table_id(44100, 192, 1) == "b"   # >=96 kbps/ch, not 48k
+    assert MP._l2_table_id(32000, 96, 1) == "b"
+    assert MP._l2_table_id(44100, 48, 1) == "c"    # <=48 kbps/ch, not 32k
+    assert MP._l2_table_id(48000, 32, 1) == "c"
+    assert MP._l2_table_id(32000, 48, 1) == "d"    # <=48 kbps/ch at 32k
+    assert MP._l2_table_id(32000, 64, 2) == "d"
+
+
+def test_layer2_all_rates_and_tables_roundtrip():
+    """Round 5 closes the 44.1/32 kHz gap: every sample rate and all
+    four allocation tables decode. 44.1 kHz — the dominant real-world
+    music rate — selects B.2b (sblimit 30) at the default bitrate; the
+    low-bitrate path selects B.2c/d with the grouped 9-level class."""
+    for rate, br, tid in [
+        (48000, None, "a"), (44100, None, "b"), (32000, None, "b"),
+        (44100, 48, "c"), (48000, 48, "c"), (32000, 48, "d"),
+    ]:
+        sig = _tone(n=rate // 2, rate=rate)
+        b = (MP.encode_mp2(sig, rate, bitrate_kbps=br) if br
+             else MP.encode_mp2(sig, rate))
+        assert MP._l2_table_id(rate, br or 192, 1) == tid
+        got_rate, nch, y, label = MP.decode_mpa(b)
+        assert (got_rate, nch, label) == (rate, 1, "mp2-pure")
+        # near-transparent for the 15-level plan (a/b); the coarse
+        # grouped 9-level low-rate plan (c/d) still tracks the signal
+        floor_db = 20.0 if br is None else 12.0
+        snr, _ = _aligned_snr(sig, y)
+        assert snr > floor_db, (rate, br, snr)
+
+
+def test_layer2_b2b_wire_format_extends_sblimit():
+    """B.2b streams carry 30 allocation fields (not 27) and the same
+    nbal widths as B.2a on the shared subbands — read off the wire
+    with an independent bit reader."""
+    b = MP.encode_mp2(_tone(n=1152 * 2, rate=44100), 44100)
     h = struct.unpack(">I", b[:4])[0]
-    l2 = struct.pack(">I", (h & ~(0x3 << 17)) | (0x2 << 17)) + b[4:]
-    with pytest.raises(NotImplementedError, match="B.2"):
-        MP.decode_mpa(l2)
+    assert MP._RATES[(h >> 10) & 0x3] == 44100
+    assert MP._BITRATES_L2[(h >> 12) & 0xF] == 192
+    r = MP._BitReader(b, 32)
+    layout = MP._L2_LAYOUTS["b"]
+    assert len(layout) == 30
+    allocs = [r.read(layout[sb][0]) for sb in range(30)]
+    for sb in range(23):
+        assert layout[sb][1][allocs[sb]] == 15, (sb, allocs[sb])
+    for sb in range(23, 30):
+        assert layout[sb][1][allocs[sb]] == 5, (sb, allocs[sb])
+
+
+def test_layer2_low_rate_plan_downgrades_to_fit():
+    """A 48 kbps 48 kHz frame (1152 bits) can't hold the all-9-level
+    B.2c plan; the encoder downgrades top subbands to the grouped
+    3-level class instead of raising. A combination that can't fit
+    even all-3 (low-rate stereo) raises a ValueError."""
+    sig = _tone(n=1152 * 2, rate=48000)
+    b = MP.encode_mp2(sig, 48000, bitrate_kbps=48)
+    rate, nch, y, label = MP.decode_mpa(b)
+    assert (rate, label) == (48000, "mp2-pure")
+    with pytest.raises(ValueError, match="allocation needs"):
+        MP.encode_mp2(np.stack([sig, sig], axis=1), 44100, bitrate_kbps=48)
 
 
 def test_layer3_honestly_gated():
@@ -205,11 +262,11 @@ def test_mp2_wire_format_allocation_and_grouping():
     assert MP._RATES[(h >> 10) & 0x3] == 48000
     assert MP._BITRATES_L2[(h >> 12) & 0xF] == 192
     r = MP._BitReader(b, 32)
-    allocs = [r.read(MP._b2a_nbal(sb)) for sb in range(MP._B2A_SBLIMIT)]
+    allocs = [r.read(MP._L2_LAYOUTS["a"][sb][0]) for sb in range(MP._B2A_SBLIMIT)]
     for sb in range(23):
-        assert MP._b2a_row(sb)[allocs[sb]] == 15, (sb, allocs[sb])
+        assert MP._L2_LAYOUTS["a"][sb][1][allocs[sb]] == 15, (sb, allocs[sb])
     for sb in range(23, 27):
-        assert MP._b2a_row(sb)[allocs[sb]] == 5, (sb, allocs[sb])
+        assert MP._L2_LAYOUTS["a"][sb][1][allocs[sb]] == 5, (sb, allocs[sb])
         assert MP._L2_CLASS[5] == (True, 7)  # grouped, 7-bit code
 
 
@@ -228,7 +285,7 @@ def test_mp2_handbuilt_frame_decodes_known_subband():
     )
     w.write(header, 32)
     for sb in range(MP._B2A_SBLIMIT):
-        w.write(1 if sb == 0 else 0, MP._b2a_nbal(sb))  # sb0 -> nlevels 3
+        w.write(1 if sb == 0 else 0, MP._L2_LAYOUTS["a"][sb][0])  # sb0 -> nlevels 3
     w.write(2, 2)           # scfsi for sb0: one shared scalefactor
     w.write(0, 6)           # scf index 0 -> 2.0
     for _gr in range(12):

@@ -821,20 +821,6 @@ def kmeans_inertia(df: DataFrame, centroids: DataFrame, *, id_col: str, vec_col:
 # ---------------------------------------------------------------- PQ
 
 
-def _lit_vec(vals: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
-
-
-def _l2_sq_lit(sub: F.Column, cent: list[float]) -> F.Column:
-    """Squared L2 distance of an array column to a literal centroid —
-    one fused zip_with/aggregate pass, fully JVM-side."""
-    return F.aggregate(
-        F.zip_with(sub, _lit_vec(cent), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def normalize(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
     """Unit-L2-normalize a vector column (zero vectors pass through).
     After normalization, L2 ranking equals cosine ranking — the bridge
@@ -866,7 +852,7 @@ def pq_codebooks(
 
     All m subspaces train TOGETHER in one Lloyd's loop over the
     exploded (sub_id, subvector) table: assignment is a row-local
-    argmax over the subspace's k literal centroids (zero shuffle), and
+    argmax over the subspace's k centroids (zero shuffle), and
     the update is ONE two-level aggregation producing all m·k new
     centroids — so the whole training runs max_iter+2 jobs total,
     independent of m, instead of m separate k-means loops (which at
@@ -874,6 +860,16 @@ def pq_codebooks(
     overhead on a model-sized dataset). Deterministic: md5-seeded
     init (the same k ids seed every subspace), cosine argmax ties to
     the lowest cell id, empty cells keep their previous centroid.
+
+    The m·k-candidate argmax runs as an Arrow-batched pandas UDF (one
+    numpy GEMM per subspace per batch, codebook captured in the
+    closure — the UDF-level form of a broadcast). Round 5: this
+    REPLACED a fully-unrolled 2048-term SQL expression that silently
+    FAILED janino compilation (64 KB method limit) and fell back to
+    interpreted per-row eval — locally it burned seconds per iteration
+    re-attempting the compile; at 100 TB the interpreted scan would
+    have been the bottleneck. The GEMM path is the same shape the
+    blocked-cosine operator uses: scan-local, zero shuffle, vectorized.
     """
     from pyspark import StorageLevel
 
@@ -917,38 +913,22 @@ def pq_codebooks(
     for r in subs.filter(F.col("_id").isin(list(seed_ids))).collect():
         books[(r["sub_id"], cell_of[r["_id"]])] = [float(x) for x in r["_sv"]]
 
-    import math
+    def assign_udf():
+        # Arrow-batched cosine argmax over all m·k candidates
+        # (functions/pqkernels.py): one numpy GEMM per (subspace,
+        # batch), the current iteration's codebook in the closure.
+        import numpy as np
 
-    def assign_sql() -> str:
-        # One SQL string for the whole m·k-candidate argmax: the
-        # equivalent Column-API tree costs thousands of py4j calls to
-        # BUILD (measured ~3.6 s/iteration on the driver); parsing one
-        # expression string is milliseconds. Unrolled fixed-width dot
-        # products (no higher-order fold) keep the 128-candidate
-        # argmax inside whole-stage codegen, and cosine argmax ==
-        # (dot / centroid_norm) argmax — the row-norm divisor is
-        # constant across a row's candidates, so it's dropped.
-        branches = []
-        for s in range(m):
-            cands = []
-            for j in range(1, k + 1):
-                cent = books[(s, j)]
-                norm = math.sqrt(sum(x * x for x in cent)) or 1.0
-                dot = " + ".join(
-                    f"element_at(_sv, {i + 1}) * {cent[i]!r}"
-                    for i in range(len(cent))
-                )
-                cands.append(
-                    f"named_struct('c', ({dot}) / {norm!r}, 'nj', {-j})"
-                )
-            branches.append(
-                f"WHEN {s} THEN CAST(-array_max(array({', '.join(cands)})).nj AS INT)"
-            )
-        return f"CASE sub_id {' '.join(branches)} END"
+        from filesystemagent_spark.functions.pqkernels import make_assign_udf
+
+        C = np.zeros((m, k, d_sub))
+        for (s, j), cent in books.items():
+            C[s, j - 1] = cent
+        return make_assign_udf(C)
 
     for _ in range(max_iter):
         updated = (
-            subs.withColumn("cell_id", F.expr(assign_sql()))
+            subs.withColumn("cell_id", assign_udf()("sub_id", "_sv"))
             .select("sub_id", "cell_id", F.posexplode("_sv").alias("pos", "val"))
             .groupBy("sub_id", "cell_id", "pos")
             .agg(F.avg("val").alias("val"))
@@ -996,31 +976,20 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors to m small codes (argmin-L2 centroid per
     subspace): dim floats → m ints (16x compression at m=8/k=16 on
-    128-dim float32). Entirely row-local expressions — the codebook is
-    embedded as literals (the expression-level form of a broadcast),
-    so encoding runs at scan speed with zero shuffles.
-    Ties break to the lowest cell id (array_min on (dist, id) structs).
-    """
+    128-dim float32). Row-local, zero shuffle: an Arrow-batched pandas
+    UDF computes all m argmins in one broadcast numpy op per batch,
+    the codebook captured in the closure (the UDF-level form of a
+    broadcast). Ties break to the lowest cell id (np.argmin takes the
+    first min). Round 5: replaced a fully-unrolled SQL expression that
+    exceeded janino's method limit and fell back to interpreted
+    per-row eval (see pq_codebooks)."""
+    import numpy as np
+
+    from filesystemagent_spark.functions.pqkernels import make_encode_udf
+
     books = _collect_codebook(codebook, m, k)
-    d_sub = dim // m
-    # SQL-string expression for the same reason as pq_codebooks'
-    # assignment: one parse instead of thousands of py4j calls, and
-    # unrolled per-dimension squared-distance terms stay in codegen.
-    subcodes = []
-    for s in range(m):
-        cands = []
-        for j in range(k):
-            cent = books[s][j]
-            terms = " + ".join(
-                f"power(CAST(element_at({vec_col}, {s * d_sub + i + 1}) AS DOUBLE)"
-                f" - {cent[i]!r}, 2)"
-                for i in range(d_sub)
-            )
-            cands.append(f"named_struct('d', {terms}, 'j', {j})")
-        subcodes.append(f"array_min(array({', '.join(cands)})).j")
-    return df.select(
-        F.col(id_col), F.expr(f"array({', '.join(subcodes)})").alias("codes")
-    )
+    encode = make_encode_udf(np.asarray(books))
+    return df.select(F.col(id_col), encode(vec_col).alias("codes"))
 
 
 def knn_pq(
@@ -1045,23 +1014,16 @@ def knn_pq(
     Returns (query_id, neighbor_id, approx_dist, rnk); rank ascending
     by estimated L2. Run on normalized vectors for cosine semantics.
     """
+    import numpy as np
+
+    from filesystemagent_spark.functions.pqkernels import make_lut_udf
+
     books = _collect_codebook(codebook, m, k_cells)
-    d_sub = dim // m
-    luts = F.array(
-        *[
-            F.array(
-                *[
-                    _l2_sq_lit(F.slice(F.col("_qv"), s * d_sub + 1, d_sub), books[s][j])
-                    for j in range(k_cells)
-                ]
-            )
-            for s in range(m)
-        ]
-    )
+    luts = make_lut_udf(np.asarray(books))
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        ).withColumn("_lut", luts).drop("_qv")
+        ).withColumn("_lut", luts("_qv")).drop("_qv")
     )
     scored = (
         q.crossJoin(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))

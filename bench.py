@@ -44,6 +44,8 @@ def main() -> None:
     # full plan — nothing is cached between them). Measured on this
     # harness: inter-run totals swing >2× (11.3s vs 22.1s) from CPU
     # steal alone, so the extra run is cheap insurance.
+    from filesystemagent_spark.caching import release_tracked_caches
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in names:
@@ -53,6 +55,10 @@ def main() -> None:
             queries[name].fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Drain operator-internal persists BETWEEN queries (not between
+        # the min-of-3 runs, which stay warm by design): a long bench
+        # must not accumulate every query's MEMORY_AND_DISK sketches.
+        release_tracked_caches()
     total = round(sum(timings.values()), 3)
 
     print(

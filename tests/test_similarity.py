@@ -476,3 +476,32 @@ def test_pq_kernels_run_as_arrow_udfs_not_unrolled_sql(spark, sf_dir):
     )
     plan = codes._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_lsh_sigs_run_as_arrow_udf_and_match_sql_fold(spark, sf_dir):
+    """Same round-5 pin for the sign-LSH family (it failed codegen the
+    same way as PQ), plus the bit-exactness contract: the Arrow
+    kernel's dimension-ordered accumulation must reproduce the
+    left-to-right SQL fold's sign decisions exactly — the graded LSH
+    oracles replay that fold in DuckDB."""
+    emb = Catalog(spark, sf_dir).embeddings
+    bucketed = S.sign_lsh_bucket(emb, vec_col="embedding", dim=DIM, n_planes=8, seed=42)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # SQL-fold replica for a small sample: same planes, left-to-right
+    planes = S._hyperplanes(DIM, 8, 42)
+    import pyspark.sql.functions as F2
+    bits = " + ".join(
+        "IF((" + " + ".join(
+            f"CAST(element_at(`embedding`, {i + 1}) AS DOUBLE) * {w!r}"
+            for i, w in enumerate(p)
+        ) + f") >= 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j, p in enumerate(planes)
+    )
+    sample = emb.limit(200)
+    got = {r.vec_id: r.bucket for r in
+           S.sign_lsh_bucket(sample, vec_col="embedding", dim=DIM,
+                             n_planes=8, seed=42).collect()}
+    ref = {r.vec_id: r.bucket for r in
+           sample.withColumn("bucket", F2.expr(bits)).collect()}
+    assert got == ref

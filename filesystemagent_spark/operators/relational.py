@@ -147,3 +147,56 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return s.join(o, [*keys, "_salt"], how).drop("_salt")
+
+
+def rrf_fuse(
+    rankings: Sequence[tuple[str, DataFrame]],
+    *,
+    id_col: str,
+    rank_col: str = "rnk",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): combine N retrievers'
+    rankings into one list by rrf(id) = Σ_r 1/(k + rank_r(id)) — the
+    standard score-free fusion for hybrid search (lexical + semantic,
+    or any mix: each retriever only contributes its RANKS, so
+    incomparable score scales fuse cleanly).
+
+    Input: (name, df) pairs where df carries (id_col, rank_col) with
+    rank 1 = best. Output: (id_col, rrf_score, n_retrievers, one
+    rank_<name> column per input), best first, doc-id tie-break.
+
+    Scale shape: each retriever's list is already top-K-bounded, so
+    this is a union of small frames + one aggregation on the id — no
+    join chain (an N-way full outer join degenerates at N retrievers;
+    the union+pivot form is one shuffle regardless of N). Determinism:
+    each contribution 1/(k+rank) is an exact IEEE op; the sum is
+    order-independent for ≤2 retrievers (two-operand addition is
+    commutative) and rounded before ranking for larger N."""
+    tagged = None
+    for name, df in rankings:
+        part = df.select(
+            F.col(id_col),
+            F.lit(name).alias("_retriever"),
+            F.col(rank_col).cast("bigint").alias("_rank"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    names = [name for name, _ in rankings]
+    fused = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("_rank"))), 9).alias(
+                "rrf_score"
+            ),
+            F.count("*").alias("n_retrievers"),
+            *[
+                F.max(
+                    F.when(F.col("_retriever") == name, F.col("_rank"))
+                ).alias(f"rank_{name}")
+                for name in names
+            ],
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    )
+    return fused.limit(top_k) if top_k else fused

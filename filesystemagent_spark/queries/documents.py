@@ -699,14 +699,25 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     round at 1e-6 (ln differs by ulps across libm builds) with a
     doc_id tie-break, the same ranked-boundary rule as embedding_knn.
     """
-    docs = _doc_text_rebalanced(spark, sf_dir)
-    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+
+
+def _match(term: str):
     # factory keeps the lambda unary — PySpark derives HOF arity from
     # the Python signature, so a default-arg capture would turn the
     # second parameter into the array INDEX (same rule as bpe.py).
-    def _match(term: str):
-        return lambda x: x == F.lit(term)
+    return lambda x: x == F.lit(term)
 
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every matching doc (bm25 > 0, rounded 1e-6)
+    — shared by doc_bm25_search and the RRF hybrid query."""
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
     tf = {t: F.size(F.filter(F.col("tk"), _match(t))) for t in _BM25_TERMS}
     stats = toks.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -729,11 +740,145 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             tfd + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / F.col("avgdl"))
         )
         score = part if score is None else score + part
-    return (
-        scored.select("doc_id", F.round(score, 6).alias("bm25"))
-        .filter(F.col("bm25") > 0)
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(_BM25_TOPK)
+    return scored.select("doc_id", F.round(score, 6).alias("bm25")).filter(
+        F.col("bm25") > 0
+    )
+
+
+def _tfidf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tfidf) for the same fixed term set: length-normalized
+    term frequency × ln(N/(1+df)) — a genuinely different lexical
+    scorer than BM25 (no saturation, no length prior), the second
+    retriever of the hybrid-fusion query. Same broadcast-stats shape
+    as BM25: two corpus scans, zero token-proportional shuffle."""
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    tf = {t: F.size(F.filter(F.col("tk"), _match(t))) for t in _BM25_TERMS}
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        *[
+            F.count_if(F.array_contains("tk", t)).cast("double").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    dl = F.size("tk").cast("double")
+    score = None
+    for t in _BM25_TERMS:
+        part = (tf[t].cast("double") / dl) * F.log(
+            F.col("n_docs") / (F.lit(1.0) + F.col(f"df_{t}"))
+        )
+        score = part if score is None else score + part
+    # empty docs: 0/0 is NaN and Spark sorts NaN above every number —
+    # guard identically on both engines
+    score = F.when(dl > 0, score).otherwise(F.lit(0.0))
+    return scored.select("doc_id", F.round(score, 6).alias("tfidf")).filter(
+        F.col("tfidf") > 0
+    )
+
+
+_RRF_K, _RRF_PER, _RRF_TOPK = 60, 20, 10
+
+
+def _hybrid_oracle() -> str:
+    tfc = {t: f"len(list_filter(tk, x -> x = '{t}'))" for t in _BM25_TERMS}
+    bm_terms = " + ".join(
+        f"""(ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)
+            * (CAST({tfc[t]} AS DOUBLE) * {_BM25_K1 + 1.0})
+            / (CAST({tfc[t]} AS DOUBLE)
+               + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * len(tk) / s.avgdl)))"""
+        for t in _BM25_TERMS
+    )
+    ti_terms = " + ".join(
+        f"(CAST({tfc[t]} AS DOUBLE) / len(tk)) * ln(s.n_docs / (1.0 + s.df_{t}))"
+        for t in _BM25_TERMS
+    )
+    dfs = ", ".join(
+        f"CAST(COUNT(CASE WHEN list_contains(tk, '{t}') THEN 1 END) AS DOUBLE) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           AVG(CAST(len(tk) AS DOUBLE)) AS avgdl, {dfs}
+    FROM toks
+),
+bm AS (
+    SELECT doc_id, ROUND({bm_terms}, 6) AS sc FROM toks, stats s
+),
+ti AS (
+    SELECT doc_id,
+           ROUND(CASE WHEN len(tk) > 0 THEN {ti_terms} ELSE 0.0 END, 6) AS sc
+    FROM toks, stats s
+),
+bmr AS (
+    SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id ASC) AS rnk
+        FROM bm WHERE sc > 0
+    ) WHERE rnk <= {_RRF_PER}
+),
+tir AS (
+    SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id ASC) AS rnk
+        FROM ti WHERE sc > 0
+    ) WHERE rnk <= {_RRF_PER}
+),
+tagged AS (
+    SELECT doc_id, 'bm25' AS retr, rnk FROM bmr
+    UNION ALL SELECT doc_id, 'tfidf' AS retr, rnk FROM tir
+)
+SELECT doc_id,
+       ROUND(SUM(1.0 / ({_RRF_K} + rnk)), 9) AS rrf_score,
+       COUNT(*) AS n_retrievers,
+       MAX(CASE WHEN retr = 'bm25' THEN rnk END) AS rank_bm25,
+       MAX(CASE WHEN retr = 'tfidf' THEN rnk END) AS rank_tfidf
+FROM tagged
+GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {_RRF_TOPK}
+"""
+
+
+@register(
+    "doc_hybrid_search_rrf",
+    tags=("search", "fusion", "ranking", "rrf"),
+    oracle=_hybrid_oracle(),
+)
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL-RANK FUSION — the standard
+    production recipe for combining retrievers with incomparable score
+    scales (here BM25 and length-normalized TF-IDF over the same term
+    set; at 100 TB the second leg is the ANN retriever, which plugs
+    into the same operator since RRF consumes only RANKS). Each
+    retriever contributes its top-{per} as (doc_id, rank); the fusion
+    is a union + one aggregation on doc_id
+    (operators/relational.rrf_fuse) — no N-way join chain. The oracle
+    replays both scorers and the fusion; contributions 1/(k+rank) are
+    exact IEEE ops and two-operand addition is commutative, so the
+    grouped sum is order-independent with two retrievers."""
+    from filesystemagent_spark.operators.relational import grouped_top_k, rrf_fuse
+
+    def ranked(scored: DataFrame, col: str) -> DataFrame:
+        top = scored.orderBy(F.col(col).desc(), F.col("doc_id").asc()).limit(
+            _RRF_PER
+        )
+        # rank over the already-TakeOrdered top slice (<= 20 rows)
+        return grouped_top_k(
+            top.withColumn("_one", F.lit(1)),
+            ["_one"],
+            [F.col(col).desc(), F.col("doc_id").asc()],
+            _RRF_PER,
+            keep_rank=True,
+        ).select("doc_id", "rnk")
+
+    bm = ranked(_bm25_scored(spark, sf_dir), "bm25")
+    ti = ranked(_tfidf_scored(spark, sf_dir), "tfidf")
+    return rrf_fuse(
+        [("bm25", bm), ("tfidf", ti)],
+        id_col="doc_id",
+        k=_RRF_K,
+        top_k=_RRF_TOPK,
     )
 
 

@@ -992,21 +992,39 @@ class TxTable:
 
         referenced: set[str] = set()
         live_segments: set[str] = set()
+        # Segments are immutable and CARRIED verbatim across versions,
+        # so a table with V versions sharing S segments reads each
+        # segment ONCE (memoized by path), not O(V·S) times — without
+        # this, vacuum on a long-history table re-parses the same
+        # parquet file lists per version.
+        seg_dirs: dict[str, set[str]] = {}
+
+        def _dirs_of_segment(seg: dict) -> set[str]:
+            p = seg["path"]
+            if p not in seg_dirs:
+                seg_dirs[p] = {
+                    os.path.dirname(f) for f in self._segment_files(seg)
+                }
+            return seg_dirs[p]
+
         for v in range(1, self.latest_version() + 1):
             try:
                 m = self._read_manifest(v)
             except FileNotFoundError:
                 continue
+            if "segments" in m:
+                for seg in m["segments"]:
+                    referenced |= _dirs_of_segment(seg)
+                    live_segments.add(seg["path"])
+            else:
+                for f in m["files"]:
+                    referenced.add(os.path.dirname(f))
             # change-feed images live in their own staged dirs and are
             # referenced ONLY by manifest['changes'] — forgetting them
             # here would let table maintenance destroy the feed that
             # table_changes/the stream source promise is gap-free
-            for f in self._manifest_files(m) + m.get("changes", {}).get(
-                "files", []
-            ):
+            for f in m.get("changes", {}).get("files", []):
                 referenced.add(os.path.dirname(f))
-            for seg in m.get("segments", []):
-                live_segments.add(seg["path"])
         removed = []
         now = time.time()
         if os.path.isdir(self.data_dir):

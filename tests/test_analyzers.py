@@ -284,3 +284,30 @@ def test_keep_first_tie_break_deterministic(spark):
             df, ["file_hash"], [F.col("modified_time").asc(), F.col("path").asc()]
         ).collect()
         assert [(r["file_hash"], r["path"]) for r in kept] == [("h1", "/a")]
+
+
+def test_rrf_fuse_combines_rankings_and_handles_single_source(spark):
+    """RRF (round 5): rrf(id) = sum over retrievers of 1/(k + rank).
+    A doc ranked well by BOTH retrievers must beat a doc ranked #1 by
+    only one when the math says so, and docs surfaced by a single
+    retriever still appear with n_retrievers=1."""
+    from filesystemagent_spark.operators.relational import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id bigint, rnk bigint"
+    )
+    ti = spark.createDataFrame(
+        [(11, 1), (12, 2), (13, 3)], "doc_id bigint, rnk bigint"
+    )
+    out = rrf_fuse(
+        [("bm25", bm), ("tfidf", ti)], id_col="doc_id", k=60
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    # doc 11: 1/62 + 1/61; doc 10: 1/61 alone; doc 12: 1/63 + 1/62
+    assert [r.doc_id for r in out][:2] == [11, 12]  # both-retriever docs first
+    assert rows[11].rrf_score == round(1 / 62 + 1 / 61, 9)
+    assert rows[10].n_retrievers == 1 and rows[10].rank_bm25 == 1
+    assert rows[10].rank_tfidf is None
+    assert rows[13].n_retrievers == 1 and rows[13].rank_tfidf == 3
+    # top_k bounds the fused list
+    assert len(rrf_fuse([("a", bm), ("b", ti)], id_col="doc_id", top_k=2).collect()) == 2

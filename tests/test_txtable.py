@@ -984,3 +984,37 @@ def test_segmented_concurrent_merges_still_serialize(spark, tmp_path, monkeypatc
     got = {r.id: r.tag for r in t.read(spark).collect()}
     assert len(got) == 160 and got[3] == "w1" and got[150] == "w2"
     assert t.latest_version() == 3
+
+
+def test_vacuum_reads_each_shared_segment_once(spark, tmp_path, monkeypatch):
+    """Segments carried verbatim across versions are immutable; vacuum
+    must memoize per segment path instead of re-reading every segment
+    for every version (O(V*S) parquet reads on a long-history table)."""
+    import filesystemagent_spark.sources.txtable as TX
+
+    monkeypatch.setattr(TX, "_INLINE_FILES_MAX", 2)
+    monkeypatch.setattr(TX, "_SEGMENT_ROWS", 2)
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 64)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(4, "id")
+    )
+    for i in range(5):  # 5 merges, each carries prior segments
+        t.merge_into(
+            spark.createDataFrame([(i, "u")], "id bigint, tag string"), ["id"]
+        )
+    calls = []
+    orig = TX.TxTable._segment_files
+
+    def counting(self, seg):
+        calls.append(seg["path"])
+        return orig(self, seg)
+
+    monkeypatch.setattr(TX.TxTable, "_segment_files", counting)
+    t.vacuum()
+    assert calls, "expected a format-2 table (segments in play)"
+    assert len(calls) == len(set(calls)), (
+        f"segment re-read across versions: {len(calls)} reads of "
+        f"{len(set(calls))} distinct segments"
+    )

@@ -44,6 +44,7 @@ def _agg():
 
 @register(
     "events_txtable_dml",
+    headline=True,  # the storage engine's DML path under bench guard
     tags=("txtable", "merge", "delete", "change-feed", "snapshot"),
     oracle="""
 WITH ups AS (

@@ -745,6 +745,39 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_bm25_from_stored_index",
+    tags=("search", "text", "ranking", "inverted-index", "txtable"),
+    oracle=_bm25_oracle(),
+)
+def doc_bm25_from_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 top-k as `doc_bm25_search`, answered from a STORED
+    inverted index instead of a corpus scan
+    (operators/invindex.py): tokenize once into a (term, doc_id, tf,
+    dl) posting TxTable (range-partitioned + sorted on term, corpus
+    scalars in app metadata), then per query term do one stats-pruned
+    postings read, pivot, and combine parts in fixed term order —
+    bit-identical scores, so the one oracle replays both forms. At
+    100 TB this is the difference between a full corpus scan per query
+    and reading only the matched terms' postings; index build is the
+    amortized one-time (and incrementally maintainable) cost."""
+    import tempfile
+
+    from filesystemagent_spark.operators.invindex import (
+        bm25_from_index,
+        build_bm25_index,
+    )
+
+    stage = tempfile.mkdtemp(prefix="bm25_index_")
+    build_bm25_index(
+        _doc_text_rebalanced(spark, sf_dir), stage, id_col="doc_id",
+        text_col="text",
+    )
+    return bm25_from_index(
+        spark, stage, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
+    )
+
+
 def _tfidf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, tfidf) for the same fixed term set: length-normalized
     term frequency × ln(N/(1+df)) — a genuinely different lexical

@@ -508,3 +508,20 @@ def test_incremental_dedup_prunes_corpus_with_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
     release_tracked_caches()
+
+
+def test_txtable_dml_snapshot_scan_prunes_columns(spark, sf_dir):
+    """events_txtable_dml's rollup must push column pruning through the
+    TxTable snapshot read: the aggregate needs (event_type, user_id,
+    value), so the parquet scan of the snapshot files must not read
+    ts/props/event_id — the property that keeps the post-DML analytics
+    scan bandwidth-proportional to the aggregate, not the table."""
+    plan = executed_plan(QUERIES["events_txtable_dml"].fn(spark, sf_dir))
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    snapshot_scans = [s for s in schemas if "event_type" in s]
+    assert snapshot_scans, plan
+    for s in snapshot_scans:
+        assert "props" not in s and "ts:" not in s, s

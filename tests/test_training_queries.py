@@ -86,3 +86,127 @@ def test_quality_deciles_approx_agrees_with_exact(spark, sf_dir):
     # total absolute deviation from the exact histogram is small
     dev = sum(abs(exact.get(d, 0) - approx.get(d, 0)) for d in range(1, 11))
     assert dev <= 0.2 * n, (dev, exact, approx)
+
+
+def test_bm25_index_term_reads_skip_files(spark, sf_dir, tmp_path):
+    """The postings are range-partitioned + sorted on term, so a
+    single-term read must open only the files whose manifest term
+    range covers it — the property that makes index-answered queries
+    sublinear in index size."""
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.invindex import build_bm25_index
+
+    docs = Catalog(spark, sf_dir).documents
+    post_t, _ = build_bm25_index(docs, str(tmp_path / "idx"), n_term_partitions=8)
+    all_files = len(post_t.read(spark).inputFiles())
+    pruned = len(post_t.read(spark, where=[("term", "=", "spark")]).inputFiles())
+    assert all_files >= 8
+    assert pruned <= all_files // 2, (pruned, all_files)
+
+
+def test_bm25_index_incremental_merge_matches_full_build(spark, sf_dir, tmp_path):
+    """Continuous-ingest maintenance: index half the corpus, MERGE the
+    other half's postings in (key = (term, doc_id)) with the refreshed
+    corpus scalars riding the commit's app metadata, recompute the df
+    table, and the index-answered top-k must equal a from-scratch
+    build over the full corpus — bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.functions import text as T
+    from filesystemagent_spark.operators.invindex import (
+        bm25_from_index,
+        build_bm25_index,
+    )
+    from filesystemagent_spark.queries.documents import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+
+    inc_dir = str(tmp_path / "inc")
+    post_t, term_t = build_bm25_index(first, inc_dir, n_term_partitions=4)
+
+    # the incremental batch: second half's postings, staged the same way
+    toks2 = second.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    add = (
+        toks2.select(
+            "doc_id", F.size("tk").cast("double").alias("dl"),
+            F.explode("tk").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    # refreshed corpus scalars ride the merge's app metadata (the
+    # Delta userMetadata recipe) — no side channel
+    toks_all = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    sc = toks_all.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("tk").cast("double")).alias("avgdl"),
+    ).collect()[0]
+    post_t.merge_into(
+        add, ["term", "doc_id"],
+        app={"n_docs": float(sc["n_docs"]), "avgdl": float(sc["avgdl"])},
+    )
+    term_t.overwrite(
+        post_t.read(spark).groupBy("term").agg(
+            F.count("*").cast("double").alias("df")
+        )
+    )
+
+    full_dir = str(tmp_path / "full")
+    build_bm25_index(docs, full_dir, n_term_partitions=4)
+
+    def answer(d):
+        return {
+            (r.doc_id, r.bm25)
+            for r in bm25_from_index(
+                spark, d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+                top_k=_BM25_TOPK,
+            ).collect()
+        }
+
+    assert answer(inc_dir) == answer(full_dir)
+
+
+def test_bm25_index_survives_compaction(spark, sf_dir, tmp_path):
+    """compact() publishes its own app metadata; the query path must
+    walk back to the newest commit carrying the corpus scalars, and
+    answers must be unchanged (compaction is layout-only)."""
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.invindex import (
+        bm25_from_index,
+        build_bm25_index,
+    )
+    from filesystemagent_spark.queries.documents import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+    import os
+
+    idx = str(tmp_path / "idx")
+    post_t, _ = build_bm25_index(
+        Catalog(spark, sf_dir).documents, idx, n_term_partitions=4
+    )
+    before = {
+        (r.doc_id, r.bm25)
+        for r in bm25_from_index(
+            spark, idx, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
+        ).collect()
+    }
+    post_t.compact(spark, target_files=2, zorder_cols=None)
+    after = {
+        (r.doc_id, r.bm25)
+        for r in bm25_from_index(
+            spark, idx, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
+        ).collect()
+    }
+    assert after == before

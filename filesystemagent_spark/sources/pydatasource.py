@@ -46,6 +46,38 @@ _KINDS = {
     ),
 }
 
+_BATCH_LINES = 8192
+
+
+def _parsed_batches(lines, parse, names: list[str]):
+    """Parse lines and yield pyarrow RecordBatches of _BATCH_LINES rows
+    (the arrowipc.py / txchanges.py standard: the parse is inherently
+    per-line regex, but rows cross the Python-JVM boundary as Arrow
+    batches, not one pickled tuple each). All toollog kinds emit
+    string columns; a future non-string kind extends the pa.array
+    type here alongside its DDL."""
+    import pyarrow as pa
+
+    cols: list[list] = [[] for _ in names]
+
+    def flush():
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(c, pa.string()) for c in cols], names=list(names)
+        )
+        for c in cols:
+            c.clear()
+        return batch
+
+    for line in lines:
+        row = parse(line)
+        if row:
+            for i, v in enumerate(row):
+                cols[i].append(v)
+            if len(cols[0]) >= _BATCH_LINES:
+                yield flush()
+    if cols[0]:
+        yield flush()
+
 
 @dataclass
 class _FilePartition(InputPartition):
@@ -100,12 +132,10 @@ class ToolLogReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
-        parse = _KINDS[self.kind][1]
+        ddl, parse = _KINDS[self.kind]
+        names = [f.split()[0] for f in ddl.split(",")]
         with open(partition.path, encoding="utf-8", errors="replace") as fh:
-            for line in fh:
-                row = parse(line)
-                if row:
-                    yield row
+            yield from _parsed_batches(fh, parse, names)
 
 
 @dataclass
@@ -175,16 +205,18 @@ class ToolLogStreamReader(DataSourceStreamReader):
     def read(self, partition: _FileRangePartition):
         if not partition.path:
             return
-        parse = _KINDS[self.kind][1]
-        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+        ddl, parse = _KINDS[self.kind]
+        names = [f.split()[0] for f in ddl.split(",")]
+
+        def window(fh):
             for i, line in enumerate(fh):
                 if i >= partition.end_line:
                     break
-                if i < partition.start_line:
-                    continue
-                row = parse(line)
-                if row:
-                    yield row
+                if i >= partition.start_line:
+                    yield line
+
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+            yield from _parsed_batches(window(fh), parse, names)
 
     def commit(self, end):
         pass

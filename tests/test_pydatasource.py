@@ -159,3 +159,34 @@ def test_toollog_writer_overwrite_replaces(spark, tmp_path):
     two.write.format("toollog").mode("overwrite").save(out)
     back = spark.read.format("toollog").load(out)
     assert [tuple(r) for r in back.collect()] == [("/b", "Y")]
+
+
+def test_toollog_read_paths_yield_record_batches(tmp_path):
+    """Round-5 pin: both toollog read paths (batch + stream) must yield
+    pyarrow RecordBatches — rows cross the Python-JVM boundary as
+    Arrow, not one pickled tuple each (the arrowipc/txchanges
+    standard)."""
+    import pyarrow as pa
+
+    from filesystemagent_spark.sources.pydatasource import (
+        ToolLogReader,
+        ToolLogStreamReader,
+        _FilePartition,
+        _FileRangePartition,
+    )
+
+    log = tmp_path / "scan.log"
+    log.write_text(
+        "/a/x.exe: Win.Trojan.Foo FOUND\nnoise line\n/b/y.dll: Eicar FOUND\n"
+    )
+    r = ToolLogReader({"kind": "clamscan", "path": str(log)})
+    out = list(r.read(_FilePartition(str(log))))
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    assert pa.Table.from_batches(out).to_pydict() == {
+        "file": ["/a/x.exe", "/b/y.dll"],
+        "malware": ["Win.Trojan.Foo", "Eicar"],
+    }
+    sr = ToolLogStreamReader({"kind": "clamscan", "path": str(log)})
+    out2 = list(sr.read(_FileRangePartition(str(log), 2, 3)))
+    assert all(isinstance(b, pa.RecordBatch) for b in out2)
+    assert pa.Table.from_batches(out2).to_pydict()["file"] == ["/b/y.dll"]

@@ -67,6 +67,8 @@ snapshot AS (SELECT * FROM merged WHERE event_type <> 'error'),
 changes AS (
     SELECT 'insert' AS key, user_id, value FROM events
     UNION ALL SELECT 'upsert', user_id, value FROM upserts
+    UNION ALL SELECT 'update_preimage', user_id, value
+    FROM events WHERE event_type = 'click' AND event_id % 7 = 0
     UNION ALL SELECT 'delete', user_id, value
     FROM merged WHERE event_type = 'error'
 )
@@ -87,7 +89,9 @@ def events_txtable_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v1  init(events)                  — snapshot + implicit insert image
     v2  merge_into(updates ∪ inserts) — whole-row upsert on event_id,
-                                        change_feed staged at write time
+                                        change_feed staged at write time:
+                                        post-images AND update_preimages
+                                        (the replaced click rows)
     v3  delete_where(type = 'error')  — stats-pruned file rewrite,
                                         delete images staged
 

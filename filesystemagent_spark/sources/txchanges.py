@@ -129,19 +129,20 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, end_v + 1):
             # one resolution policy for batch + stream (raises on a
             # non-CDF version): TxTable.changes_for_version
-            ch = self.table.changes_for_version(v)
-            if ch is None or not ch["files"]:
+            chparts = self.table.changes_for_version(v)
+            if chparts is None:
                 continue
-            for f in ch["files"]:
-                parts.append(
-                    _ChangeFilePartition(
-                        file=f,
-                        change_type=ch["type"],
-                        version=v,
-                        arrow_schema=self.arrow_schema,
-                        out_fields=self.out_fields,
+            for ch in chparts:
+                for f in ch["files"]:
+                    parts.append(
+                        _ChangeFilePartition(
+                            file=f,
+                            change_type=ch["type"],
+                            version=v,
+                            arrow_schema=self.arrow_schema,
+                            out_fields=self.out_fields,
+                        )
                     )
-                )
         return parts or [_ChangeFilePartition()]
 
     def read(self, partition: _ChangeFilePartition):

@@ -674,12 +674,28 @@ class TxTable:
             if change_feed:
                 # CDF (Delta change-feed recipe): the UPDATE BATCH itself,
                 # schema-aligned, staged as its own files at write time —
-                # exact change images with no read-time diffing.
+                # exact change images with no read-time diffing. Round 5
+                # adds UPDATE PRE-IMAGES (the old rows whose keys the
+                # batch replaces, Delta's update_preimage): without them
+                # an incremental consumer cannot maintain subtractive
+                # state (SUM/COUNT deltas need the value being replaced).
+                # Files not in `touched` provably hold no update key, so
+                # the semi-join over touched files IS the complete
+                # pre-image set.
                 batch_aligned = spark.createDataFrame([], ddl).unionByName(
                     updates, allowMissingColumns=True
                 ).select(*cols)
                 ch_files, _ = self._write_data(batch_aligned)
-                changes = {"files": ch_files, "type": "upsert"}
+                parts = [{"files": ch_files, "type": "upsert"}]
+                if touched:
+                    pre = current.join(
+                        updates.select(*key_cols).distinct(), key_cols, "left_semi"
+                    )
+                    pre_files, _ = self._write_data(pre)
+                    parts.append(
+                        {"files": pre_files, "type": "update_preimage"}
+                    )
+                changes = {"parts": parts}
             kw = {"reuse_segments": reused} if reused else {}
             try:
                 self._try_commit(
@@ -764,15 +780,19 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
 
-    def changes_for_version(self, version: int) -> dict | None:
+    def changes_for_version(self, version: int) -> list[dict] | None:
         """The single CDF resolution policy, shared by the batch reader
         (`table_changes`) and the streaming source
         (`sources/txchanges.py`) so the two can never disagree on the
-        same table: returns {'files', 'type', 'schema_ddl'} for a
-        version's change images, None for a version with no logical
-        change (layout-only compaction), and raises for a version
-        committed without the feed — a gap an incremental consumer must
-        never skip silently. Version 1 (init) is its own insert image."""
+        same table: returns a list of {'files', 'type', 'schema_ddl'}
+        parts for a version's change images (a merge stages 'upsert'
+        post-images AND 'update_preimage' old rows), None for a version
+        with no logical change (layout-only compaction), and raises for
+        a version committed without the feed — a gap an incremental
+        consumer must never skip silently. Version 1 (init) is its own
+        insert image. Pre-round-5 single-part manifests ({'files',
+        'type'}) normalize to a one-part list, so old tables replay
+        unchanged."""
         m = self._read_manifest(version)
         ch = m.get("changes")
         if ch is None:
@@ -785,18 +805,27 @@ class TxTable:
                     f"version {version} was committed without change_feed=True "
                     f"— change feed is incomplete from here"
                 )
-        return {"files": list(ch["files"]), "type": ch["type"],
-                "schema_ddl": m["schema_ddl"]}
+        parts = ch["parts"] if "parts" in ch else [ch]
+        return [
+            {"files": list(p["files"]), "type": p["type"],
+             "schema_ddl": m["schema_ddl"]}
+            for p in parts
+        ]
 
     def table_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
     ) -> DataFrame:
         """CHANGE FEED (Delta CDF semantics): the change images of each
         commit in [from_version, to_version], with `_change_type`
-        ('insert' | 'upsert' | 'delete') and `_commit_version` columns
-        — the input for downstream incremental consumers (sync a
-        derived table, invalidate caches, feed the incremental-dedup
-        index) without ever re-diffing snapshots.
+        ('insert' | 'upsert' | 'update_preimage' | 'delete') and
+        `_commit_version` columns — the input for downstream
+        incremental consumers (sync a derived table, invalidate caches,
+        feed the incremental-dedup index) without ever re-diffing
+        snapshots. 'upsert' rows are the post-images of the whole
+        update batch (inserts included); 'update_preimage' rows are the
+        old values the batch replaced — together they make subtractive
+        state maintenance exact: new_agg = old_agg + f(inserts∪upserts)
+        − f(preimages) − f(deletes).
 
         Change images are staged AT WRITE TIME by `merge_into`/
         `delete_where` with ``change_feed=True`` (the Delta recipe:
@@ -811,16 +840,22 @@ class TxTable:
         latest_ddl = self._read_manifest(to_v)["schema_ddl"]
         out = None
         for v in range(from_version, to_v + 1):
-            ch = self.changes_for_version(v)
-            if ch is None or not ch["files"]:
+            parts = self.changes_for_version(v)
+            if parts is None:
                 continue
-            df = (
-                spark.read.schema(ch["schema_ddl"])
-                .parquet(*ch["files"])
-                .withColumn("_change_type", F.lit(ch["type"]))
-                .withColumn("_commit_version", F.lit(v).cast("long"))
-            )
-            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+            for ch in parts:
+                if not ch["files"]:
+                    continue
+                df = (
+                    spark.read.schema(ch["schema_ddl"])
+                    .parquet(*ch["files"])
+                    .withColumn("_change_type", F.lit(ch["type"]))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+                out = (
+                    df if out is None
+                    else out.unionByName(df, allowMissingColumns=True)
+                )
         if out is None:
             out = (
                 spark.createDataFrame([], latest_ddl)
@@ -1023,8 +1058,10 @@ class TxTable:
             # referenced ONLY by manifest['changes'] — forgetting them
             # here would let table maintenance destroy the feed that
             # table_changes/the stream source promise is gap-free
-            for f in m.get("changes", {}).get("files", []):
-                referenced.add(os.path.dirname(f))
+            ch = m.get("changes") or {}
+            for part in ch.get("parts", [ch] if ch else []):
+                for f in part.get("files", []):
+                    referenced.add(os.path.dirname(f))
         removed = []
         now = time.time()
         if os.path.isdir(self.data_dir):

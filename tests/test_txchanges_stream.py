@@ -62,6 +62,7 @@ def test_stream_drains_and_resumes_from_version_cursor(spark, tmp_path):
     assert got == {
         ("/a", 1, "insert", 1), ("/b", 2, "insert", 1),
         ("/b", 20, "upsert", 2), ("/c", 3, "upsert", 2),
+        ("/b", 2, "update_preimage", 2),  # old row the merge replaced
         ("/a", 1, "delete", 3),
     }
     # matches the batch reader over the same range
@@ -130,11 +131,15 @@ def test_partitions_split_per_change_file(spark, tmp_path):
 
     r = _reader(spark, tbl)
     parts = r.partitions({"version": 1}, {"version": 2})
+    ups = [p for p in parts if p.change_type == "upsert"]
     # >= 3: the staged image is union(empty-frame, updates), so the
     # exact file count can exceed the update's partition count
-    assert len(parts) >= 3
+    assert len(ups) >= 3
     assert len({p.file for p in parts}) == len(parts)
-    assert all(p.version == 2 and p.change_type == "upsert" for p in parts)
+    assert all(p.version == 2 for p in parts)
+    # a stats-less (empty) staged file conservatively counts as touched,
+    # so a (possibly empty) update_preimage part may ride along
+    assert {p.change_type for p in parts} <= {"upsert", "update_preimage"}
 
 
 def test_read_yields_record_batches_not_rows(spark, tmp_path):

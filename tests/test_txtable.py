@@ -635,6 +635,7 @@ def test_change_feed_records_exact_images(spark, tmp_path):
     assert got == {
         ("/a", 1, "insert", 1), ("/b", 2, "insert", 1),
         ("/b", 20, "upsert", 2), ("/c", 3, "upsert", 2),
+        ("/b", 2, "update_preimage", 2),  # the old row the merge replaced
         ("/a", 1, "delete", 3),
     }
     # consumers can resume from a cursor
@@ -645,7 +646,7 @@ def test_change_feed_records_exact_images(spark, tmp_path):
     with pytest.raises(ValueError, match="without change_feed"):
         t.table_changes(spark, 1)
     # ...but ranges before it still read
-    assert len(t.table_changes(spark, 1, to_version=4).collect()) == 5
+    assert len(t.table_changes(spark, 1, to_version=4).collect()) == 6
 
 
 def test_change_feed_drives_incremental_consumer(spark, tmp_path):
@@ -662,7 +663,7 @@ def test_change_feed_drives_incremental_consumer(spark, tmp_path):
     ):
         if r._change_type == "delete":
             derived.pop(r.file_path, None)
-        else:
+        elif r._change_type != "update_preimage":
             derived[r.file_path] = r.size
     truth = {r.file_path: r.size for r in t.read(spark).collect()}
     assert derived == truth == {"/a": 10}
@@ -679,7 +680,8 @@ def test_vacuum_keeps_change_feed_dirs(spark, tmp_path):
     feed = t.table_changes(spark, 1).collect()  # still readable
     assert {(r.file_path, r._change_type) for r in feed} == {
         ("/a", "insert"), ("/b", "upsert"),
-    }
+    }  # /b is a pure insert into a table whose stats prove no match —
+    #    no touched files, so no preimage part
 
 
 def test_wide_batch_probe_uses_true_range(spark, tmp_path):
@@ -1018,3 +1020,29 @@ def test_vacuum_reads_each_shared_segment_once(spark, tmp_path, monkeypatch):
         f"segment re-read across versions: {len(calls)} reads of "
         f"{len(set(calls))} distinct segments"
     )
+
+
+def test_change_feed_preimages_enable_incremental_aggregates(spark, tmp_path):
+    """What update_preimage rows exist FOR (round 5): a consumer
+    maintaining (count, sum) applies new_agg = old + f(insert∪upsert)
+    − f(update_preimage) − f(delete), never rescanning the table.
+    Without pre-images, an upsert's old value is unrecoverable and
+    subtractive state drifts."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1), ("/b", 2), ("/c", 3)]))
+    t.merge_into(_df(spark, [("/b", 20), ("/d", 4)]), ["file_path"],
+                 change_feed=True)
+    t.delete_where(spark, [("file_path", "=", "/a")], change_feed=True)
+    t.merge_into(_df(spark, [("/c", 300)]), ["file_path"], change_feed=True)
+
+    count = total = 0
+    for r in t.table_changes(spark, 1).collect():
+        sign = -1 if r._change_type in ("update_preimage", "delete") else 1
+        # upserts count as +1 row only when they INSERT; the matching
+        # preimage row's -1 cancels the replaced row exactly
+        count += sign
+        total += sign * r.size
+    truth = t.read(spark).agg(
+        F.count("*").alias("n"), F.sum("size").alias("s")
+    ).collect()[0]
+    assert (count, total) == (truth["n"], truth["s"]) == (3, 324)

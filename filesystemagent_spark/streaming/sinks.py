@@ -114,3 +114,90 @@ def start_txtable_merge_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_agg_sink(
+    spark: SparkSession,
+    source_table: str,
+    derived_table: str,
+    checkpoint: str,
+    *,
+    group_col: str,
+    value_col: str,
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+):
+    """Maintain a derived per-group aggregate table from a source
+    TxTable's CHANGE FEED — the consumer the update PRE-IMAGES exist
+    for: each micro-batch applies signed deltas
+
+        new_agg = old + f(insert ∪ upsert) − f(update_preimage ∪ delete)
+
+    so the derived table tracks `SELECT group, COUNT(*), SUM(value)`
+    exactly without ever rescanning the source (at 100 TB the source
+    scan is the thing you can't afford per refresh). Group membership
+    changes are handled for free: the pre-image subtracts from the old
+    group, the post-image adds to the new one.
+
+    Exactly-once: the same two layers as the MERGE sink — ordered
+    batches under the checkpoint plus a batch_id stamp in the derived
+    table's app metadata, so a replayed batch no-ops. Groups whose
+    count reaches zero keep a row with n_rows=0 (MERGE is upsert-only;
+    filter them on read or vacuum them with delete_where offline)."""
+    from filesystemagent_spark.sources.txchanges import register_txtable_changes
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    register_txtable_changes(spark)
+    reader = spark.readStream.format("txtable_changes").option(
+        "path", source_table
+    )
+    if max_versions_per_trigger is not None:
+        reader = reader.option("maxversionspertrigger", str(max_versions_per_trigger))
+    stream = reader.load()
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = TxTable(derived_table)
+        if t.latest_app().get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already applied
+        sign = F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
+        ).otherwise(F.lit(1))
+        delta = (
+            batch_df.withColumn("_sign", sign)
+            .groupBy(group_col)
+            .agg(
+                F.sum("_sign").alias("_dn"),
+                F.sum(F.col("_sign") * F.col(value_col)).alias("_dv"),
+            )
+        )
+        if t.latest_version() == 0:
+            t.init(
+                delta.select(
+                    F.col(group_col),
+                    F.col("_dn").alias("n_rows"),
+                    F.col("_dv").alias("total"),
+                ),
+                app={"batch_id": batch_id},
+            )
+            return
+        current = t.read(spark).select(group_col, "n_rows", "total")
+        updates = (
+            delta.join(current, group_col, "left")
+            .select(
+                F.col(group_col),
+                (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_dn")).alias(
+                    "n_rows"
+                ),
+                (F.coalesce(F.col("total"), F.lit(0)) + F.col("_dv")).alias(
+                    "total"
+                ),
+            )
+        )
+        t.merge_into(updates, [group_col], app={"batch_id": batch_id})
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

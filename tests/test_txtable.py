@@ -1046,3 +1046,57 @@ def test_change_feed_preimages_enable_incremental_aggregates(spark, tmp_path):
         F.count("*").alias("n"), F.sum("size").alias("s")
     ).collect()[0]
     assert (count, total) == (truth["n"], truth["s"]) == (3, 324)
+
+
+def test_incremental_agg_sink_tracks_source_aggregates(spark, tmp_path):
+    """End-to-end CDF consumer: the change-feed STREAM maintains a
+    derived per-group (count, sum) TxTable across init, a
+    group-moving upsert, an insert, and a delete — matching a fresh
+    snapshot aggregate after every drain, without rescanning the
+    source. Idempotent on an empty re-drain."""
+    from filesystemagent_spark.streaming.sinks import start_incremental_agg_sink
+
+    def rows(data):
+        return spark.createDataFrame(data, "k bigint, grp string, v bigint")
+
+    src_path = str(tmp_path / "src")
+    drv_path = str(tmp_path / "derived")
+    ckpt = str(tmp_path / "ckpt")
+    src = TxTable(src_path)
+    src.init(rows([(1, "a", 10), (2, "a", 20), (3, "b", 30)]))       # v1
+
+    def drain():
+        start_incremental_agg_sink(
+            spark, src_path, drv_path, ckpt, group_col="grp", value_col="v"
+        ).awaitTermination()
+
+    def derived():
+        return {
+            r.grp: (r.n_rows, r.total)
+            for r in TxTable(drv_path).read(spark).collect()
+            if r.n_rows > 0
+        }
+
+    def truth():
+        return {
+            r.grp: (r.n, r.s)
+            for r in src.read(spark)
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+
+    drain()
+    assert derived() == truth() == {"a": (2, 30), "b": (1, 30)}
+
+    # group move (2: a->b, value change), insert (4), delete (grp a)
+    src.merge_into(rows([(2, "b", 25), (4, "b", 5)]), ["k"],
+                   change_feed=True)                                  # v2
+    src.delete_where(spark, [("grp", "=", "a")], change_feed=True)    # v3
+    drain()
+    assert derived() == truth() == {"b": (3, 60)}
+
+    v = TxTable(drv_path).latest_version()
+    drain()  # nothing new: empty batch must not burn a derived version
+    assert TxTable(drv_path).latest_version() == v
+    assert derived() == {"b": (3, 60)}

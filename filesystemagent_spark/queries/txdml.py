@@ -135,3 +135,74 @@ def events_txtable_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows", "total_value", "n_users")
     )
     return snap_agg.unionByName(ch_agg).orderBy("section", "key")
+
+
+@register(
+    "events_txtable_cdf_stream",
+    tags=("txtable", "change-feed", "streaming", "python-datasource"),
+    oracle="""
+WITH base AS (SELECT * FROM events WHERE user_id % 10 = 0),
+ups AS (
+    SELECT event_id, ts, user_id, event_type,
+           value * 2 AS value, 'updated' AS props
+    FROM base WHERE event_type = 'click' AND event_id % 5 = 0
+),
+pre AS (
+    SELECT * FROM base WHERE event_type = 'click' AND event_id % 5 = 0
+),
+del AS (
+    SELECT * FROM base
+    WHERE event_type = 'view' AND event_id NOT IN (SELECT event_id FROM ups)
+),
+feed AS (
+    SELECT 'insert' AS key, user_id, value FROM base
+    UNION ALL SELECT 'upsert', user_id, value FROM ups
+    UNION ALL SELECT 'update_preimage', user_id, value FROM pre
+    UNION ALL SELECT 'delete', user_id, value FROM del
+)
+SELECT key, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM feed GROUP BY key ORDER BY key
+""",
+)
+def events_txtable_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING change-feed source under the oracle (it was
+    pytest-only): build a TxTable from a deterministic events slice,
+    run merge (with pre-images) + delete, then consume the feed through
+    the REGISTERED `txtable_changes` Python DataSource — a real
+    checkpointed readStream -> parquet drain, arrow-batched per-file
+    partitions — and roll the drained rows up by change type. The
+    oracle re-derives every image class in SQL, so a wrong offset, a
+    dropped part, a mis-typed image, or a schema-cast bug in the stream
+    reader shifts a hashed value."""
+    from filesystemagent_spark.sources.txchanges import register_txtable_changes
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") % 10 == 0)
+    stage = tempfile.mkdtemp(prefix="events_cdf_stream_")
+    t = TxTable(os.path.join(stage, "tbl"))
+    t.init(ev)
+    ups = (
+        ev.where((F.col("event_type") == "click") & (F.col("event_id") % 5 == 0))
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("props", F.lit("updated"))
+    )
+    t.merge_into(ups, ["event_id"], change_feed=True)
+    t.delete_where(spark, [("event_type", "=", "view")], change_feed=True)
+
+    register_txtable_changes(spark)
+    out = os.path.join(stage, "out")
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", t.path).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("_change_type").alias("key"))
+        .agg(*_agg())
+        .orderBy("key")
+    )

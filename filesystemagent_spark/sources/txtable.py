@@ -440,6 +440,60 @@ class TxTable:
 
     # -- read path ---------------------------------------------------
 
+    def version_as_of(self, ts: float) -> int:
+        """Highest version committed at or before `ts` (epoch seconds) —
+        timestamp time travel (`read(version=t.version_as_of(ts))`).
+        Commit times are the writers' clocks (same caveat as
+        Delta/Iceberg: cross-writer skew makes sub-second as-of reads
+        approximate; version pinning is the exact form)."""
+        best = 0
+        for v in range(1, self.latest_version() + 1):
+            try:
+                if self._read_manifest(v)["committed_at"] <= ts:
+                    best = v
+            except FileNotFoundError:
+                continue  # expired version
+        if best == 0:
+            raise ValueError(
+                f"no snapshot of {self.path} existed at or before {ts}"
+            )
+        return best
+
+    def restore(self, version: int, max_retries: int = 10) -> int:
+        """RESTORE (Delta semantics): publish a NEW version whose
+        content is exactly snapshot `version` — a roll-forward undo,
+        so history is preserved (nothing is rewritten or deleted; the
+        bad versions stay time-travelable and the restore itself is one
+        manifest commit referencing the old files/segments/stats).
+
+        A restore IS a logical change but stages no change images, so a
+        change-feed consumer crossing it fails LOUDLY per the gap rule
+        (changes_for_version raises) and must re-seed from the restored
+        snapshot — the honest behavior when the history it replayed has
+        been rolled back."""
+        m = self._read_manifest(version)
+        for _ in range(max_retries):
+            head = self.latest_version()
+            if head == 0:
+                raise ValueError(f"table {self.path} has no committed snapshot")
+            kw = {}
+            if "segments" in m:
+                kw["reuse_segments"] = m["segments"]
+                files: list[str] = m.get("files", [])
+                stats = m.get("stats", {})
+            else:
+                files = m["files"]
+                stats = m.get("stats", {})
+            try:
+                self._try_commit(
+                    head + 1, files, m["schema_ddl"],
+                    app={"restored_from": version}, stats=stats, **kw,
+                )
+                return head + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
     def read(
         self,
         spark: SparkSession,

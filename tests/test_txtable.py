@@ -1100,3 +1100,60 @@ def test_incremental_agg_sink_tracks_source_aggregates(spark, tmp_path):
     drain()  # nothing new: empty batch must not burn a derived version
     assert TxTable(drv_path).latest_version() == v
     assert derived() == {"b": (3, 60)}
+
+
+def test_timestamp_time_travel_and_restore(spark, tmp_path):
+    """version_as_of resolves epoch timestamps to versions; restore
+    publishes a NEW version with an old snapshot's exact content
+    (format 1 and format 2), preserving history."""
+    import time as _time
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))                                 # v1
+    ts_after_v1 = _time.time()
+    _time.sleep(0.05)
+    t.merge_into(_df(spark, [("/a", 99), ("/b", 2)]), ["file_path"])  # v2
+    t.delete_where(spark, [("file_path", "=", "/a")])               # v3
+
+    assert t.version_as_of(ts_after_v1) == 1
+    assert t.version_as_of(_time.time()) == 3
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.version_as_of(ts_after_v1 - 3600)
+
+    v = t.restore(1)                                                # v4
+    assert v == 4
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/a": 1}
+    # history preserved: the rolled-back versions still time-travel
+    assert {r.file_path for r in t.read(spark, version=3).collect()} == {"/b"}
+    assert t.latest_app() == {"restored_from": 1}
+    # restoring a restore is fine; merges continue from the new head
+    t.merge_into(_df(spark, [("/c", 3)]), ["file_path"])            # v5
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/a": 1, "/c": 3}
+
+
+def test_restore_format2_reuses_segments(spark, tmp_path, monkeypatch):
+    """Restoring a segmented snapshot re-references its segments —
+    no stats re-read, no data rewrite — and stats skipping still
+    prunes on the restored manifest."""
+    from filesystemagent_spark.sources import txtable as TX
+
+    monkeypatch.setattr(TX, "_INLINE_FILES_MAX", 4)
+    monkeypatch.setattr(TX, "_SEGMENT_ROWS", 4)
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 160)
+        .selectExpr("id", "CAST(id AS STRING) AS tag")
+        .repartitionByRange(16, "id")
+    )                                                               # v1
+    v1_segs = {s["path"] for s in t._read_manifest(1)["segments"]}
+    t.delete_where(spark, [("id", "<", 100)])                       # v2
+    assert t.read(spark).count() == 60
+
+    t.restore(1)                                                    # v3
+    assert t.read(spark).count() == 160
+    m3 = t._read_manifest(3)
+    assert {s["path"] for s in m3["segments"]} == v1_segs
+    pruned = t.read(spark, where=[("id", "=", 5)])
+    assert len(pruned.inputFiles()) <= 2

@@ -20,6 +20,32 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+def _stack_valid(series: pd.Series, dim: int):
+    """(X, valid): stack the fixed-length rows, masking out NULL or
+    wrong-length vectors. The SQL expressions these kernels replaced
+    null-propagated per row (element_at past the end -> NULL); a bare
+    np.stack instead raises on the first ragged batch and kills the
+    whole task — so bad rows must yield NULL, not abort the query."""
+    vals = series.to_numpy()
+    valid = np.array(
+        [v is not None and len(v) == dim for v in vals], dtype=bool
+    )
+    if not valid.any():
+        return np.zeros((0, dim)), valid
+    X = np.stack([v for v, ok in zip(vals, valid) if ok]).astype(np.float64)
+    return X, valid
+
+
+def _with_nulls(values, valid: np.ndarray) -> pd.Series:
+    # explicit loop: fancy object-array assignment of a list of arrays
+    # triggers numpy broadcasting, not element placement
+    out = np.empty(len(valid), dtype=object)
+    it = iter(values)
+    for i, ok in enumerate(valid):
+        out[i] = next(it) if ok else None
+    return pd.Series(out)
+
+
 def make_assign_udf(C: np.ndarray):
     """Cosine argmax over a (m, k, d_sub) codebook: given (sub_id,
     subvector) rows, return the 1-based cell id. cosine argmax ==
@@ -30,16 +56,18 @@ def make_assign_udf(C: np.ndarray):
     norms = np.linalg.norm(C, axis=2)
     norms[norms == 0.0] = 1.0
 
+    d_sub = C.shape[2]
+
     @pandas_udf("int")
     def assign(sub_id: pd.Series, sv: pd.Series) -> pd.Series:
-        X = np.stack(sv.to_numpy()).astype(np.float64)  # (n, d_sub)
-        sids = sub_id.to_numpy()
+        X, valid = _stack_valid(sv, d_sub)              # (n_valid, d_sub)
+        sids = sub_id.to_numpy()[valid]
         out = np.empty(len(sids), dtype=np.int32)
         for s in np.unique(sids):
             sel = sids == s
             sims = (X[sel] @ C[s].T) / norms[s]         # (n_s, k)
             out[sel] = np.argmax(sims, axis=1) + 1
-        return pd.Series(out)
+        return _with_nulls([int(v) for v in out], valid)
 
     return assign
 
@@ -53,13 +81,15 @@ def make_encode_udf(C: np.ndarray):
     m, _k, d_sub = C.shape
     c_sq = (C * C).sum(axis=2)                          # (m, k)
 
+    dim = m * d_sub
+
     @pandas_udf("array<int>")
     def encode(vec: pd.Series) -> pd.Series:
-        X = np.stack(vec.to_numpy()).astype(np.float64)  # (n, dim)
+        X, valid = _stack_valid(vec, dim)                # (n_valid, dim)
         Xs = X.reshape(len(X), m, d_sub)
         dots = np.einsum("nmd,mkd->nmk", Xs, C)
         codes = np.argmin(c_sq[None, :, :] - 2.0 * dots, axis=2)
-        return pd.Series(list(codes.astype(np.int32)))
+        return _with_nulls(list(codes.astype(np.int32)), valid)
 
     return encode
 
@@ -70,12 +100,15 @@ def make_lut_udf(C: np.ndarray):
     computed once on the (broadcast) query side."""
     m, _k, d_sub = C.shape
 
+    dim = m * d_sub
+
     @pandas_udf("array<array<double>>")
     def luts(qv: pd.Series) -> pd.Series:
-        Q = np.stack(qv.to_numpy()).astype(np.float64)   # (n, dim)
+        Q, valid = _stack_valid(qv, dim)                 # (n_valid, dim)
         Qs = Q.reshape(len(Q), m, 1, d_sub)
         tab = ((Qs - C[None]) ** 2).sum(axis=3)          # (n, m, k)
-        return pd.Series([[row[s].tolist() for s in range(m)] for row in tab])
+        rows = [[row[s].tolist() for s in range(m)] for row in tab]
+        return _with_nulls(rows, valid)
 
     return luts
 
@@ -101,11 +134,11 @@ def make_lsh_sigs_udf(tables):
 
     @pandas_udf("array<bigint>")
     def sigs(vec: pd.Series) -> pd.Series:
-        X = np.stack(vec.to_numpy()).astype(np.float64)   # (n, dim)
+        X, valid = _stack_valid(vec, dim)                 # (n_valid, dim)
         acc = np.zeros((len(X), n_tables, n_planes))
         for d in range(dim):
             acc += X[:, d, None, None] * P[None, :, :, d]
         out = ((acc >= 0.0) * weights[None, None, :]).sum(axis=2)
-        return pd.Series(list(out.astype(np.int64)))
+        return _with_nulls(list(out.astype(np.int64)), valid)
 
     return sigs

@@ -53,10 +53,16 @@ def build_bm25_index(
     the rest at query time). Corpus scalars (n_docs, avgdl) ride the
     postings table's app metadata — they are the model, two doubles.
     Returns the two opened tables."""
+    from filesystemagent_spark.caching import track_persist
     from filesystemagent_spark.functions import text as T
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("tk")
+    # persisted: the scalars agg AND the postings write both consume it
+    # — without the persist the tokenizer (the dominant cost of an index
+    # build) runs over the whole corpus twice
+    toks = track_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("tk")
+        )
     )
     scalars = toks.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -78,6 +84,7 @@ def build_bm25_index(
         postings,
         app={"n_docs": float(scalars["n_docs"]), "avgdl": float(scalars["avgdl"])},
     )
+    toks.unpersist()
     # df(term) = posting rows per term (postings are (term, doc) grain)
     term_t = TxTable(os.path.join(index_dir, "terms"))
     term_t.init(
@@ -109,15 +116,11 @@ def bm25_from_index(
     # corpus scalars ride commit app metadata; maintenance commits that
     # don't refresh them (compact, vacuum-era merges) publish their own
     # app, so walk back to the newest commit that carries them
-    app: dict = {}
-    for v in range(post_t.latest_version(), 0, -1):
-        a = post_t._read_manifest(v).get("app") or {}
-        if "n_docs" in a:
-            app = a
-            break
-    if "n_docs" not in app:
+    n_docs_v = post_t.latest_app_value("n_docs")
+    avgdl_v = post_t.latest_app_value("avgdl")
+    if n_docs_v is None or avgdl_v is None:
         raise ValueError(f"no corpus scalars recorded in {index_dir}/postings")
-    n_docs, avgdl = float(app["n_docs"]), float(app["avgdl"])
+    n_docs, avgdl = float(n_docs_v), float(avgdl_v)
 
     dfs = {
         r["term"]: float(r["df"])

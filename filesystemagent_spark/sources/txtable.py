@@ -103,9 +103,7 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
                     unusable.add(name)
                     continue
                 mn, mx = st.min, st.max
-                if not all(isinstance(v, (int, str, bool)) for v in (mn, mx)) or any(
-                    isinstance(v, float) for v in (mn, mx)
-                ):
+                if not all(isinstance(v, (int, str, bool)) for v in (mn, mx)):
                     # Floating-point columns carry NO file-level stats at
                     # all: the parquet spec leaves NaN statistics
                     # undefined, and common writers (Arrow C++ included)
@@ -559,6 +557,23 @@ class TxTable:
         replayed batch can detect it already committed."""
         v = self.latest_version()
         return self._read_manifest(v).get("app", {}) if v else {}
+
+    def latest_app_value(self, key: str):
+        """The newest commit's app value for `key`, walking PAST
+        commits that don't carry it (compact/restore/manual merges
+        publish their own app) and past expired manifests. The
+        exactly-once sinks use this for their batch_id stamp — reading
+        only the head's app would let any interleaved maintenance
+        commit reset the stamp and a replayed micro-batch double-apply.
+        Returns None if no surviving commit carries the key."""
+        for v in range(self.latest_version(), 0, -1):
+            try:
+                a = self._read_manifest(v).get("app") or {}
+            except FileNotFoundError:
+                continue  # expired version
+            if key in a:
+                return a[key]
+        return None
 
     def _try_commit(
         self, version: int, files: list[str], schema_ddl: str,

@@ -102,7 +102,8 @@ def start_txtable_merge_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         t = TxTable(table_path)
-        if t.latest_app().get("batch_id", -1) >= batch_id:
+        applied = t.latest_app_value("batch_id")
+        if applied is not None and applied >= batch_id:
             return  # replayed batch: already committed
         t.merge_into(batch_df, key_list, app={"batch_id": batch_id})
 
@@ -157,7 +158,10 @@ def start_incremental_agg_sink(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t = TxTable(derived_table)
-        if t.latest_app().get("batch_id", -1) >= batch_id:
+        # walk past app-less maintenance commits (compact/restore): the
+        # head's app alone would reset the stamp and double-apply a replay
+        applied = t.latest_app_value("batch_id")
+        if applied is not None and applied >= batch_id:
             return  # replayed batch: already applied
         sign = F.when(
             F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)

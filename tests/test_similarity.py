@@ -505,3 +505,34 @@ def test_lsh_sigs_run_as_arrow_udf_and_match_sql_fold(spark, sf_dir):
     ref = {r.vec_id: r.bucket for r in
            sample.withColumn("bucket", F2.expr(bits)).collect()}
     assert got == ref
+
+
+def test_vector_kernels_null_propagate_bad_rows(spark):
+    """The Arrow kernels must match the null semantics of the SQL
+    expressions they replaced: a NULL or wrong-length vector yields a
+    NULL result for THAT ROW — it must not abort the whole task (a
+    single corrupt embedding would otherwise kill a full corpus
+    scan)."""
+    import numpy as np
+
+    from filesystemagent_spark.functions.pqkernels import (
+        make_encode_udf,
+        make_lsh_sigs_udf,
+    )
+    import pyspark.sql.functions as F2
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [1.0, 2.0]),
+         (4, [0.0, 1.0, 0.0, 0.0])],
+        "id bigint, v array<double>",
+    )
+    C = np.array([[[1.0, 0.0], [0.0, 1.0]], [[1.0, 1.0], [0.0, 0.0]]])
+    enc = make_encode_udf(C)  # m=2, d_sub=2 -> dim 4
+    got = {r.id: r.codes for r in df.select("id", enc("v").alias("codes")).collect()}
+    assert got[2] is None and got[3] is None
+    assert got[1] is not None and got[4] is not None
+
+    sigs = make_lsh_sigs_udf([[[1.0, 0.0, 0.0, 0.0], [0.0, -1.0, 0.0, 0.0]]])
+    got2 = {r.id: r.s for r in df.select("id", sigs("v").alias("s")).collect()}
+    assert got2[2] is None and got2[3] is None
+    assert got2[1] == [3]  # plane0 dot=1 >= 0; plane1 dot=+0.0 >= 0 -> both bits

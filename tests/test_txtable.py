@@ -1157,3 +1157,64 @@ def test_restore_format2_reuses_segments(spark, tmp_path, monkeypatch):
     assert {s["path"] for s in m3["segments"]} == v1_segs
     pruned = t.read(spark, where=[("id", "=", 5)])
     assert len(pruned.inputFiles()) <= 2
+
+
+def test_full_lifecycle_random_ops_match_model(spark, tmp_path):
+    """Seeded randomized op sequences — merge (with change feed),
+    ranged delete, compaction — vs the obvious dict model: the
+    snapshot must equal the model after EVERY commit, the change feed
+    must rebuild the final state from images alone, and a RESTORE must
+    roll the snapshot back exactly while (documented behavior) making
+    feed consumers fail loudly when they cross it."""
+    import random
+
+    rng = random.Random(11)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id bigint, v bigint")
+
+    t = TxTable(str(tmp_path / "tbl"))
+    model = {i: i * 10 for i in range(100)}
+    t.init(df(sorted(model.items())))                              # v1
+    history = {1: dict(model)}
+
+    for step in range(7):
+        op = rng.choice(["merge", "merge", "delete", "compact"])
+        if op == "merge":
+            keys = rng.sample(range(0, 160), rng.randint(1, 10))
+            ups = [(k, step * 1000 + k) for k in sorted(keys)]
+            t.merge_into(df(ups), ["id"], change_feed=True)
+            model.update(dict(ups))
+        elif op == "delete":
+            lo = rng.randint(0, 150)
+            t.delete_where(
+                spark, [("id", ">=", lo), ("id", "<", lo + 20)],
+                change_feed=True,
+            )
+            model = {k: x for k, x in model.items() if not (lo <= k < lo + 20)}
+        else:
+            t.compact(spark, target_files=3)
+        history[t.latest_version()] = dict(model)
+        got = {r.id: r.v for r in t.read(spark).collect()}
+        assert got == model, f"step {step} ({op}): {t.last_merge_info}"
+
+    # the feed alone rebuilds the final state (preimages ignored for
+    # state replay; they exist for subtractive aggregates)
+    rebuilt: dict = {}
+    for r in sorted(
+        t.table_changes(spark, 1).collect(), key=lambda r: r._commit_version
+    ):
+        if r._change_type == "delete":
+            rebuilt.pop(r.id, None)
+        elif r._change_type != "update_preimage":
+            rebuilt[r.id] = r.v
+    assert rebuilt == model
+
+    # restore to a mid-history version: snapshot rolls back exactly...
+    target = sorted(history)[len(history) // 2]
+    t.restore(target)
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got == history[target]
+    # ...and a feed consumer crossing the restore fails loudly
+    with pytest.raises(ValueError, match="without change_feed"):
+        t.table_changes(spark, 1)

@@ -558,3 +558,97 @@ def embedding_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embedding_hard_examples",
+    tags=("vector", "contrastive", "training-data", "topk"),
+    oracle=f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           (q.label = c.label) AS same_label,
+           ROUND({_knn_dot} / ({_knn_qn} * {_knn_cn}), 6) AS cosine
+    FROM embeddings q
+    CROSS JOIN embeddings c
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+), negs AS (
+    SELECT 'hard_negative' AS kind, query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+           ) AS rnk
+    FROM scored WHERE NOT same_label
+), poss AS (
+    SELECT 'hard_positive' AS kind, query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine ASC, neighbor_id ASC
+           ) AS rnk
+    FROM scored WHERE same_label
+)
+SELECT kind, query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT * FROM negs WHERE rnk <= 3
+      UNION ALL SELECT * FROM poss WHERE rnk <= 3)
+ORDER BY query_id, kind, rnk
+""",
+)
+def embedding_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-EXAMPLE MINING for contrastive training — per anchor, the
+    most-similar DIFFERENT-label vectors (hard negatives: the
+    impostors a contrastive loss learns the most from) and the
+    least-similar SAME-label vectors (hard positives). Same plan
+    family as embedding_knn: broadcast anchor set × one corpus scan,
+    norms materialized per row, two rank windows over the scored
+    pairs; at 100 TB the scan side swaps for the ANN candidates
+    (knn_lsh/knn_ivf produce the same (query, neighbor, cosine)
+    grain). Rounded-cosine + id tie-break keeps both engines ranking
+    identically."""
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("_ql"),
+            F.col("embedding").alias("_qv"),
+            V.l2_norm(F.col("embedding")).alias("_qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_cl"),
+        F.col("embedding").alias("_cv"),
+        V.l2_norm(F.col("embedding")).alias("_cn"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                V.cosine_from(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+                6,
+            ),
+        )
+        .withColumn("same_label", F.col("_ql") == F.col("_cl"))
+        .select("query_id", "neighbor_id", "same_label", "cosine")
+    )
+    w_neg = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").asc(), F.col("neighbor_id").asc()
+    )
+    negs = (
+        scored.filter(~F.col("same_label"))
+        .withColumn("rnk", F.row_number().over(w_neg))
+        .filter(F.col("rnk") <= 3)
+        .select(F.lit("hard_negative").alias("kind"), "query_id",
+                "neighbor_id", "cosine", F.col("rnk").cast("bigint"))
+    )
+    poss = (
+        scored.filter(F.col("same_label"))
+        .withColumn("rnk", F.row_number().over(w_pos))
+        .filter(F.col("rnk") <= 3)
+        .select(F.lit("hard_positive").alias("kind"), "query_id",
+                "neighbor_id", "cosine", F.col("rnk").cast("bigint"))
+    )
+    return negs.unionByName(poss).orderBy("query_id", "kind", "rnk")

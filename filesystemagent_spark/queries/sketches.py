@@ -127,3 +127,103 @@ def events_rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_CM_W, _CM_D = 64, 2
+
+
+@register(
+    "events_type_countmin",
+    tags=("sketch", "countmin", "mergeable"),
+    oracle=f"""
+WITH js AS (SELECT unnest([0, 1]) AS j),
+hashed AS (
+    SELECT j, CAST(('0x' || substr(md5(event_type || CAST(j AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {_CM_W} AS cell
+    FROM events CROSS JOIN js
+),
+sketch AS (SELECT j, cell, COUNT(*) AS c FROM hashed GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM events),
+lookup AS (
+    SELECT t.event_type, s.c
+    FROM types t CROSS JOIN js
+    JOIN sketch s
+      ON s.j = js.j
+     AND s.cell = CAST(('0x' || substr(md5(t.event_type || CAST(js.j AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % {_CM_W}
+),
+est AS (SELECT event_type, MIN(c) AS cm_estimate FROM lookup GROUP BY 1),
+exact AS (SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY 1)
+SELECT e.event_type, est.cm_estimate, e.exact_n,
+       est.cm_estimate - e.exact_n AS overcount
+FROM exact e JOIN est USING (event_type)
+ORDER BY event_type
+""",
+)
+def events_type_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH as pure DataFrame ops, hash-matched because the
+    oracle replays the ALGORITHM (same md5 cells, same min), not the
+    answer — collisions, if any, bias both engines identically. The
+    sketch is d=2 x w=64 counters built by one
+    groupBy((j, cell)) — a fixed-size, MERGEABLE partial (union = add
+    counter tables cell-wise), which is the whole point at 100 TB:
+    per-partition sketches merge in constant space where an exact
+    per-key count shuffles the key universe. Estimates come from a
+    broadcast lookup of the queried items' cells; the exact counts
+    ride along so the overcount (the CM guarantee: estimate >= truth)
+    is visible in the result."""
+    ev = Catalog(spark, sf_dir).events
+
+    def cell(col, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(str(j)))), 1, 8), 16, 10
+            ).cast("long")
+            % _CM_W
+        )
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cell(F.col("event_type"), j).alias("cell"),
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.cell")
+    sketch = cells.groupBy("j", "cell").agg(F.count("*").alias("c"))
+
+    types = ev.select("event_type").distinct()
+    probes = types.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cell(F.col("event_type"), j).alias("cell"),
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.j", "p.cell")
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["j", "cell"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "cm_estimate", "exact_n",
+            (F.col("cm_estimate") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("event_type")
+    )

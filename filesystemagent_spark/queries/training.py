@@ -885,3 +885,169 @@ def doc_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion.select(
         "label", "pred", F.col("n").cast("long").alias("n")
     ).orderBy("label", "pred")
+
+
+_BLOOM_M = 1 << 26  # bits; k=2 md5 hashes -> ~5% FP at sf0.1's ~9M grams
+_BLOOM_WORDS = _BLOOM_M // 64
+
+
+def _bloom_pos_sql(shingle: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({shingle} || '{j}'), 1, 8)) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+@register(
+    "doc_ngram_contamination_bloom",
+    tags=("dedup", "bloom", "sketch", "split", "text", "scale"),
+    oracle=f"""
+WITH split_docs AS (
+    SELECT doc_id, text, {_SQL_SPLIT} AS split FROM documents
+),
+sh AS (
+    SELECT doc_id, split,
+           list_distinct(list_transform(
+               generate_series(1, len(tk) - {CONTAM_N - 1}),
+               i -> array_to_string(tk[i:i+{CONTAM_N - 1}], ' ')
+           )) AS s
+    FROM (SELECT doc_id, split, {_SQL_TOKS} AS tk FROM split_docs)
+    WHERE len(tk) >= {CONTAM_N}
+),
+train_pos AS (
+    SELECT DISTINCT j,
+           CAST(('0x' || substr(md5(shingle || CAST(j AS VARCHAR)), 1, 8))
+                AS BIGINT) % {_BLOOM_M} AS pos
+    FROM (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE split = 'train')
+    CROSS JOIN (SELECT unnest([0, 1]) AS j)
+),
+bitmap AS (
+    -- UBIGINT: DuckDB range-checks signed shifts (1 << 63 overflows);
+    -- only membership DECISIONS must match Spark, not the word values
+    SELECT pos // 64 AS word_idx,
+           bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS bits
+    FROM train_pos GROUP BY 1
+),
+test_probe AS (
+    SELECT doc_id, shingle, j,
+           CAST(('0x' || substr(md5(shingle || CAST(j AS VARCHAR)), 1, 8))
+                AS BIGINT) % {_BLOOM_M} AS pos
+    FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE split = 'test')
+    CROSS JOIN (SELECT unnest([0, 1]) AS j)
+),
+probed AS (
+    SELECT p.doc_id, p.shingle,
+           bool_and(COALESCE((b.bits & (CAST(1 AS UBIGINT)
+                              << CAST(p.pos % 64 AS INT))) <> 0, FALSE))
+               AS maybe_in_train
+    FROM test_probe p LEFT JOIN bitmap b ON b.word_idx = p.pos // 64
+    GROUP BY 1, 2
+),
+flagged AS (
+    SELECT doc_id, COUNT(*) AS n_flagged
+    FROM probed WHERE maybe_in_train GROUP BY 1
+),
+sz AS (SELECT doc_id, len(s) AS n_ngrams FROM sh WHERE split = 'test')
+SELECT sz.doc_id, n_ngrams, COALESCE(n_flagged, 0) AS n_flagged,
+       CAST(COALESCE(n_flagged, 0) AS DOUBLE) / n_ngrams AS flagged_rate
+FROM sz LEFT JOIN flagged ON sz.doc_id = flagged.doc_id
+ORDER BY sz.doc_id
+""",
+)
+def doc_ngram_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `doc_ngram_contamination`: instead of
+    shuffling every distinct train shingle into an equi-join, the
+    train split folds into a FIXED-SIZE Bloom bitmap (m=2^26 bits, k=2
+    md5 hashes; one groupBy(word) bit_or — a mergeable partial like
+    the Count-Min sketch), and the test split probes it through a join
+    on the 1M-row word table. Train-side shuffle volume becomes
+    constant in corpus size; the price is the Bloom false-positive
+    rate (estimate >= truth per doc, tests pin n_flagged >=
+    n_contaminated). Hash-matched because the oracle replays the same
+    bitmap and probes — false positives land identically in both
+    engines."""
+    docs = _docs_rebalanced(spark, sf_dir).select(
+        "doc_id", "text", _split_col().alias("split")
+    )
+    sh = docs.select(
+        "doc_id",
+        "split",
+        F.array_distinct(T.shingles(F.col("text"), CONTAM_N)).alias("s"),
+    ).filter(F.size("s") > 0)
+
+    def pos(col, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(str(j)))), 1, 8), 16, 10
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    def probes(side):
+        base = sh.filter(F.col("split") == side)
+        cols = ["doc_id"] if side == "test" else []
+        return base.select(
+            *cols,
+            F.explode("s").alias("shingle"),
+        ).select(
+            *cols,
+            "shingle",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            pos(F.col("shingle"), j).alias("pos"),
+                        )
+                        for j in range(2)
+                    ]
+                )
+            ).alias("p"),
+        ).select(*cols, "shingle", "p.j", "p.pos")
+
+    bitmap = (
+        probes("train")
+        .select((F.col("pos") / 64).cast("long").alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+                .alias("bit"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probed = (
+        probes("test")
+        .withColumn("word_idx", (F.col("pos") / 64).cast("long"))
+        .join(bitmap, "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr(
+                    "(bits & shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(pos % 64 AS INT))) <> 0"
+                ),
+                F.lit(False),
+            ),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.min(F.col("hit").cast("int")).alias("maybe"))
+    )
+    flagged = (
+        probed.filter(F.col("maybe") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_flagged"))
+    )
+    sz = sh.filter(F.col("split") == "test").select(
+        "doc_id", F.size("s").alias("n_ngrams")
+    )
+    return (
+        sz.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+            (
+                F.coalesce(F.col("n_flagged"), F.lit(0)).cast("double")
+                / F.col("n_ngrams")
+            ).alias("flagged_rate"),
+        )
+        .orderBy("doc_id")
+    )

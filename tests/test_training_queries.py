@@ -210,3 +210,21 @@ def test_bm25_index_survives_compaction(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert after == before
+
+
+def test_bloom_contamination_never_undercounts_exact(spark, sf_dir):
+    """The Bloom guarantee: per test doc, n_flagged >= the exact join's
+    n_contaminated (false positives only, never negatives)."""
+    from filesystemagent_spark.queries import registry
+
+    reg = registry()
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in reg["doc_ngram_contamination"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged
+        for r in reg["doc_ngram_contamination_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)

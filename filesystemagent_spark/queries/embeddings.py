@@ -652,3 +652,43 @@ def embedding_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "neighbor_id", "cosine", F.col("rnk").cast("bigint"))
     )
     return negs.unionByName(poss).orderBy("query_id", "kind", "rnk")
+
+
+@register("embedding_knn_stored_ivf", tags=("vector", "ann", "ivf", "txtable", "scale"))
+def embedding_knn_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{K} answered from a STORED IVF index — the third leg of
+    the stored-index trilogy (minhash band index: graded; BM25
+    inverted index: oracle-matched; this: the vector side). Centroids
+    and cell assignments persist in TxTables (built once over the
+    corpus); the query batch reads them back and probes nprobe=2 cells
+    — the corpus is never re-assigned. Deterministic (label centroids,
+    rounded-cosine + id tie-breaks) but approximate by construction →
+    rows-only; exact-equivalence of the stored vs in-memory path and
+    the incremental accept loop are pinned in
+    tests/test_similarity.py::test_ivf_index_txtable_roundtrip_incremental."""
+    import tempfile
+
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    stage = tempfile.mkdtemp(prefix="ivf_index_")
+    centroids = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    cells = S.assign_cells(
+        emb.select("vec_id", "embedding"),
+        centroids, id_col="vec_id", vec_col="embedding", nprobe=1,
+    )
+    ct = TxTable(stage + "/centroids")
+    ct.init(centroids)
+    at = TxTable(stage + "/cells")
+    at.init(cells)
+
+    return S.knn_ivf(
+        queries,
+        at.read(spark).select("vec_id", "embedding"),
+        ct.read(spark),
+        id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
+    ).orderBy("query_id", "rnk")

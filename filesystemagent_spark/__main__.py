@@ -188,6 +188,60 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_table(args: argparse.Namespace) -> int:
+    """Transactional-table maintenance: history / show / restore /
+    compact / vacuum over a TxTable path (sources/txtable.py)."""
+    import json
+    import time as _time
+
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    t = TxTable(args.path)
+    head = t.latest_version()
+    if head == 0:
+        print(f"no committed snapshot at {args.path}")
+        return 2
+    if args.restore is not None:
+        # manifest-only operation — no session needed
+        v = t.restore(args.restore)
+        print(f"restored v{args.restore} as v{v}")
+        return 0
+    if args.compact:
+        spark = _spark("table")
+        v = t.compact(spark, target_files=args.target_files)
+        print(f"compacted into v{v}")
+        return 0
+    if args.vacuum:
+        removed = t.vacuum(grace_seconds=args.grace)
+        print(f"vacuumed {len(removed)} orphaned paths")
+        return 0
+    if args.show:
+        spark = _spark("table")
+        v = args.version or head
+        t.read(spark, version=v).show(args.limit, truncate=60)
+        return 0
+    # default: history
+    for v in range(1, head + 1):
+        try:
+            m = t._read_manifest(v)
+        except FileNotFoundError:
+            print(f"v{v:<4} (expired)")
+            continue
+        ts = _time.strftime(
+            "%Y-%m-%d %H:%M:%S", _time.gmtime(m["committed_at"])
+        )
+        n = t._manifest_n_files(m)
+        app = m.get("app") or {}
+        kind = ("restore" if "restored_from" in app
+                else "compact" if "compacted_from" in app
+                else "delete" if "deleted_where" in app
+                else "write")
+        feed = "+feed" if m.get("changes") else ""
+        extra = f" app={json.dumps(app)}" if app else ""
+        print(f"v{v:<4} {ts}  {kind:<7}{feed:<5} files={n}{extra}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="filesystemagent_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -231,6 +285,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--verify", action="store_true")
     s.add_argument("--limit", type=int, default=50)
     s.set_defaults(fn=cmd_migrate)
+
+    s = sub.add_parser("table", help="TxTable maintenance: history/show/restore/compact/vacuum")
+    s.add_argument("path")
+    s.add_argument("--show", action="store_true", help="print the snapshot")
+    s.add_argument("--version", type=int, help="with --show: time-travel version")
+    s.add_argument("--restore", type=int, metavar="V", help="publish V's content as a new version")
+    s.add_argument("--compact", action="store_true")
+    s.add_argument("--target-files", type=int, default=8)
+    s.add_argument("--vacuum", action="store_true")
+    s.add_argument("--grace", type=float, default=3600.0,
+                   help="vacuum grace window seconds (racing-writer guard)")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_table)
 
     s = sub.add_parser("query", help="run a registered query by name")
     s.add_argument("name")

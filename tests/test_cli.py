@@ -105,3 +105,36 @@ def test_migrate_verify_moves_reports_nothing_auditable(tmp_path, capsys):
                "--execute", "--verify"])
     assert rc == 0
     assert "nothing auditable" in capsys.readouterr().out
+
+
+def test_cli_table_history_show_restore_vacuum(spark, tmp_path, capsys):
+    """The `table` subcommand: history lists versions with their kind
+    and feed flag; --show time-travels; --restore rolls forward;
+    --vacuum reclaims orphans."""
+    from filesystemagent_spark.__main__ import main
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    tbl = str(tmp_path / "tbl")
+    t = TxTable(tbl)
+    t.init(spark.createDataFrame([("/a", 1)], "file_path string, size bigint"))
+    t.merge_into(
+        spark.createDataFrame([("/b", 2)], "file_path string, size bigint"),
+        ["file_path"], change_feed=True,
+    )
+
+    assert main(["table", tbl]) == 0
+    out = capsys.readouterr().out
+    assert "v1" in out and "v2" in out and "+feed" in out
+
+    assert main(["table", tbl, "--show", "--version", "1"]) == 0
+    assert "/a" in capsys.readouterr().out
+
+    assert main(["table", tbl, "--restore", "1"]) == 0
+    assert "restored v1 as v3" in capsys.readouterr().out
+    assert t.latest_version() == 3
+
+    t._write_data(  # aborted stage -> orphan
+        spark.createDataFrame([("/junk", 0)], "file_path string, size bigint")
+    )
+    assert main(["table", tbl, "--vacuum", "--grace", "0"]) == 0
+    assert "vacuumed 1" in capsys.readouterr().out

@@ -202,8 +202,12 @@ def cmd_table(args: argparse.Namespace) -> int:
         print(f"no committed snapshot at {args.path}")
         return 2
     if args.restore is not None:
-        # manifest-only operation — no session needed
-        v = t.restore(args.restore)
+        try:
+            # manifest-only operation — no session needed
+            v = t.restore(args.restore)
+        except FileNotFoundError:
+            print(f"version {args.restore} does not exist or has expired")
+            return 2
         print(f"restored v{args.restore} as v{v}")
         return 0
     if args.compact:
@@ -217,8 +221,12 @@ def cmd_table(args: argparse.Namespace) -> int:
         return 0
     if args.show:
         spark = _spark("table")
-        v = args.version or head
-        t.read(spark, version=v).show(args.limit, truncate=60)
+        v = head if args.version is None else args.version
+        try:
+            t.read(spark, version=v).show(args.limit, truncate=60)
+        except FileNotFoundError:
+            print(f"version {v} does not exist or has expired")
+            return 2
         return 0
     # default: history
     for v in range(1, head + 1):
@@ -288,12 +296,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("table", help="TxTable maintenance: history/show/restore/compact/vacuum")
     s.add_argument("path")
-    s.add_argument("--show", action="store_true", help="print the snapshot")
+    mode = s.add_mutually_exclusive_group()
+    mode.add_argument("--show", action="store_true", help="print the snapshot")
+    mode.add_argument("--restore", type=int, metavar="V", help="publish V's content as a new version")
+    mode.add_argument("--compact", action="store_true")
+    mode.add_argument("--vacuum", action="store_true")
     s.add_argument("--version", type=int, help="with --show: time-travel version")
-    s.add_argument("--restore", type=int, metavar="V", help="publish V's content as a new version")
-    s.add_argument("--compact", action="store_true")
     s.add_argument("--target-files", type=int, default=8)
-    s.add_argument("--vacuum", action="store_true")
     s.add_argument("--grace", type=float, default=3600.0,
                    help="vacuum grace window seconds (racing-writer guard)")
     s.add_argument("--limit", type=int, default=20)

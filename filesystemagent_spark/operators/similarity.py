@@ -560,6 +560,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus rows
     live in their single nearest-centroid cell; each query probes its
@@ -569,14 +570,29 @@ def knn_ivf(
     the cell equi-join shuffles on cell_id — at 100 TB the corpus
     would be written bucketed/partitioned by cell_id so probing prunes
     partitions at scan time instead of shuffling.
+
+    ``corpus_cells`` — pre-assigned (id, vec, cell_id) rows, e.g. a
+    STORED assignment table read back from a TxTable: the whole point
+    of persisting an IVF index is that queries never re-assign the
+    corpus, so when this is given the corpus argument is ignored and
+    no assign pass runs over it.
     """
-    c = assign_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        centroids,
-        id_col="neighbor_id",
-        vec_col="_cv",
-        nprobe=1,
-    )
+    if corpus_cells is not None:
+        c = corpus_cells.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            "cell_id",
+        )
+    else:
+        c = assign_cells(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+            ),
+            centroids,
+            id_col="neighbor_id",
+            vec_col="_cv",
+            nprobe=1,
+        )
     q = assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         centroids,

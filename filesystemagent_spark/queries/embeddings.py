@@ -688,7 +688,8 @@ def embedding_knn_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return S.knn_ivf(
         queries,
-        at.read(spark).select("vec_id", "embedding"),
+        None,
         ct.read(spark),
         id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
+        corpus_cells=at.read(spark),
     ).orderBy("query_id", "rnk")

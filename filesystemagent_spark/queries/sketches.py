@@ -130,13 +130,14 @@ def events_rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CM_W, _CM_D = 64, 2
+_CM_JS = ", ".join(str(j) for j in range(_CM_D))
 
 
 @register(
     "events_type_countmin",
     tags=("sketch", "countmin", "mergeable"),
     oracle=f"""
-WITH js AS (SELECT unnest([0, 1]) AS j),
+WITH js AS (SELECT unnest([{_CM_JS}]) AS j),
 hashed AS (
     SELECT j, CAST(('0x' || substr(md5(event_type || CAST(j AS VARCHAR)), 1, 8))
                    AS BIGINT) % {_CM_W} AS cell

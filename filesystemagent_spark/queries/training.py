@@ -887,15 +887,9 @@ def doc_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "pred")
 
 
-_BLOOM_M = 1 << 26  # bits; k=2 md5 hashes -> ~5% FP at sf0.1's ~9M grams
-_BLOOM_WORDS = _BLOOM_M // 64
-
-
-def _bloom_pos_sql(shingle: str, j: int) -> str:
-    return (
-        f"CAST(('0x' || substr(md5({shingle} || '{j}'), 1, 8)) AS BIGINT)"
-        f" % {_BLOOM_M}"
-    )
+_BLOOM_M = 1 << 26  # bits; _BLOOM_K md5 hashes -> ~5% FP at sf0.1's ~9M grams
+_BLOOM_K = 2
+_BLOOM_JS = ", ".join(str(j) for j in range(_BLOOM_K))
 
 
 @register(
@@ -919,7 +913,7 @@ train_pos AS (
            CAST(('0x' || substr(md5(shingle || CAST(j AS VARCHAR)), 1, 8))
                 AS BIGINT) % {_BLOOM_M} AS pos
     FROM (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE split = 'train')
-    CROSS JOIN (SELECT unnest([0, 1]) AS j)
+    CROSS JOIN (SELECT unnest([{_BLOOM_JS}]) AS j)
 ),
 bitmap AS (
     -- UBIGINT: DuckDB range-checks signed shifts (1 << 63 overflows);
@@ -933,7 +927,7 @@ test_probe AS (
            CAST(('0x' || substr(md5(shingle || CAST(j AS VARCHAR)), 1, 8))
                 AS BIGINT) % {_BLOOM_M} AS pos
     FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE split = 'test')
-    CROSS JOIN (SELECT unnest([0, 1]) AS j)
+    CROSS JOIN (SELECT unnest([{_BLOOM_JS}]) AS j)
 ),
 probed AS (
     SELECT p.doc_id, p.shingle,
@@ -999,7 +993,7 @@ def doc_ngram_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
                             F.lit(j).alias("j"),
                             pos(F.col("shingle"), j).alias("pos"),
                         )
-                        for j in range(2)
+                        for j in range(_BLOOM_K)
                     ]
                 )
             ).alias("p"),

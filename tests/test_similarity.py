@@ -438,15 +438,16 @@ def test_ivf_index_txtable_roundtrip_incremental(spark, sf_dir, tmp_path):
     ).collect()
 
     # read-back path: corpus candidates come straight from the STORED
-    # cell-assignment table (it carries the vectors) — knn_ivf
-    # re-derives cells deterministically (nprobe=1 assignment is a
-    # pure function of centroids), so results must match exactly.
+    # cell-assignment table via corpus_cells — NO assign pass over the
+    # corpus (the point of persisting the index); assignments are a
+    # pure function of centroids, so results must match exactly.
     stored_centroids = ct.read(spark)
     via_tables = S.knn_ivf(
         batch,
-        at.read(spark).select("vec_id", "embedding"),
+        None,
         stored_centroids,
         id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
+        corpus_cells=at.read(spark),
     ).collect()
     assert _pairs(direct) == _pairs(via_tables)
     assert len(via_tables) == len(direct) > 0

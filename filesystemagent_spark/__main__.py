@@ -194,7 +194,7 @@ def cmd_table(args: argparse.Namespace) -> int:
     import json
     import time as _time
 
-    from filesystemagent_spark.sources.txtable import TxTable
+    from filesystemagent_spark.sources.txtable import CommitConflict, TxTable
 
     t = TxTable(args.path)
     head = t.latest_version()
@@ -207,6 +207,9 @@ def cmd_table(args: argparse.Namespace) -> int:
             v = t.restore(args.restore)
         except FileNotFoundError:
             print(f"version {args.restore} does not exist or has expired")
+            return 2
+        except (ValueError, CommitConflict) as e:
+            print(f"restore failed: {e}")
             return 2
         print(f"restored v{args.restore} as v{v}")
         return 0
@@ -226,6 +229,9 @@ def cmd_table(args: argparse.Namespace) -> int:
             t.read(spark, version=v).show(args.limit, truncate=60)
         except FileNotFoundError:
             print(f"version {v} does not exist or has expired")
+            return 2
+        except ValueError as e:
+            print(f"show failed: {e}")
             return 2
         return 0
     # default: history

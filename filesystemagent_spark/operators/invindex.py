@@ -134,7 +134,7 @@ def bm25_from_index(
         )
         matched = part if matched is None else matched.unionByName(part)
 
-    def part_expr(t: str):
+    def part_expr(i: int, t: str):
         df_t = dfs.get(t, 0.0)
         if df_t == 0.0:
             return F.lit(0.0)
@@ -143,23 +143,26 @@ def bm25_from_index(
         # The argument is pre-folded driver-side with the exact IEEE op
         # sequence the scorer uses, so the ln input is bit-identical.
         idf = F.log(F.lit((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0))
-        tfd = F.col(f"tf_{t}")
+        tfd = F.col(f"tf_{i}")
         return idf * (tfd * (k1 + 1.0)) / (
             tfd + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
         )
 
+    # pivot columns are aliased by term INDEX, not term text: a term
+    # containing '.', ' ', or '`' would otherwise break F.col parsing
+    # (dots parse as struct access). The term→index map stays driver-side.
     pivoted = matched.groupBy("doc_id").agg(
         F.max("dl").alias("dl"),  # dl is per-doc constant
         *[
             F.coalesce(
                 F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0.0)
-            ).alias(f"tf_{t}")
-            for t in terms
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
         ],
     )
     score = None
-    for t in terms:  # FIXED order — matches the full scan's fold
-        p = part_expr(t)
+    for i, t in enumerate(terms):  # FIXED order — matches the full scan's fold
+        p = part_expr(i, t)
         score = p if score is None else score + p
     return (
         pivoted.select("doc_id", F.round(score, 6).alias("bm25"))

@@ -174,6 +174,8 @@ def rrf_fuse(
     each contribution 1/(k+rank) is an exact IEEE op; the sum is
     order-independent for ≤2 retrievers (two-operand addition is
     commutative) and rounded before ranking for larger N."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     tagged = None
     for name, df in rankings:
         part = df.select(

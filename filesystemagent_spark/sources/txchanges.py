@@ -28,14 +28,19 @@ Admission control: ``maxversionspertrigger`` bounds how many table
 versions one micro-batch may plan (the Delta `maxFilesPerTrigger`
 analog) — without it, a stream started against a long-history table
 plans every version into a single unbounded batch. The bound rides an
-in-reader cursor seeded by `initialOffset`; after a RESTART the first
-`latestOffset` has no cursor (Spark gives the checkpointed start only
-to `partitions`) and is deliberately unbounded — capping it blind
-could plan an end BEHIND the checkpoint and re-deliver rows, so
-exactly-once wins over one oversized catch-up batch. Note
-`Trigger.AvailableNow` snapshots one target offset up front (Spark
-wraps sources lacking native support), so the cap binds per-batch
-under processing-time triggers, not availableNow drains.
+in-reader cursor seeded by `initialOffset` on a fresh start; after a
+RESTART, Spark 4.x always replays the offsets log's last entry
+through `partitions(start, end)` BEFORE the first `latestOffset`
+(verified empirically for both committed and uncommitted final
+batches; tests/test_txtable_stream.py pins it), and `partitions`
+seeds the cursor from `end` — so the admission bound holds across
+restarts too. The cursor-less `latestOffset` branch remains as a
+defensive fallback (unbounded, because capping blind could plan an
+end BEHIND the checkpoint and re-deliver rows; exactly-once wins over
+one oversized catch-up batch). Note `Trigger.AvailableNow` snapshots
+one target offset up front (Spark wraps sources lacking native
+support), so the cap binds per-batch under processing-time triggers,
+not availableNow drains.
 
 Versions committed WITHOUT the change feed fail the stream loudly (a
 silent gap would corrupt every downstream consumer) — except v1,

@@ -297,6 +297,12 @@ class TxTable:
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.manifest_dir = os.path.join(path, "_manifests")
+        # committed_at per version, memoized for version_as_of (same
+        # access pattern vacuum memoizes segments for): manifests are
+        # immutable once linked, so a cached timestamp never goes stale;
+        # None records an expired (deleted) manifest, which can never
+        # reappear (restore publishes NEW versions).
+        self._committed_at_cache: dict[int, float | None] = {}
 
     # -- snapshot resolution ---------------------------------------
 
@@ -443,14 +449,23 @@ class TxTable:
         timestamp time travel (`read(version=t.version_as_of(ts))`).
         Commit times are the writers' clocks (same caveat as
         Delta/Iceberg: cross-writer skew makes sub-second as-of reads
-        approximate; version pinning is the exact form)."""
+        approximate; version pinning is the exact form).
+
+        Manifest timestamps are memoized per instance (immutable once
+        committed), so repeated lookups on a long-history table read
+        each manifest once, not O(V) per call."""
         best = 0
         for v in range(1, self.latest_version() + 1):
-            try:
-                if self._read_manifest(v)["committed_at"] <= ts:
-                    best = v
-            except FileNotFoundError:
-                continue  # expired version
+            if v not in self._committed_at_cache:
+                try:
+                    self._committed_at_cache[v] = self._read_manifest(v)[
+                        "committed_at"
+                    ]
+                except FileNotFoundError:
+                    self._committed_at_cache[v] = None  # expired version
+            at = self._committed_at_cache[v]
+            if at is not None and at <= ts:
+                best = v
         if best == 0:
             raise ValueError(
                 f"no snapshot of {self.path} existed at or before {ts}"

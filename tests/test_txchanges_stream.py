@@ -188,10 +188,12 @@ def test_max_versions_per_trigger_bounds_each_batch(spark, tmp_path):
 
 
 def test_max_versions_after_restart_never_plans_behind_checkpoint(spark, tmp_path):
-    """After a restart the reader has no cursor (Spark only reveals the
-    checkpointed start to partitions) — the first latestOffset must be
-    unbounded rather than risk an end BEHIND the checkpoint that would
-    re-deliver rows; the cap re-engages once partitions syncs it."""
+    """Defensive fallback: if latestOffset ever fires with no cursor it
+    must be unbounded rather than risk an end BEHIND the checkpoint
+    that would re-deliver rows; the cap re-engages once partitions
+    syncs it. (In practice Spark 4.x always replays the offsets log
+    through partitions first — pinned end-to-end by
+    test_restart_keeps_admission_bound_engaged below.)"""
     tbl = str(tmp_path / "tbl")
     t = TxTable(tbl)
     t.init(_df(spark, [("/a", 1)]))
@@ -204,6 +206,70 @@ def test_max_versions_after_restart_never_plans_behind_checkpoint(spark, tmp_pat
     r2 = _reader(spark, tbl, maxversionspertrigger=1)
     r2.partitions({"version": 3}, {"version": 3})  # checkpoint sync
     assert r2.latestOffset() == {"version": 4}  # cap re-engaged from 3
+
+
+def test_restart_keeps_admission_bound_engaged(spark, tmp_path):
+    """End-to-end restart pin: Spark 4.x replays the offsets log's last
+    entry through partitions(start, end) BEFORE the first post-restart
+    latestOffset, which seeds the reader's cursor — so a restart
+    against a 3-version backlog with maxversionspertrigger=1 still
+    admits ONE version per micro-batch (offsets log advances +1 per
+    batch) instead of planning one unbounded catch-up batch. If Spark
+    ever stops replaying partitions first, the first post-restart
+    offset jumps straight to head and this test fails."""
+    import json
+    import time
+
+    register_txtable_changes(spark)
+    tbl = str(tmp_path / "tbl")
+    t = TxTable(tbl)
+    t.init(_df(spark, [("/a", 1)]))  # v1
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def logged_versions():
+        d = os.path.join(ckpt, "offsets")
+        if not os.path.isdir(d):
+            return {}
+        vers = {}
+        for name in os.listdir(d):
+            if not name.isdigit():
+                continue
+            with open(os.path.join(d, name), encoding="utf-8") as fh:
+                last = fh.read().strip().splitlines()[-1]
+            vers[int(name)] = json.loads(last)["version"]
+        return vers
+
+    def run_until(target_version, timeout=60):
+        q = (
+            spark.readStream.format("txtable_changes").option("path", tbl)
+            .option("maxversionspertrigger", "1").load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds").start()
+        )
+        try:
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if max(logged_versions().values(), default=0) >= target_version:
+                    return
+                time.sleep(0.2)
+            raise AssertionError(
+                f"stream never reached v{target_version}: {logged_versions()}"
+            )
+        finally:
+            q.stop()
+
+    run_until(1)  # first run drains v1, checkpoint at version 1
+    for i in range(3):  # backlog: v2..v4
+        t.merge_into(_df(spark, [(f"/f{i}", i)]), ["file_path"],
+                     change_feed=True)
+    run_until(4)  # restart against the backlog
+
+    vers = [v for _, v in sorted(logged_versions().items())]
+    # monotone, and every post-restart step admits at most ONE version
+    assert vers[-1] == 4
+    steps = [b - a for a, b in zip(vers, vers[1:])]
+    assert all(0 <= s <= 1 for s in steps), f"unbounded catch-up batch: {vers}"
 
 
 def test_stream_null_fills_columns_added_after_the_image(spark, tmp_path):

@@ -292,6 +292,11 @@ def _file_overlaps_probe(per: dict[str, list], probe: dict[str, tuple | None]) -
     return True
 
 
+def _dirs_of(files: list[str]) -> list[str]:
+    """Distinct parent dirs of a freshly-staged file list (census keys)."""
+    return sorted({os.path.dirname(f) for f in files})
+
+
 class TxTable:
     def __init__(self, path: str):
         self.path = path
@@ -348,10 +353,18 @@ class TxTable:
             ),
             p,
         )
+        dirs: dict[str, int] = {}
+        for f, _ in rows:
+            d = os.path.dirname(f)
+            dirs[d] = dirs.get(d, 0) + 1
         return {
             "path": p,
             "n_files": len(rows),
             "stats": _stats_rollup([s for _, s in rows]),
+            # referenced-file count per staging dir: lets the full-scan
+            # planner prove a dir fully live (count == dirs_created
+            # census) WITHOUT opening this segment's parquet
+            "dirs": dirs,
         }
 
     def _segment_files(self, seg: dict) -> list[str]:
@@ -389,6 +402,60 @@ class TxTable:
         if "segments" in m:
             return sum(seg["n_files"] for seg in m["segments"])
         return len(m["files"])
+
+    def _plan_scan_paths(self, m: dict) -> list[str]:
+        """Scan paths for an UNFILTERED read, DIRECTORY-GROUPED — the
+        bounded-driver answer to full-scan planning (what Delta's JVM
+        file index does in spirit): a staging dir every one of whose
+        on-disk files is referenced by this snapshot is handed to Spark
+        as ONE directory path, so the per-file enumeration happens
+        JVM-side (Spark's parallel partition discovery distributes the
+        listing past 32 paths) instead of materializing a 10^6-element
+        Python list and shipping it through py4j.
+
+        Soundness: (a) staging dirs are immutable after their creating
+        commit (_write_data always writes a fresh uuid dir), so the
+        `dirs_created` census count never grows; (b) vacuum() removes
+        whole unreferenced DIRS, never single files, so the count never
+        shrinks while any file is referenced; therefore `referenced ==
+        created` proves every .parquet in the dir belongs to this
+        snapshot. Per-dir referenced counts ride the segment
+        descriptors (manifest JSON), so only segments containing files
+        of PARTIALLY-live dirs (post row-level delete/merge rewrites)
+        are ever opened — driver cost is O(#dirs + #partial files), not
+        O(#files). Manifests predating the census (or with legacy
+        segments lacking `dirs`) fall back to full enumeration."""
+        census = m.get("dirs_created")
+        if not census:
+            return self._manifest_files(m)
+        if "segments" not in m:
+            files = m["files"]
+            ref: dict[str, int] = {}
+            for f in files:
+                d = os.path.dirname(f)
+                ref[d] = ref.get(d, 0) + 1
+            full = {d for d, n in ref.items() if census.get(d) == n}
+            return sorted(full) + [
+                f for f in files if os.path.dirname(f) not in full
+            ]
+        segs = m["segments"]
+        if any("dirs" not in s for s in segs):
+            return self._manifest_files(m)  # legacy segments
+        ref = {}
+        for s in segs:
+            for d, n in s["dirs"].items():
+                ref[d] = ref.get(d, 0) + n
+        full = {d for d, n in ref.items() if census.get(d) == n}
+        out = sorted(full)
+        for s in segs:
+            if set(s["dirs"]) <= full:
+                continue  # every file covered by a dir path — never opened
+            out += [
+                f
+                for f in self._segment_files(s)
+                if os.path.dirname(f) not in full
+            ]
+        return out
 
     def _manifest_stats(self, m: dict) -> dict[str, dict]:
         """Full per-file stats dict — ONLY for the rare paths that
@@ -498,9 +565,21 @@ class TxTable:
                 files = m["files"]
                 stats = m.get("stats", {})
             try:
+                # census: head's (may have pruned since) ∪ the restored
+                # snapshot's own — the restored dirs become referenced
+                # again and must keep their created-counts
+                try:
+                    head_census = self._read_manifest(head).get(
+                        "dirs_created", {}
+                    )
+                except FileNotFoundError:
+                    head_census = {}
                 self._try_commit(
                     head + 1, files, m["schema_ddl"],
-                    app={"restored_from": version}, stats=stats, **kw,
+                    app={"restored_from": version}, stats=stats,
+                    census_base={**head_census, **m.get("dirs_created", {})},
+                    bucketing=m.get("bucketing"),
+                    **kw,
                 )
                 return head + 1
             except CommitConflict:
@@ -536,7 +615,8 @@ class TxTable:
                 m, lambda per: all(_file_may_match(per, p) for p in where)
             )
         else:
-            files = self._manifest_files(m)
+            # dir-grouped: bounded driver cost, listing distributed
+            files = self._plan_scan_paths(m)
         if not files:
             df = spark.createDataFrame([], m["schema_ddl"])
         else:
@@ -556,15 +636,115 @@ class TxTable:
         so failures leave only unreferenced litter (vacuumable)."""
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.parquet(out)
-        files = sorted(
+        staged = sorted(
             os.path.join(out, f)
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
+        # Drop 0-row part files (empty partitions from empty-schema
+        # unions etc.) at the staging boundary: their null min/max
+        # stats would force a conservative rewrite on EVERY subsequent
+        # merge/delete, and they'd keep their dir permanently partial
+        # for the dir-grouped full-scan planner. The footer read is
+        # one op per staged file (the commit reads footers for stats
+        # anyway).
+        import pyarrow.parquet as pq
+
+        files = []
+        for f in staged:
+            if pq.read_metadata(f).num_rows > 0:
+                files.append(f)
+            else:
+                os.unlink(f)
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
         return files, ddl
+
+    def _write_data_bucketed(
+        self, df: DataFrame, bucket_cols: list[str], n_buckets: int
+    ) -> tuple[list[str], str]:
+        """Stage df as BUCKETED parquet: hash-partitioned on
+        `bucket_cols` into `n_buckets` with Spark's bucket-encoded file
+        names (the `_NNNNN` suffix BucketingUtils parses), bucket-sorted
+        within files. Spark only attaches bucket metadata through the
+        catalog writer, so this routes through a throwaway EXTERNAL
+        table at the staging dir — dropping the catalog entry keeps the
+        files (external semantics), which the manifest then owns like
+        any other staged data.
+
+        The pre-write repartition by the bucket keys means each task
+        holds exactly one bucket -> ONE file per bucket, which is what
+        lets the bucketed read use the sort metadata (multi-file
+        buckets force a runtime Sort even without an Exchange)."""
+        out = os.path.join(self.data_dir, uuid.uuid4().hex)
+        tmp = f"txb_stage_{uuid.uuid4().hex[:12]}"
+        spark = df.sparkSession
+        (
+            df.repartition(n_buckets, *[df[c] for c in bucket_cols])
+            .write.bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", out)
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files survive
+        import pyarrow.parquet as pq
+
+        files = []
+        for f in sorted(os.listdir(out)):
+            p = os.path.join(out, f)
+            if not f.endswith(".parquet"):
+                continue
+            if pq.read_metadata(p).num_rows > 0:
+                files.append(p)
+            else:
+                os.unlink(p)  # empty bucket — Spark treats missing as empty
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        return files, ddl
+
+    def read_bucketed(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The snapshot as a BUCKETED scan: joins/aggregations on the
+        bucket keys against another table bucketed the same way plan
+        with NO Exchange (and, one file per bucket, no Sort) — the
+        co-located-join path `compact(bucket_by=...)` paid for at write
+        time. Path-listed parquet reads cannot carry bucket metadata
+        (Spark attaches outputPartitioning only through the catalog),
+        so this registers an EXTERNAL bucketed table over the compact's
+        staging dir — sound because that dir is immutable after its
+        commit and the bucketing spec is only present on manifests
+        whose snapshot is exactly that dir's content (compact sets it;
+        any later merge/delete/overwrite publishes a manifest without
+        it; restore of a bucketed version carries it).
+
+        Raises ValueError when the snapshot has no valid bucketing —
+        re-run compact(bucket_by=...) after DML to re-cluster."""
+        import hashlib
+
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"table {self.path} has no committed snapshot")
+        m = self._read_manifest(v)
+        spec = m.get("bucketing")
+        if not spec:
+            raise ValueError(
+                f"version {v} of {self.path} is not bucket-clustered — "
+                "run compact(bucket_by=(cols, n_buckets)) first"
+            )
+        name = "txb_" + hashlib.sha1(
+            f"{os.path.abspath(self.path)}@{v}".encode()
+        ).hexdigest()[:16]
+        cols = ", ".join(spec["cols"])
+        if not spark.catalog.tableExists(name):
+            spark.sql(
+                f"CREATE TABLE {name} ({m['schema_ddl']}) USING parquet "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {spec['n']} BUCKETS LOCATION '{spec['dir']}'"
+            )
+        return spark.table(name)
 
     def latest_app(self) -> dict:
         """Application metadata of the latest snapshot ({} when empty) —
@@ -594,6 +774,8 @@ class TxTable:
         self, version: int, files: list[str], schema_ddl: str,
         app: dict | None = None, stats: dict | None = None,
         changes: dict | None = None, reuse_segments: list[dict] | None = None,
+        new_dirs: list[str] | None = None, census_base: dict | None = None,
+        bucketing: dict | None = None,
     ) -> None:
         """Publish `version` atomically: write a temp manifest, then
         link(2) it into place — link fails with EEXIST if a concurrent
@@ -609,16 +791,42 @@ class TxTable:
         lists only the files NOT covered by them. Any commit with
         reused segments — or more than _INLINE_FILES_MAX loose files —
         publishes format 2 (loose files spill into fresh segments);
-        smaller commits stay inline (format 1)."""
+        smaller commits stay inline (format 1).
+
+        ``new_dirs`` names the staging dirs THIS commit created via
+        _write_data (their full contents are in ``files`` by
+        construction); each gets a `dirs_created` census entry so
+        _plan_scan_paths can prove it fully live. Carried dirs keep
+        their inherited entries; a carried dir with no entry (legacy
+        history) simply never dir-reads. ``census_base`` overrides the
+        inherited census (compact passes {} to prune dead dirs out of
+        the manifest; restore passes the union of head + restored)."""
         known = stats or {}
         fresh = _collect_file_stats([f for f in files if f not in known])
         allstats = {f: (known[f] if f in known else fresh[f]) for f in files}
         reuse_segments = reuse_segments or []
         os.makedirs(self.manifest_dir, exist_ok=True)
+        if census_base is not None:
+            census = dict(census_base)
+        elif version > 1:
+            try:
+                census = dict(
+                    self._read_manifest(version - 1).get("dirs_created", {})
+                )
+            except FileNotFoundError:
+                census = {}  # v-1 expired — dirs fall back to file listing
+        else:
+            census = {}
+        for d in new_dirs or []:
+            census[d] = sum(1 for f in files if os.path.dirname(f) == d)
         manifest = {
             "version": version, "schema_ddl": schema_ddl,
             "committed_at": time.time(), "app": app or {},
         }
+        if census:
+            manifest["dirs_created"] = census
+        if bucketing is not None:
+            manifest["bucketing"] = bucketing
         if changes is not None:
             manifest["changes"] = changes
         if reuse_segments or len(files) > _INLINE_FILES_MAX:
@@ -649,7 +857,7 @@ class TxTable:
         use merge_into/overwrite afterwards)."""
         os.makedirs(self.data_dir, exist_ok=True)
         files, ddl = self._write_data(df)
-        self._try_commit(1, files, ddl, app)
+        self._try_commit(1, files, ddl, app, new_dirs=_dirs_of(files))
         return 1
 
     def overwrite(self, df: DataFrame, max_retries: int = 10) -> int:
@@ -659,7 +867,12 @@ class TxTable:
         for _ in range(max_retries):
             v = self.latest_version()
             try:
-                self._try_commit(v + 1, files, ddl)
+                # overwrite REPLACES content: prune the census like
+                # compact does — no prior dir stays referenced
+                self._try_commit(
+                    v + 1, files, ddl,
+                    new_dirs=_dirs_of(files), census_base={},
+                )
                 return v + 1
             except CommitConflict:
                 continue
@@ -784,7 +997,8 @@ class TxTable:
             try:
                 self._try_commit(
                     base + 1, carried + new_files, new_ddl, app,
-                    stats=carried_stats, changes=changes, **kw,
+                    stats=carried_stats, changes=changes,
+                    new_dirs=_dirs_of(new_files), **kw,
                 )
                 self.last_merge_info = {
                     "base": base, "rewritten": len(touched),
@@ -857,7 +1071,8 @@ class TxTable:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
                     app={"deleted_where": [list(p) for p in where]},
-                    stats=carried_stats, changes=changes, **kw,
+                    stats=carried_stats, changes=changes,
+                    new_dirs=_dirs_of(new_files), **kw,
                 )
                 return base + 1
             except CommitConflict:
@@ -1019,7 +1234,8 @@ class TxTable:
             carried_stats = {f: wstats[f] for f in head_files if f in wstats}
             try:
                 self._try_commit(
-                    head + 1, files2, ddl, app, stats=carried_stats, changes=changes
+                    head + 1, files2, ddl, app, stats=carried_stats,
+                    changes=changes, new_dirs=_dirs_of(new_files),
                 )
                 return head + 1
             except CommitConflict:
@@ -1033,6 +1249,7 @@ class TxTable:
         zorder_cols: list[str] | None = None,
         zorder_bits: int = 12,
         max_retries: int = 10,
+        bucket_by: tuple[list[str], int] | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the current snapshot into `target_files`
         files — optionally Z-order clustered on `zorder_cols` so the
@@ -1050,12 +1267,36 @@ class TxTable:
         retries the whole compaction on the fresh snapshot (always
         safe: the work is idempotent and content-free). Real formats
         make the same choice (Delta OPTIMIZE loses to concurrent
-        writers, not vice versa)."""
+        writers, not vice versa).
+
+        ``bucket_by=(cols, n_buckets)`` rewrites the snapshot
+        BUCKET-CLUSTERED instead (see `read_bucketed`): two TxTables
+        compacted with the same spec join Exchange-free on the bucket
+        keys. The spec is recorded in the manifest and automatically
+        invalidated by any later DML commit (which publishes without
+        it) — the Delta/Iceberg clustered-until-touched contract."""
+        if bucket_by and zorder_cols:
+            raise ValueError("bucket_by and zorder_cols are exclusive")
         for _ in range(max_retries):
             base = self.latest_version()
             if base == 0:
                 raise ValueError(f"table {self.path} has no committed snapshot")
             df = self.read(spark, base)
+            if bucket_by:
+                cols, n_buckets = bucket_by
+                files, ddl = self._write_data_bucketed(df, list(cols), n_buckets)
+                try:
+                    self._try_commit(
+                        base + 1, files, ddl, app={"compacted_from": base},
+                        new_dirs=_dirs_of(files), census_base={},
+                        bucketing={
+                            "cols": list(cols), "n": n_buckets,
+                            "dir": os.path.dirname(files[0]) if files else "",
+                        },
+                    )
+                    return base + 1
+                except CommitConflict:
+                    continue
             if zorder_cols:
                 from filesystemagent_spark.sources.layout import zorder_key
 
@@ -1069,7 +1310,12 @@ class TxTable:
                 df = df.coalesce(target_files)
             files, ddl = self._write_data(df)
             try:
-                self._try_commit(base + 1, files, ddl, app={"compacted_from": base})
+                # census pruned to the rewrite's own dirs: keeps the
+                # manifest's dirs_created O(live dirs) on long histories
+                self._try_commit(
+                    base + 1, files, ddl, app={"compacted_from": base},
+                    new_dirs=_dirs_of(files), census_base={},
+                )
                 return base + 1
             except CommitConflict:
                 continue  # a real write won — recompact its snapshot

@@ -51,3 +51,57 @@ def test_mismatched_buckets_still_correct(spark, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bk_c")
         spark.sql("DROP TABLE IF EXISTS t_bk_d")
+
+
+def test_txtable_bucketed_compact_joins_exchange_free(spark, no_broadcast, tmp_path):
+    """Round-6 flagship-format parity with the warehouse bucketed path:
+    two TxTables compacted with the same bucket_by spec join on the
+    bucket key with NO Exchange in the executed plan (and, one file per
+    bucket, no runtime Sort on the probe side), while results match the
+    plain-read join exactly."""
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    a = TxTable(str(tmp_path / "ta"))
+    b = TxTable(str(tmp_path / "tb"))
+    a.init(spark.range(0, 1000).selectExpr("id % 97 as k", "id as va"))
+    b.init(spark.range(0, 500).selectExpr("id % 97 as k", "id * 10 as vb"))
+    a.compact(spark, bucket_by=(["k"], 8))
+    b.compact(spark, bucket_by=(["k"], 8))
+
+    da, db = a.read_bucketed(spark), b.read_bucketed(spark)
+    joined = da.join(db, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed TxTable join shuffled:\n{plan}"
+
+    want = {
+        (r.k, r.va, r.vb)
+        for r in a.read(spark).join(b.read(spark), "k").collect()
+    }
+    got = {(r.k, r.va, r.vb) for r in joined.collect()}
+    assert got == want and got
+
+
+def test_txtable_bucketing_invalidated_by_dml(spark, tmp_path):
+    """Any DML after the bucketed compact publishes a manifest WITHOUT
+    the spec: read_bucketed refuses (stale clustering must never be
+    silently trusted), read() still works, and a re-compact restores
+    the bucketed path."""
+    import pytest as _pytest
+
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    t = TxTable(str(tmp_path / "t"))
+    t.init(spark.range(0, 100).selectExpr("id % 7 as k", "id as v"))
+    t.compact(spark, bucket_by=(["k"], 4))
+    assert t.read_bucketed(spark).count() == 100
+
+    t.merge_into(
+        spark.createDataFrame([(3, 999)], "k bigint, v bigint"), ["k", "v"]
+    )
+    with _pytest.raises(ValueError, match="not bucket-clustered"):
+        t.read_bucketed(spark)
+    assert t.read(spark).count() == 101
+    # the bucketed VERSION stays readable via time travel
+    assert t.read_bucketed(spark, version=2).count() == 100
+    t.compact(spark, bucket_by=(["k"], 4))
+    assert t.read_bucketed(spark).count() == 101

@@ -322,7 +322,8 @@ def test_merge_rebase_disjoint_writers_skip_recompute(spark, tmp_path, monkeypat
     orig = TxTable._try_commit
     state = {"fired": False}
 
-    def inject(self, version, files, ddl, app=None, stats=None, changes=None):
+    def inject(self, version, files, ddl, app=None, stats=None, changes=None,
+               **kw):
         # B's first commit attempt: let A land v2 first, forcing the CAS
         # conflict deterministically.
         if not state["fired"]:
@@ -331,7 +332,7 @@ def test_merge_rebase_disjoint_writers_skip_recompute(spark, tmp_path, monkeypat
             monkeypatch.setattr(TxTable, "_try_commit", orig)
             ta2.merge_into(ups_a, ["id"])
             monkeypatch.setattr(TxTable, "_try_commit", inject)
-        return orig(self, version, files, ddl, app, stats, changes)
+        return orig(self, version, files, ddl, app, stats, changes, **kw)
 
     monkeypatch.setattr(TxTable, "_try_commit", inject)
     v = t.merge_into(ups_b, ["id"])
@@ -363,14 +364,15 @@ def test_merge_rebase_refused_on_key_overlap(spark, tmp_path, monkeypatch):
     orig = TxTable._try_commit
     state = {"fired": False}
 
-    def inject(self, version, files, ddl, app=None, stats=None, changes=None):
+    def inject(self, version, files, ddl, app=None, stats=None, changes=None,
+               **kw):
         if not state["fired"]:
             state["fired"] = True
             ta2 = TxTable(t.path)
             monkeypatch.setattr(TxTable, "_try_commit", orig)
             ta2.merge_into(ups_a, ["id"])
             monkeypatch.setattr(TxTable, "_try_commit", inject)
-        return orig(self, version, files, ddl, app, stats, changes)
+        return orig(self, version, files, ddl, app, stats, changes, **kw)
 
     monkeypatch.setattr(TxTable, "_try_commit", inject)
     v = t.merge_into(ups_b, ["id"])
@@ -1223,3 +1225,117 @@ def test_full_lifecycle_random_ops_match_model(spark, tmp_path):
     # ...and a feed consumer crossing the restore fails loudly
     with pytest.raises(ValueError, match="without change_feed"):
         t.table_changes(spark, 1)
+
+
+# -- dir-grouped full-scan planning (round 6) -------------------------
+
+
+def test_full_scan_plans_directories_not_files(spark, tmp_path):
+    """An append-only table's unfiltered scan plans ONE path per
+    staging dir (each commit's dir is fully live), not one per file —
+    the bounded-driver full-scan path. Results stay exact."""
+    import os
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 10).selectExpr(
+        "CAST(id AS STRING) file_path", "id size").repartition(4))
+    for i in range(3):
+        # single-partition updates: no 0-row part files (whose null
+        # stats would force conservative rewrites → partial dirs)
+        t.merge_into(
+            _df(spark, [(f"/new{i}-{j}", 100 * i + j) for j in range(5)])
+            .coalesce(1),
+            ["file_path"],
+        )
+    m = t._read_manifest(t.latest_version())
+    paths = t._plan_scan_paths(m)
+    n_files = t._manifest_n_files(m)
+    assert all(os.path.isdir(p) for p in paths), paths
+    assert len(paths) < n_files
+    # exactness: dir-grouped scan == explicit file enumeration
+    by_dirs = {(r.file_path, r.size) for r in t.read(spark).collect()}
+    files = t._manifest_files(m)
+    by_files = {
+        (r.file_path, r.size)
+        for r in spark.read.schema(m["schema_ddl"]).parquet(*files).collect()
+    }
+    assert by_dirs == by_files and len(by_dirs) == 25
+
+
+def test_partial_dir_after_delete_falls_back_to_files(spark, tmp_path):
+    """A row-level delete rewrites SOME of a dir's files; that dir must
+    never be passed as a directory path (its disk contents include the
+    dead pre-delete file) — the planner lists its surviving files
+    individually and keeps dir paths for untouched dirs."""
+    import os
+
+    t = TxTable(str(tmp_path / "tbl"))
+    # one dir, 4 files, keys range-partitioned so stats isolate files
+    t.init(
+        spark.range(0, 100)
+        .selectExpr("CAST(id AS STRING) file_path", "id size")
+        .repartitionByRange(4, "size")
+    )
+    t.merge_into(_df(spark, [("/other", -5)]), ["file_path"])  # 2nd dir
+    t.delete_where(spark, [("size", ">=", 90)])  # rewrites part of dir 1
+    m = t._read_manifest(t.latest_version())
+    paths = t._plan_scan_paths(m)
+    dirs = [p for p in paths if os.path.isdir(p)]
+    loose = [p for p in paths if not os.path.isdir(p)]
+    assert dirs and loose  # mixed plan: full dirs + partial-dir files
+    got = {r.size for r in t.read(spark).collect()}
+    # the dead rows (>= 90) exist on disk in the partial dir but are
+    # invisible — the dir was NOT dir-read
+    assert got == set(range(90)) | {-5}
+
+
+def test_plan_scan_paths_falls_back_without_census(spark, tmp_path):
+    """Manifests predating dirs_created (or with legacy segments) plan
+    the full file list — never a directory they can't prove live."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1), ("/b", 2)]))
+    m = t._read_manifest(1)
+    legacy = {k: v for k, v in m.items() if k != "dirs_created"}
+    assert sorted(t._plan_scan_paths(legacy)) == sorted(t._manifest_files(m))
+
+
+def test_compact_prunes_census_and_restore_reunions_it(spark, tmp_path):
+    """compact() rewrites everything → census shrinks to the rewrite's
+    own dirs; restore() of a pre-compact version re-unions the restored
+    snapshot's census so its dirs stay dir-readable."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(_df(spark, [("/a", 1)]))
+    for i in range(3):
+        t.merge_into(_df(spark, [(f"/m{i}", i)]), ["file_path"])
+    pre = t._read_manifest(t.latest_version())["dirs_created"]
+    t.compact(spark, target_files=1)
+    post = t._read_manifest(t.latest_version())["dirs_created"]
+    assert len(post) == 1 and len(pre) > 1
+    v = t.restore(4)  # the pre-compact head
+    census = t._read_manifest(v)["dirs_created"]
+    assert set(pre) <= set(census)
+    got = {r.file_path: r.size for r in t.read(spark).collect()}
+    assert got == {"/a": 1, "/m0": 0, "/m1": 1, "/m2": 2}
+
+
+def test_full_scan_planning_driver_cost_is_bounded(spark, tmp_path):
+    """Format-2 table whose commits exceed _INLINE_FILES_MAX: the full
+    scan must NOT open any segment parquet (all dirs fully live), so
+    planning reads only the manifest JSON."""
+    from unittest import mock
+
+    t = TxTable(str(tmp_path / "tbl"))
+    # 100 files in one commit -> format 2 (over _INLINE_FILES_MAX=64)
+    t.init(
+        spark.range(0, 1000)
+        .selectExpr("CAST(id AS STRING) file_path", "id size")
+        .repartition(100)
+    )
+    m = t._read_manifest(1)
+    assert "segments" in m
+    with mock.patch.object(
+        TxTable, "_segment_files", side_effect=AssertionError("segment opened")
+    ):
+        paths = t._plan_scan_paths(m)
+    assert len(paths) == 1  # one fully-live dir
+    assert t.read(spark).count() == 1000

@@ -186,8 +186,15 @@ GRADE_ORDER = (
     # baseline diff + severity ranking (reference's core analyzers)
     "baseline_diff_users",
     "event_findings_ranked",
-    # audit-findings sources (fixture-backed normalizers)
-    "findings_hayabusa",
+    # round 6: the reference's DAILY PIPELINE as one graded row — all
+    # 8 tool dumps normalized, unioned, severity-ranked (the
+    # run_audit_pipeline composition, src/audit/pipeline.py:124-316),
+    # value-hashed against DuckDB replaying every normalizer including
+    # the finding_id hashes. Displaces findings_hayabusa: the hayabusa
+    # normalization is strictly subsumed (all its fixture rows are
+    # inside this query's checked output) and the standalone query
+    # stays registered + sim-checked.
+    "findings_pipeline_ranked",
     # clamscan coverage rides the Python DataSource variant (same
     # fixture, same oracle) — one slot covers both classes
     "findings_clamscan_pyds",

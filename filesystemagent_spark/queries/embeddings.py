@@ -600,7 +600,12 @@ def embedding_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; at 100 TB the scan side swaps for the ANN candidates
     (knn_lsh/knn_ivf produce the same (query, neighbor, cosine)
     grain). Rounded-cosine + id tie-break keeps both engines ranking
-    identically."""
+    identically.
+
+    SINGLE-PASS (round 6): both rank directions ride one window family
+    over (query_id, same_label) — the scored broadcast-crossJoin scan
+    runs ONCE (one Exchange, two Window sorts) instead of once per
+    branch as in round 5 (tests/test_plans.py pins the single scan)."""
     from pyspark.sql import Window
 
     emb = Catalog(spark, sf_dir).embeddings
@@ -631,21 +636,106 @@ def embedding_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("same_label", F.col("_ql") == F.col("_cl"))
         .select("query_id", "neighbor_id", "same_label", "cosine")
     )
+    base = Window.partitionBy("query_id", "same_label")
+    rn_desc = F.row_number().over(
+        base.orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    )
+    rn_asc = F.row_number().over(
+        base.orderBy(F.col("cosine").asc(), F.col("neighbor_id").asc())
+    )
+    mined = scored.withColumn("_rd", rn_desc).withColumn("_ra", rn_asc)
+    same = F.col("same_label")
+    return (
+        mined.filter((~same & (F.col("_rd") <= 3)) | (same & (F.col("_ra") <= 3)))
+        .select(
+            F.when(same, F.lit("hard_positive"))
+            .otherwise(F.lit("hard_negative"))
+            .alias("kind"),
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.when(same, F.col("_ra")).otherwise(F.col("_rd"))
+            .cast("bigint")
+            .alias("rnk"),
+        )
+        .orderBy("query_id", "kind", "rnk")
+    )
+
+
+@register(
+    "embedding_hard_examples_ann",
+    tags=("vector", "contrastive", "ann", "scale"),
+)
+def embedding_hard_examples_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `embedding_hard_examples` the exact miner's
+    docstring promises: hard NEGATIVES mined from sign-LSH candidates
+    (`knn_lsh` with a widened candidate pool, labels joined back, top-3
+    different-label by cosine) — no corpus crossJoin anywhere; hard
+    POSITIVES (least-similar SAME-label) from a label-equi-join, which
+    is co-partitionable by label and bounded by label-group size (an
+    ANN index cannot answer "least similar", and doesn't need to —
+    same-label sets are the small dimension of contrastive batches).
+    Same (kind, query_id, neighbor_id, cosine, rnk) grain and the same
+    rounded-cosine + id tie-breaks as the exact miner. Approximate by
+    construction (LSH candidate recall) → rows-only; >=0.9 agreement
+    with the exact miner's mined set is pinned in
+    tests/test_similarity.py."""
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    labels = emb.select("vec_id", "label")
+
+    # negatives: widened LSH candidate pool (few planes, many tables
+    # -> high recall), labels joined, top-3 different-label per query
+    cands = S.knn_lsh(
+        queries, emb, dim=DIM, k=64, n_planes=2, n_tables=8
+    ).drop("rnk")
+    q_lab = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("_ql"))
+    )
+    n_lab = labels.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("label").alias("_cl"))
     w_neg = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    w_pos = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").asc(), F.col("neighbor_id").asc()
-    )
     negs = (
-        scored.filter(~F.col("same_label"))
+        cands.join(q_lab, "query_id")
+        .join(n_lab, "neighbor_id")
+        .filter(F.col("_ql") != F.col("_cl"))
+        .withColumn("cosine", F.round(F.col("cosine"), 6))
         .withColumn("rnk", F.row_number().over(w_neg))
         .filter(F.col("rnk") <= 3)
         .select(F.lit("hard_negative").alias("kind"), "query_id",
                 "neighbor_id", "cosine", F.col("rnk").cast("bigint"))
     )
+
+    # positives: label-equi-join (co-partitioned, no candidate
+    # generation needed), least-similar same-label per query
+    q_side = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label"),
+        F.col("embedding").alias("_qv"),
+        V.l2_norm(F.col("embedding")).alias("_qn"),
+    )
+    c_side = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label"),
+        F.col("embedding").alias("_cv"),
+        V.l2_norm(F.col("embedding")).alias("_cn"),
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").asc(), F.col("neighbor_id").asc()
+    )
     poss = (
-        scored.filter(F.col("same_label"))
+        q_side.join(c_side, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                V.cosine_from(F.col("_qv"), F.col("_cv"),
+                              F.col("_qn"), F.col("_cn")), 6,
+            ),
+        )
         .withColumn("rnk", F.row_number().over(w_pos))
         .filter(F.col("rnk") <= 3)
         .select(F.lit("hard_positive").alias("kind"), "query_id",

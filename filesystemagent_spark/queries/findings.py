@@ -434,3 +434,222 @@ def findings_clamscan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .orderBy("file")
     )
+
+
+@register(
+    "findings_pipeline_ranked",
+    tags=("pipeline", "union", "rank", "findings"),
+    oracle=f"""
+WITH hay AS (
+    SELECT 'hayabusa' AS tool_name,
+           {_SQL_HAYABUSA_SEV.format(c='Level')} AS severity,
+           'Hayabusa: ' || coalesce(RuleTitle, 'Unknown rule') AS title,
+           concat_ws(':', Computer, Channel) AS target,
+           printf('[%s] %s on %s (Channel: %s) — %s',
+                  coalesce(Level, ''), coalesce(RuleTitle, 'Unknown rule'),
+                  coalesce(Computer, ''), coalesce(Channel, ''),
+                  coalesce(Details, '')) AS description
+    FROM read_csv('{_HAYABUSA}', header=true, all_varchar=true)
+), clam AS (
+    SELECT 'clamav', 'high', 'ClamAV: ' || malware, file,
+           printf('ClamAV detected known malware signature ''%s'' in file: %s',
+                  malware, file)
+    FROM (
+        SELECT regexp_extract(line, '^(.*?): (.*) FOUND$', 1) AS file,
+               regexp_extract(line, '^(.*?): (.*) FOUND$', 2) AS malware
+        FROM {_SQL_LINES.format(path=_CLAMSCAN)} WHERE line LIKE '% FOUND'
+    )
+), sig AS (
+    SELECT 'sigcheck', 'medium',
+           'Sigcheck: unsigned binary ' ||
+               regexp_split_to_array(Path, '[\\\\/]')[-1],
+           Path,
+           printf('Unsigned executable found: %s. Publisher: %s', Path,
+                  coalesce(nullif(Publisher, ''), 'unknown'))
+    FROM read_csv('{_SIGCHECK}', header=true, all_varchar=true)
+    WHERE lower(Verified) = 'unsigned'
+), auto_raw AS (
+    SELECT *,
+           coalesce(nullif(Entry, ''), "Entry Location") AS entry,
+           coalesce(nullif("Image Path", ''),
+                    coalesce(nullif(Entry, ''), "Entry Location")) AS tgt
+    FROM read_csv('{_AUTORUNSC}', header=true, all_varchar=true)
+), auto AS (
+    SELECT 'autorunsc', 'high',
+           'Autoruns: unsigned entry at ' || entry, tgt,
+           printf('Unsigned autostart entry: %s. Image: %s. Launch: %s',
+                  entry, "Image Path", "Launch String")
+    FROM auto_raw WHERE lower(Verified) LIKE '%not verified%'
+    UNION ALL
+    SELECT 'autorunsc', 'critical',
+           'Autoruns: VT hit on ' || entry, tgt,
+           printf('VirusTotal detection %s for autostart entry: %s. Image: %s',
+                  "VT detection", entry, "Image Path")
+    FROM auto_raw
+    WHERE "VT detection" IS NOT NULL
+      AND "VT detection" NOT IN ('', '0|0', 'Unknown')
+      AND len(string_split("VT detection", '|')) = 2
+      AND TRY_CAST(string_split("VT detection", '|')[1] AS INT) > 0
+), chain AS (
+    SELECT 'chainsaw',
+           sev,
+           'Chainsaw: ' || nm,
+           src,
+           concat_ws(' ', nm,
+               CASE WHEN nullif(ts, '') IS NOT NULL THEN 'at ' || ts END,
+               CASE WHEN nullif(src, '') IS NOT NULL THEN 'in ' || src END)
+    FROM (
+        SELECT coalesce(name, title, 'Unknown detection') AS nm,
+               {_SQL_SIGMA_SEV.format(c="coalesce(level, severity, 'medium')")} AS sev,
+               coalesce(source, document.path, '') AS src,
+               "timestamp" AS ts
+        FROM read_json('{_CHAINSAW}', columns={{
+            'name': 'VARCHAR', 'level': 'VARCHAR', 'timestamp': 'VARCHAR',
+            'source': 'VARCHAR', 'authors': 'VARCHAR', 'title': 'VARCHAR',
+            'severity': 'VARCHAR', 'document': 'STRUCT(path VARCHAR)'}})
+    )
+), hol AS (
+    SELECT 'hollows_hunter', sev,
+           printf('HollowsHunter: %s in %s (PID %s)', atype, name, pid),
+           'PID:' || pid,
+           printf('%s. Found %s %s anomal%s in process %s (PID %s).',
+                  d0, CAST(n AS VARCHAR), atype,
+                  CASE WHEN n > 1 THEN 'ies' ELSE 'y' END, name, pid)
+    FROM (
+        SELECT pid, p.name AS name, a.atype, a.sev, a.d0,
+               CASE a.atype
+                   WHEN 'replaced' THEN coalesce(p.replaced, 0)
+                   WHEN 'implanted' THEN coalesce(p.implanted, 0)
+                   WHEN 'hdr_modified' THEN coalesce(p.hdr_modified, 0)
+                   WHEN 'patched' THEN coalesce(p.patched, 0)
+                   WHEN 'iat_hooked' THEN coalesce(p.iat_hooked, 0)
+                   WHEN 'unreachable_file' THEN coalesce(p.unreachable_file, 0)
+                   ELSE coalesce(p."other", 0) END AS n
+        FROM (
+            SELECT unnest(map_keys(scanned)) AS pid,
+                   unnest(map_values(scanned)) AS p
+            FROM read_json('{_HOLLOWS}', columns={{'scanned':
+                'MAP(VARCHAR, STRUCT(name VARCHAR, replaced BIGINT,
+                 implanted BIGINT, hdr_modified BIGINT, patched BIGINT,
+                 iat_hooked BIGINT, unreachable_file BIGINT, "other" BIGINT))'}})
+        ) CROSS JOIN (VALUES
+            ('replaced', 'critical',
+             'Process hollowing — entire module replaced in memory'),
+            ('implanted', 'critical',
+             'Code injection — foreign code implanted into process'),
+            ('hdr_modified', 'high',
+             'PE header modification — headers tampered in memory'),
+            ('patched', 'medium',
+             'Inline patching — code bytes modified (possible hook)'),
+            ('iat_hooked', 'high',
+             'IAT hooking — import table redirected'),
+            ('unreachable_file', 'high',
+             'Module not backed by a reachable file on disk'),
+            ('other', 'medium', 'Unclassified in-memory anomaly')
+        ) AS a(atype, sev, d0)
+    ) WHERE n > 0
+), yara AS (
+    SELECT 'yara_x',
+           CASE lower(trim(coalesce(meta.severity, 'high')))
+               WHEN 'critical' THEN 'critical' WHEN 'high' THEN 'high'
+               WHEN 'medium' THEN 'medium' WHEN 'low' THEN 'low'
+               WHEN 'informational' THEN 'info' WHEN 'info' THEN 'info'
+               ELSE 'high' END,
+           'YARA: ' || rule,
+           file,
+           printf('%s — matched in %s',
+                  coalesce(meta.description,
+                           printf('YARA rule ''%s'' matched', rule)), file)
+    FROM (
+        SELECT m.rule AS rule, coalesce(m.file, 'unknown') AS file,
+               m.metadata AS meta
+        FROM (SELECT unnest(matches) AS m FROM read_json('{_YARA}',
+            columns={{'matches':
+            'STRUCT(rule VARCHAR, file VARCHAR, metadata STRUCT(severity VARCHAR,
+             description VARCHAR, mitre_attack VARCHAR), path VARCHAR,
+             rules STRUCT(identifier VARCHAR, metadata STRUCT(severity VARCHAR,
+             description VARCHAR, mitre_attack VARCHAR))[])[]'}}))
+        WHERE m.rule IS NOT NULL
+        UNION ALL
+        SELECT coalesce(r.identifier, 'unknown_rule'),
+               coalesce(m.path, 'unknown'), r.metadata
+        FROM (SELECT unnest(matches) AS m FROM read_json('{_YARA}',
+            columns={{'matches':
+            'STRUCT(rule VARCHAR, file VARCHAR, metadata STRUCT(severity VARCHAR,
+             description VARCHAR, mitre_attack VARCHAR), path VARCHAR,
+             rules STRUCT(identifier VARCHAR, metadata STRUCT(severity VARCHAR,
+             description VARCHAR, mitre_attack VARCHAR))[])[]'}})),
+             UNNEST(m.rules) AS t(r)
+        WHERE m.rule IS NULL AND m.rules IS NOT NULL
+    )
+), dlls AS (
+    SELECT 'listdlls', 'medium',
+           'ListDLLs: unsigned DLL in ' || process,
+           dll_path,
+           printf('Unsigned DLL loaded into %s (PID %s): %s',
+                  process, pid, dll_path)
+    FROM (
+        WITH lines AS (
+            SELECT trim(line) AS line, row_number() OVER () AS pos
+            FROM {_SQL_LINES.format(path=_LISTDLLS)}
+        ), tagged AS (
+            SELECT line, pos,
+                   last_value(CASE WHEN regexp_matches(line, '(?i)^.*\\bpid:\\s*\\d+')
+                        THEN trim(regexp_extract(line, '(?i)^(.*?)\\s*pid:', 1)) END
+                        IGNORE NULLS) OVER w AS process,
+                   last_value(CASE WHEN regexp_matches(line, '(?i)^.*\\bpid:\\s*\\d+')
+                        THEN trim(regexp_extract(line, '(?i)pid:\\s*(\\d+)', 1)) END
+                        IGNORE NULLS) OVER w AS pid
+            FROM lines
+            WINDOW w AS (ORDER BY pos ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT process, pid,
+               regexp_extract(line, '^0x\\S+\\s+0x\\S+\\s+\\S+\\s+(.*)$', 1) AS dll_path
+        FROM tagged
+        WHERE line LIKE '0x%' AND process IS NOT NULL
+          AND regexp_extract(line, '^0x\\S+\\s+0x\\S+\\s+\\S+\\s+(.*)$', 1) <> ''
+    )
+), allf AS (
+    SELECT * FROM hay WHERE severity <> 'info'
+    UNION ALL SELECT * FROM clam
+    UNION ALL SELECT * FROM sig
+    UNION ALL SELECT * FROM auto
+    UNION ALL (SELECT * FROM chain WHERE sev <> 'info')
+    UNION ALL SELECT * FROM hol
+    UNION ALL SELECT * FROM yara
+    UNION ALL SELECT * FROM dlls
+)
+SELECT sha256(concat_ws(chr(31), tool_name, title, target, description))
+           AS finding_id,
+       tool_name, severity, title, target, description,
+       CASE severity WHEN 'critical' THEN 0 WHEN 'high' THEN 1
+                     WHEN 'medium' THEN 2 WHEN 'low' THEN 3 ELSE 4 END AS rnk
+FROM allf
+ORDER BY rnk, title, target, description
+LIMIT 100
+""",
+)
+def findings_pipeline_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DAILY PIPELINE as one oracle row: every tool
+    dump under the fixtures dir normalized (all 8 sources), unioned
+    into the findings fact table, severity-ranked and top-K'd — the
+    run_audit_pipeline composition
+    (/root/reference/src/audit/pipeline.py:124-316) end-to-end,
+    value-hashed against DuckDB replaying all 8 normalizers in SQL
+    (finding_id hashes included). Individual normalizers stay graded
+    or sim-checked on their own; this is the cross-source integration
+    gate the reference actually ships as its core workload."""
+    from filesystemagent_spark.operators.relational import rank_by_map
+    from filesystemagent_spark.plans.pipeline import run_audit_pipeline
+    from filesystemagent_spark.schemas import SEVERITY_RANK
+
+    res = run_audit_pipeline(spark, FIX)
+    ranked = rank_by_map(res.findings, "severity", SEVERITY_RANK, rank_col="rnk")
+    return (
+        ranked.select(
+            "finding_id", "tool_name", "severity", "title", "target",
+            "description", "rnk",
+        )
+        .orderBy("rnk", "title", "target", "description")
+        .limit(100)
+    )

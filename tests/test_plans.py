@@ -525,3 +525,13 @@ def test_txtable_dml_snapshot_scan_prunes_columns(spark, sf_dir):
     assert snapshot_scans, plan
     for s in snapshot_scans:
         assert "props" not in s and "ts:" not in s, s
+
+
+def test_hard_example_mining_single_scored_pass(spark, sf_dir):
+    """Round-6 fix: both rank directions (hard negatives desc, hard
+    positives asc) ride ONE window family over the scored
+    broadcast-crossJoin — the cosine-scoring scan must appear once per
+    side (2 Locations total: query side + corpus side), not once per
+    branch (4 in the round-5 shape)."""
+    plan = formatted_plan(QUERIES["embedding_hard_examples"].fn(spark, sf_dir))
+    assert plan.count("Location:") <= 2, plan

@@ -537,3 +537,27 @@ def test_vector_kernels_null_propagate_bad_rows(spark):
     got2 = {r.id: r.s for r in df.select("id", sigs("v").alias("s")).collect()}
     assert got2[2] is None and got2[3] is None
     assert got2[1] == [3]  # plane0 dot=1 >= 0; plane1 dot=+0.0 >= 0 -> both bits
+
+
+def test_hard_example_ann_twin_agreement(spark, sf_dir):
+    """Round 6: the ANN-candidate twin must agree with the exact miner
+    on >=0.9 of the mined (kind, query, neighbor) set — positives are
+    exact by construction (label-equi-join), negatives ride the
+    widened sign-LSH candidate pool."""
+    from filesystemagent_spark.queries import registry
+
+    reg = registry()
+    exact = {
+        (r.kind, r.query_id, r.neighbor_id)
+        for r in reg["embedding_hard_examples"].fn(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.kind, r.query_id, r.neighbor_id)
+        for r in reg["embedding_hard_examples_ann"].fn(spark, sf_dir).collect()
+    }
+    assert exact
+    agreement = len(exact & ann) / len(exact)
+    assert agreement >= 0.9, f"mined-set agreement {agreement:.3f} < 0.9"
+    pos_exact = {t for t in exact if t[0] == "hard_positive"}
+    pos_ann = {t for t in ann if t[0] == "hard_positive"}
+    assert pos_exact == pos_ann  # positives take no approximation

@@ -334,8 +334,8 @@ def embedding_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesystemagent_spark.operators.similarity import knn_bruteforce_int8
 
     emb = Catalog(spark, sf_dir).embeddings
-    queries = emb.filter(F.col("vec_id") < 10)
-    return knn_bruteforce_int8(queries, emb, k=5).orderBy("query_id", "rnk")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_bruteforce_int8(queries, emb, k=K).orderBy("query_id", "rnk")
 
 
 @register("embedding_knn_ivf_kmeans", tags=("vector", "ivf", "kmeans", "approx"))

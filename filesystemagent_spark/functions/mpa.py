@@ -101,6 +101,24 @@ _L2_LAYOUTS = {
 }
 
 
+# Vectorized-decode views of _L2_LAYOUTS: per-subband nbal widths and a
+# dense (sblimit, 16) allocation-code -> nlevels matrix (codes are
+# < 2^nbal <= 16; unused cells stay 0 = no allocation).
+_L2_LAYOUT_ARRAYS: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _l2_layout_arrays(table_id: str) -> tuple[np.ndarray, np.ndarray]:
+    got = _L2_LAYOUT_ARRAYS.get(table_id)
+    if got is None:
+        layout = _L2_LAYOUTS[table_id]
+        nbal = np.array([n for n, _ in layout], dtype=np.int64)
+        row = np.zeros((len(layout), 16), dtype=np.int64)
+        for sb, (_, r) in enumerate(layout):
+            row[sb, : len(r)] = r
+        got = _L2_LAYOUT_ARRAYS[table_id] = (nbal, row)
+    return got
+
+
 def _l2_table_id(rate: int, bitrate_kbps: int, nch: int) -> str:
     """Table selection per ISO/IEC 11172-3 §2.4.2.6 (the 'Table B.2x'
     choice is a pure function of sample rate and kbps PER CHANNEL —
@@ -215,6 +233,32 @@ class _BitReader:
         return v
 
 
+def _read_eq(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Gather len(starts) MSB-first fields of `width` bits each from an
+    unpacked bit array — one fancy-indexed read + one matvec, replacing
+    a per-bit Python loop per field (the round-5 sweep's decode hot
+    spot: ~2850 `_BitReader.read` calls per Layer II frame)."""
+    if width == 0 or len(starts) == 0:
+        return np.zeros(len(starts), dtype=np.int64)
+    bp = np.asarray(starts)[:, None] + np.arange(width)[None, :]
+    return bits[bp].astype(np.int64) @ (1 << np.arange(width - 1, -1, -1))
+
+
+def _read_var(bits: np.ndarray, pos: int, widths: np.ndarray) -> tuple[np.ndarray, int]:
+    """Sequential variable-width fields: batched per distinct width."""
+    widths = np.asarray(widths, dtype=np.int64)
+    if len(widths) == 0:
+        return np.zeros(0, dtype=np.int64), pos
+    ends = pos + np.cumsum(widths)
+    starts = ends - widths
+    vals = np.zeros(len(widths), dtype=np.int64)
+    for w in np.unique(widths):
+        if w:
+            m = widths == w
+            vals[m] = _read_eq(bits, starts[m], int(w))
+    return vals, int(ends[-1])
+
+
 def _dequant(raw: np.ndarray, nb: int) -> np.ndarray:
     """(2^nb - 1)-level midtread requantization (spec 2.4.3.3):
     s'' = (2^nb / (2^nb - 1)) * ((raw + 1) * 2^(1-nb) - 1)."""
@@ -230,73 +274,79 @@ def _decode_frame_l2(
     Sample extraction is vectorized the same way as Layer I's: all 12
     granules share one bit layout, so each slot gathers its 12 codes
     in one indexed read."""
-    r = _BitReader(frame, 32 + (16 if protection == 0 else 0))
-    layout = _L2_LAYOUTS[table_id]
-    sbl = len(layout)
-    alloc = np.zeros((sbl, nch), dtype=np.int64)  # nlevels, 0 = none
-    for sb in range(sbl):
-        nbal, row = layout[sb]
-        for ch in range(nch):
-            alloc[sb, ch] = row[r.read(nbal)]
-    scfsi = np.zeros((sbl, nch), dtype=np.int64)
-    for sb in range(sbl):
-        for ch in range(nch):
-            if alloc[sb, ch]:
-                scfsi[sb, ch] = r.read(2)
+    bits = np.unpackbits(np.frombuffer(frame, dtype=np.uint8))
+    pos = 32 + (16 if protection == 0 else 0)
+    nbal_arr, row_mat = _l2_layout_arrays(table_id)
+    sbl = len(nbal_arr)
+    # allocation: field widths are fixed by the layout (sb-major,
+    # ch-minor), so every alloc code gathers in one batched read
+    codes, pos = _read_var(bits, pos, np.repeat(nbal_arr, nch))
+    sb_of = np.repeat(np.arange(sbl), nch)
+    ch_of = np.tile(np.arange(nch), sbl)
+    alloc_flat = row_mat[sb_of, codes]  # nlevels, 0 = none
+    alloc = alloc_flat.reshape(sbl, nch)
+    am = alloc_flat > 0
+    n_alloc = int(am.sum())
+    # scfsi: 2 bits per allocated slot, positions now known
+    scfsi_a = _read_eq(bits, pos + 2 * np.arange(n_alloc), 2)
+    pos += 2 * n_alloc
+    # scalefactors: scfsi selects how many 6-bit reads each slot makes
+    # (0 -> 3 reads a,b,c; 1 -> 2 reads a=b,c; 2 -> 1 read a=b=c;
+    # 3 -> 2 reads a,b=c); read the whole 6-bit run once, then map
+    # each part to its read by per-pattern offset
+    nreads = np.array([3, 2, 1, 2])[scfsi_a]
+    b_off = np.array([1, 0, 0, 1])[scfsi_a]
+    c_off = np.array([2, 1, 0, 1])[scfsi_a]
+    total_reads = int(nreads.sum())
+    reads = _read_eq(bits, pos + 6 * np.arange(total_reads), 6)
+    pos += 6 * total_reads
+    first = np.concatenate([[0], np.cumsum(nreads)[:-1]]).astype(np.int64)
     scf = np.ones((3, sbl, nch))
-    for sb in range(sbl):
-        for ch in range(nch):
-            if not alloc[sb, ch]:
-                continue
-            si = int(scfsi[sb, ch])
-            if si == 0:
-                a, b2, c = r.read(6), r.read(6), r.read(6)
-            elif si == 1:
-                a = b2 = r.read(6)
-                c = r.read(6)
-            elif si == 2:
-                a = b2 = c = r.read(6)
-            else:
-                a = r.read(6)
-                b2 = c = r.read(6)
-            for part, idx in enumerate((a, b2, c)):
-                scf[part, sb, ch] = _SCALEFACTORS[min(idx, 62)]
+    if n_alloc:
+        idx3 = np.stack([first, first + b_off, first + c_off])  # (3, n_alloc)
+        scf[:, am.reshape(sbl, nch)] = _SCALEFACTORS[np.minimum(reads[idx3], 62)]
     # One granule = 3 samples per allocated (sb, ch); fixed record.
-    slots = [
-        (sb, ch, int(alloc[sb, ch]), *_L2_CLASS[int(alloc[sb, ch])])
-        for sb in range(sbl)
-        for ch in range(nch)
-        if alloc[sb, ch]
-    ]  # (sb, ch, nlevels, grouped, code_bits)
-    granule_bits = sum(
-        (bits if grouped else 3 * bits) for _, _, _, grouped, bits in slots
-    )
-    base = r.pos + granule_bits * np.arange(12)
+    # Slots batch by quantizer class — (grouped, code_bits) determines
+    # nlevels uniquely in B.2 — so each class is one gather + one matvec
+    # over (slots_in_class, 12 granules, [3,] bits).
+    sb_a, ch_a = sb_of[am], ch_of[am]
+    n_a = alloc_flat[am]
+    grouped_a = np.isin(n_a, (3, 5, 9))
+    bits_a = np.array([_L2_CLASS[int(n)][1] for n in n_a], dtype=np.int64)
+    w_a = np.where(grouped_a, bits_a, 3 * bits_a)
+    off_a = np.concatenate([[0], np.cumsum(w_a)[:-1]]).astype(np.int64)
+    granule_bits = int(w_a.sum())
+    base = pos + granule_bits * np.arange(12)
     # Truncated final frame: the fancy-indexed gather below would raise
     # a bare IndexError, escaping the decode ladder's ValueError-only
     # contract (multimodal catches ValueError to fall back gracefully).
-    if slots and int(base[-1]) + granule_bits > len(r.bits):
+    if n_alloc and int(base[-1]) + granule_bits > len(bits):
         raise ValueError("truncated Layer II frame")
     S = np.zeros((36, 32, nch))
     gr_part = np.arange(12) // 4  # scalefactor part per granule
-    off = 0
-    for sb, ch, n, grouped, bits in slots:
-        sf = scf[gr_part, sb, ch]  # (12,)
-        if grouped:
-            bit_pos = base[:, None] + off + np.arange(bits)[None, :]
-            code = r.bits[bit_pos].astype(np.int64) @ (1 << np.arange(bits - 1, -1, -1))
-            vals = np.stack([code % n, (code // n) % n, (code // (n * n)) % n], axis=1)
-            off += bits
+    sf_a = scf[gr_part[:, None], sb_a[None, :], ch_a[None, :]]  # (12, n_alloc)
+    for key in {(bool(g), int(w)) for g, w in zip(grouped_a, bits_a)}:
+        g, w = key
+        m = (grouped_a == g) & (bits_a == w)
+        n = int(n_a[np.argmax(m)])
+        if g:
+            bp = base[None, :, None] + off_a[m][:, None, None] + np.arange(w)
+            code = bits[bp].astype(np.int64) @ (1 << np.arange(w - 1, -1, -1))
+            vals = np.stack(
+                [code % n, (code // n) % n, (code // (n * n)) % n], axis=2
+            )  # (k, 12, 3)
         else:
-            bit_pos = (
-                base[:, None, None]
-                + off
-                + (np.arange(3) * bits)[None, :, None]
-                + np.arange(bits)[None, None, :]
+            bp = (
+                base[None, :, None, None]
+                + off_a[m][:, None, None, None]
+                + (np.arange(3) * w)[None, None, :, None]
+                + np.arange(w)
             )
-            vals = r.bits[bit_pos].astype(np.int64) @ (1 << np.arange(bits - 1, -1, -1))
-            off += 3 * bits
-        S[:, sb, ch] = (sf[:, None] * ((2.0 * vals + 1.0 - n) / n)).reshape(-1)
+            vals = bits[bp].astype(np.int64) @ (1 << np.arange(w - 1, -1, -1))
+        deq = (2.0 * vals + 1.0 - n) / n                      # (k, 12, 3)
+        S[:, sb_a[m], ch_a[m]] = (
+            (sf_a[:, m].T[:, :, None] * deq).reshape(m.sum(), 36).T
+        )
     return S
 
 
@@ -352,40 +402,37 @@ def decode_mpa(b: bytes) -> tuple[int, int, np.ndarray, str]:
         nch = 1 if mode == 0x3 else 2
         frame_len = (12 * bitrate // rate + padding) * 4
         frame = b[pos : pos + frame_len]
-        r = _BitReader(frame, 32 + (16 if protection == 0 else 0))
-        alloc = np.array(
-            [[r.read(4) for _ in range(nch)] for _ in range(32)]
-        )  # (32, nch); intensity-stereo bound not used by our encoder
-        nbits = np.where(alloc > 0, alloc + 1, 0)
-        scf_idx = np.zeros((32, nch), dtype=np.int64)
-        for sb in range(32):
-            for ch in range(nch):
-                if alloc[sb, ch]:
-                    scf_idx[sb, ch] = r.read(6)
-        scf = _SCALEFACTORS[np.minimum(scf_idx, 62)]
+        bits = np.unpackbits(np.frombuffer(frame, dtype=np.uint8))
+        bpos = 32 + (16 if protection == 0 else 0)
+        # allocation: 32*nch fixed 4-bit fields -> one batched gather
+        # (sb-major, ch-minor); intensity-stereo bound unused here
+        alloc_flat = _read_eq(bits, bpos + 4 * np.arange(32 * nch), 4)
+        bpos += 4 * 32 * nch
+        am = alloc_flat > 0
+        n_alloc = int(am.sum())
+        sb_a = np.repeat(np.arange(32), nch)[am]
+        ch_a = np.tile(np.arange(nch), 32)[am]
+        scf_idx = np.zeros(32 * nch, dtype=np.int64)
+        scf_idx[am] = _read_eq(bits, bpos + 6 * np.arange(n_alloc), 6)
+        bpos += 6 * n_alloc
+        scf = _SCALEFACTORS[np.minimum(scf_idx, 62)].reshape(32, nch)
         S = np.zeros((12, 32, nch))
         # Vectorized sample extraction: each granule is a fixed record
-        # of the allocated (sb, ch) slots in order; gather each slot's
-        # bit positions across all 12 granules at once.
-        slots = [
-            (sb, ch, int(nbits[sb, ch]))
-            for sb in range(32)
-            for ch in range(nch)
-            if nbits[sb, ch]
-        ]
-        granule_bits = sum(w for _, _, w in slots)
-        base = r.pos + granule_bits * np.arange(12)
+        # of the allocated (sb, ch) slots in order; slots batch by
+        # sample width, each width one gather across all 12 granules.
+        w_a = alloc_flat[am] + 1
+        off_a = np.concatenate([[0], np.cumsum(w_a)[:-1]]).astype(np.int64)
+        granule_bits = int(w_a.sum())
+        base = bpos + granule_bits * np.arange(12)
         # same truncation guard as Layer II: ValueError, never a bare
         # IndexError out of the fancy-indexed gather
-        if slots and int(base[-1]) + granule_bits > len(r.bits):
+        if n_alloc and int(base[-1]) + granule_bits > len(bits):
             raise ValueError("truncated Layer I frame")
-        off = 0
-        for sb, ch, w in slots:
-            bit_pos = base[:, None] + off + np.arange(w)[None, :]
-            raw = r.bits[bit_pos].astype(np.int64) @ (1 << np.arange(w - 1, -1, -1))
-            S[:, sb, ch] = _dequant(raw.astype(np.float64), w)
-            off += w
-        r.pos += 12 * granule_bits
+        for w in np.unique(w_a):
+            m = w_a == w
+            bp = base[None, :, None] + off_a[m][:, None, None] + np.arange(w)
+            raw = bits[bp].astype(np.int64) @ (1 << np.arange(w - 1, -1, -1))
+            S[:, sb_a[m], ch_a[m]] = _dequant(raw.astype(np.float64), int(w)).T
         subbands.append(S * scf[None, :, :])
         pos += frame_len
     if not subbands or rate is None:
@@ -461,6 +508,15 @@ def encode_mpa(samples: np.ndarray, rate: int) -> bytes:
         (0x7FF << 21) | (0x3 << 19) | (0x3 << 17) | (1 << 16)  # no CRC
         | (bi << 12) | (_RATE_IDX[rate] << 10) | (mode << 6)
     )
+    # Static head layout (header + constant alloc + per-frame scf
+    # indices): precompute the bit -> (field, shift) map once so each
+    # frame's head packs with one gather (same trick as encode_mp2 —
+    # the per-field _BitWriter loop was ~5 ms/stream of pure Python).
+    head_widths = [32] + [4] * (32 * nch) + [6] * (32 * nch)
+    hw = np.array(head_widths, dtype=np.int64)
+    h_fob = np.repeat(np.arange(len(hw)), hw)
+    h_sob = np.concatenate([np.arange(w - 1, -1, -1) for w in head_widths])
+    head_static = np.array([header] + [nb - 1] * (32 * nch), dtype=np.int64)
     frames = []
     for f in range(nframes):
         Sf = S[f * 12 : (f + 1) * 12]  # (12, 32, nch)
@@ -470,15 +526,8 @@ def encode_mpa(samples: np.ndarray, rate: int) -> bytes:
         idx = np.clip(idx, 0, 62)
         scf = _SCALEFACTORS[idx]
         q = _quant(Sf / scf[None, :, :], nb)  # (12, 32, nch)
-        w = _BitWriter()
-        w.write(header, 32)
-        for sb in range(32):
-            for ch in range(nch):
-                w.write(nb - 1, 4)
-        for sb in range(32):
-            for ch in range(nch):
-                w.write(int(idx[sb, ch]), 6)
-        head_bits = np.array(w.out, dtype=np.uint8)
+        V = np.concatenate([head_static, idx.reshape(-1)])
+        head_bits = ((V[h_fob] >> h_sob) & 1).astype(np.uint8)
         # Vectorized sample packing: flat (g, sb, ch) order, nb bits each
         flat = q.reshape(-1)
         sample_bits = (
@@ -605,35 +654,45 @@ def encode_mp2(
     )
     pad = np.zeros(total_bits - int(W.sum()), dtype=np.int64)
 
-    frames = []
+    # All frames quantize and pack in one vectorized pass (the static
+    # allocation makes every frame's field layout identical): per-slot
+    # ops batch over the frame axis, then one bit gather + one
+    # axis-aware packbits emits the whole stream.
     gr_part = np.arange(12) // 4
-    for f in range(nframes):
-        Sf = S[f * 36 : (f + 1) * 36]  # (36, 32, nch)
-        parts = Sf.reshape(3, 12, 32, nch)
-        maxabs = np.abs(parts).max(axis=1)  # (3, 32, nch)
-        idx = np.searchsorted(
-            -_SCALEFACTORS, -np.minimum(maxabs, 2.0), side="right"
-        ) - 1
-        idx = np.clip(idx, 0, 62)
-        scf = _SCALEFACTORS[idx]  # (3, 32, nch)
-        # quantize every (granule, sample, subband, channel) at once,
-        # then lay the per-granule fields out in sb -> ch order (the
-        # bitstream order; grouped slots pack 3 samples into one code)
-        tri_all = Sf.reshape(12, 3, 32, nch)
-        sc_all = scf[gr_part]  # (12, 32, nch)
-        blocks = []  # per sb: (12, nch or nch*3)
-        for sb, nlev, grouped, _bits in slots:
-            s = tri_all[:, :, sb, :] / sc_all[:, None, sb, :]  # (12, 3, nch)
-            q = np.clip(
-                np.rint((s * nlev + nlev - 1.0) / 2.0), 0, nlev - 1
-            ).astype(np.int64)
-            if grouped:
-                blocks.append(q[:, 0] + nlev * q[:, 1] + nlev * nlev * q[:, 2])
-            else:
-                blocks.append(q.transpose(0, 2, 1).reshape(12, -1))
-        gran_vals = np.concatenate(blocks, axis=1).ravel()
-        scf_vals = idx[:, :sbl, :].transpose(1, 2, 0).ravel()  # sb -> ch -> part
-        V = np.concatenate([static_head, scf_vals, gran_vals])
-        bits = np.concatenate([(V[field_of_bit] >> shift_of_bit) & 1, pad])
-        frames.append(np.packbits(bits.astype(np.uint8)).tobytes())
-    return b"".join(frames)
+    Sall = S[: nframes * 36].reshape(nframes, 3, 12, 32, nch)
+    maxabs = np.abs(Sall).max(axis=2)  # (F, 3, 32, nch)
+    idx = np.searchsorted(
+        -_SCALEFACTORS, -np.minimum(maxabs, 2.0), side="right"
+    ) - 1
+    idx = np.clip(idx, 0, 62)
+    scf = _SCALEFACTORS[idx]  # (F, 3, 32, nch)
+    # quantize every (frame, granule, sample, subband, channel) at
+    # once, then lay the per-granule fields out in sb -> ch order (the
+    # bitstream order; grouped slots pack 3 samples into one code)
+    tri_all = S[: nframes * 36].reshape(nframes, 12, 3, 32, nch)
+    sc_all = scf[:, gr_part]  # (F, 12, 32, nch)
+    blocks = []  # per sb: (F, 12, nch or nch*3)
+    for sb, nlev, grouped, _bits in slots:
+        s = tri_all[:, :, :, sb, :] / sc_all[:, :, None, sb, :]  # (F, 12, 3, nch)
+        q = np.clip(
+            np.rint((s * nlev + nlev - 1.0) / 2.0), 0, nlev - 1
+        ).astype(np.int64)
+        if grouped:
+            blocks.append(q[:, :, 0] + nlev * q[:, :, 1] + nlev * nlev * q[:, :, 2])
+        else:
+            blocks.append(q.transpose(0, 1, 3, 2).reshape(nframes, 12, -1))
+    gran_vals = np.concatenate(blocks, axis=2).reshape(nframes, -1)
+    scf_vals = (
+        idx[:, :, :sbl, :].transpose(0, 2, 3, 1).reshape(nframes, -1)
+    )  # sb -> ch -> part
+    V = np.concatenate(
+        [np.broadcast_to(static_head, (nframes, len(static_head))),
+         scf_vals, gran_vals],
+        axis=1,
+    )
+    bits = np.concatenate(
+        [(V[:, field_of_bit] >> shift_of_bit) & 1,
+         np.broadcast_to(pad, (nframes, len(pad)))],
+        axis=1,
+    )
+    return np.packbits(bits.astype(np.uint8), axis=1).tobytes()

@@ -95,8 +95,15 @@ GRADE_ORDER = (
     "doc_span_dedup",
     # correlated LATERAL subquery (round-2 SQL surface)
     "orders_lateral_topk",
-    # structured-streaming gates (real readStream → sink, SQL oracle)
+    # structured-streaming gates (real readStream → sink, SQL oracle).
+    # Round 6 adds the LATE-DATA ACCOUNTING gate: 3 controlled
+    # micro-batches (full table → tick at max ts → deliberate
+    # stragglers), append-mode eviction, and the engine's
+    # numRowsDroppedByWatermark metrics value-hashed against a DuckDB
+    # replay of the exact staging recipe — proving late rows drop in
+    # exactly the number the spec implies.
     "events_stream_tumbling",
+    "events_stream_late_accounting",
     "events_stream_sessions",
     "events_stream_dedup_keys",
     "events_stream_interval_join",
@@ -185,7 +192,13 @@ GRADE_ORDER = (
     "doc_gif_video_dedup",
     # baseline diff + severity ranking (reference's core analyzers)
     "baseline_diff_users",
-    "event_findings_ranked",
+    # round 6: event_findings_ranked — "the findings pipeline in
+    # miniature" (its own docstring) over the events table — is
+    # displaced by the late-data accounting gate above. Its
+    # P18→P4→F12→W3 chain (normalize → severity-map rank → top
+    # slice) is now graded on the REAL findings machinery by
+    # findings_pipeline_ranked below; the miniature stays registered
+    # + sim-checked.
     # round 6: the reference's DAILY PIPELINE as one graded row — all
     # 8 tool dumps normalized, unioned, severity-ranked (the
     # run_audit_pipeline composition, src/audit/pipeline.py:124-316),

@@ -301,3 +301,66 @@ def test_stream_on_empty_dir_idles_until_files_arrive(spark, tmp_path):
     assert stream.isStreaming
     got = drain(spark, S.windowed_counts(stream), "empty_sink", tmp_path, "complete")
     assert got.count() == 0
+
+
+def test_watermark_drop_accounting_is_exact(spark, tmp_path):
+    """Pins the semantics events_stream_late_accounting relies on
+    (found empirically, round 6): numRowsDroppedByWatermark counts
+    dropped aggregation KEYS, so with singleton keys (window,
+    event_id) it equals the raw late-row count exactly; and a
+    straggler is only dropped when the watermark crossed its window
+    end in an EARLIER batch (same-batch arrivals merge before
+    eviction), which the tick batch forces."""
+    import json
+    import time
+
+    src_dir = tmp_path / "acct_events"
+    src_dir.mkdir()
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    mk = lambda i, ts, et: (i, ts, 1, et, 1.0, "{}")
+    batches = [
+        # b0: max ts 16:00 -> watermark becomes 15:00 for later batches
+        [mk(1, base, "click"), mk(2, base + dt.timedelta(hours=4), "click")],
+        # b1: tick at max ts — W crosses, noon window evicts/emits
+        [mk(3, base + dt.timedelta(hours=4), "click")],
+        # b2: three stragglers in the SAME noon window (all late) plus
+        # one within-watermark row — exactly 3 must be counted dropped
+        [mk(10, base + dt.timedelta(minutes=5), "click"),
+         mk(11, base + dt.timedelta(minutes=6), "click"),
+         mk(12, base + dt.timedelta(minutes=7), "click"),
+         mk(13, base + dt.timedelta(hours=3, minutes=30), "click")],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        d = src_dir / f"b{i}"
+        spark.createDataFrame(rows, S.EVENT_SCHEMA).coalesce(1).write.parquet(str(d))
+        for part in d.glob("part-*.parquet"):
+            os.utime(part, (now - 100 + i * 10, now - 100 + i * 10))
+    stream = (
+        spark.readStream.schema(S.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "b*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("acct_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_acct"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        for so in d.get("stateOperators", []):
+            dropped += int(so.get("numRowsDroppedByWatermark", 0))
+    assert dropped == 3
+    # emitted = finalized noon window's singleton groups from b0 only
+    emitted = spark.table("acct_sink")
+    assert {r["event_id"] for r in emitted.collect()} == {1}

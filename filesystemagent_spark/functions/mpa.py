@@ -237,10 +237,19 @@ def _read_eq(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
     """Gather len(starts) MSB-first fields of `width` bits each from an
     unpacked bit array — one fancy-indexed read + one matvec, replacing
     a per-bit Python loop per field (the round-5 sweep's decode hot
-    spot: ~2850 `_BitReader.read` calls per Layer II frame)."""
+    spot: ~2850 `_BitReader.read` calls per Layer II frame).
+
+    Truncated input raises ValueError, not a bare IndexError out of the
+    fancy index: the decode-ladder contract (multimodal catches
+    ValueError to fall back gracefully) — the pre-vectorization
+    per-field reads degraded to short slices, which the explicit
+    sample-gather guards then caught; batched gathers must check."""
     if width == 0 or len(starts) == 0:
         return np.zeros(len(starts), dtype=np.int64)
-    bp = np.asarray(starts)[:, None] + np.arange(width)[None, :]
+    starts = np.asarray(starts)
+    if int(starts.max()) + width > len(bits):
+        raise ValueError("truncated MPEG-1 audio frame")
+    bp = starts[:, None] + np.arange(width)[None, :]
     return bits[bp].astype(np.int64) @ (1 << np.arange(width - 1, -1, -1))
 
 
@@ -284,7 +293,6 @@ def _decode_frame_l2(
     sb_of = np.repeat(np.arange(sbl), nch)
     ch_of = np.tile(np.arange(nch), sbl)
     alloc_flat = row_mat[sb_of, codes]  # nlevels, 0 = none
-    alloc = alloc_flat.reshape(sbl, nch)
     am = alloc_flat > 0
     n_alloc = int(am.sum())
     # scfsi: 2 bits per allocated slot, positions now known
@@ -652,47 +660,61 @@ def encode_mp2(
         + [0] * (sbl * nch),
         dtype=np.int64,
     )
-    pad = np.zeros(total_bits - int(W.sum()), dtype=np.int64)
+    pad = np.zeros(total_bits - int(W.sum()), dtype=np.uint8)
 
-    # All frames quantize and pack in one vectorized pass (the static
+    # Frames quantize and pack in vectorized CHUNKS (the static
     # allocation makes every frame's field layout identical): per-slot
     # ops batch over the frame axis, then one bit gather + one
-    # axis-aware packbits emits the whole stream.
+    # axis-aware packbits emits each chunk. Chunking bounds peak
+    # memory — the one-pass form held (F, total_bits) int64
+    # temporaries, ~64x the encoded output size, an OOM risk inside a
+    # Spark task on long streams; the speedup comes from batching
+    # fields, not from holding every frame at once. ~512 frames/chunk
+    # keeps the working set at a few MB with the same throughput.
     gr_part = np.arange(12) // 4
-    Sall = S[: nframes * 36].reshape(nframes, 3, 12, 32, nch)
-    maxabs = np.abs(Sall).max(axis=2)  # (F, 3, 32, nch)
-    idx = np.searchsorted(
-        -_SCALEFACTORS, -np.minimum(maxabs, 2.0), side="right"
-    ) - 1
-    idx = np.clip(idx, 0, 62)
-    scf = _SCALEFACTORS[idx]  # (F, 3, 32, nch)
-    # quantize every (frame, granule, sample, subband, channel) at
-    # once, then lay the per-granule fields out in sb -> ch order (the
-    # bitstream order; grouped slots pack 3 samples into one code)
-    tri_all = S[: nframes * 36].reshape(nframes, 12, 3, 32, nch)
-    sc_all = scf[:, gr_part]  # (F, 12, 32, nch)
-    blocks = []  # per sb: (F, 12, nch or nch*3)
-    for sb, nlev, grouped, _bits in slots:
-        s = tri_all[:, :, :, sb, :] / sc_all[:, :, None, sb, :]  # (F, 12, 3, nch)
-        q = np.clip(
-            np.rint((s * nlev + nlev - 1.0) / 2.0), 0, nlev - 1
-        ).astype(np.int64)
-        if grouped:
-            blocks.append(q[:, :, 0] + nlev * q[:, :, 1] + nlev * nlev * q[:, :, 2])
-        else:
-            blocks.append(q.transpose(0, 1, 3, 2).reshape(nframes, 12, -1))
-    gran_vals = np.concatenate(blocks, axis=2).reshape(nframes, -1)
-    scf_vals = (
-        idx[:, :, :sbl, :].transpose(0, 2, 3, 1).reshape(nframes, -1)
-    )  # sb -> ch -> part
-    V = np.concatenate(
-        [np.broadcast_to(static_head, (nframes, len(static_head))),
-         scf_vals, gran_vals],
-        axis=1,
-    )
-    bits = np.concatenate(
-        [(V[:, field_of_bit] >> shift_of_bit) & 1,
-         np.broadcast_to(pad, (nframes, len(pad)))],
-        axis=1,
-    )
-    return np.packbits(bits.astype(np.uint8), axis=1).tobytes()
+    chunk = max(1, (1 << 23) // total_bits)
+    out: list[bytes] = []
+    for f0 in range(0, nframes, chunk):
+        f1 = min(f0 + chunk, nframes)
+        nf = f1 - f0
+        Sc = S[f0 * 36 : f1 * 36]
+        parts = Sc.reshape(nf, 3, 12, 32, nch)
+        maxabs = np.abs(parts).max(axis=2)  # (nf, 3, 32, nch)
+        idx = np.searchsorted(
+            -_SCALEFACTORS, -np.minimum(maxabs, 2.0), side="right"
+        ) - 1
+        idx = np.clip(idx, 0, 62)
+        scf = _SCALEFACTORS[idx]  # (nf, 3, 32, nch)
+        # quantize every (frame, granule, sample, subband, channel) at
+        # once, then lay the per-granule fields out in sb -> ch order
+        # (the bitstream order; grouped slots pack 3 samples per code)
+        tri_all = Sc.reshape(nf, 12, 3, 32, nch)
+        sc_all = scf[:, gr_part]  # (nf, 12, 32, nch)
+        blocks = []  # per sb: (nf, 12, nch or nch*3)
+        for sb, nlev, grouped, _bits in slots:
+            s = tri_all[:, :, :, sb, :] / sc_all[:, :, None, sb, :]
+            q = np.clip(
+                np.rint((s * nlev + nlev - 1.0) / 2.0), 0, nlev - 1
+            ).astype(np.int64)
+            if grouped:
+                blocks.append(
+                    q[:, :, 0] + nlev * q[:, :, 1] + nlev * nlev * q[:, :, 2]
+                )
+            else:
+                blocks.append(q.transpose(0, 1, 3, 2).reshape(nf, 12, -1))
+        gran_vals = np.concatenate(blocks, axis=2).reshape(nf, -1)
+        scf_vals = (
+            idx[:, :, :sbl, :].transpose(0, 2, 3, 1).reshape(nf, -1)
+        )  # sb -> ch -> part
+        V = np.concatenate(
+            [np.broadcast_to(static_head, (nf, len(static_head))),
+             scf_vals, gran_vals],
+            axis=1,
+        )
+        bits = np.concatenate(
+            [((V[:, field_of_bit] >> shift_of_bit) & 1).astype(np.uint8),
+             np.broadcast_to(pad, (nf, len(pad)))],
+            axis=1,
+        )
+        out.append(np.packbits(bits, axis=1).tobytes())
+    return b"".join(out)

@@ -644,6 +644,16 @@ def findings_pipeline_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesystemagent_spark.schemas import SEVERITY_RANK
 
     res = run_audit_pipeline(spark, FIX)
+    # The pipeline's skip/continue tolerance is an OPERATIONAL choice
+    # (reference pipeline.py:208-213); under the oracle it would turn a
+    # missing fixture or a normalizer error into a quietly shrunken
+    # findings table whose only symptom is an inscrutable hash
+    # mismatch — fail loudly here instead.
+    if res.sources_skipped or res.sources_failed:
+        raise ValueError(
+            f"audit pipeline incomplete: skipped={res.sources_skipped} "
+            f"failed={res.sources_failed}"
+        )
     ranked = rank_by_map(res.findings, "severity", SEVERITY_RANK, rank_col="rnk")
     return (
         ranked.select(

@@ -1307,14 +1307,21 @@ class TxTable:
             if bucket_by:
                 cols, n_buckets = bucket_by
                 files, ddl = self._write_data_bucketed(df, list(cols), n_buckets)
+                # An empty snapshot stages zero bucket files; a spec
+                # pointing at dir '' would make read_bucketed emit
+                # CREATE TABLE ... LOCATION '' — commit WITHOUT the
+                # spec instead, so read() serves the empty snapshot and
+                # read_bucketed raises its designed not-clustered error.
+                bucketing = (
+                    {"cols": list(cols), "n": n_buckets,
+                     "dir": os.path.dirname(files[0])}
+                    if files else None
+                )
                 try:
                     self._try_commit(
                         base + 1, files, ddl, app={"compacted_from": base},
                         new_dirs=_dirs_of(files), census_base={},
-                        bucketing={
-                            "cols": list(cols), "n": n_buckets,
-                            "dir": os.path.dirname(files[0]) if files else "",
-                        },
+                        bucketing=bucketing,
                     )
                     return base + 1
                 except CommitConflict:

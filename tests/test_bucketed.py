@@ -105,3 +105,21 @@ def test_txtable_bucketing_invalidated_by_dml(spark, tmp_path):
     assert t.read_bucketed(spark, version=2).count() == 100
     t.compact(spark, bucket_by=(["k"], 4))
     assert t.read_bucketed(spark).count() == 101
+
+
+def test_bucketed_compact_of_empty_snapshot(spark, tmp_path):
+    """compact(bucket_by=...) on an empty snapshot stages zero bucket
+    files; the manifest must then carry NO bucketing spec (a spec with
+    dir='' made read_bucketed emit CREATE TABLE ... LOCATION '') —
+    read() serves the empty snapshot, read_bucketed raises its
+    designed not-clustered error."""
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 5).selectExpr("id AS k", "id AS v"))
+    t.delete_where(spark, [("k", ">=", 0)])
+    v = t.compact(spark, bucket_by=(["k"], 4))
+    assert t.read(spark, v).count() == 0
+    assert t._read_manifest(v).get("bucketing") is None
+    with pytest.raises(ValueError, match="not bucket-clustered"):
+        t.read_bucketed(spark, v)

@@ -358,3 +358,17 @@ def test_truncated_final_frame_raises_value_error():
     l2 = MP.encode_mp2(_tone(n=1152, rate=48000), 48000)
     with pytest.raises(ValueError, match="truncated"):
         MP.decode_mpa(l2[: len(l2) // 2])
+
+
+def test_truncated_header_region_raises_value_error():
+    """A stream cut inside the HEADER/alloc/scfsi/scalefactor fields
+    (before the sample region) must also raise ValueError — the
+    vectorized _read_eq gathers there would otherwise fancy-index past
+    the bit array and escape as a bare IndexError (round-6 review
+    finding), for both layers."""
+    l1 = MP.encode_mpa(_tone(), 32000)
+    with pytest.raises(ValueError, match="truncated"):
+        MP.decode_mpa(l1[:40])  # header + partial alloc fields
+    l2 = MP.encode_mp2(_tone(n=1152, rate=48000), 48000)
+    with pytest.raises(ValueError, match="truncated"):
+        MP.decode_mpa(l2[:40])

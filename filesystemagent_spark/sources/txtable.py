@@ -140,6 +140,11 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
                     per[name] = [mn, mx]
         for name in unusable:
             per.pop(name, None)
+        # File size as a pseudo-column (real columns can't be named
+        # this; predicates never probe it): segment envelopes then
+        # carry [min_bytes, max_bytes], so bin-packed compaction can
+        # prove an all-large segment skippable without opening it.
+        per["__bytes__"] = [os.path.getsize(f)] * 2
         out[f] = per
     return out
 
@@ -1272,6 +1277,9 @@ class TxTable:
         zorder_bits: int = 12,
         max_retries: int = 10,
         bucket_by: tuple[list[str], int] | None = None,
+        small_file_bytes: int | None = None,
+        target_bytes: int = 128 << 20,
+        where: list[tuple[str, str, object]] | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the current snapshot into `target_files`
         files — optionally Z-order clustered on `zorder_cols` so the
@@ -1296,13 +1304,94 @@ class TxTable:
         compacted with the same spec join Exchange-free on the bucket
         keys. The spec is recorded in the manifest and automatically
         invalidated by any later DML commit (which publishes without
-        it) — the Delta/Iceberg clustered-until-touched contract."""
+        it) — the Delta/Iceberg clustered-until-touched contract.
+
+        ``small_file_bytes`` switches to BOUNDED BIN-PACKING (round
+        6): only files smaller than it are read and repacked toward
+        ``target_bytes`` each; every other file — and every stats
+        segment whose size envelope proves it all-large — carries into
+        the new manifest verbatim, segments as unopened descriptors.
+        A 100 TB table with a small-file tail after streaming ingest
+        compacts in time proportional to the TAIL, not the table
+        (the full rewrite above cannot survive that scale). Files from
+        pre-size-stats manifests are conservatively repacked (one
+        bin-pack refreshes their stats). Dirs whose files were all
+        repacked keep their census entries until a full
+        compact/overwrite prunes them — planning ignores unreferenced
+        entries, so this only costs manifest bytes.
+        `last_compact_info` records what happened.
+
+        ``where`` (bin-pack mode only) scopes the rewrite to files
+        whose stats MAY match the conjunctive predicates — Delta's
+        OPTIMIZE WHERE: on a ts-keyed ingest table, pack yesterday's
+        partition without ever touching cold history. Conservative
+        like every stats test here (missing stats -> in scope)."""
         if bucket_by and zorder_cols:
             raise ValueError("bucket_by and zorder_cols are exclusive")
+        if small_file_bytes is not None and (bucket_by or zorder_cols):
+            raise ValueError(
+                "small_file_bytes composes with neither bucket_by nor "
+                "zorder_cols — bin-packing doesn't re-cluster carried files"
+            )
+        if where is not None and small_file_bytes is None:
+            raise ValueError("where= requires small_file_bytes (bin-pack mode)")
+        if where:
+            _check_ops(where)
         for _attempt in range(max_retries):
             base = self.latest_version()
             if base == 0:
                 raise ValueError(f"table {self.path} has no committed snapshot")
+            if small_file_bytes is not None:
+                m = self._read_manifest(base)
+
+                def _is_small(per: dict) -> bool:
+                    b = per.get("__bytes__")
+                    # conservative: no size stats -> treat as small
+                    if b is not None and b[0] >= small_file_bytes:
+                        return False
+                    return all(
+                        _file_may_match(per, pred) for pred in (where or [])
+                    )
+
+                small, carried, carried_stats, reused = self._split_files(
+                    m, _is_small
+                )
+                if len(small) <= 1:
+                    self.last_compact_info = {
+                        "rewritten": 0,
+                        "carried": self._manifest_n_files(m),
+                        "segments_reused": len(m.get("segments", [])),
+                    }
+                    return base  # nothing to pack — don't burn a version
+                # size only the tail being repacked (os.stat per SMALL
+                # file — _manifest_stats would open every segment, the
+                # exact cost the envelope pruning above avoided)
+                total = sum(os.path.getsize(f) for f in small)
+                n_out = max(1, -(-total // target_bytes))  # ceil
+                packed = (
+                    spark.read.schema(m["schema_ddl"])
+                    .parquet(*small)
+                    .coalesce(int(n_out))
+                )
+                new_files, ddl = self._write_data(packed)
+                kw = {"reuse_segments": reused} if reused else {}
+                try:
+                    self._try_commit(
+                        base + 1, carried + new_files, ddl,
+                        app={"compacted_from": base, "bin_packed": True},
+                        stats=carried_stats, new_dirs=_dirs_of(new_files),
+                        **kw,
+                    )
+                    self.last_compact_info = {
+                        "rewritten": len(small),
+                        "carried": len(carried)
+                        + sum(s["n_files"] for s in reused),
+                        "segments_reused": len(reused),
+                    }
+                    return base + 1
+                except CommitConflict:
+                    _conflict_backoff(_attempt)
+                    continue  # a real write won — re-plan on its snapshot
             df = self.read(spark, base)
             if bucket_by:
                 cols, n_buckets = bucket_by

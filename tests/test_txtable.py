@@ -1339,3 +1339,94 @@ def test_full_scan_planning_driver_cost_is_bounded(spark, tmp_path):
         paths = t._plan_scan_paths(m)
     assert len(paths) == 1  # one fully-live dir
     assert t.read(spark).count() == 1000
+
+
+def test_bin_packed_compact_rewrites_only_the_small_tail(spark, tmp_path):
+    """compact(small_file_bytes=...) must read + repack ONLY files
+    under the threshold; every larger file carries into the new
+    manifest verbatim (path-identical). The streaming-ingest shape: a
+    100 TB table compacts in time proportional to its small-file tail,
+    never via the full-table rewrite."""
+    import os as _os
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 50000).selectExpr("id AS k", "id AS v").coalesce(1))
+    for i in range(4):  # disjoint key ranges: big file never rewritten
+        t.merge_into(
+            spark.range(100000 + i * 10, 100000 + i * 10 + 5)
+            .selectExpr("id AS k", "id AS v").coalesce(1),
+            ["k"],
+        )
+    before = set(t._manifest_files(t._read_manifest(t.latest_version())))
+    big = {f for f in before if _os.path.getsize(f) >= 50_000}
+    small = before - big
+    assert big and len(small) >= 4
+    n_before = t.read(spark).count()
+    v = t.compact(spark, small_file_bytes=50_000)
+    info = t.last_compact_info
+    after = set(t._manifest_files(t._read_manifest(v)))
+    assert big <= after                      # carried verbatim
+    assert not (small & after)               # every small file repacked
+    assert info["rewritten"] == len(small)
+    assert len(after) < len(before)
+    assert t.read(spark, v).count() == n_before
+    # deterministic content, not just counts
+    assert t.read(spark, v).agg(F.sum("k")).first()[0] == \
+        t.read(spark, v - 1).agg(F.sum("k")).first()[0]
+    # idempotent: everything now either big or a single packed file
+    v2 = t.compact(spark, small_file_bytes=50_000)
+    assert v2 == v and t.last_compact_info["rewritten"] == 0
+
+
+def test_bin_packed_compact_skips_all_large_segments_unopened(spark, tmp_path):
+    """Format-2 manifests: a stats segment whose __bytes__ envelope
+    proves every file >= threshold must be carried as an UNOPENED
+    descriptor (the planning cost is the small tail, not the table)."""
+    t = TxTable(str(tmp_path / "tbl"))
+    # 70 similar-size files -> format 2 (above _INLINE_FILES_MAX)
+    t.init(
+        spark.range(0, 700000).selectExpr("id AS k", "id AS v").repartition(70)
+    )
+    m1 = t._read_manifest(1)
+    assert "segments" in m1
+    seg_files = sum(s["n_files"] for s in m1["segments"])
+    # add a small-file tail with keys outside every big file's range
+    t.merge_into(
+        spark.range(900000, 900005).selectExpr("id AS k", "id AS v").coalesce(1),
+        ["k"],
+    )
+    t.merge_into(
+        spark.range(900100, 900105).selectExpr("id AS k", "id AS v").coalesce(1),
+        ["k"],
+    )
+    v = t.compact(spark, small_file_bytes=10_000)
+    info = t.last_compact_info
+    assert info["segments_reused"] >= 1
+    assert info["carried"] >= seg_files
+    assert info["rewritten"] >= 2
+    assert t.read(spark, v).count() == 700000 + 10
+
+
+def test_bin_packed_compact_where_scopes_the_rewrite(spark, tmp_path):
+    """compact(small_file_bytes=..., where=...) packs only small files
+    whose stats may match the predicates — OPTIMIZE WHERE: the hot
+    partition packs, cold history's small files stay untouched."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(1))
+    # cold small files (k < 1000) and hot small files (k >= 10000)
+    for lo in (100, 200, 10000, 10100, 10200):
+        t.merge_into(
+            spark.range(lo, lo + 5).selectExpr("id AS k", "id AS v").coalesce(1),
+            ["k"],
+        )
+    before = set(t._manifest_files(t._read_manifest(t.latest_version())))
+    n = t.read(spark).count()
+    v = t.compact(spark, small_file_bytes=1 << 20, where=[("k", ">=", 10000)])
+    after = set(t._manifest_files(t._read_manifest(v)))
+    info = t.last_compact_info
+    assert info["rewritten"] == 3            # exactly the hot small files
+    cold = {f for f in before if f in after}
+    assert len(cold) == len(before) - 3      # cold files carried verbatim
+    assert t.read(spark, v).count() == n
+    with pytest.raises(ValueError, match="requires small_file_bytes"):
+        t.compact(spark, where=[("k", ">=", 0)])

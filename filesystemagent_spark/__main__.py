@@ -215,8 +215,24 @@ def cmd_table(args: argparse.Namespace) -> int:
         return 0
     if args.compact:
         spark = _spark("table")
-        v = t.compact(spark, target_files=args.target_files)
-        print(f"compacted into v{v}")
+        try:
+            v = t.compact(
+                spark,
+                target_files=args.target_files,
+                small_file_bytes=args.small_file_bytes,
+            )
+        except (ValueError, CommitConflict) as e:
+            print(f"compact failed: {e}")
+            return 2
+        if args.small_file_bytes is not None:
+            info = t.last_compact_info
+            print(
+                f"bin-packed into v{v}: rewrote {info['rewritten']} small "
+                f"files, carried {info['carried']} "
+                f"({info['segments_reused']} segments unopened)"
+            )
+        else:
+            print(f"compacted into v{v}")
         return 0
     if args.vacuum:
         removed = t.vacuum(grace_seconds=args.grace)
@@ -309,6 +325,10 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--vacuum", action="store_true")
     s.add_argument("--version", type=int, help="with --show: time-travel version")
     s.add_argument("--target-files", type=int, default=8)
+    s.add_argument(
+        "--small-file-bytes", type=int, default=None,
+        help="bin-pack: rewrite only files smaller than this, carry the rest",
+    )
     s.add_argument("--grace", type=float, default=3600.0,
                    help="vacuum grace window seconds (racing-writer guard)")
     s.add_argument("--limit", type=int, default=20)

@@ -226,11 +226,17 @@ def cmd_table(args: argparse.Namespace) -> int:
             return 2
         if args.small_file_bytes is not None:
             info = t.last_compact_info
-            print(
-                f"bin-packed into v{v}: rewrote {info['rewritten']} small "
-                f"files, carried {info['carried']} "
-                f"({info['segments_reused']} segments unopened)"
-            )
+            if info.get("noop"):
+                print(
+                    f"no-op (already packed): v{v} unchanged, "
+                    f"{info['carried']} files carried"
+                )
+            else:
+                print(
+                    f"bin-packed into v{v}: rewrote {info['rewritten']} small "
+                    f"files, carried {info['carried']} "
+                    f"({info['segments_reused']} segments unopened)"
+                )
         else:
             print(f"compacted into v{v}")
         return 0

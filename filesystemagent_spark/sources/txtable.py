@@ -84,6 +84,24 @@ def _conflict_backoff(attempt: int) -> None:
     time.sleep(random.uniform(0.0, 0.002 * (2 ** min(attempt, 5))))
 
 
+_RESERVED_COLUMNS = ("__bytes__",)
+
+
+def _reject_reserved_columns(df: DataFrame) -> None:
+    """The manifest stats namespace reserves `__bytes__` for the
+    file-size pseudo-column; a real column with that name would have
+    its collected range clobbered by the file size, and stats pruning
+    on it could then prove a file disjoint from rows it actually
+    holds (missed reads, un-deleted rows, duplicate keys on merge).
+    Refuse at the single write chokepoint rather than corrupt."""
+    bad = [c for c in df.columns if c in _RESERVED_COLUMNS]
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} are reserved for TxTable manifest "
+            "stats — rename the column"
+        )
+
+
 def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
     """Per-file min/max column stats from the parquet footers the
     files already carry (no data scan — footer metadata only), merged
@@ -490,11 +508,12 @@ class TxTable:
         return m.get("stats", {})
 
     def _split_files(self, m: dict, may_match) -> tuple[
-        list[str], list[str], dict[str, dict], list[dict]
+        list[str], list[str], dict[str, dict], list[dict], dict[str, dict]
     ]:
-        """Two-level stats pruning, shared by read(where)/merge/delete:
-        partition a snapshot's files by `may_match(per_file_stats)`
-        into (matching, carried, carried_stats, reused_segments).
+        """Two-level stats pruning, shared by read(where)/merge/delete/
+        bin-pack: partition a snapshot's files by
+        `may_match(per_file_stats)` into (matching, carried,
+        carried_stats, reused_segments, matching_stats).
 
         Format 2: a segment whose ENVELOPE rollup proves no match is
         reused as a descriptor — its per-file rows are never loaded and
@@ -507,6 +526,7 @@ class TxTable:
         matching: list[str] = []
         carried: list[str] = []
         carried_stats: dict[str, dict] = {}
+        matching_stats: dict[str, dict] = {}
         reused: list[dict] = []
         if "segments" in m:
             for seg in m["segments"]:
@@ -516,6 +536,7 @@ class TxTable:
                 for f, s in self._segment_rows(seg):
                     if may_match(s):
                         matching.append(f)
+                        matching_stats[f] = s
                     else:
                         carried.append(f)
                         carried_stats[f] = s
@@ -524,11 +545,13 @@ class TxTable:
             for f in m["files"]:
                 if may_match(stats.get(f, {})):
                     matching.append(f)
+                    if f in stats:
+                        matching_stats[f] = stats[f]
                 else:
                     carried.append(f)
                     if f in stats:
                         carried_stats[f] = stats[f]
-        return matching, carried, carried_stats, reused
+        return matching, carried, carried_stats, reused, matching_stats
 
     # -- read path ---------------------------------------------------
 
@@ -633,7 +656,7 @@ class TxTable:
         m = self._read_manifest(v)
         if where:
             _check_ops(where)
-            files, _, _, _ = self._split_files(
+            files, _, _, _, _ = self._split_files(
                 m, lambda per: all(_file_may_match(per, p) for p in where)
             )
         else:
@@ -656,6 +679,7 @@ class TxTable:
         """Stage df as immutable parquet under data/, return (files,
         schema ddl). Data is invisible until a manifest references it,
         so failures leave only unreferenced litter (vacuumable)."""
+        _reject_reserved_columns(df)
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.parquet(out)
         staged = sorted(
@@ -699,6 +723,7 @@ class TxTable:
         holds exactly one bucket -> ONE file per bucket, which is what
         lets the bucketed read use the sort metadata (multi-file
         buckets force a runtime Sort even without an Exchange)."""
+        _reject_reserved_columns(df)
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
         tmp = f"txb_stage_{uuid.uuid4().hex[:12]}"
         spark = df.sparkSession
@@ -966,7 +991,7 @@ class TxTable:
                 }
                 return base
             ddl = self._evolved_ddl(spark, m["schema_ddl"], updates)
-            touched, carried, carried_stats, reused = self._split_files(
+            touched, carried, carried_stats, reused, _ = self._split_files(
                 m, lambda per: _file_overlaps_probe(per, probe)
             )
             n_carried = len(carried) + sum(s["n_files"] for s in reused)
@@ -1069,7 +1094,7 @@ class TxTable:
             if base == 0:
                 raise ValueError(f"table {self.path} has no committed snapshot")
             m = self._read_manifest(base)
-            touched, carried, carried_stats, reused = self._split_files(
+            touched, carried, carried_stats, reused, _ = self._split_files(
                 m, lambda per: all(_file_may_match(per, p) for p in where)
             )
             if not touched:
@@ -1353,21 +1378,33 @@ class TxTable:
                         _file_may_match(per, pred) for pred in (where or [])
                     )
 
-                small, carried, carried_stats, reused = self._split_files(
+                small, carried, carried_stats, reused, small_stats = self._split_files(
                     m, _is_small
                 )
-                if len(small) <= 1:
+                # tail size from the stats _split_files already loaded;
+                # stat(2) only legacy files without size stats (on an
+                # object store that is one round trip per file)
+                total = sum(
+                    small_stats[f]["__bytes__"][0]
+                    if f in small_stats and "__bytes__" in small_stats[f]
+                    else os.path.getsize(f)
+                    for f in small
+                )
+                n_out = max(1, -(-total // target_bytes))  # ceil
+                if len(small) <= n_out:
+                    # Packing can't reduce the file count (covers both
+                    # the <=1-file tail and the small_file_bytes >=
+                    # target_bytes regime, where packed outputs stay
+                    # under the threshold forever — without this guard
+                    # every maintenance run would rewrite the same
+                    # data and burn a version).
                     self.last_compact_info = {
                         "rewritten": 0,
                         "carried": self._manifest_n_files(m),
-                        "segments_reused": len(m.get("segments", [])),
+                        "segments_reused": len(reused),
+                        "noop": True,
                     }
                     return base  # nothing to pack — don't burn a version
-                # size only the tail being repacked (os.stat per SMALL
-                # file — _manifest_stats would open every segment, the
-                # exact cost the envelope pruning above avoided)
-                total = sum(os.path.getsize(f) for f in small)
-                n_out = max(1, -(-total // target_bytes))  # ceil
                 packed = (
                     spark.read.schema(m["schema_ddl"])
                     .parquet(*small)
@@ -1387,6 +1424,7 @@ class TxTable:
                         "carried": len(carried)
                         + sum(s["n_files"] for s in reused),
                         "segments_reused": len(reused),
+                        "noop": False,
                     }
                     return base + 1
                 except CommitConflict:

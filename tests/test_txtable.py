@@ -1430,3 +1430,45 @@ def test_bin_packed_compact_where_scopes_the_rewrite(spark, tmp_path):
     assert t.read(spark, v).count() == n
     with pytest.raises(ValueError, match="requires small_file_bytes"):
         t.compact(spark, where=[("k", ">=", 0)])
+
+
+def test_reserved_column_name_refused_at_write(spark, tmp_path):
+    """A real column named __bytes__ would have its stats clobbered by
+    the file-size pseudo-column and could then prune wrongly — every
+    write chokepoint refuses it."""
+    t = TxTable(str(tmp_path / "tbl"))
+    bad = spark.range(0, 5).selectExpr("id AS k", "id AS `__bytes__`")
+    with pytest.raises(ValueError, match="reserved"):
+        t.init(bad)
+    t.init(spark.range(0, 5).selectExpr("id AS k", "id AS v"))
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge_into(bad, ["k"])
+
+
+def test_bin_pack_converges_when_threshold_exceeds_target(spark, tmp_path):
+    """small_file_bytes >= target_bytes: packed outputs stay under the
+    threshold, so the convergence guard (packing must strictly reduce
+    the file count) must stop the rewrite-forever churn."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(1))
+    for lo in (1000, 2000, 3000, 4000):
+        t.merge_into(
+            spark.range(lo, lo + 5).selectExpr("id AS k", "id AS v").coalesce(1),
+            ["k"],
+        )
+    # tiny target forces multiple outputs, all under the huge threshold;
+    # every pass must strictly reduce the file count (monotone
+    # convergence), reaching a version-free no-op within a few passes
+    prev_files = None
+    for _ in range(5):
+        v = t.compact(spark, small_file_bytes=1 << 30, target_bytes=2048)
+        info = t.last_compact_info
+        nf = t._manifest_n_files(t._read_manifest(v))
+        if info["noop"]:
+            break
+        assert prev_files is None or nf < prev_files
+        prev_files = nf
+    assert info["noop"] is True
+    v2 = t.compact(spark, small_file_bytes=1 << 30, target_bytes=2048)
+    assert v2 == v and t.last_compact_info["noop"] is True
+    assert t.read(spark).count() == 30

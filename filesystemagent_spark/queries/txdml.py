@@ -206,3 +206,85 @@ def events_txtable_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*_agg())
         .orderBy("key")
     )
+
+
+@register(
+    "events_txtable_mor_dml",
+    tags=("txtable", "merge-on-read", "tombstone", "change-feed"),
+    oracle="""
+WITH vis AS (SELECT * FROM events WHERE event_type <> 'error'),
+ups AS (
+    SELECT event_id, ts, user_id, event_type,
+           value * 3 AS value, 'u' AS props
+    FROM events WHERE event_id % 11 = 0
+),
+merged AS (
+    SELECT * FROM vis WHERE event_id NOT IN (SELECT event_id FROM ups)
+    UNION ALL SELECT * FROM ups
+),
+changes AS (
+    SELECT 'insert' AS key, user_id, value FROM events
+    UNION ALL SELECT 'delete', user_id, value
+    FROM events WHERE event_type = 'error'
+    UNION ALL SELECT 'upsert', user_id, value FROM ups
+    UNION ALL SELECT 'update_preimage', user_id, value
+    FROM vis WHERE event_id IN (SELECT event_id FROM ups)
+)
+SELECT 'snapshot' AS section, event_type AS key, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM merged GROUP BY 2
+UNION ALL
+SELECT 'changes' AS section, key, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM changes GROUP BY 2
+ORDER BY section, key
+""",
+)
+def events_txtable_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete lifecycle under the oracle (round 6):
+
+    v1  init(events)
+    v2  delete_where(type='error', mode='mor') — NO file rewrite: the
+        commit records a tombstone over the stats-pruned file set;
+        delete images staged by SCANNING those files
+    v3  merge_into(event_id % 11 slice, value*3) — reads touched files
+        THROUGH the tombstone (no resurrection), prunes rewritten
+        files out of it, and — because the batch includes 'error'-typed
+        rows whose originals v2 deleted — proves tombstone SCOPING:
+        the re-upserted rows survive while the originals stay gone.
+
+    The result unions the final-snapshot per-type rollup with the
+    change-feed per-type rollup, exactly like `events_txtable_dml`;
+    DuckDB replays the tombstone as a plain anti-filter. A resurrection
+    bug, an over-broad tombstone, a missed pre-image, or a feed image
+    leaking already-deleted rows each shifts a hashed value."""
+    ev = Catalog(spark, sf_dir).events
+    stage = tempfile.mkdtemp(prefix="events_txmor_")
+    t = TxTable(os.path.join(stage, "tbl"))
+    t.init(ev)
+    t.delete_where(
+        spark, [("event_type", "=", "error")], mode="mor", change_feed=True
+    )
+    ups = (
+        ev.where(F.col("event_id") % 11 == 0)
+        .withColumn("value", F.col("value") * 3)
+        .withColumn("props", F.lit("u"))
+    )
+    t.merge_into(ups, ["event_id"], change_feed=True)
+    snap_agg = (
+        t.read(spark)
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(*_agg())
+        .select(F.lit("snapshot").alias("section"), "key",
+                "n_rows", "total_value", "n_users")
+    )
+    ch_agg = (
+        t.table_changes(spark, 1)
+        .groupBy(F.col("_change_type").alias("key"))
+        .agg(*_agg())
+        .select(F.lit("changes").alias("section"), "key",
+                "n_rows", "total_value", "n_users")
+    )
+    return snap_agg.unionByName(ch_agg).orderBy("section", "key")

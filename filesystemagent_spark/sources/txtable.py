@@ -331,6 +331,21 @@ def _file_overlaps_probe(per: dict[str, list], probe: dict[str, tuple | None]) -
     return True
 
 
+def _pruned_tombstones(
+    tbs: list[dict], rewritten: set[str]
+) -> list[dict] | None:
+    """Carry merge-on-read tombstones forward minus the files a commit
+    rewrote (their replacements were read with the tombstones applied,
+    so the deleted rows are physically gone there); a tombstone whose
+    whole file list was rewritten drops entirely."""
+    out = []
+    for t in tbs:
+        rest = [f for f in t["files"] if f not in rewritten]
+        if rest:
+            out.append({"where": t["where"], "files": rest})
+    return out or None
+
+
 def _dirs_of(files: list[str]) -> list[str]:
     """Distinct parent dirs of a freshly-staged file list (census keys)."""
     return sorted({os.path.dirname(f) for f in files})
@@ -623,6 +638,7 @@ class TxTable:
                     app={"restored_from": version}, stats=stats,
                     census_base={**head_census, **m.get("dirs_created", {})},
                     bucketing=m.get("bucketing"),
+                    tombstones=m.get("tombstones"),
                     **kw,
                 )
                 return head + 1
@@ -630,6 +646,45 @@ class TxTable:
                 _conflict_backoff(_attempt)
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def _apply_tombstones(
+        self, spark: SparkSession, m: dict, files: list[str],
+        ddl: str | None = None,
+    ) -> DataFrame:
+        """Read `files` under manifest `m` with its merge-on-read
+        TOMBSTONES applied: each tombstone names the explicit files its
+        delete predicate covers, so files group by their applicable
+        tombstone set and each group scans once with the corresponding
+        anti-filters (SQL DELETE null semantics — a null comparison
+        KEEPS the row). Files outside every tombstone read clean in one
+        scan. Tombstone lists are short-lived by design (merges prune
+        rewritten files out; compaction materializes), so the group
+        count stays tiny."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        ddl = ddl or m["schema_ddl"]
+        if not files:
+            return spark.createDataFrame([], ddl)
+        tbs = m.get("tombstones") or []
+        if not tbs:
+            return spark.read.schema(ddl).parquet(*files)
+        tb_files = [set(t["files"]) for t in tbs]
+        groups: dict[tuple[int, ...], list[str]] = {}
+        for f in files:
+            key = tuple(i for i, s in enumerate(tb_files) if f in s)
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for key, fs in groups.items():
+            df = spark.read.schema(ddl).parquet(*fs)
+            for i in key:
+                cond = F.lit(True)
+                for col, op, val in tbs[i]["where"]:
+                    cond = cond & _OPS[op](F.col(col), F.lit(val))
+                df = df.filter(~F.coalesce(cond, F.lit(False)))
+            parts.append(df)
+        return reduce(lambda a, b: a.unionAll(b), parts)
 
     def read(
         self,
@@ -649,20 +704,31 @@ class TxTable:
         only prune row groups INSIDE files it was given). The same
         predicates are then applied as real filters, so results are
         exact whether or not any file was skipped; manifests written
-        before stats existed simply skip nothing."""
+        before stats existed simply skip nothing.
+
+        Merge-on-read tombstones (delete_where(mode='mor')) apply as
+        per-file-group anti-filters; while any exist, the full scan
+        plans from the explicit file list instead of the dir-grouped
+        fast path (tombstones are transient — the next compact
+        materializes them and restores dir planning)."""
         v = self.latest_version() if version is None else version
         if v == 0:
             raise ValueError(f"table {self.path} has no committed snapshot")
         m = self._read_manifest(v)
+        tbs = m.get("tombstones") or []
         if where:
             _check_ops(where)
             files, _, _, _, _ = self._split_files(
                 m, lambda per: all(_file_may_match(per, p) for p in where)
             )
+        elif tbs:
+            files = self._manifest_files(m)
         else:
             # dir-grouped: bounded driver cost, listing distributed
             files = self._plan_scan_paths(m)
-        if not files:
+        if tbs:
+            df = self._apply_tombstones(spark, m, files)
+        elif not files:
             df = spark.createDataFrame([], m["schema_ddl"])
         else:
             df = spark.read.schema(m["schema_ddl"]).parquet(*files)
@@ -822,7 +888,7 @@ class TxTable:
         app: dict | None = None, stats: dict | None = None,
         changes: dict | None = None, reuse_segments: list[dict] | None = None,
         new_dirs: list[str] | None = None, census_base: dict | None = None,
-        bucketing: dict | None = None,
+        bucketing: dict | None = None, tombstones: list[dict] | None = None,
     ) -> None:
         """Publish `version` atomically: write a temp manifest, then
         link(2) it into place — link fails with EEXIST if a concurrent
@@ -874,6 +940,8 @@ class TxTable:
             manifest["dirs_created"] = census
         if bucketing is not None:
             manifest["bucketing"] = bucketing
+        if tombstones:
+            manifest["tombstones"] = tombstones
         if changes is not None:
             manifest["changes"] = changes
         if reuse_segments or len(files) > _INLINE_FILES_MAX:
@@ -1003,7 +1071,10 @@ class TxTable:
                 # exact. Updates may likewise omit existing columns
                 # (partial-column upsert) — allowMissingColumns nulls
                 # them, matching MERGE's whole-row-replace semantics.
-                current = spark.read.schema(ddl).parquet(*touched)
+                # tombstone-aware: an earlier MoR delete's rows must
+                # not resurrect through the rewrite (evolved schema
+                # fills new columns null, same as the plain read did)
+                current = self._apply_tombstones(spark, m, touched, ddl=ddl)
                 keep = current.join(
                     updates.select(*key_cols).distinct(), key_cols, "left_anti"
                 )
@@ -1047,7 +1118,11 @@ class TxTable:
                 self._try_commit(
                     base + 1, carried + new_files, new_ddl, app,
                     stats=carried_stats, changes=changes,
-                    new_dirs=_dirs_of(new_files), **kw,
+                    new_dirs=_dirs_of(new_files),
+                    tombstones=_pruned_tombstones(
+                        m.get("tombstones") or [], set(touched)
+                    ),
+                    **kw,
                 )
                 self.last_merge_info = {
                     "base": base, "rewritten": len(touched),
@@ -1074,18 +1149,41 @@ class TxTable:
         where: list[tuple[str, str, object]],
         max_retries: int = 10,
         change_feed: bool = False,
+        mode: str = "cow",
     ) -> int:
-        """Row-level DELETE: rewrite only the files whose manifest
-        stats say they MAY contain a matching row, keeping their
-        non-matching rows; every other file carries forward verbatim
-        (stats included). Same predicate grammar as `read(where=...)`
+        """Row-level DELETE: same predicate grammar as `read(where=...)`
         — conjunctive [(col, op, value)], op in {=, <, <=, >, >=}.
         A delete that provably touches no file commits nothing and
         returns the current version. Loses CAS conflicts by retrying
         against the fresh snapshot (a concurrent merge's rows are
-        re-examined, never blindly dropped)."""
+        re-examined, never blindly dropped).
+
+        ``mode='cow'`` (default, copy-on-write): rewrite only the files
+        whose manifest stats say they MAY contain a matching row,
+        keeping their non-matching rows; every other file carries
+        forward verbatim (stats included).
+
+        ``mode='mor'`` (merge-on-read, round 6 — Iceberg-v2 /
+        deletion-vector shape): rewrite NOTHING. The commit records a
+        TOMBSTONE {predicate, explicit stats-pruned file list}; readers
+        apply it as an anti-filter on exactly those files
+        (`_apply_tombstones`), new files are never covered (a
+        re-inserted matching row survives — the same scoping real
+        delete files have), merges that rewrite a covered file prune it
+        out of the tombstone, and the next compact materializes
+        everything. A 1-row delete in a 1 GB file costs one manifest
+        commit instead of a 1 GB rewrite; the price is the read-side
+        filter until compaction (and, while tombstones exist, full
+        scans plan from the explicit file list instead of the
+        dir-grouped fast path). `last_delete_info` records the choice.
+        With ``change_feed=True`` the delete images are computed by
+        SCANNING the covered files (applying any earlier tombstones so
+        already-deleted rows are not re-reported) — read-only, no
+        rewrite."""
         if not where:
             raise ValueError("delete_where requires at least one predicate")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode: {mode!r} (cow|mor)")
         _check_ops(where)
         from pyspark.sql import functions as F
 
@@ -1094,20 +1192,22 @@ class TxTable:
             if base == 0:
                 raise ValueError(f"table {self.path} has no committed snapshot")
             m = self._read_manifest(base)
-            touched, carried, carried_stats, reused, _ = self._split_files(
-                m, lambda per: all(_file_may_match(per, p) for p in where)
+            touched, carried, carried_stats, reused, touched_stats = (
+                self._split_files(
+                    m, lambda per: all(_file_may_match(per, p) for p in where)
+                )
             )
             if not touched:
+                self.last_delete_info = {"mode": mode, "touched": 0}
                 return base  # stats prove nothing matches — no-op
             cond = F.lit(True)
             for col, op, val in where:
                 cond = cond & _OPS[op](F.col(col), F.lit(val))
-            # SQL DELETE semantics: remove rows where cond is TRUE;
-            # null-valued comparisons (cond = NULL) KEEP the row —
-            # a bare ~cond would silently delete them.
-            scan = spark.read.schema(m["schema_ddl"]).parquet(*touched)
-            keep = scan.filter(~F.coalesce(cond, F.lit(False)))
-            new_files, _ = self._write_data(keep)
+            tbs = m.get("tombstones") or []
+            # the covered files under EXISTING tombstones: both the
+            # rows a COW rewrite keeps and the delete images must not
+            # see rows an earlier MoR delete already removed
+            scan = self._apply_tombstones(spark, m, touched)
             changes = None
             if change_feed:
                 # delete images: the rows being removed, staged at write
@@ -1117,13 +1217,44 @@ class TxTable:
                 )
                 changes = {"files": ch_files, "type": "delete"}
             kw = {"reuse_segments": reused} if reused else {}
+            if mode == "mor":
+                new_tbs = (tbs or []) + [
+                    {"where": [list(p) for p in where], "files": list(touched)}
+                ]
+                try:
+                    self._try_commit(
+                        base + 1, carried + touched, m["schema_ddl"],
+                        app={
+                            "deleted_where": [list(p) for p in where],
+                            "mor": True,
+                        },
+                        stats={**carried_stats, **touched_stats},
+                        changes=changes, tombstones=new_tbs, **kw,
+                    )
+                    self.last_delete_info = {
+                        "mode": "mor", "touched": len(touched), "rewritten": 0,
+                    }
+                    return base + 1
+                except CommitConflict:
+                    _conflict_backoff(_attempt)
+                    continue
+            # SQL DELETE semantics: remove rows where cond is TRUE;
+            # null-valued comparisons (cond = NULL) KEEP the row —
+            # a bare ~cond would silently delete them.
+            keep = scan.filter(~F.coalesce(cond, F.lit(False)))
+            new_files, _ = self._write_data(keep)
             try:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
                     app={"deleted_where": [list(p) for p in where]},
                     stats=carried_stats, changes=changes,
-                    new_dirs=_dirs_of(new_files), **kw,
+                    new_dirs=_dirs_of(new_files),
+                    tombstones=_pruned_tombstones(tbs, set(touched)), **kw,
                 )
+                self.last_delete_info = {
+                    "mode": "cow", "touched": len(touched),
+                    "rewritten": len(touched),
+                }
                 return base + 1
             except CommitConflict:
                 _conflict_backoff(_attempt)
@@ -1257,8 +1388,17 @@ class TxTable:
         head's file list minus our touched files plus our staged files
         is exactly what a re-merge would produce, without re-reading or
         re-writing anything. Returns the committed version, or None if
-        the proof fails and the caller must re-merge for real."""
-        base_files = set(self._manifest_files(self._read_manifest(base)))
+        the proof fails and the caller must re-merge for real.
+
+        Merge-on-read tombstones: our staged rewrites were produced
+        reading BASE's tombstones; if the winner changed the tombstone
+        set (a concurrent MoR delete), our replacement files may hold
+        rows the winner deleted — refuse and re-merge (conservative:
+        any tombstone difference refuses). An unchanged set carries
+        forward pruned of our touched files, like the direct commit."""
+        base_m = self._read_manifest(base)
+        base_files = set(self._manifest_files(base_m))
+        base_tbs = base_m.get("tombstones") or []
         touched_set = set(touched)
         # bounded like merge_into's own loop — under sustained
         # contention the loser falls back to the caller's retry budget
@@ -1275,6 +1415,8 @@ class TxTable:
             head_files = self._manifest_files(w)
             if not touched_set <= set(head_files):
                 return None  # winner rewrote one of our files — real conflict
+            if (w.get("tombstones") or []) != base_tbs:
+                return None  # winner changed the delete set — re-merge
             wstats = self._manifest_stats(w)
             added = [f for f in head_files if f not in base_files]
             if any(
@@ -1287,6 +1429,7 @@ class TxTable:
                 self._try_commit(
                     head + 1, files2, ddl, app, stats=carried_stats,
                     changes=changes, new_dirs=_dirs_of(new_files),
+                    tombstones=_pruned_tombstones(base_tbs, touched_set),
                 )
                 return head + 1
             except CommitConflict:
@@ -1405,10 +1548,11 @@ class TxTable:
                         "noop": True,
                     }
                     return base  # nothing to pack — don't burn a version
-                packed = (
-                    spark.read.schema(m["schema_ddl"])
-                    .parquet(*small)
-                    .coalesce(int(n_out))
+                # tombstone-aware: repacked files materialize their
+                # deletes (read applies them), so they prune out of the
+                # carried tombstone lists below
+                packed = self._apply_tombstones(spark, m, small).coalesce(
+                    int(n_out)
                 )
                 new_files, ddl = self._write_data(packed)
                 kw = {"reuse_segments": reused} if reused else {}
@@ -1417,6 +1561,9 @@ class TxTable:
                         base + 1, carried + new_files, ddl,
                         app={"compacted_from": base, "bin_packed": True},
                         stats=carried_stats, new_dirs=_dirs_of(new_files),
+                        tombstones=_pruned_tombstones(
+                            m.get("tombstones") or [], set(small)
+                        ),
                         **kw,
                     )
                     self.last_compact_info = {

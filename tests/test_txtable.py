@@ -1472,3 +1472,113 @@ def test_bin_pack_converges_when_threshold_exceeds_target(spark, tmp_path):
     v2 = t.compact(spark, small_file_bytes=1 << 30, target_bytes=2048)
     assert v2 == v and t.last_compact_info["noop"] is True
     assert t.read(spark).count() == 30
+
+
+# -------------------------------------------------- merge-on-read deletes
+
+
+def _mor_table(spark, tmp_path, name="mor"):
+    t = TxTable(str(tmp_path / name))
+    # two files with disjoint key ranges
+    t.init(spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(1))
+    t.merge_into(
+        spark.range(1000, 1100).selectExpr("id AS k", "id AS v").coalesce(1),
+        ["k"],
+    )
+    return t
+
+
+def test_mor_delete_rewrites_nothing_and_filters_reads(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    before = set(t._manifest_files(t._read_manifest(t.latest_version())))
+    v = t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    assert t.last_delete_info == {"mode": "mor", "touched": 1, "rewritten": 0}
+    m = t._read_manifest(v)
+    assert set(t._manifest_files(m)) == before          # zero rewrite
+    assert len(m["tombstones"]) == 1
+    assert t.read(spark).count() == 190
+    assert t.read(spark).agg(F.min("k")).first()[0] == 10
+    # stats-pruned read path applies the tombstone too
+    assert t.read(spark, where=[("k", "<", 20)]).count() == 10
+    # time travel: the pre-delete snapshot still shows everything
+    assert t.read(spark, version=v - 1).count() == 200
+
+
+def test_mor_scoping_reinserted_rows_survive(spark, tmp_path):
+    """A tombstone covers only the files live at delete time: a row
+    re-inserted afterwards with a MATCHING key must survive (the same
+    scoping Iceberg delete files have)."""
+    t = _mor_table(spark, tmp_path)
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    t.merge_into(
+        spark.range(3, 5).selectExpr("id AS k", "id + 7777 AS v").coalesce(1),
+        ["k"],
+    )
+    got = {r.k: r.v for r in t.read(spark).filter(F.col("k") < 10).collect()}
+    assert got == {3: 7780, 4: 7781}
+
+
+def test_mor_merge_rewriting_covered_file_does_not_resurrect(spark, tmp_path):
+    """MERGE reads touched files THROUGH the tombstones, so rewriting a
+    covered file physically drops the deleted rows and prunes the file
+    out of the tombstone list."""
+    t = _mor_table(spark, tmp_path)
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    # update a key in the SAME file the tombstone covers (k in [0,100))
+    t.merge_into(
+        spark.range(50, 51).selectExpr("id AS k", "id + 9000 AS v").coalesce(1),
+        ["k"],
+    )
+    m = t._read_manifest(t.latest_version())
+    assert not m.get("tombstones")           # pruned to empty -> dropped
+    df = t.read(spark)
+    assert df.count() == 190                 # update replaces, adds nothing
+    assert df.filter(F.col("k") < 10).count() == 0   # still deleted
+    assert df.filter(F.col("k") == 50).first().v == 9050
+
+
+def test_mor_then_cow_delete_applies_tombstones(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    v = t.delete_where(spark, [("k", "<", 20)])      # COW over the same file
+    m = t._read_manifest(v)
+    assert not m.get("tombstones")           # rewrite materialized + pruned
+    assert t.read(spark).count() == 180
+    assert t.read(spark).agg(F.min("k")).first()[0] == 20
+
+
+def test_mor_compact_materializes(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    t.delete_where(spark, [("k", ">=", 1090)], mode="mor")  # second file
+    v = t.compact(spark, target_files=2)
+    m = t._read_manifest(v)
+    assert not m.get("tombstones")
+    assert t.read(spark, v).count() == 180
+    lo, hi = t.read(spark, v).agg(F.min("k"), F.max("k")).first()
+    assert (lo, hi) == (10, 1089)
+
+
+def test_mor_bin_pack_materializes_covered_small_files(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    v = t.compact(spark, small_file_bytes=1 << 30, target_bytes=1 << 20)
+    m = t._read_manifest(v)
+    assert not m.get("tombstones")           # every covered file repacked
+    assert t.read(spark, v).count() == 190
+    assert t.read(spark, v).agg(F.min("k")).first()[0] == 10
+
+
+def test_mor_change_feed_images_exact_and_not_rereported(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    v1 = t.delete_where(spark, [("k", "<", 10)], mode="mor", change_feed=True)
+    ch1 = t.changes_for_version(v1)
+    img1 = spark.read.schema(ch1[0]["schema_ddl"]).parquet(*ch1[0]["files"])
+    assert ch1[0]["type"] == "delete"
+    assert sorted(r.k for r in img1.collect()) == list(range(10))
+    # a wider second MoR delete must NOT re-report the first 10 rows
+    v2 = t.delete_where(spark, [("k", "<", 30)], mode="mor", change_feed=True)
+    ch2 = t.changes_for_version(v2)
+    img2 = spark.read.schema(ch2[0]["schema_ddl"]).parquet(*ch2[0]["files"])
+    assert sorted(r.k for r in img2.collect()) == list(range(10, 30))
+    assert t.read(spark).count() == 170

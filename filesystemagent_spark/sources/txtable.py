@@ -245,6 +245,27 @@ _OPS = {
 }
 
 
+def _where_cond(where):
+    """The conjunctive predicate as one Column — the single builder
+    shared by read/delete/tombstones so the grammar can't drift."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, op, val in where:
+        cond = cond & _OPS[op](F.col(col), F.lit(val))
+    return cond
+
+
+def _delete_keep_filter(df, where):
+    """SQL DELETE semantics: remove rows where the predicate is TRUE;
+    null-valued comparisons (cond = NULL) KEEP the row — a bare ~cond
+    would silently delete them. One implementation for COW deletes and
+    tombstone application, so the null rule can't drift."""
+    from pyspark.sql import functions as F
+
+    return df.filter(~F.coalesce(_where_cond(where), F.lit(False)))
+
+
 def _check_ops(where) -> None:
     bad = [op for _, op, _ in where if op not in _OPS]
     if bad:
@@ -457,7 +478,7 @@ class TxTable:
             return sum(seg["n_files"] for seg in m["segments"])
         return len(m["files"])
 
-    def _plan_scan_paths(self, m: dict) -> list[str]:
+    def _plan_scan_paths(self, m: dict, exclude: set[str] | None = None) -> list[str]:
         """Scan paths for an UNFILTERED read, DIRECTORY-GROUPED — the
         bounded-driver answer to full-scan planning (what Delta's JVM
         file index does in spirit): a staging dir every one of whose
@@ -478,28 +499,44 @@ class TxTable:
         of PARTIALLY-live dirs (post row-level delete/merge rewrites)
         are ever opened — driver cost is O(#dirs + #partial files), not
         O(#files). Manifests predating the census (or with legacy
-        segments lacking `dirs`) fall back to full enumeration."""
+        segments lacking `dirs`) fall back to full enumeration.
+
+        ``exclude`` removes the named files from the plan entirely
+        (the merge-on-read reader scans them separately with their
+        tombstone filters): their dirs are demoted from whole-dir to
+        per-file emission — the clean remainder keeps dir grouping."""
+        exclude = exclude or set()
+        ex_dirs = {os.path.dirname(f) for f in exclude}
         census = m.get("dirs_created")
         if not census:
-            return self._manifest_files(m)
+            return [f for f in self._manifest_files(m) if f not in exclude]
         if "segments" not in m:
             files = m["files"]
             ref: dict[str, int] = {}
             for f in files:
                 d = os.path.dirname(f)
                 ref[d] = ref.get(d, 0) + 1
-            full = {d for d, n in ref.items() if census.get(d) == n}
+            full = {
+                d for d, n in ref.items()
+                if census.get(d) == n and d not in ex_dirs
+            }
             return sorted(full) + [
-                f for f in files if os.path.dirname(f) not in full
+                f for f in files
+                if os.path.dirname(f) not in full and f not in exclude
             ]
         segs = m["segments"]
         if any("dirs" not in s for s in segs):
-            return self._manifest_files(m)  # legacy segments
+            return [  # legacy segments
+                f for f in self._manifest_files(m) if f not in exclude
+            ]
         ref = {}
         for s in segs:
             for d, n in s["dirs"].items():
                 ref[d] = ref.get(d, 0) + n
-        full = {d for d, n in ref.items() if census.get(d) == n}
+        full = {
+            d for d, n in ref.items()
+            if census.get(d) == n and d not in ex_dirs
+        }
         out = sorted(full)
         for s in segs:
             if set(s["dirs"]) <= full:
@@ -507,7 +544,7 @@ class TxTable:
             out += [
                 f
                 for f in self._segment_files(s)
-                if os.path.dirname(f) not in full
+                if os.path.dirname(f) not in full and f not in exclude
             ]
         return out
 
@@ -679,10 +716,7 @@ class TxTable:
         for key, fs in groups.items():
             df = spark.read.schema(ddl).parquet(*fs)
             for i in key:
-                cond = F.lit(True)
-                for col, op, val in tbs[i]["where"]:
-                    cond = cond & _OPS[op](F.col(col), F.lit(val))
-                df = df.filter(~F.coalesce(cond, F.lit(False)))
+                df = _delete_keep_filter(df, tbs[i]["where"])
             parts.append(df)
         return reduce(lambda a, b: a.unionAll(b), parts)
 
@@ -707,10 +741,10 @@ class TxTable:
         before stats existed simply skip nothing.
 
         Merge-on-read tombstones (delete_where(mode='mor')) apply as
-        per-file-group anti-filters; while any exist, the full scan
-        plans from the explicit file list instead of the dir-grouped
-        fast path (tombstones are transient — the next compact
-        materializes them and restores dir planning)."""
+        per-file-group anti-filters over exactly the COVERED files;
+        the clean remainder keeps the dir-grouped bounded planning —
+        a tombstone over a handful of files never demotes a 10^6-file
+        full scan to per-file enumeration."""
         v = self.latest_version() if version is None else version
         if v == 0:
             raise ValueError(f"table {self.path} has no committed snapshot")
@@ -721,23 +755,31 @@ class TxTable:
             files, _, _, _, _ = self._split_files(
                 m, lambda per: all(_file_may_match(per, p) for p in where)
             )
-        elif tbs:
-            files = self._manifest_files(m)
-        else:
-            # dir-grouped: bounded driver cost, listing distributed
-            files = self._plan_scan_paths(m)
-        if tbs:
-            df = self._apply_tombstones(spark, m, files)
-        elif not files:
-            df = spark.createDataFrame([], m["schema_ddl"])
-        else:
-            df = spark.read.schema(m["schema_ddl"]).parquet(*files)
-        if where:
+            if tbs:
+                df = self._apply_tombstones(spark, m, files)
+            elif not files:
+                df = spark.createDataFrame([], m["schema_ddl"])
+            else:
+                df = spark.read.schema(m["schema_ddl"]).parquet(*files)
             from pyspark.sql import functions as F
 
             for col, op, val in where:
                 df = df.filter(_OPS[op](F.col(col), F.lit(val)))
-        return df
+            return df
+        if tbs:
+            covered = sorted(set().union(*(set(t["files"]) for t in tbs)))
+            clean = self._plan_scan_paths(m, exclude=set(covered))
+            df = self._apply_tombstones(spark, m, covered)
+            if clean:
+                df = spark.read.schema(m["schema_ddl"]).parquet(
+                    *clean
+                ).unionAll(df)
+            return df
+        # dir-grouped: bounded driver cost, listing distributed
+        files = self._plan_scan_paths(m)
+        if not files:
+            return spark.createDataFrame([], m["schema_ddl"])
+        return spark.read.schema(m["schema_ddl"]).parquet(*files)
 
     # -- write path --------------------------------------------------
 
@@ -1198,27 +1240,29 @@ class TxTable:
                 )
             )
             if not touched:
-                self.last_delete_info = {"mode": mode, "touched": 0}
+                self.last_delete_info = {
+                    "mode": mode, "touched": 0, "rewritten": 0,
+                }
                 return base  # stats prove nothing matches — no-op
-            cond = F.lit(True)
-            for col, op, val in where:
-                cond = cond & _OPS[op](F.col(col), F.lit(val))
             tbs = m.get("tombstones") or []
-            # the covered files under EXISTING tombstones: both the
-            # rows a COW rewrite keeps and the delete images must not
-            # see rows an earlier MoR delete already removed
-            scan = self._apply_tombstones(spark, m, touched)
             changes = None
+            if change_feed or mode == "cow":
+                # the covered files under EXISTING tombstones: both the
+                # rows a COW rewrite keeps and the delete images must
+                # not see rows an earlier MoR delete already removed.
+                # (A feed-less MoR delete never builds this scan — the
+                # headline metadata-only path stays metadata-only.)
+                scan = self._apply_tombstones(spark, m, touched)
             if change_feed:
                 # delete images: the rows being removed, staged at write
                 # time like the merge CDF
                 ch_files, _ = self._write_data(
-                    scan.filter(F.coalesce(cond, F.lit(False)))
+                    scan.filter(F.coalesce(_where_cond(where), F.lit(False)))
                 )
                 changes = {"files": ch_files, "type": "delete"}
             kw = {"reuse_segments": reused} if reused else {}
             if mode == "mor":
-                new_tbs = (tbs or []) + [
+                new_tbs = tbs + [
                     {"where": [list(p) for p in where], "files": list(touched)}
                 ]
                 try:
@@ -1238,10 +1282,7 @@ class TxTable:
                 except CommitConflict:
                     _conflict_backoff(_attempt)
                     continue
-            # SQL DELETE semantics: remove rows where cond is TRUE;
-            # null-valued comparisons (cond = NULL) KEEP the row —
-            # a bare ~cond would silently delete them.
-            keep = scan.filter(~F.coalesce(cond, F.lit(False)))
+            keep = _delete_keep_filter(scan, where)
             new_files, _ = self._write_data(keep)
             try:
                 self._try_commit(
@@ -1534,13 +1575,20 @@ class TxTable:
                     for f in small
                 )
                 n_out = max(1, -(-total // target_bytes))  # ceil
-                if len(small) <= n_out:
+                covered_small = set(small) & set().union(
+                    set(), *(set(t["files"]) for t in m.get("tombstones") or [])
+                )
+                if len(small) <= n_out and not covered_small:
                     # Packing can't reduce the file count (covers both
                     # the <=1-file tail and the small_file_bytes >=
                     # target_bytes regime, where packed outputs stay
                     # under the threshold forever — without this guard
                     # every maintenance run would rewrite the same
-                    # data and burn a version).
+                    # data and burn a version). Tombstone-covered small
+                    # files override the guard: materializing them is
+                    # itself worth the rewrite (a bin-pack-only
+                    # maintenance loop must not leave a tombstone live
+                    # forever).
                     self.last_compact_info = {
                         "rewritten": 0,
                         "carried": self._manifest_n_files(m),

@@ -1582,3 +1582,36 @@ def test_mor_change_feed_images_exact_and_not_rereported(spark, tmp_path):
     img2 = spark.read.schema(ch2[0]["schema_ddl"]).parquet(*ch2[0]["files"])
     assert sorted(r.k for r in img2.collect()) == list(range(10, 30))
     assert t.read(spark).count() == 170
+
+
+def test_mor_full_scan_keeps_dir_grouped_planning(spark, tmp_path):
+    """A tombstone over a few files must not demote the whole full-scan
+    plan to per-file enumeration: uncovered fully-live dirs still pass
+    as single directory paths; only covered files plan per-file."""
+    t = _mor_table(spark, tmp_path)
+    v = t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    m = t._read_manifest(v)
+    covered = set(m["tombstones"][0]["files"])
+    clean = t._plan_scan_paths(m, exclude=covered)
+    # the second commit's dir (k in [1000,1100), one file, untombstoned)
+    # must appear as a DIRECTORY path, not a file path
+    assert any(not p.endswith(".parquet") for p in clean)
+    assert not (set(clean) & covered)
+    assert t.read(spark, v).count() == 190  # plan change, same answer
+
+
+def test_mor_bin_pack_guard_overridden_by_tombstone(spark, tmp_path):
+    """A single covered small file would normally hit the can't-reduce
+    no-op guard; the tombstone overrides it so bin-pack-only
+    maintenance still materializes deletes."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(1))
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    v = t.compact(spark, small_file_bytes=1 << 30, target_bytes=1 << 30)
+    m = t._read_manifest(v)
+    assert not m.get("tombstones")
+    assert t.last_compact_info["rewritten"] == 1
+    assert t.read(spark, v).count() == 90
+    # and now it converges: nothing covered, one file, no-op
+    v2 = t.compact(spark, small_file_bytes=1 << 30, target_bytes=1 << 30)
+    assert v2 == v and t.last_compact_info["noop"] is True

@@ -288,3 +288,83 @@ def events_txtable_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows", "total_value", "n_users")
     )
     return snap_agg.unionByName(ch_agg).orderBy("section", "key")
+
+
+@register(
+    "events_txtable_incremental_join",
+    tags=("txtable", "change-feed", "incremental-view", "join", "streaming"),
+    oracle="""
+WITH l0 AS (
+    SELECT event_id, user_id, value FROM events WHERE user_id % 5 = 0
+),
+r AS (SELECT DISTINCT user_id, user_id % 7 AS tier FROM events),
+ups AS (
+    SELECT event_id, user_id, value * 2 AS value
+    FROM l0 WHERE event_id % 3 = 0
+),
+ins AS (
+    SELECT event_id + 100000000 AS event_id, user_id + 5 AS user_id, value
+    FROM l0 WHERE event_id % 11 = 0
+),
+batch AS (SELECT * FROM ups UNION ALL SELECT * FROM ins),
+merged AS (
+    SELECT * FROM l0 WHERE event_id NOT IN (SELECT event_id FROM batch)
+    UNION ALL SELECT * FROM batch
+),
+final AS (SELECT * FROM merged WHERE user_id <> 0)
+SELECT f.event_id, f.user_id, f.value, r.tier
+FROM final f JOIN r ON f.user_id = r.user_id
+ORDER BY f.event_id, f.user_id
+""",
+)
+def events_txtable_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance under the oracle: a fact
+    TxTable (events slice keyed by event_id, join key user_id) runs
+    init -> MERGE (value updates + join-key-moving inserts) -> DELETE,
+    all with the change feed; `start_incremental_join_sink` consumes
+    the feed stream and maintains derived = L ⋈ R (R = the user
+    dimension) — post-image joins merge in, affected-key slices die
+    via merge-on-read key-list tombstones, exactly-once via batch_id
+    stamps. The returned derived rows must equal the one-shot SQL join
+    of the FINAL snapshot, which is exactly what the oracle computes —
+    a missed retraction, a stale partner after a join-key move, or a
+    double-applied batch each shifts the hash."""
+    from filesystemagent_spark.streaming.sinks import start_incremental_join_sink
+
+    ev = Catalog(spark, sf_dir).events
+    left = ev.where(F.col("user_id") % 5 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    right = ev.select("user_id").distinct().withColumn(
+        "tier", F.col("user_id") % 7
+    )
+    stage = tempfile.mkdtemp(prefix="events_ivm_join_")
+    src = TxTable(os.path.join(stage, "src"))
+    src.init(left)
+    ups = left.where(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    ins = (
+        left.where(F.col("event_id") % 11 == 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(100000000))
+        .withColumn("user_id", F.col("user_id") + F.lit(5))
+    )
+    src.merge_into(ups.unionByName(ins), ["event_id"], change_feed=True)
+    src.delete_where(spark, [("user_id", "=", 0)], change_feed=True)
+    q = start_incremental_join_sink(
+        spark,
+        os.path.join(stage, "src"),
+        right,
+        os.path.join(stage, "derived"),
+        os.path.join(stage, "ckpt"),
+        on="user_id",
+        left_pk="event_id",
+        right_pk="user_id",
+    )
+    q.awaitTermination()
+    return (
+        TxTable(os.path.join(stage, "derived"))
+        .read(spark)
+        .select("event_id", "user_id", "value", "tier")
+        .orderBy("event_id", "user_id")
+    )

@@ -177,6 +177,9 @@ def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool
         return True
     mn, mx = per[col]
     try:
+        if op == "in":
+            vals = list(val) if isinstance(val, (list, tuple, set)) else [val]
+            return any(mn <= x <= mx for x in vals)
         if op == "=":
             return mn <= val <= mx
         if op == "<":
@@ -236,12 +239,21 @@ def _stats_rollup(stats_list: list[dict]) -> dict[str, list]:
 
 # The predicate grammar shared by read(where=...), delete_where, and
 # the stats pruner — one definition so the three can never drift.
+def _isin(c, v):
+    from pyspark.sql import functions as F
+
+    vals = list(v) if isinstance(v, (list, tuple, set, frozenset)) else [v]
+    return c.isin(*vals) if vals else F.lit(False)
+
+
 _OPS = {
     "=": lambda c, v: c == v,
     "<": lambda c, v: c < v,
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
+    # value is a list/tuple/set of scalars; empty -> matches nothing
+    "in": lambda c, v: _isin(c, v),
 }
 
 
@@ -252,7 +264,10 @@ def _where_cond(where):
 
     cond = F.lit(True)
     for col, op, val in where:
-        cond = cond & _OPS[op](F.col(col), F.lit(val))
+        # `in` handles its own literals (one per scalar); F.lit on a
+        # list would build a single ARRAY literal and break isin
+        rhs = val if op == "in" else F.lit(val)
+        cond = cond & _OPS[op](F.col(col), rhs)
     return cond
 
 
@@ -264,6 +279,16 @@ def _delete_keep_filter(df, where):
     from pyspark.sql import functions as F
 
     return df.filter(~F.coalesce(_where_cond(where), F.lit(False)))
+
+
+def _json_where(where) -> list[list]:
+    """Predicates in manifest-JSON shape: tuples/sets of an `in` list
+    become plain lists so tombstones and app metadata serialize."""
+    return [
+        [c, op, sorted(v) if isinstance(v, (set, frozenset))
+         else list(v) if isinstance(v, tuple) and op == "in" else v]
+        for c, op, v in where
+    ]
 
 
 def _check_ops(where) -> None:
@@ -761,10 +786,7 @@ class TxTable:
                 df = spark.createDataFrame([], m["schema_ddl"])
             else:
                 df = spark.read.schema(m["schema_ddl"]).parquet(*files)
-            from pyspark.sql import functions as F
-
-            for col, op, val in where:
-                df = df.filter(_OPS[op](F.col(col), F.lit(val)))
+            df = df.filter(_where_cond(where))
             return df
         if tbs:
             covered = sorted(set().union(*(set(t["files"]) for t in tbs)))
@@ -1263,13 +1285,13 @@ class TxTable:
             kw = {"reuse_segments": reused} if reused else {}
             if mode == "mor":
                 new_tbs = tbs + [
-                    {"where": [list(p) for p in where], "files": list(touched)}
+                    {"where": _json_where(where), "files": list(touched)}
                 ]
                 try:
                     self._try_commit(
                         base + 1, carried + touched, m["schema_ddl"],
                         app={
-                            "deleted_where": [list(p) for p in where],
+                            "deleted_where": _json_where(where),
                             "mor": True,
                         },
                         stats={**carried_stats, **touched_stats},
@@ -1287,7 +1309,7 @@ class TxTable:
             try:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
-                    app={"deleted_where": [list(p) for p in where]},
+                    app={"deleted_where": _json_where(where)},
                     stats=carried_stats, changes=changes,
                     new_dirs=_dirs_of(new_files),
                     tombstones=_pruned_tombstones(tbs, set(touched)), **kw,

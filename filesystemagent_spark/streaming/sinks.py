@@ -205,3 +205,102 @@ def start_incremental_agg_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_join_sink(
+    spark: SparkSession,
+    source_table: str,
+    right_df: DataFrame,
+    derived_table: str,
+    checkpoint: str,
+    *,
+    on: str,
+    left_pk: str,
+    right_pk: str,
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+):
+    """Maintain a derived INNER EQUI-JOIN table  L ⋈ R  from L's
+    CHANGE FEED — incremental view maintenance for joins, the
+    continuous-pipeline shape where the joined view (documents ⋈
+    metadata, events ⋈ dimension) must track a mutating fact table
+    without rescanning it.
+
+    Per micro-batch (one or more source commits):
+      1. affected = the batch's distinct left primary keys — every
+         image type counts (insert/upsert/update_preimage/delete)
+      2. the derived table's slice for those keys dies via a
+         MERGE-ON-READ key-list tombstone (delete_where(left_pk in
+         affected, mode='mor') — a manifest commit, no rewrite)
+      3. the batch's POST-images (insert ∪ upsert) join R and merge
+         back on (left_pk, right_pk)
+    Join-key updates move partners correctly (old partners die with
+    the pk slice, new ones come from the post-image join); deletes
+    just die. R is read per batch — dimension semantics; for a
+    mutating R run a second sink driven by R's feed with the roles
+    swapped.
+
+    Exactly-once: batch_id stamp in the derived table's app metadata
+    (checked before step 2); the delete-then-merge pair is replay-
+    idempotent — a crash between them re-runs both, and re-deleting an
+    already-dead slice is a no-op tombstone. Scale bound: the affected
+    key list is driver-materialized and rides in the tombstone
+    predicate, so one batch's distinct keys must stay manifest-scale
+    (they are commit-sized by construction; a backfill that rewrites
+    the whole source should rebuild the view instead)."""
+    from filesystemagent_spark.sources.txchanges import register_txtable_changes
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    register_txtable_changes(spark)
+    reader = spark.readStream.format("txtable_changes").option(
+        "path", source_table
+    )
+    if max_versions_per_trigger is not None:
+        reader = reader.option("maxversionspertrigger", str(max_versions_per_trigger))
+    stream = reader.load()
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = TxTable(derived_table)
+        applied = t.latest_app_value("batch_id")
+        if applied is not None and applied >= batch_id:
+            return  # replayed batch: already applied
+        affected = [
+            r[0] for r in batch_df.select(left_pk).distinct().collect()
+        ]
+        if not affected:
+            return
+        # One batch can span several source COMMITS (the feed source
+        # batches by admission, and availableNow drains fall back to a
+        # single batch): only each key's LATEST image may contribute —
+        # an earlier version's insert for a since-updated or
+        # since-deleted key is superseded, and a version's own
+        # update_preimage always loses to its post-image.
+        from pyspark.sql import Window
+
+        pri = F.when(
+            F.col("_change_type") == "update_preimage", F.lit(0)
+        ).otherwise(F.lit(1))
+        w = Window.partitionBy(left_pk).orderBy(
+            F.col("_commit_version").desc(), pri.desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        post = (
+            latest.filter(F.col("_change_type").isin("insert", "upsert"))
+            .drop("_rn", "_change_type", "_commit_version")
+        )
+        new_rows = post.join(right_df, on)
+        if t.latest_version() == 0:
+            t.init(new_rows, app={"batch_id": batch_id})
+            return
+        t.delete_where(spark, [(left_pk, "in", affected)], mode="mor")
+        t.merge_into(new_rows, [left_pk, right_pk], app={"batch_id": batch_id})
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

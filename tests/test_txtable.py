@@ -1615,3 +1615,128 @@ def test_mor_bin_pack_guard_overridden_by_tombstone(spark, tmp_path):
     # and now it converges: nothing covered, one file, no-op
     v2 = t.compact(spark, small_file_bytes=1 << 30, target_bytes=1 << 30)
     assert v2 == v and t.last_compact_info["noop"] is True
+
+
+def test_incremental_join_sink_tracks_source_join(spark, tmp_path):
+    """Incremental view maintenance for a JOIN: the change-feed stream
+    maintains derived = L ⋈ R across init, a value update, a JOIN-KEY
+    move (partners must switch), an insert, and a delete — matching a
+    fresh snapshot join after every drain; the delete leg rides a
+    merge-on-read key-list tombstone. Idempotent on an empty
+    re-drain."""
+    from filesystemagent_spark.streaming.sinks import start_incremental_join_sink
+
+    def rows(data):
+        return spark.createDataFrame(data, "pk bigint, jk string, v bigint")
+
+    right = spark.createDataFrame(
+        [("a", 100), ("b", 200), ("c", 300)], "jk string, dim bigint"
+    )
+    src_path, drv_path = str(tmp_path / "src"), str(tmp_path / "derived")
+    ckpt = str(tmp_path / "ckpt")
+    src = TxTable(src_path)
+    src.init(rows([(1, "a", 10), (2, "b", 20), (3, "c", 30)]))        # v1
+
+    def drain():
+        start_incremental_join_sink(
+            spark, src_path, right, drv_path, ckpt,
+            on="jk", left_pk="pk", right_pk="jk",
+        ).awaitTermination()
+
+    def derived():
+        return sorted(
+            (r.pk, r.jk, r.v, r.dim)
+            for r in TxTable(drv_path).read(spark).collect()
+        )
+
+    def truth():
+        return sorted(
+            (r.pk, r.jk, r.v, r.dim)
+            for r in src.read(spark).join(right, "jk").collect()
+        )
+
+    drain()
+    assert derived() == truth() == [
+        (1, "a", 10, 100), (2, "b", 20, 200), (3, "c", 30, 300)
+    ]
+    # value update (1), join-key move (2: b->c), insert (4), delete (3)
+    src.merge_into(rows([(1, "a", 11), (2, "c", 20), (4, "a", 40)]),
+                   ["pk"], change_feed=True)                          # v2
+    src.delete_where(spark, [("pk", "=", 3)], change_feed=True)       # v3
+    drain()
+    assert derived() == truth() == [
+        (1, "a", 11, 100), (2, "c", 20, 300), (4, "a", 40, 100)
+    ]
+    # the delete leg used MoR: derived history holds a tombstone commit
+    apps = [
+        TxTable(drv_path)._read_manifest(v).get("app", {})
+        for v in range(1, TxTable(drv_path).latest_version() + 1)
+    ]
+    assert any(a.get("mor") for a in apps)
+    drain()  # empty re-drain: no new derived version
+    head = TxTable(drv_path).latest_version()
+    drain()
+    assert TxTable(drv_path).latest_version() == head
+
+
+def test_incremental_join_sink_single_drain_spanning_versions(spark, tmp_path):
+    """One drain over ALL versions (the feed source batches several
+    commits together): only each key's LATEST image may apply — an
+    init-version insert for a since-updated/deleted key is superseded.
+    Regression: the first cut merged every post-image and produced
+    duplicate (old+new) rows and resurrected deletes."""
+    from filesystemagent_spark.streaming.sinks import start_incremental_join_sink
+
+    def rows(data):
+        return spark.createDataFrame(data, "pk bigint, jk string, v bigint")
+
+    right = spark.createDataFrame(
+        [("a", 100), ("b", 200), ("c", 300)], "jk string, dim bigint"
+    )
+    src_path, drv_path = str(tmp_path / "src"), str(tmp_path / "derived")
+    src = TxTable(src_path)
+    src.init(rows([(1, "a", 10), (2, "b", 20), (3, "c", 30)]))        # v1
+    src.merge_into(rows([(1, "a", 11), (2, "c", 20), (4, "a", 40)]),
+                   ["pk"], change_feed=True)                          # v2
+    src.delete_where(spark, [("pk", "=", 3)], change_feed=True)       # v3
+    start_incremental_join_sink(
+        spark, src_path, right, drv_path, str(tmp_path / "ckpt"),
+        on="jk", left_pk="pk", right_pk="jk",
+    ).awaitTermination()
+    got = sorted(
+        (r.pk, r.jk, r.v, r.dim)
+        for r in TxTable(drv_path).read(spark).collect()
+    )
+    want = sorted(
+        (r.pk, r.jk, r.v, r.dim)
+        for r in src.read(spark).join(right, "jk").collect()
+    )
+    assert got == want == [
+        (1, "a", 11, 100), (2, "c", 20, 300), (4, "a", 40, 100)
+    ]
+
+
+def test_in_predicate_read_delete_and_pruning(spark, tmp_path):
+    """The `in` op works across the predicate grammar: stats-pruned
+    reads (only files whose range covers a value scan), MoR key-list
+    tombstones (JSON round-trip incl. tuples), COW deletes with SQL
+    null semantics (null comparison keeps the row), empty list matches
+    nothing."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 100).selectExpr("id AS k", "id AS v").repartition(4))
+    assert t.read(spark, where=[("k", "in", [3, 7, 99])]).count() == 3
+    assert t.read(spark, where=[("k", "in", [])]).count() == 0
+    df = t.read(spark, where=[("k", "in", [1])])
+    assert df.count() == 1 and len(df.inputFiles()) < 4  # file skipping
+    t.delete_where(spark, [("k", "in", (3, 7, 99))], mode="mor")  # tuple ok
+    assert t.read(spark).count() == 97
+    assert t.read(spark, where=[("k", "in", (7, 8))]).count() == 1
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.init(
+        spark.sql(
+            "SELECT id AS k, CASE WHEN id = 5 THEN NULL ELSE id END AS v "
+            "FROM range(10)"
+        ).coalesce(1)
+    )
+    t2.delete_where(spark, [("v", "in", [5, 6])])
+    assert t2.read(spark).count() == 9  # null-v row kept, v=6 deleted

@@ -328,7 +328,12 @@ def events_txtable_incremental_join(spark: SparkSession, sf_dir: str) -> DataFra
     stamps. The returned derived rows must equal the one-shot SQL join
     of the FINAL snapshot, which is exactly what the oracle computes —
     a missed retraction, a stale partner after a join-key move, or a
-    double-applied batch each shifts the hash."""
+    double-applied batch each shifts the hash. Two drains, so the
+    oracle checks BOTH sink branches: the first drains only the init
+    version (derived bootstraps), the DML lands between them, and the
+    second drain must retract via the merge-on-read key-list tombstone
+    and merge the post-image joins — a single drain would hit only the
+    bootstrap path."""
     from filesystemagent_spark.streaming.sinks import start_incremental_join_sink
 
     ev = Catalog(spark, sf_dir).events
@@ -340,7 +345,21 @@ def events_txtable_incremental_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     stage = tempfile.mkdtemp(prefix="events_ivm_join_")
     src = TxTable(os.path.join(stage, "src"))
+
+    def drain():
+        start_incremental_join_sink(
+            spark,
+            os.path.join(stage, "src"),
+            right,
+            os.path.join(stage, "derived"),
+            os.path.join(stage, "ckpt"),
+            on="user_id",
+            left_pk="event_id",
+            right_pk="user_id",
+        ).awaitTermination()
+
     src.init(left)
+    drain()  # bootstrap: derived <- v1 join
     ups = left.where(F.col("event_id") % 3 == 0).withColumn(
         "value", F.col("value") * 2
     )
@@ -351,17 +370,7 @@ def events_txtable_incremental_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     src.merge_into(ups.unionByName(ins), ["event_id"], change_feed=True)
     src.delete_where(spark, [("user_id", "=", 0)], change_feed=True)
-    q = start_incremental_join_sink(
-        spark,
-        os.path.join(stage, "src"),
-        right,
-        os.path.join(stage, "derived"),
-        os.path.join(stage, "ckpt"),
-        on="user_id",
-        left_pk="event_id",
-        right_pk="user_id",
-    )
-    q.awaitTermination()
+    drain()  # incremental: tombstone retraction + post-image merge
     return (
         TxTable(os.path.join(stage, "derived"))
         .read(spark)

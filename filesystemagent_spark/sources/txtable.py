@@ -178,7 +178,11 @@ def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool
     mn, mx = per[col]
     try:
         if op == "in":
-            vals = list(val) if isinstance(val, (list, tuple, set)) else [val]
+            vals = (
+                list(val)
+                if isinstance(val, (list, tuple, set, frozenset))
+                else [val]
+            )
             return any(mn <= x <= mx for x in vals)
         if op == "=":
             return mn <= val <= mx
@@ -283,12 +287,28 @@ def _delete_keep_filter(df, where):
 
 def _json_where(where) -> list[list]:
     """Predicates in manifest-JSON shape: tuples/sets of an `in` list
-    become plain lists so tombstones and app metadata serialize."""
-    return [
-        [c, op, sorted(v) if isinstance(v, (set, frozenset))
-         else list(v) if isinstance(v, tuple) and op == "in" else v]
-        for c, op, v in where
-    ]
+    become plain lists so tombstones and app metadata serialize.
+    Values must be JSON scalars — a date/Decimal key would otherwise
+    crash json.dump deep inside the commit (and reload as a different
+    type than the column, breaking the tombstone filter); fail loudly
+    at the API boundary instead."""
+    def _scalar(x):
+        if x is None or isinstance(x, (int, float, str, bool)):
+            return x
+        raise ValueError(
+            f"predicate value {x!r} ({type(x).__name__}) is not a JSON "
+            "scalar — tombstone/app predicates support int/float/str/"
+            "bool/None; cast the key column first"
+        )
+
+    out = []
+    for c, op, v in where:
+        if isinstance(v, (list, tuple, set, frozenset)):
+            vs = sorted(v) if isinstance(v, (set, frozenset)) else list(v)
+            out.append([c, op, [_scalar(x) for x in vs]])
+        else:
+            out.append([c, op, _scalar(v)])
+    return out
 
 
 def _check_ops(where) -> None:
@@ -756,7 +776,7 @@ class TxTable:
         set no matter what commits land afterwards.
 
         ``where`` — optional conjunctive predicates [(col, op, value)]
-        with op in {=, <, <=, >, >=} — enables STATS-BASED FILE
+        with op in {=, <, <=, >, >=, in} — enables STATS-BASED FILE
         SKIPPING: files whose manifest min/max stats prove no matching
         row are dropped from the scan before Spark ever plans it (the
         Iceberg/Delta data-skipping recipe; Spark's own pushdown can
@@ -1214,9 +1234,11 @@ class TxTable:
         max_retries: int = 10,
         change_feed: bool = False,
         mode: str = "cow",
+        app: dict | None = None,
     ) -> int:
         """Row-level DELETE: same predicate grammar as `read(where=...)`
-        — conjunctive [(col, op, value)], op in {=, <, <=, >, >=}.
+        — conjunctive [(col, op, value)], op in {=, <, <=, >, >=, in}
+        (`in` takes a list of scalars).
         A delete that provably touches no file commits nothing and
         returns the current version. Loses CAS conflicts by retrying
         against the fresh snapshot (a concurrent merge's rows are
@@ -1293,6 +1315,7 @@ class TxTable:
                         app={
                             "deleted_where": _json_where(where),
                             "mor": True,
+                            **(app or {}),
                         },
                         stats={**carried_stats, **touched_stats},
                         changes=changes, tombstones=new_tbs, **kw,
@@ -1309,7 +1332,7 @@ class TxTable:
             try:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
-                    app={"deleted_where": _json_where(where)},
+                    app={"deleted_where": _json_where(where), **(app or {})},
                     stats=carried_stats, changes=changes,
                     new_dirs=_dirs_of(new_files),
                     tombstones=_pruned_tombstones(tbs, set(touched)), **kw,

@@ -241,13 +241,17 @@ def start_incremental_join_sink(
     swapped.
 
     Exactly-once: batch_id stamp in the derived table's app metadata
-    (checked before step 2); the delete-then-merge pair is replay-
-    idempotent — a crash between them re-runs both, and re-deleting an
-    already-dead slice is a no-op tombstone. Scale bound: the affected
-    key list is driver-materialized and rides in the tombstone
-    predicate, so one batch's distinct keys must stay manifest-scale
-    (they are commit-sized by construction; a backfill that rewrites
-    the whole source should rebuild the view instead)."""
+    (checked before step 2), carried by the batch's LAST commit — the
+    merge when post-images exist, the delete itself when they don't —
+    so replays skip entirely; a crash between delete and merge re-runs
+    both (the re-delete adds a redundant-but-harmless tombstone, then
+    the merge lands and stamps). Scale bound: the affected key list is
+    driver-materialized and rides in the tombstone predicate, so one
+    batch's distinct keys must stay manifest-scale (they are
+    commit-sized by construction; a backfill that rewrites the whole
+    source should rebuild the view instead), and the left primary key
+    must be a JSON-scalar column (int/float/str/bool — the key list
+    lives in manifest JSON; cast date/decimal keys first)."""
     from filesystemagent_spark.sources.txchanges import register_txtable_changes
     from filesystemagent_spark.sources.txtable import TxTable
 
@@ -264,17 +268,14 @@ def start_incremental_join_sink(
         applied = t.latest_app_value("batch_id")
         if applied is not None and applied >= batch_id:
             return  # replayed batch: already applied
-        affected = [
-            r[0] for r in batch_df.select(left_pk).distinct().collect()
-        ]
-        if not affected:
-            return
         # One batch can span several source COMMITS (the feed source
         # batches by admission, and availableNow drains fall back to a
         # single batch): only each key's LATEST image may contribute —
         # an earlier version's insert for a since-updated or
         # since-deleted key is superseded, and a version's own
-        # update_preimage always loses to its post-image.
+        # update_preimage always loses to its post-image. Cached: the
+        # affected-key collect and the join read it once each instead
+        # of re-decoding the change files per action.
         from pyspark.sql import Window
 
         pri = F.when(
@@ -286,17 +287,34 @@ def start_incremental_join_sink(
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
+            .cache()
         )
-        post = (
-            latest.filter(F.col("_change_type").isin("insert", "upsert"))
-            .drop("_rn", "_change_type", "_commit_version")
-        )
-        new_rows = post.join(right_df, on)
-        if t.latest_version() == 0:
-            t.init(new_rows, app={"batch_id": batch_id})
-            return
-        t.delete_where(spark, [(left_pk, "in", affected)], mode="mor")
-        t.merge_into(new_rows, [left_pk, right_pk], app={"batch_id": batch_id})
+        try:
+            affected = [r[0] for r in latest.select(left_pk).collect()]
+            if not affected:
+                return
+            post = (
+                latest.filter(F.col("_change_type").isin("insert", "upsert"))
+                .drop("_rn", "_change_type", "_commit_version")
+            )
+            new_rows = post.join(right_df, on)
+            if t.latest_version() == 0:
+                t.init(new_rows, app={"batch_id": batch_id})
+                return
+            has_new = not new_rows.isEmpty()
+            # the batch's LAST commit carries the stamp: a delete-only
+            # batch would otherwise never stamp (the empty merge
+            # no-ops) and every replay would add a redundant tombstone
+            t.delete_where(
+                spark, [(left_pk, "in", affected)], mode="mor",
+                app=None if has_new else {"batch_id": batch_id},
+            )
+            if has_new:
+                t.merge_into(
+                    new_rows, [left_pk, right_pk], app={"batch_id": batch_id}
+                )
+        finally:
+            latest.unpersist()
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

@@ -1740,3 +1740,35 @@ def test_in_predicate_read_delete_and_pruning(spark, tmp_path):
     )
     t2.delete_where(spark, [("v", "in", [5, 6])])
     assert t2.read(spark).count() == 9  # null-v row kept, v=6 deleted
+
+
+def test_incremental_join_sink_delete_only_batch_stamps(spark, tmp_path):
+    """A batch whose post-images are empty (pure deletes) must still
+    stamp its batch_id — on the DELETE commit itself — so replays skip
+    instead of appending a redundant tombstone version per restart."""
+    from filesystemagent_spark.streaming.sinks import start_incremental_join_sink
+
+    def rows(data):
+        return spark.createDataFrame(data, "pk bigint, jk string, v bigint")
+
+    right = spark.createDataFrame([("a", 100)], "jk string, dim bigint")
+    src_path, drv_path = str(tmp_path / "src"), str(tmp_path / "derived")
+    src = TxTable(src_path)
+    src.init(rows([(1, "a", 10), (2, "a", 20)]))                      # v1
+
+    def drain():
+        start_incremental_join_sink(
+            spark, src_path, right, drv_path, str(tmp_path / "ckpt"),
+            on="jk", left_pk="pk", right_pk="jk",
+        ).awaitTermination()
+
+    drain()
+    src.delete_where(spark, [("pk", "=", 2)], change_feed=True)       # v2
+    drain()
+    d = TxTable(drv_path)
+    assert sorted(r.pk for r in d.read(spark).collect()) == [1]
+    # the delete commit itself carries the stamp
+    assert d.latest_app_value("batch_id") is not None
+    head = d.latest_version()
+    drain()  # replay-equivalent empty drain: no new version
+    assert d.latest_version() == head

@@ -29,18 +29,28 @@ versions one micro-batch may plan (the Delta `maxFilesPerTrigger`
 analog) — without it, a stream started against a long-history table
 plans every version into a single unbounded batch. The bound rides an
 in-reader cursor seeded by `initialOffset` on a fresh start; after a
-RESTART, Spark 4.x always replays the offsets log's last entry
-through `partitions(start, end)` BEFORE the first `latestOffset`
-(verified empirically for both committed and uncommitted final
-batches; tests/test_txtable_stream.py pins it), and `partitions`
-seeds the cursor from `end` — so the admission bound holds across
-restarts too. The cursor-less `latestOffset` branch remains as a
-defensive fallback (unbounded, because capping blind could plan an
-end BEHIND the checkpoint and re-deliver rows; exactly-once wins over
-one oversized catch-up batch). Note `Trigger.AvailableNow` snapshots
-one target offset up front (Spark wraps sources lacking native
-support), so the cap binds per-batch under processing-time triggers,
-not availableNow drains.
+RESTART, Spark 4.x replays the offsets log's last entry through
+`partitions(start, end)` AND calls `commit(end)` BEFORE the first
+`latestOffset` (verified empirically for both committed and
+uncommitted final batches — scripts/probe_restart_calls.py; pinned
+end-to-end by tests/test_txchanges_stream.py's
+test_restart_keeps_admission_bound_engaged), and both hooks seed the
+cursor — so the admission bound holds across restarts.
+
+``cursorfile`` (optional, a DRIVER-LOCAL path; the sinks put it under
+their checkpoint dir) adds a durable third belt for the hypothetical
+flow where a future Spark calls `latestOffset` first: the reader
+persists every PLANNED version to the file BEFORE returning it from
+`latestOffset`, so the file is always >= any offset Spark has logged
+(write-ahead order) and a cursor-less `latestOffset` can load it and
+stay capped at `planned + maxversionspertrigger` without ever
+planning an end behind the checkpoint. Without a cursorfile the
+cursor-less branch remains the unbounded fallback (capping blind
+could plan an end BEHIND the checkpoint and re-deliver rows;
+exactly-once wins over one oversized catch-up batch). Note
+`Trigger.AvailableNow` snapshots one target offset up front (Spark
+wraps sources lacking native support), so the cap binds per-batch
+under processing-time triggers, not availableNow drains.
 
 Versions committed WITHOUT the change feed fail the stream loudly (a
 silent gap would corrupt every downstream consumer) — except v1,
@@ -50,6 +60,8 @@ carry no logical change.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
@@ -109,15 +121,52 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         # Last version this reader has PLANNED (returned from
         # latestOffset or seen as a batch end). None after a restart,
         # until Spark reveals the checkpointed position via
-        # partitions(start, end).
+        # partitions(start, end) / commit(end) — or, third belt, the
+        # durable cursorfile.
         self._cursor: int | None = None
+        self.cursor_file = options.get("cursorfile")
+
+    def _load_cursor(self) -> int | None:
+        if not self.cursor_file:
+            return None
+        try:
+            with open(self.cursor_file, encoding="utf-8") as fh:
+                return int(json.load(fh)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _seed_cursor(self, v: int) -> None:
+        self._cursor = max(self._cursor or 0, int(v))
+
+    def _save_cursor(self) -> None:
+        """Durably record the planned cursor — called BEFORE the offset
+        leaves latestOffset, so the file is always >= anything Spark
+        has logged (a crash between the write and the log replays
+        versions, never skips them)."""
+        if not self.cursor_file or self._cursor is None:
+            return
+        stored = self._load_cursor()
+        if stored is not None and stored >= self._cursor:
+            return
+        parent = os.path.dirname(self.cursor_file)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = f"{self.cursor_file}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": self._cursor}, fh)
+        os.replace(tmp, self.cursor_file)
 
     def initialOffset(self):
         self._cursor = self.start_after
+        self._save_cursor()
         return {"version": self.start_after}
 
     def latestOffset(self):
         head = self.table.latest_version()
+        if self._cursor is None:
+            stored = self._load_cursor()
+            if stored is not None:
+                self._cursor = stored
         if self.max_versions is None or self._cursor is None:
             end = head
         else:
@@ -125,11 +174,19 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         if self._cursor is not None:
             end = max(end, self._cursor)
         self._cursor = end
+        self._save_cursor()
         return {"version": end}
+
+    def commit(self, end):
+        # Spark 4.x calls commit(checkpointed end) on restart before
+        # the first latestOffset — a second cursor-seeding hook
+        self._seed_cursor(end["version"])
+        self._save_cursor()
 
     def partitions(self, start, end):
         end_v = int(end["version"])
-        self._cursor = max(self._cursor or 0, end_v)
+        self._seed_cursor(end_v)
+        self._save_cursor()
         parts = []
         for v in range(int(start["version"]) + 1, end_v + 1):
             # one resolution policy for batch + stream (raises on a
@@ -175,10 +232,6 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             arrays.append(pa.array([partition.change_type] * n, pa.string()))
             arrays.append(pa.array(np.full(n, partition.version, np.int64)))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
-
-    def commit(self, end):
-        pass
-
 
 def register_txtable_changes(spark) -> None:
     spark.dataSource.register(TxTableChangesDataSource)

@@ -403,12 +403,14 @@ def _pruned_tombstones(
     """Carry merge-on-read tombstones forward minus the files a commit
     rewrote (their replacements were read with the tombstones applied,
     so the deleted rows are physically gone there); a tombstone whose
-    whole file list was rewritten drops entirely."""
+    whole file list was rewritten drops entirely. Shape-agnostic:
+    predicate tombstones ({'where'}) and key-list tombstones
+    ({'keyfiles', 'key_cols'}) both carry every field but 'files'."""
     out = []
     for t in tbs:
         rest = [f for f in t["files"] if f not in rewritten]
         if rest:
-            out.append({"where": t["where"], "files": rest})
+            out.append({**t, "files": rest})
     return out or None
 
 
@@ -735,11 +737,23 @@ class TxTable:
     ) -> DataFrame:
         """Read `files` under manifest `m` with its merge-on-read
         TOMBSTONES applied: each tombstone names the explicit files its
-        delete predicate covers, so files group by their applicable
-        tombstone set and each group scans once with the corresponding
-        anti-filters (SQL DELETE null semantics — a null comparison
-        KEEPS the row). Files outside every tombstone read clean in one
-        scan. Tombstone lists are short-lived by design (merges prune
+        delete covers, so files group by their applicable tombstone set
+        and each group scans once with the corresponding anti-filters /
+        anti-joins. Two tombstone shapes:
+
+        - predicate ({'where'}): anti-filter with SQL DELETE null
+          semantics — a null comparison KEEPS the row;
+        - key list ({'keyfiles', 'key_cols'}, the Iceberg
+          equality-delete-file shape from `delete_keys`): LEFT ANTI
+          JOIN against the parquet side file(s) holding the deleted
+          keys — the key set never rides through the driver or the
+          manifest, so one tombstone can name 10^8 keys. Null join
+          keys never match (rows with null keys are KEPT, the same
+          null rule as the predicate form); the key side is tiny
+          relative to data, so Catalyst broadcasts it.
+
+        Files outside every tombstone read clean in one scan.
+        Tombstone lists are short-lived by design (merges prune
         rewritten files out; compaction materializes), so the group
         count stays tiny."""
         from functools import reduce
@@ -757,11 +771,24 @@ class TxTable:
         for f in files:
             key = tuple(i for i, s in enumerate(tb_files) if f in s)
             groups.setdefault(key, []).append(f)
+        cols = spark.createDataFrame([], ddl).columns
         parts = []
         for key, fs in groups.items():
             df = spark.read.schema(ddl).parquet(*fs)
             for i in key:
-                df = _delete_keep_filter(df, tbs[i]["where"])
+                t = tbs[i]
+                if "keyfiles" in t:
+                    dead = spark.read.parquet(*t["keyfiles"]).select(
+                        *t["key_cols"]
+                    )
+                    # a USING anti-join moves the join keys to the
+                    # front — restore schema order (the group union
+                    # below is positional)
+                    df = df.join(dead, t["key_cols"], "left_anti").select(
+                        *cols
+                    )
+                else:
+                    df = _delete_keep_filter(df, t["where"])
             parts.append(df)
         return reduce(lambda a, b: a.unionAll(b), parts)
 
@@ -935,6 +962,14 @@ class TxTable:
             f"{os.path.abspath(self.path)}@{v}".encode()
         ).hexdigest()[:16]
         cols = ", ".join(spec["cols"])
+        # the location is interpolated into DDL: a quote in the table
+        # path would break the statement / inject into the session
+        # catalog — reject it like the other API-boundary validations
+        if "'" in spec["dir"]:
+            raise ValueError(
+                f"bucketed table location {spec['dir']!r} contains a "
+                "quote character — unsupported in catalog DDL"
+            )
         if not spark.catalog.tableExists(name):
             spark.sql(
                 f"CREATE TABLE {name} ({m['schema_ddl']}) USING parquet "
@@ -1287,6 +1322,12 @@ class TxTable:
                 self.last_delete_info = {
                     "mode": mode, "touched": 0, "rewritten": 0,
                 }
+                if app is not None:
+                    # the caller wants the commit RECORDED (e.g. an
+                    # exactly-once sink's batch_id stamp): a silent
+                    # no-op would leave the batch unstamped and replay
+                    # it on every restart — publish an app-only commit
+                    return self.commit_app(app)
                 return base  # stats prove nothing matches — no-op
             tbs = m.get("tombstones") or []
             changes = None
@@ -1347,6 +1388,172 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    def commit_app(self, app: dict, max_retries: int = 10) -> int:
+        """Publish a new version with IDENTICAL content (files,
+        segments, stats, tombstones, bucketing all carried verbatim)
+        and the given app metadata — the exactly-once sinks' stamp for
+        a micro-batch whose DML no-oped (a delete whose stats prove
+        nothing matches, with no post-image rows): without a recorded
+        commit the batch would replay on every stream restart.
+
+        Marked ``app_only`` so the change feed treats it like a
+        compaction (no logical change, consumers skip it instead of
+        failing the gap check)."""
+        for _attempt in range(max_retries):
+            base = self.latest_version()
+            if base == 0:
+                raise ValueError(f"table {self.path} has no committed snapshot")
+            m = self._read_manifest(base)
+            kw = {}
+            if "segments" in m:
+                kw["reuse_segments"] = m["segments"]
+                files: list[str] = m.get("files", [])
+            else:
+                files = m["files"]
+            try:
+                self._try_commit(
+                    base + 1, files, m["schema_ddl"],
+                    app={**app, "app_only": True},
+                    stats=m.get("stats", {}),
+                    census_base=m.get("dirs_created", {}),
+                    bucketing=m.get("bucketing"),
+                    tombstones=m.get("tombstones"),
+                    **kw,
+                )
+                return base + 1
+            except CommitConflict:
+                _conflict_backoff(_attempt)
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        key_cols: list[str],
+        max_retries: int = 10,
+        change_feed: bool = False,
+        mode: str = "mor",
+        app: dict | None = None,
+    ) -> int:
+        """Row-level DELETE by KEY SET:  DELETE FROM t WHERE (key_cols)
+        IN (SELECT key_cols FROM keys_df)  — the form whose key set is
+        a DataFrame that never rides through the driver, unlike
+        `delete_where((k, 'in', [..]))` whose list lives in Python and
+        in manifest JSON. This is the Iceberg equality-delete-file
+        shape: the distinct keys are staged as a PARQUET SIDE FILE and
+        the tombstone references it, so one commit can delete 10^8
+        keys with O(1) driver memory and a manifest that stays small.
+
+        ``mode='mor'`` (default): no data rewrite — the commit records
+        {keyfiles, key_cols, covered files} and readers LEFT ANTI JOIN
+        the covered files against the side file (`_apply_tombstones`).
+        Covered files are stats-pruned with the same probe a merge
+        uses (distinct values when the key set is narrow, min/max
+        range when wide), so a keyed delete on a clustered table
+        covers only the overlapping files. ``mode='cow'`` rewrites the
+        covered files minus the keyed rows instead.
+
+        Null keys in `keys_df` match nothing (SQL IN semantics: a null
+        comparison keeps the row); NaN float keys DO match NaN rows
+        (Spark join equality treats NaN = NaN). An EMPTY key set is a
+        no-op. Like `delete_where`, a no-op with ``app`` still
+        publishes an app-only commit so exactly-once stamps are never
+        lost; `last_delete_info` records what happened."""
+        if not key_cols:
+            raise ValueError("delete_keys requires at least one key column")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode: {mode!r} (cow|mor)")
+        from pyspark.sql import functions as F
+
+        # Stage the distinct key set ONCE, outside the CAS retry loop
+        # (immutable once written; a lost CAS replans file coverage,
+        # never the keys). _write_data drops 0-row part files, so an
+        # empty key set stages no files at all.
+        spark = keys_df.sparkSession
+        keyfiles, _ = self._write_data(keys_df.select(*key_cols).distinct())
+        if not keyfiles:
+            self.last_delete_info = {"mode": mode, "touched": 0, "rewritten": 0}
+            if app is not None:
+                return self.commit_app(app)
+            return self.latest_version()
+        # probe from the STAGED side file — re-reading the tiny staged
+        # parquet beats re-executing the caller's (possibly expensive)
+        # keys plan a second time
+        staged_keys = spark.read.parquet(*keyfiles)
+        probe = _merge_probe(staged_keys, key_cols)
+        for _attempt in range(max_retries):
+            base = self.latest_version()
+            if base == 0:
+                raise ValueError(f"table {self.path} has no committed snapshot")
+            m = self._read_manifest(base)
+            touched, carried, carried_stats, reused, touched_stats = (
+                self._split_files(
+                    m, lambda per: _file_overlaps_probe(per, probe)
+                )
+            )
+            if not touched:
+                self.last_delete_info = {
+                    "mode": mode, "touched": 0, "rewritten": 0,
+                }
+                if app is not None:
+                    return self.commit_app(app)
+                return base
+            tbs = m.get("tombstones") or []
+            changes = None
+            if change_feed or mode == "cow":
+                scan = self._apply_tombstones(spark, m, touched)
+                # USING semi/anti joins move the join keys to the
+                # front; staged files must keep schema_ddl order
+                cols = spark.createDataFrame([], m["schema_ddl"]).columns
+            if change_feed:
+                ch_files, _ = self._write_data(
+                    scan.join(staged_keys, key_cols, "left_semi").select(*cols)
+                )
+                changes = {"files": ch_files, "type": "delete"}
+            kw = {"reuse_segments": reused} if reused else {}
+            if mode == "mor":
+                new_tbs = tbs + [
+                    {"keyfiles": keyfiles, "key_cols": list(key_cols),
+                     "files": list(touched)}
+                ]
+                try:
+                    self._try_commit(
+                        base + 1, carried + touched, m["schema_ddl"],
+                        app={
+                            "deleted_keys": list(key_cols),
+                            "mor": True,
+                            **(app or {}),
+                        },
+                        stats={**carried_stats, **touched_stats},
+                        changes=changes, tombstones=new_tbs, **kw,
+                    )
+                    self.last_delete_info = {
+                        "mode": "mor", "touched": len(touched), "rewritten": 0,
+                    }
+                    return base + 1
+                except CommitConflict:
+                    _conflict_backoff(_attempt)
+                    continue
+            keep = scan.join(staged_keys, key_cols, "left_anti").select(*cols)
+            new_files, _ = self._write_data(keep)
+            try:
+                self._try_commit(
+                    base + 1, carried + new_files, m["schema_ddl"],
+                    app={"deleted_keys": list(key_cols), **(app or {})},
+                    stats=carried_stats, changes=changes,
+                    new_dirs=_dirs_of(new_files),
+                    tombstones=_pruned_tombstones(tbs, set(touched)), **kw,
+                )
+                self.last_delete_info = {
+                    "mode": "cow", "touched": len(touched),
+                    "rewritten": len(touched),
+                }
+                return base + 1
+            except CommitConflict:
+                _conflict_backoff(_attempt)
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
     def changes_for_version(self, version: int) -> list[dict] | None:
         """The single CDF resolution policy, shared by the batch reader
         (`table_changes`) and the streaming source
@@ -1367,6 +1574,8 @@ class TxTable:
                 ch = {"files": self._manifest_files(m), "type": "insert"}
             elif "compacted_from" in m.get("app", {}):
                 return None  # layout-only commit — no logical change
+            elif "app_only" in m.get("app", {}):
+                return None  # metadata-only commit (commit_app stamp)
             else:
                 raise ValueError(
                     f"version {version} was committed without change_feed=True "
@@ -1789,6 +1998,13 @@ class TxTable:
             ch = m.get("changes") or {}
             for part in ch.get("parts", [ch] if ch else []):
                 for f in part.get("files", []):
+                    referenced.add(os.path.dirname(f))
+            # key-list tombstone side files (delete_keys): referenced
+            # only by manifest['tombstones'][i]['keyfiles'] — dropping
+            # them would silently RESURRECT the deleted rows on every
+            # read of a still-live MoR snapshot
+            for t in m.get("tombstones") or []:
+                for f in t.get("keyfiles", []):
                     referenced.add(os.path.dirname(f))
         removed = []
         now = time.time()

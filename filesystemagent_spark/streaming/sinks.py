@@ -22,6 +22,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _change_feed_reader(
+    spark: SparkSession,
+    source_table: str,
+    checkpoint: str,
+    max_versions_per_trigger: int | None,
+) -> DataFrame:
+    """The change-feed stream every feed-driven sink reads: admission
+    bound plus — for a driver-local checkpoint — a durable cursor file
+    inside it, so the bound survives even a restart flow where Spark
+    never reveals the checkpointed offset to the reader (the third
+    belt; see sources/txchanges.py)."""
+    reader = spark.readStream.format("txtable_changes").option(
+        "path", source_table
+    )
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "maxversionspertrigger", str(max_versions_per_trigger)
+        )
+    if "://" not in checkpoint:  # plain-path checkpoints are driver-local
+        reader = reader.option(
+            "cursorfile", os.path.join(checkpoint, "txchanges_cursor.json")
+        )
+    return reader.load()
+
+
 def start_idempotent_file_sink(
     stream_df: DataFrame,
     path: str,
@@ -149,12 +174,9 @@ def start_incremental_agg_sink(
     from filesystemagent_spark.sources.txtable import TxTable
 
     register_txtable_changes(spark)
-    reader = spark.readStream.format("txtable_changes").option(
-        "path", source_table
+    stream = _change_feed_reader(
+        spark, source_table, checkpoint, max_versions_per_trigger
     )
-    if max_versions_per_trigger is not None:
-        reader = reader.option("maxversionspertrigger", str(max_versions_per_trigger))
-    stream = reader.load()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t = TxTable(derived_table)
@@ -230,38 +252,37 @@ def start_incremental_join_sink(
       1. affected = the batch's distinct left primary keys — every
          image type counts (insert/upsert/update_preimage/delete)
       2. the derived table's slice for those keys dies via a
-         MERGE-ON-READ key-list tombstone (delete_where(left_pk in
-         affected, mode='mor') — a manifest commit, no rewrite)
+         MERGE-ON-READ key-list tombstone (delete_keys(affected,
+         mode='mor') — the affected keys are staged as a PARQUET SIDE
+         FILE the tombstone references, so they NEVER ride through the
+         driver or the manifest; readers anti-join the covered files
+         against it, the Iceberg equality-delete-file shape)
       3. the batch's POST-images (insert ∪ upsert) join R and merge
          back on (left_pk, right_pk)
     Join-key updates move partners correctly (old partners die with
     the pk slice, new ones come from the post-image join); deletes
     just die. R is read per batch — dimension semantics; for a
-    mutating R run a second sink driven by R's feed with the roles
-    swapped.
+    mutating R, `start_bidirectional_join_sinks` runs this sink on
+    both feeds with the roles swapped.
 
     Exactly-once: batch_id stamp in the derived table's app metadata
     (checked before step 2), carried by the batch's LAST commit — the
-    merge when post-images exist, the delete itself when they don't —
-    so replays skip entirely; a crash between delete and merge re-runs
-    both (the re-delete adds a redundant-but-harmless tombstone, then
-    the merge lands and stamps). Scale bound: the affected key list is
-    driver-materialized and rides in the tombstone predicate, so one
-    batch's distinct keys must stay manifest-scale (they are
-    commit-sized by construction; a backfill that rewrites the whole
-    source should rebuild the view instead), and the left primary key
-    must be a JSON-scalar column (int/float/str/bool — the key list
-    lives in manifest JSON; cast date/decimal keys first)."""
+    merge when post-images exist, else the delete, else an app-only
+    commit (a batch whose delete no-ops must still be recorded, or it
+    replays forever) — so replays skip entirely; a crash between
+    delete and merge re-runs both (the re-delete adds a
+    redundant-but-harmless tombstone, then the merge lands and
+    stamps). Scale: keys stay on the executors end to end — a 10^8-key
+    backfill batch costs one side-file write plus the joins, with O(1)
+    driver memory and a manifest that never grows with the key
+    count."""
     from filesystemagent_spark.sources.txchanges import register_txtable_changes
     from filesystemagent_spark.sources.txtable import TxTable
 
     register_txtable_changes(spark)
-    reader = spark.readStream.format("txtable_changes").option(
-        "path", source_table
+    stream = _change_feed_reader(
+        spark, source_table, checkpoint, max_versions_per_trigger
     )
-    if max_versions_per_trigger is not None:
-        reader = reader.option("maxversionspertrigger", str(max_versions_per_trigger))
-    stream = reader.load()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t = TxTable(derived_table)
@@ -289,24 +310,29 @@ def start_incremental_join_sink(
             .filter(F.col("_rn") == 1)
             .cache()
         )
+        new_rows = None
         try:
-            affected = [r[0] for r in latest.select(left_pk).collect()]
-            if not affected:
+            if latest.isEmpty():
                 return
             post = (
                 latest.filter(F.col("_change_type").isin("insert", "upsert"))
                 .drop("_rn", "_change_type", "_commit_version")
             )
-            new_rows = post.join(right_df, on)
+            # cached so the isEmpty probe and the merge share ONE
+            # execution of the post-image ⋈ R join per batch
+            new_rows = post.join(right_df, on).cache()
             if t.latest_version() == 0:
                 t.init(new_rows, app={"batch_id": batch_id})
                 return
             has_new = not new_rows.isEmpty()
             # the batch's LAST commit carries the stamp: a delete-only
             # batch would otherwise never stamp (the empty merge
-            # no-ops) and every replay would add a redundant tombstone
-            t.delete_where(
-                spark, [(left_pk, "in", affected)], mode="mor",
+            # no-ops) and every replay would add a redundant tombstone;
+            # delete_keys itself falls back to an app-only commit when
+            # its stats prove the delete a no-op, so the stamp lands
+            # exactly once on every path
+            t.delete_keys(
+                latest.select(left_pk), [left_pk], mode="mor",
                 app=None if has_new else {"batch_id": batch_id},
             )
             if has_new:
@@ -315,6 +341,8 @@ def start_incremental_join_sink(
                 )
         finally:
             latest.unpersist()
+            if new_rows is not None:
+                new_rows.unpersist()
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

@@ -188,11 +188,12 @@ def test_max_versions_per_trigger_bounds_each_batch(spark, tmp_path):
 
 
 def test_max_versions_after_restart_never_plans_behind_checkpoint(spark, tmp_path):
-    """Defensive fallback: if latestOffset ever fires with no cursor it
-    must be unbounded rather than risk an end BEHIND the checkpoint
-    that would re-deliver rows; the cap re-engages once partitions
-    syncs it. (In practice Spark 4.x always replays the offsets log
-    through partitions first — pinned end-to-end by
+    """Defensive fallback: if latestOffset ever fires with no cursor
+    and no cursorfile it must be unbounded rather than risk an end
+    BEHIND the checkpoint that would re-deliver rows; the cap
+    re-engages once partitions OR commit syncs it. (In practice Spark
+    4.x replays the offsets log through partitions AND calls commit
+    first — pinned end-to-end by
     test_restart_keeps_admission_bound_engaged below.)"""
     tbl = str(tmp_path / "tbl")
     t = TxTable(tbl)
@@ -206,6 +207,47 @@ def test_max_versions_after_restart_never_plans_behind_checkpoint(spark, tmp_pat
     r2 = _reader(spark, tbl, maxversionspertrigger=1)
     r2.partitions({"version": 3}, {"version": 3})  # checkpoint sync
     assert r2.latestOffset() == {"version": 4}  # cap re-engaged from 3
+    r3 = _reader(spark, tbl, maxversionspertrigger=1)
+    r3.commit({"version": 3})  # restart's commit replay seeds too
+    assert r3.latestOffset() == {"version": 4}
+
+
+def test_cursorfile_bounds_blind_restart_catchup(spark, tmp_path):
+    """Durable cursor belt: the reader persists every PLANNED version
+    to the cursorfile BEFORE returning it, so a restarted reader whose
+    very first call is latestOffset (the flow Spark doesn't use today)
+    still caps the catch-up batch at planned + maxversionspertrigger
+    instead of jumping to head — and never plans behind the
+    checkpoint (file is written ahead of the offsets log)."""
+    import json as _json
+
+    tbl = str(tmp_path / "tbl")
+    t = TxTable(tbl)
+    t.init(_df(spark, [("/a", 1)]))
+    for i in range(4):
+        t.merge_into(_df(spark, [(f"/f{i}", i)]), ["file_path"],
+                     change_feed=True)  # v2..v5
+    cf = str(tmp_path / "ckpt" / "txchanges_cursor.json")
+
+    # first life: plans v1 then v2, persisting each BEFORE returning
+    r = _reader(spark, tbl, maxversionspertrigger=1, cursorfile=cf)
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 1}
+    with open(cf) as fh:
+        assert _json.load(fh) == {"version": 1}  # written ahead of the log
+    assert r.latestOffset() == {"version": 2}
+
+    # restart where latestOffset fires FIRST: capped at 2+1, not 5
+    r2 = _reader(spark, tbl, maxversionspertrigger=1, cursorfile=cf)
+    assert r2.latestOffset() == {"version": 3}
+    assert r2.latestOffset() == {"version": 4}
+
+    # a stale-behind file never wins over a live seed (monotone max)
+    r3 = _reader(spark, tbl, maxversionspertrigger=1, cursorfile=cf)
+    r3.partitions({"version": 4}, {"version": 4})
+    assert r3.latestOffset() == {"version": 5}
+    with open(cf) as fh:
+        assert _json.load(fh) == {"version": 5}
 
 
 def test_restart_keeps_admission_bound_engaged(spark, tmp_path):

@@ -1772,3 +1772,159 @@ def test_incremental_join_sink_delete_only_batch_stamps(spark, tmp_path):
     head = d.latest_version()
     drain()  # replay-equivalent empty drain: no new version
     assert d.latest_version() == head
+
+# -- delete_keys: file-backed key-list tombstones (Iceberg
+# equality-delete-file shape) --------------------------------------
+
+
+def test_delete_keys_mor_rewrites_nothing_and_filters_reads(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    before = set(t._manifest_files(t._read_manifest(t.latest_version())))
+    keys = spark.range(0, 10).selectExpr("id AS k")
+    v = t.delete_keys(keys, ["k"], mode="mor")
+    assert t.last_delete_info == {"mode": "mor", "touched": 1, "rewritten": 0}
+    m = t._read_manifest(v)
+    assert set(t._manifest_files(m)) == before          # zero rewrite
+    tb = m["tombstones"][0]
+    assert tb["key_cols"] == ["k"] and tb["keyfiles"]   # file-backed
+    assert "where" not in tb
+    assert t.read(spark).count() == 190
+    assert t.read(spark).agg(F.min("k")).first()[0] == 10
+    # stats-pruned read path applies the key tombstone too
+    assert t.read(spark, where=[("k", "<", 20)]).count() == 10
+    # stats pruning: only the overlapping file is covered
+    assert tb["files"] and len(tb["files"]) == 1
+    # time travel: pre-delete snapshot intact
+    assert t.read(spark, version=v - 1).count() == 200
+
+
+def test_delete_keys_cow_and_change_feed(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    keys = spark.range(5, 15).selectExpr("id AS k")
+    v = t.delete_keys(keys, ["k"], mode="cow", change_feed=True)
+    m = t._read_manifest(v)
+    assert not m.get("tombstones")
+    assert t.last_delete_info["mode"] == "cow"
+    assert t.read(spark).count() == 190
+    assert t.read(spark).filter((F.col("k") >= 5) & (F.col("k") < 15)).count() == 0
+    ch = t.changes_for_version(v)
+    img = spark.read.schema(ch[0]["schema_ddl"]).parquet(*ch[0]["files"])
+    assert ch[0]["type"] == "delete"
+    assert sorted(r.k for r in img.collect()) == list(range(5, 15))
+    # staged feed files keep the table's column ORDER (consumers read
+    # them positionally under schema_ddl)
+    assert img.columns == t.read(spark).columns
+
+
+def test_delete_keys_null_keys_match_nothing(spark, tmp_path):
+    """SQL IN semantics: a null key in the delete set matches no row,
+    and a null-keyed ROW is never deleted by any key."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.sql(
+            "SELECT CASE WHEN id = 5 THEN NULL ELSE id END AS k, id AS v "
+            "FROM range(10)"
+        ).coalesce(1)
+    )
+    keys = spark.sql("SELECT CAST(NULL AS bigint) AS k UNION ALL SELECT 7")
+    t.delete_keys(keys, ["k"], mode="mor")
+    got = sorted(r.v for r in t.read(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 8, 9]  # only k=7 deleted
+
+
+def test_delete_keys_empty_and_noop_stamp(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    head = t.latest_version()
+    empty = spark.range(0).selectExpr("id AS k")
+    assert t.delete_keys(empty, ["k"]) == head           # no-op, no commit
+    # disjoint key set: stats prove nothing matches -> no-op
+    miss = spark.range(5000, 5010).selectExpr("id AS k")
+    assert t.delete_keys(miss, ["k"]) == head
+    # ...but with app the commit is RECORDED (exactly-once stamp)
+    v = t.delete_keys(miss, ["k"], app={"batch_id": 42})
+    assert v == head + 1
+    assert t.latest_app_value("batch_id") == 42
+    assert t.read(spark).count() == 200                  # content unchanged
+    # app-only commits are change-feed transparent (like compaction)
+    assert t.changes_for_version(v) is None
+
+
+def test_delete_keys_merge_and_compact_materialize(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    t.delete_keys(spark.range(0, 10).selectExpr("id AS k"), ["k"])
+    # merge rewriting the covered file drops the rows physically and
+    # prunes the tombstone (no resurrect)
+    t.merge_into(
+        spark.range(50, 51).selectExpr("id AS k", "id + 9000 AS v").coalesce(1),
+        ["k"],
+    )
+    m = t._read_manifest(t.latest_version())
+    assert not m.get("tombstones")
+    df = t.read(spark)
+    assert df.count() == 190
+    assert df.filter(F.col("k") < 10).count() == 0
+    # compact materializes a still-live key tombstone
+    t2 = _mor_table(spark, tmp_path, name="mor2")
+    t2.delete_keys(spark.range(0, 10).selectExpr("id AS k"), ["k"])
+    v = t2.compact(spark, target_files=2)
+    assert not t2._read_manifest(v).get("tombstones")
+    assert t2.read(spark, v).count() == 190
+
+
+def test_delete_keys_vacuum_keeps_side_files(spark, tmp_path):
+    """The key side files are referenced only by the tombstone — vacuum
+    must keep them while any manifest carries it, and reclaim them once
+    every referencing version expires."""
+    import os
+
+    t = _mor_table(spark, tmp_path)
+    v = t.delete_keys(spark.range(0, 10).selectExpr("id AS k"), ["k"])
+    kf = t._read_manifest(v)["tombstones"][0]["keyfiles"]
+    t.vacuum(grace_seconds=0)
+    assert all(os.path.exists(f) for f in kf)
+    assert t.read(spark).count() == 190                 # still applied
+    # materialize + expire every version that referenced the tombstone
+    t.compact(spark, target_files=1)
+    t.expire_versions(keep_last=1)
+    t.vacuum(grace_seconds=0)
+    assert not any(os.path.exists(f) for f in kf)       # reclaimed
+    assert t.read(spark).count() == 190
+
+
+def test_delete_keys_million_keys_bounded_driver_and_manifest(spark, tmp_path):
+    """The scale contract: one commit deleting 10^6 keys keeps the keys
+    on the executors (parquet side file) and the manifest SMALL — the
+    backfill case the old driver-collected `in`-list tombstone could
+    not survive."""
+    import os
+
+    t = TxTable(str(tmp_path / "big"))
+    t.init(
+        spark.range(0, 2_000_000).selectExpr("id AS k", "id AS v")
+        .repartition(4)
+    )
+    keys = spark.range(0, 1_000_000).selectExpr("id AS k")
+    v = t.delete_keys(keys, ["k"], mode="mor")
+    mpath = t._manifest_path(v)
+    assert os.path.getsize(mpath) < 64 << 10     # manifest stays small
+    m = t._read_manifest(v)
+    tb = m["tombstones"][0]
+    assert tb["keyfiles"]                         # keys live in parquet
+    assert t.last_delete_info["rewritten"] == 0   # no data rewrite
+    assert t.read(spark).count() == 1_000_000
+    assert t.read(spark).agg(F.min("k")).first()[0] == 1_000_000
+
+
+def test_commit_app_preserves_content_and_stamps(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    head = t.latest_version()
+    v = t.commit_app({"batch_id": 7})
+    assert v == head + 1
+    assert t.latest_app_value("batch_id") == 7
+    # identical content: files, tombstones, counts all carried
+    assert t.read(spark).count() == 190
+    m_old, m_new = t._read_manifest(head), t._read_manifest(v)
+    assert set(t._manifest_files(m_new)) == set(t._manifest_files(m_old))
+    assert m_new.get("tombstones") == m_old.get("tombstones")
+    assert t.changes_for_version(v) is None       # feed-transparent

@@ -244,6 +244,30 @@ def cmd_table(args: argparse.Namespace) -> int:
         removed = t.vacuum(grace_seconds=args.grace)
         print(f"vacuumed {len(removed)} orphaned paths")
         return 0
+    if args.materialize_tombstones:
+        info = t.tombstone_info()
+        if (
+            info["depth"] <= args.max_tombstone_depth
+            and info["covered_frac"] <= args.max_covered_frac
+        ):
+            print(
+                f"no-op: depth {info['depth']} <= {args.max_tombstone_depth} "
+                f"and covered {info['covered_frac']:.0%} <= "
+                f"{args.max_covered_frac:.0%} (read cost acceptable, "
+                "SCALE.md measurement)"
+            )
+            return 0
+        spark = _spark("table")
+        try:
+            v = t.materialize_tombstones(spark)
+        except (ValueError, CommitConflict) as e:
+            print(f"materialize failed: {e}")
+            return 2
+        print(
+            f"materialized {info['depth']} tombstones "
+            f"({info['covered_files']} covered files) into v{v}"
+        )
+        return 0
     if args.show:
         spark = _spark("table")
         v = head if args.version is None else args.version
@@ -270,7 +294,8 @@ def cmd_table(args: argparse.Namespace) -> int:
         app = m.get("app") or {}
         kind = ("restore" if "restored_from" in app
                 else "compact" if "compacted_from" in app
-                else "delete" if "deleted_where" in app
+                else "delete" if ("deleted_where" in app or "deleted_keys" in app)
+                else "stamp" if "app_only" in app
                 else "write")
         feed = "+feed" if m.get("changes") else ""
         extra = f" app={json.dumps(app)}" if app else ""
@@ -329,6 +354,11 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--restore", type=int, metavar="V", help="publish V's content as a new version")
     mode.add_argument("--compact", action="store_true")
     mode.add_argument("--vacuum", action="store_true")
+    mode.add_argument(
+        "--materialize-tombstones", action="store_true",
+        help="rewrite ONLY MoR-tombstone-covered files (policy-gated: "
+        "no-op below the depth/coverage thresholds)",
+    )
     s.add_argument("--version", type=int, help="with --show: time-travel version")
     s.add_argument("--target-files", type=int, default=8)
     s.add_argument(
@@ -337,6 +367,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("--grace", type=float, default=3600.0,
                    help="vacuum grace window seconds (racing-writer guard)")
+    s.add_argument(
+        "--max-tombstone-depth", type=int, default=4,
+        help="with --materialize-tombstones: rewrite when more than "
+        "this many tombstones are stacked (SCALE.md measurement)",
+    )
+    s.add_argument(
+        "--max-covered-frac", type=float, default=0.5,
+        help="with --materialize-tombstones: rewrite when covered "
+        "files exceed this fraction of the snapshot",
+    )
     s.add_argument("--limit", type=int, default=20)
     s.set_defaults(fn=cmd_table)
 

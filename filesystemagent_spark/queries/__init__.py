@@ -105,7 +105,10 @@ GRADE_ORDER = (
     "events_stream_tumbling",
     "events_stream_late_accounting",
     "events_stream_sessions",
-    "events_stream_dedup_keys",
+    # round 7: events_stream_dedup_keys displaced by the MoR DML
+    # lifecycle below — its dropDuplicates-in-append-mode DISTINCT
+    # shape is subsumed by the sessions/late gates (same stateful
+    # machinery, stronger checks); it stays registered + sim-checked.
     "events_stream_interval_join",
     "events_stream_incremental_rollup",
     # training-data curation / dedup / text family
@@ -128,9 +131,12 @@ GRADE_ORDER = (
     # iterative graph + recursive-CTE BFS (round-2 capability classes)
     "parts_copurchase_pagerank",
     "part_reach_3hops",
-    # column profiling + PII-style redaction (data-quality sweep)
+    # column profiling (data-quality sweep). Round 7:
+    # doc_term_redaction displaced by the incremental JOIN view below
+    # — its row-local regexp_replace class is already covered by
+    # doc_column_profile's regexp battery (and the query stays
+    # registered + sim-checked).
     "doc_column_profile",
-    "doc_term_redaction",
     # the LSH pipeline itself (signature → bands → candidates →
     # verify) replayed and hash-matched by the oracle
     "doc_minhash_pairs_checkable",
@@ -168,6 +174,14 @@ GRADE_ORDER = (
     # (applyInPandasWithState) and the query stays registered +
     # sim-checked.
     "events_txtable_dml",
+    # round 7: the two round-6 flagships take graded slots (verdict
+    # rotation) — merge-on-read deletes (tombstone commit, no rewrite,
+    # compaction materializes) and incremental JOIN-view maintenance
+    # over the change feed (now with file-backed key-list tombstone
+    # retraction). Displacements: events_stream_dedup_keys and
+    # doc_term_redaction (rationale at their old slots above).
+    "events_txtable_mor_dml",
+    "events_txtable_incremental_join",
     # REAL audio decode + spectral-fingerprint dedup (round 3):
     # G.711 mu-law WAV synthesized per doc, decoded and fingerprinted
     # by the production audio ladder, banded-Hamming deduped,

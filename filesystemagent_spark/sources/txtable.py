@@ -1554,6 +1554,88 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    def tombstone_info(self, version: int | None = None) -> dict:
+        """Read-amplification accounting for MoR tombstones: ``depth``
+        (stacked tombstones — each adds an anti-filter/anti-join to
+        the covered files' scan), ``covered_files`` (files that pay
+        it), ``covered_frac`` of the snapshot's file count. Drives the
+        maintenance policy: materialize when depth or coverage crosses
+        the thresholds measured in SCALE.md."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"table {self.path} has no committed snapshot")
+        m = self._read_manifest(v)
+        tbs = m.get("tombstones") or []
+        covered = set().union(set(), *(set(t["files"]) for t in tbs))
+        n = self._manifest_n_files(m)
+        return {
+            "depth": len(tbs),
+            "covered_files": len(covered),
+            "covered_frac": (len(covered) / n) if n else 0.0,
+        }
+
+    def materialize_tombstones(
+        self, spark: SparkSession, max_retries: int = 10
+    ) -> int:
+        """Rewrite EXACTLY the tombstone-covered files with their
+        deletes applied and drop every tombstone — the targeted
+        maintenance action for MoR read amplification (a full
+        compact() also materializes, but rewrites the whole snapshot).
+        Cost is proportional to the COVERED files, not the table;
+        uncovered segments carry as unopened descriptors (pruned by
+        their dir census against the covered files' dirs). Layout-only
+        commit: the change feed skips it like a compaction (the
+        deletes already emitted their images at delete time). No-op
+        when no tombstones exist."""
+        for _attempt in range(max_retries):
+            base = self.latest_version()
+            if base == 0:
+                raise ValueError(f"table {self.path} has no committed snapshot")
+            m = self._read_manifest(base)
+            tbs = m.get("tombstones") or []
+            if not tbs:
+                return base
+            covered = set().union(*(set(t["files"]) for t in tbs))
+            cov_dirs = {os.path.dirname(f) for f in covered}
+            carried: list[str] = []
+            carried_stats: dict[str, dict] = {}
+            reused: list[dict] = []
+            if "segments" in m:
+                for seg in m["segments"]:
+                    # a segment whose dir census is disjoint from the
+                    # covered dirs provably holds no covered file —
+                    # reuse it unopened (bounded driver cost)
+                    if "dirs" in seg and not (set(seg["dirs"]) & cov_dirs):
+                        reused.append(seg)
+                        continue
+                    for f, s in self._segment_rows(seg):
+                        if f not in covered:
+                            carried.append(f)
+                            carried_stats[f] = s
+            else:
+                stats = m.get("stats", {})
+                for f in m["files"]:
+                    if f not in covered:
+                        carried.append(f)
+                        if f in stats:
+                            carried_stats[f] = stats[f]
+            rewritten = self._apply_tombstones(spark, m, sorted(covered))
+            new_files, _ = self._write_data(rewritten)
+            kw = {"reuse_segments": reused} if reused else {}
+            try:
+                self._try_commit(
+                    base + 1, carried + new_files, m["schema_ddl"],
+                    app={"compacted_from": base,
+                         "materialized_tombstones": len(tbs)},
+                    stats=carried_stats, new_dirs=_dirs_of(new_files),
+                    **kw,
+                )
+                return base + 1
+            except CommitConflict:
+                _conflict_backoff(_attempt)
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
     def changes_for_version(self, version: int) -> list[dict] | None:
         """The single CDF resolution policy, shared by the batch reader
         (`table_changes`) and the streaming source

@@ -276,17 +276,57 @@ def start_incremental_join_sink(
     backfill batch costs one side-file write plus the joins, with O(1)
     driver memory and a manifest that never grows with the key
     count."""
+    apply_batch = _join_view_apply(
+        derived_table, lambda: right_df, on=on, this_pk=left_pk,
+        merge_keys=[left_pk, right_pk], stamp_key="batch_id",
+    )
+    return _start_feed_sink(
+        spark, source_table, checkpoint, apply_batch,
+        available_now=available_now,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+
+
+def _start_feed_sink(
+    spark, source_table, checkpoint, apply_batch, *,
+    available_now, max_versions_per_trigger,
+):
     from filesystemagent_spark.sources.txchanges import register_txtable_changes
-    from filesystemagent_spark.sources.txtable import TxTable
 
     register_txtable_changes(spark)
     stream = _change_feed_reader(
         spark, source_table, checkpoint, max_versions_per_trigger
     )
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _join_view_apply(
+    derived_table: str,
+    other_df_fn,
+    *,
+    on: str,
+    this_pk: str,
+    merge_keys: list[str],
+    stamp_key: str,
+):
+    """The per-batch join-view maintenance step, parameterized over
+    which side's feed drives it: dedup the batch to each key's latest
+    image, kill the derived slice for the affected keys via a
+    file-backed MoR key tombstone, join the post-images against the
+    OTHER side (read fresh per batch via `other_df_fn`) and merge
+    back. `stamp_key` isolates the exactly-once stamp per feed so two
+    legs maintaining the same view never clobber each other's
+    replay detection."""
+    from filesystemagent_spark.sources.txtable import CommitConflict, TxTable
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         t = TxTable(derived_table)
-        applied = t.latest_app_value("batch_id")
+        applied = t.latest_app_value(stamp_key)
         if applied is not None and applied >= batch_id:
             return  # replayed batch: already applied
         # One batch can span several source COMMITS (the feed source
@@ -294,15 +334,13 @@ def start_incremental_join_sink(
         # single batch): only each key's LATEST image may contribute —
         # an earlier version's insert for a since-updated or
         # since-deleted key is superseded, and a version's own
-        # update_preimage always loses to its post-image. Cached: the
-        # affected-key collect and the join read it once each instead
-        # of re-decoding the change files per action.
+        # update_preimage always loses to its post-image.
         from pyspark.sql import Window
 
         pri = F.when(
             F.col("_change_type") == "update_preimage", F.lit(0)
         ).otherwise(F.lit(1))
-        w = Window.partitionBy(left_pk).orderBy(
+        w = Window.partitionBy(this_pk).orderBy(
             F.col("_commit_version").desc(), pri.desc()
         )
         latest = (
@@ -319,11 +357,14 @@ def start_incremental_join_sink(
                 .drop("_rn", "_change_type", "_commit_version")
             )
             # cached so the isEmpty probe and the merge share ONE
-            # execution of the post-image ⋈ R join per batch
-            new_rows = post.join(right_df, on).cache()
+            # execution of the post-image ⋈ other-side join per batch
+            new_rows = post.join(other_df_fn(), on).cache()
             if t.latest_version() == 0:
-                t.init(new_rows, app={"batch_id": batch_id})
-                return
+                try:
+                    t.init(new_rows, app={stamp_key: batch_id})
+                    return
+                except CommitConflict:
+                    pass  # the other leg initialized concurrently
             has_new = not new_rows.isEmpty()
             # the batch's LAST commit carries the stamp: a delete-only
             # batch would otherwise never stamp (the empty merge
@@ -332,21 +373,84 @@ def start_incremental_join_sink(
             # its stats prove the delete a no-op, so the stamp lands
             # exactly once on every path
             t.delete_keys(
-                latest.select(left_pk), [left_pk], mode="mor",
-                app=None if has_new else {"batch_id": batch_id},
+                latest.select(this_pk), [this_pk], mode="mor",
+                app=None if has_new else {stamp_key: batch_id},
             )
             if has_new:
                 t.merge_into(
-                    new_rows, [left_pk, right_pk], app={"batch_id": batch_id}
+                    new_rows, merge_keys, app={stamp_key: batch_id}
                 )
         finally:
             latest.unpersist()
             if new_rows is not None:
                 new_rows.unpersist()
 
-    writer = stream.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint
+    return apply_batch
+
+
+def start_bidirectional_join_sinks(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    derived_table: str,
+    checkpoint_left: str,
+    checkpoint_right: str,
+    *,
+    on: str,
+    left_pk: str,
+    right_pk: str,
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+):
+    """Maintain  L ⋈ R  when BOTH sides mutate: two feed-driven sinks
+    over the same derived table — L's feed kills/rebuilds the
+    `left_pk` slice joining post-images against R's CURRENT snapshot;
+    R's feed does the symmetric thing on `right_pk` against L's
+    current snapshot. Returns (left_query, right_query).
+
+    Consistency model (drain consistency): a drain that runs after
+    DML has COMMITTED on both sides converges the view to the exact
+    one-shot join of the two final snapshots —
+      - a key touched on one side only is rebuilt by that side's leg
+        against the other side's (unchanged) snapshot;
+      - a key pair touched on BOTH sides is rebuilt by both legs,
+        each computing against the other's final snapshot, and the
+        (left_pk, right_pk)-keyed merge makes the double write
+        idempotent;
+      - concurrent drains serialize through the derived table's CAS
+        (merge/delete retry on conflict, re-reading the fresh
+        snapshot), so neither leg's commit is lost.
+    Mid-drain mutation of the opposite side can leave a stale joined
+    row until that side's own leg drains — run the legs until both
+    feeds are fully consumed (availableNow drains of committed DML
+    always are).
+
+    Exactly-once per feed: the legs stamp DISTINCT app keys
+    (batch_id_l / batch_id_r), and `latest_app_value` walks past the
+    other leg's commits, so interleaved or concurrent batches from
+    both feeds never confuse each other's replay detection."""
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    left_leg = _join_view_apply(
+        derived_table,
+        lambda: TxTable(right_table).read(spark),
+        on=on, this_pk=left_pk,
+        merge_keys=[left_pk, right_pk], stamp_key="batch_id_l",
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    right_leg = _join_view_apply(
+        derived_table,
+        lambda: TxTable(left_table).read(spark),
+        on=on, this_pk=right_pk,
+        merge_keys=[left_pk, right_pk], stamp_key="batch_id_r",
+    )
+    ql = _start_feed_sink(
+        spark, left_table, checkpoint_left, left_leg,
+        available_now=available_now,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+    qr = _start_feed_sink(
+        spark, right_table, checkpoint_right, right_leg,
+        available_now=available_now,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+    return ql, qr

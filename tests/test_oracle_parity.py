@@ -51,8 +51,13 @@ def test_graded_window_is_curated():
     assert not missing_oracle, f"rows-only in graded window: {missing_oracle}"
     headliners = {n for n, q in QUERIES.items() if q.headline}
     assert headliners <= set(window), headliners - set(window)
-    gates = {"events_stream_tumbling", "events_stream_sessions", "events_stream_dedup_keys"}
+    gates = {"events_stream_tumbling", "events_stream_sessions",
+             "events_stream_late_accounting"}
     assert gates <= set(window)
+    # round-7 rotation: the storage flagships hold graded slots
+    assert {"events_txtable_mor_dml", "events_txtable_incremental_join"} <= set(
+        window
+    )
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

@@ -1928,3 +1928,191 @@ def test_commit_app_preserves_content_and_stamps(spark, tmp_path):
     assert set(t._manifest_files(m_new)) == set(t._manifest_files(m_old))
     assert m_new.get("tombstones") == m_old.get("tombstones")
     assert t.changes_for_version(v) is None       # feed-transparent
+
+# -- bidirectional join-view maintenance ---------------------------
+
+
+def test_bidirectional_join_sinks_interleaved_dml(spark, tmp_path):
+    """L ⋈ R under interleaved DML on BOTH sides: after each pair of
+    drains the derived view equals the one-shot join of the two final
+    snapshots — value updates, join-key moves, inserts and deletes on
+    either side all converge; per-feed stamps keep re-drains no-ops."""
+    from filesystemagent_spark.streaming.sinks import (
+        start_bidirectional_join_sinks,
+    )
+
+    def lrows(data):
+        return spark.createDataFrame(data, "pk bigint, jk string, v bigint")
+
+    def rrows(data):
+        return spark.createDataFrame(data, "jk string, dim bigint")
+
+    lp, rp = str(tmp_path / "L"), str(tmp_path / "R")
+    dp = str(tmp_path / "derived")
+    ckl, ckr = str(tmp_path / "ckl"), str(tmp_path / "ckr")
+    L, R = TxTable(lp), TxTable(rp)
+    L.init(lrows([(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
+    R.init(rrows([("a", 100), ("b", 200), ("c", 300)]))
+
+    def drain():
+        ql, qr = start_bidirectional_join_sinks(
+            spark, lp, rp, dp, ckl, ckr,
+            on="jk", left_pk="pk", right_pk="jk",
+        )
+        ql.awaitTermination()
+        qr.awaitTermination()
+
+    def derived():
+        return sorted(
+            (r.pk, r.jk, r.v, r.dim)
+            for r in TxTable(dp).read(spark).collect()
+        )
+
+    def truth():
+        return sorted(
+            (r.pk, r.jk, r.v, r.dim)
+            for r in L.read(spark).join(R.read(spark), "jk").collect()
+        )
+
+    drain()
+    assert derived() == truth()
+
+    # L-side DML: update, join-key move, insert, delete
+    L.merge_into(lrows([(1, "a", 11), (2, "c", 20), (4, "a", 40)]),
+                 ["pk"], change_feed=True)
+    L.delete_where(spark, [("pk", "=", 3)], change_feed=True)
+    drain()
+    assert derived() == truth()
+
+    # R-side DML: dim update (fans out to every matching L row) and a
+    # dimension delete (kills the whole slice)
+    R.merge_into(rrows([("a", 101)]), ["jk"], change_feed=True)
+    R.delete_where(spark, [("jk", "=", "c")], change_feed=True)
+    drain()
+    assert derived() == truth() == [(1, "a", 11, 101), (4, "a", 40, 101)]
+
+    # BOTH sides in one drain window
+    L.merge_into(lrows([(5, "b", 50)]), ["pk"], change_feed=True)
+    R.merge_into(rrows([("b", 201)]), ["jk"], change_feed=True)
+    drain()
+    assert derived() == truth()
+    assert (5, "b", 50, 201) in derived()
+
+    # per-feed stamps: an empty re-drain publishes nothing
+    head = TxTable(dp).latest_version()
+    drain()
+    assert TxTable(dp).latest_version() == head
+    apps = [
+        TxTable(dp)._read_manifest(v).get("app", {})
+        for v in range(1, head + 1)
+    ]
+    assert any("batch_id_l" in a for a in apps)
+    assert any("batch_id_r" in a for a in apps)
+
+
+def test_bidirectional_join_sinks_concurrent_drain(spark, tmp_path):
+    """Both legs drain CONCURRENTLY over a window where both sides
+    changed (including the same key pair): the CAS serializes their
+    commits, the (left_pk, right_pk) merge makes double writes
+    idempotent, and the result equals the one-shot join."""
+    from filesystemagent_spark.streaming.sinks import (
+        start_bidirectional_join_sinks,
+    )
+
+    def lrows(data):
+        return spark.createDataFrame(data, "pk bigint, jk string, v bigint")
+
+    def rrows(data):
+        return spark.createDataFrame(data, "jk string, dim bigint")
+
+    lp, rp = str(tmp_path / "L"), str(tmp_path / "R")
+    dp = str(tmp_path / "derived")
+    ckl, ckr = str(tmp_path / "ckl"), str(tmp_path / "ckr")
+    L, R = TxTable(lp), TxTable(rp)
+    L.init(lrows([(i, chr(97 + i % 3), 10 * i) for i in range(1, 7)]))
+    R.init(rrows([("a", 100), ("b", 200), ("c", 300)]))
+    # touch BOTH sides of the same pair (pk=1 / jk='a') plus disjoint keys
+    L.merge_into(lrows([(1, "a", 11), (7, "b", 70)]), ["pk"],
+                 change_feed=True)
+    R.merge_into(rrows([("a", 101), ("c", 301)]), ["jk"], change_feed=True)
+    L.delete_where(spark, [("pk", "=", 6)], change_feed=True)
+
+    ql, qr = start_bidirectional_join_sinks(
+        spark, lp, rp, dp, ckl, ckr, on="jk", left_pk="pk", right_pk="jk",
+    )
+    ql.awaitTermination()   # started together -> batches interleave
+    qr.awaitTermination()
+
+    got = sorted(
+        (r.pk, r.jk, r.v, r.dim) for r in TxTable(dp).read(spark).collect()
+    )
+    want = sorted(
+        (r.pk, r.jk, r.v, r.dim)
+        for r in L.read(spark).join(R.read(spark), "jk").collect()
+    )
+    assert got == want
+    assert (1, "a", 11, 101) in got        # the doubly-touched pair
+    assert all(pk != 6 for pk, *_ in got)  # the delete never resurrects
+
+# -- tombstone read-amplification policy ----------------------------
+
+
+def test_materialize_tombstones_rewrites_covered_only(spark, tmp_path):
+    """The targeted maintenance action: ONLY covered files rewritten,
+    uncovered files carried verbatim, all tombstones dropped, content
+    identical — and the change feed treats it as layout-only."""
+    t = _mor_table(spark, tmp_path)  # two files, disjoint ranges
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    t.delete_keys(spark.range(20, 25).selectExpr("id AS k"), ["k"])
+    info = t.tombstone_info()
+    assert info["depth"] == 2 and info["covered_files"] == 1
+    assert 0 < info["covered_frac"] <= 0.5
+    m_before = t._read_manifest(t.latest_version())
+    uncovered = set(t._manifest_files(m_before)) - set(
+        m_before["tombstones"][0]["files"]
+    ) - set(m_before["tombstones"][1]["files"])
+    v = t.materialize_tombstones(spark)
+    m = t._read_manifest(v)
+    assert not m.get("tombstones")
+    assert uncovered <= set(t._manifest_files(m))   # carried verbatim
+    assert t.tombstone_info() == {
+        "depth": 0, "covered_files": 0, "covered_frac": 0.0,
+    }
+    assert t.read(spark).count() == 185
+    assert t.read(spark).filter(
+        (F.col("k") < 10) | ((F.col("k") >= 20) & (F.col("k") < 25))
+    ).count() == 0
+    assert t.changes_for_version(v) is None          # feed-transparent
+    assert t.materialize_tombstones(spark) == v      # no-op converges
+
+
+def test_cli_materialize_tombstones_policy(spark, tmp_path, capsys):
+    """Maintenance CLI gates the rewrite on the measured thresholds:
+    below max depth/coverage it refuses (read cost acceptable), above
+    it materializes."""
+    from filesystemagent_spark.__main__ import main
+
+    tbl = str(tmp_path / "tbl")
+    t = TxTable(tbl)
+    t.init(spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(1))
+    t.delete_where(spark, [("k", "<", 5)], mode="mor")
+    head = t.latest_version()
+    # depth 1 <= default max 4, but covered_frac 100% > 0.5 -> rewrite
+    assert main(["table", tbl, "--materialize-tombstones"]) == 0
+    assert "materialized 1 tombstones" in capsys.readouterr().out
+    assert t.latest_version() == head + 1
+    # no tombstones left -> policy no-op
+    t.delete_where(spark, [("k", "<", 7)], mode="mor")
+    assert main([
+        "table", tbl, "--materialize-tombstones",
+        "--max-tombstone-depth", "4", "--max-covered-frac", "1.0",
+    ]) == 0
+    assert "no-op" in capsys.readouterr().out
+    assert t.tombstone_info()["depth"] == 1          # left in place
+    # depth threshold exceeded -> rewrite
+    assert main([
+        "table", tbl, "--materialize-tombstones",
+        "--max-tombstone-depth", "0", "--max-covered-frac", "1.0",
+    ]) == 0
+    assert t.tombstone_info()["depth"] == 0
+    assert t.read(spark).count() == 93

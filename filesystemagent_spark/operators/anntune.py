@@ -1,0 +1,222 @@
+"""Target-recall ANN tuning (round 7, verdict item 6).
+
+The registered LSH/IVF defaults are the right 100 TB shape for
+clustered corpora but measured 0.38–0.49 recall@10 at sf0.1 on the
+weak-structure synthetic corpus (RECALL.md) — with nothing at the
+call site saying so. These tuners close that gap: estimate recall on
+a SAMPLED query subset against one brute-forced exact baseline, walk
+a parameter ladder of increasing candidate fraction, and return the
+first configuration meeting ``target_recall`` — so defaults adapt to
+the corpus's actual neighbor structure instead of assuming it.
+
+Cost model: the exact baseline is ONE linear corpus scan against
+``sample_queries`` broadcast queries (the same plan as
+`knn_bruteforce`); each ladder step is one bucketed/celled probe of
+the sample. At 100 TB you run the tuner once per corpus snapshot on
+the sample, then serve the full query load with the chosen
+parameters — the Faiss/ScaNN "train on a sample, deploy the index"
+recipe re-expressed over DataFrames.
+
+Honesty: when even the densest ladder rung misses the target the
+result carries ``met_target=False`` and the best rung found —
+IVF escalates nprobe to n_cells (provably exact, recall 1.0), so its
+tuner always terminates met; LSH's densest rung may still miss on
+pathological data, and the caller sees that instead of a silent
+sub-half recall.
+
+Reference parity note: the reference has no ANN surface at all; this
+file exists for the training-pipeline extension (SURVEY §2's
+similarity-search family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filesystemagent_spark.caching import track_persist
+from filesystemagent_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
+
+# densifying candidate fraction: ~n_tables / 2^n_planes
+LSH_LADDER: tuple[tuple[int, int], ...] = (
+    (8, 1), (6, 2), (4, 4), (3, 6), (2, 8), (1, 8),
+)
+
+
+def _topk_sets(df: DataFrame) -> dict:
+    by_q: dict = {}
+    for r in df.select("query_id", "neighbor_id").collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return by_q
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    if not exact:
+        return 1.0
+    return sum(
+        len(approx.get(q, set()) & nbrs) / len(nbrs)
+        for q, nbrs in exact.items() if nbrs
+    ) / len(exact)
+
+
+def _sample(queries: DataFrame, id_col: str, n: int) -> DataFrame:
+    # deterministic: first n by id — the tuner must be reproducible
+    # (Spark sample() reshuffles per run)
+    return queries.orderBy(id_col).limit(n)
+
+
+def tune_knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 10,
+    target_recall: float = 0.8,
+    sample_queries: int = 10,
+    seed: int = 42,
+    ladder: tuple[tuple[int, int], ...] = LSH_LADDER,
+) -> dict:
+    """Pick (n_planes, n_tables) meeting ``target_recall`` on a sampled
+    recall estimate. Returns {n_planes, n_tables, recall_estimate,
+    met_target, curve} — curve records every rung tried."""
+    sample = track_persist(_sample(queries, id_col, sample_queries))
+    corpus = track_persist(corpus)
+    try:
+        exact = _topk_sets(
+            knn_bruteforce(sample, corpus, id_col=id_col, vec_col=vec_col, k=k)
+        )
+        curve = []
+        best = None
+        for n_planes, n_tables in ladder:
+            r = _recall(
+                _topk_sets(
+                    knn_lsh(
+                        sample, corpus, id_col=id_col, vec_col=vec_col,
+                        dim=dim, k=k, n_planes=n_planes, n_tables=n_tables,
+                        seed=seed,
+                    )
+                ),
+                exact,
+            )
+            curve.append(
+                {"n_planes": n_planes, "n_tables": n_tables, "recall": r}
+            )
+            if best is None or r > best["recall"]:
+                best = curve[-1]
+            if r >= target_recall:
+                return {
+                    "n_planes": n_planes, "n_tables": n_tables,
+                    "recall_estimate": r, "met_target": True, "curve": curve,
+                }
+        return {
+            "n_planes": best["n_planes"], "n_tables": best["n_tables"],
+            "recall_estimate": best["recall"], "met_target": False,
+            "curve": curve,
+        }
+    finally:
+        sample.unpersist()
+
+
+def tune_knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    target_recall: float = 0.8,
+    sample_queries: int = 10,
+    corpus_cells: DataFrame | None = None,
+) -> dict:
+    """Pick nprobe meeting ``target_recall``; the ladder doubles up to
+    n_cells, where probing every cell is exact — so this tuner ALWAYS
+    terminates with met_target=True (worst case: the exact plan, the
+    honest answer on structureless data)."""
+    n_cells = centroids.count()
+    sample = track_persist(_sample(queries, id_col, sample_queries))
+    corpus = track_persist(corpus)
+    try:
+        exact = _topk_sets(
+            knn_bruteforce(sample, corpus, id_col=id_col, vec_col=vec_col, k=k)
+        )
+        curve = []
+        nprobe = 1
+        while True:
+            r = _recall(
+                _topk_sets(
+                    knn_ivf(
+                        sample, corpus, centroids, id_col=id_col,
+                        vec_col=vec_col, k=k, nprobe=nprobe,
+                        corpus_cells=corpus_cells,
+                    )
+                ),
+                exact,
+            )
+            curve.append({"nprobe": nprobe, "recall": r})
+            if r >= target_recall or nprobe >= n_cells:
+                return {
+                    "nprobe": nprobe, "n_cells": n_cells,
+                    "recall_estimate": r,
+                    "met_target": r >= target_recall, "curve": curve,
+                }
+            nprobe = min(n_cells, nprobe * 2)
+    finally:
+        sample.unpersist()
+
+
+def knn_lsh_auto(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 10,
+    target_recall: float = 0.8,
+    sample_queries: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """knn_lsh with tuned parameters: returns (result, meta) where
+    meta carries the chosen rung and the sampled recall estimate —
+    the call site SEES the expected quality instead of assuming it."""
+    meta = tune_knn_lsh(
+        queries, corpus, id_col=id_col, vec_col=vec_col, dim=dim, k=k,
+        target_recall=target_recall, sample_queries=sample_queries, seed=seed,
+    )
+    out = knn_lsh(
+        queries, corpus, id_col=id_col, vec_col=vec_col, dim=dim, k=k,
+        n_planes=meta["n_planes"], n_tables=meta["n_tables"], seed=seed,
+    )
+    return out, meta
+
+
+def knn_ivf_auto(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    target_recall: float = 0.8,
+    sample_queries: int = 10,
+    corpus_cells: DataFrame | None = None,
+) -> tuple[DataFrame, dict]:
+    """knn_ivf with tuned nprobe: returns (result, meta)."""
+    meta = tune_knn_ivf(
+        queries, corpus, centroids, id_col=id_col, vec_col=vec_col, k=k,
+        target_recall=target_recall, sample_queries=sample_queries,
+        corpus_cells=corpus_cells,
+    )
+    out = knn_ivf(
+        queries, corpus, centroids, id_col=id_col, vec_col=vec_col, k=k,
+        nprobe=meta["nprobe"], corpus_cells=corpus_cells,
+    )
+    return out, meta

@@ -320,9 +320,12 @@ def sample_frames(
     `decoder='gif-pure'`. MJPEG AVI also decodes for REAL
     (functions/avi.py parses the RIFF container; each sampled frame
     is already JPEG bytes the image ladder decodes) —
-    `decoder='avi-mjpeg-pure'`. Formats that genuinely need external
-    codecs (mp4/mkv/...) keep the deterministic stub (1 frame per
-    64 KiB), preserving the 1→N explode shape real decode has.
+    `decoder='avi-mjpeg-pure'` — and so does MJPEG-in-MP4
+    (functions/mp4.py walks the ISO-BMFF sample tables) —
+    `decoder='mp4-mjpeg-pure'`. Formats that genuinely need external
+    codecs (H.264/HEVC in mp4, mkv/...) keep the deterministic stub
+    (1 frame per 64 KiB), preserving the 1→N explode shape real
+    decode has.
 
     Reference parity: media_fingerprinting.py:166-179 hashes videos
     via frame sampling with the videohash package; this operator is
@@ -332,6 +335,7 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from filesystemagent_spark.functions import avi as A
         from filesystemagent_spark.functions import gif as G
+        from filesystemagent_spark.functions import mp4 as M4
         from filesystemagent_spark.functions import png as P
         from filesystemagent_spark.functions import y4m as Y
 
@@ -358,6 +362,26 @@ def sample_frames(
                                     "timestamp_s": fi / fps,
                                     "frame": P.encode_png(yframes[fi]),
                                     "decoder": "y4m-pure",
+                                }
+                            )
+                        continue
+                if M4.is_mp4(b):
+                    try:
+                        fps, jframes = M4.decode_mp4_mjpeg(b, max_frames=4096)
+                    except ValueError:
+                        jframes = None  # avc1/hev1/... -> stub rung below
+                    if jframes is not None:
+                        step = max(1, int(round(every_s * fps)))
+                        for idx, fi in enumerate(
+                            range(0, len(jframes), step)[:max_frames]
+                        ):
+                            out.append(
+                                {
+                                    "path": path,
+                                    "frame_index": idx,
+                                    "timestamp_s": fi / fps,
+                                    "frame": jframes[fi],
+                                    "decoder": "mp4-mjpeg-pure",
                                 }
                             )
                         continue

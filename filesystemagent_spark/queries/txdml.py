@@ -377,3 +377,118 @@ def events_txtable_incremental_join(spark: SparkSession, sf_dir: str) -> DataFra
         .select("event_id", "user_id", "value", "tier")
         .orderBy("event_id", "user_id")
     )
+
+
+@register(
+    "events_txtable_bidirectional_join",
+    tags=("txtable", "change-feed", "streaming", "join-view",
+          "bidirectional", "delete-keys"),
+    oracle="""
+WITH l0 AS (
+    SELECT event_id, user_id, value FROM events WHERE user_id % 5 = 0
+),
+r0 AS (SELECT DISTINCT user_id, user_id % 7 AS tier FROM events),
+ups AS (
+    SELECT event_id, user_id, value * 2 AS value
+    FROM l0 WHERE event_id % 3 = 0
+),
+ins AS (
+    SELECT event_id + 100000000 AS event_id, user_id + 5 AS user_id, value
+    FROM l0 WHERE event_id % 11 = 0
+),
+lbatch AS (SELECT * FROM ups UNION ALL SELECT * FROM ins),
+lfin AS (
+    SELECT * FROM l0 WHERE event_id NOT IN (SELECT event_id FROM lbatch)
+    UNION ALL SELECT * FROM lbatch
+),
+lfin2 AS (SELECT * FROM lfin WHERE user_id <> 0),
+rup AS (SELECT user_id, tier + 100 AS tier FROM r0 WHERE user_id % 2 = 0),
+rfin AS (
+    SELECT * FROM r0 WHERE user_id NOT IN (SELECT user_id FROM rup)
+    UNION ALL SELECT * FROM rup
+),
+rfin2 AS (SELECT * FROM rfin WHERE user_id % 35 <> 0)
+SELECT f.event_id, f.user_id, f.value, r.tier
+FROM lfin2 f JOIN rfin2 r ON f.user_id = r.user_id
+ORDER BY f.event_id, f.user_id
+""",
+)
+def events_txtable_bidirectional_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BIDIRECTIONAL join-view maintenance under the oracle (round 7):
+    L (events slice, pk event_id) AND R (user dimension, pk user_id)
+    are both TxTables with change feeds, and
+    `start_bidirectional_join_sinks` maintains derived = L ⋈ R from
+    both feeds. Between drains BOTH sides mutate:
+
+      L: MERGE (value updates + join-key-moving inserts) then a
+         DELETE (user_id = 0) via the predicate path;
+      R: MERGE (tier bump for even users — fans out to every matching
+         L row) then a DELETE of the users divisible by 35 via
+         `delete_keys` (the file-backed key-list tombstone, fed by a
+         modular predicate the where-grammar can't express — and its
+         change_feed images drive the R-side retraction downstream).
+
+    The derived rows must equal the one-shot SQL join of the two
+    FINAL snapshots — exactly what the oracle computes. A missed
+    R-side retraction, a stale tier after the dimension update, or a
+    cross-feed stamp collision each shifts the hash."""
+    from filesystemagent_spark.streaming.sinks import (
+        start_bidirectional_join_sinks,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    left = ev.where(F.col("user_id") % 5 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    right = ev.select("user_id").distinct().withColumn(
+        "tier", F.col("user_id") % 7
+    )
+    stage = tempfile.mkdtemp(prefix="events_bidir_join_")
+    lp, rp = os.path.join(stage, "L"), os.path.join(stage, "R")
+    L, R = TxTable(lp), TxTable(rp)
+
+    def drain():
+        ql, qr = start_bidirectional_join_sinks(
+            spark, lp, rp, os.path.join(stage, "derived"),
+            os.path.join(stage, "ckl"), os.path.join(stage, "ckr"),
+            on="user_id", left_pk="event_id", right_pk="user_id",
+        )
+        ql.awaitTermination()
+        qr.awaitTermination()
+
+    L.init(left)
+    R.init(right)
+    drain()  # bootstrap from both feeds' v1 images
+    # L-side DML
+    ups = left.where(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    ins = (
+        left.where(F.col("event_id") % 11 == 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(100000000))
+        .withColumn("user_id", F.col("user_id") + F.lit(5))
+    )
+    L.merge_into(ups.unionByName(ins), ["event_id"], change_feed=True)
+    L.delete_where(spark, [("user_id", "=", 0)], change_feed=True)
+    # R-side DML: tier bump + key-set dimension delete
+    R.merge_into(
+        R.read(spark)
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.col("tier") + F.lit(100)),
+        ["user_id"],
+        change_feed=True,
+    )
+    R.delete_keys(
+        R.read(spark).where(F.col("user_id") % 35 == 0).select("user_id"),
+        ["user_id"],
+        change_feed=True,
+    )
+    drain()  # both legs retract + rebuild against final snapshots
+    return (
+        TxTable(os.path.join(stage, "derived"))
+        .read(spark)
+        .select("event_id", "user_id", "value", "tier")
+        .orderBy("event_id", "user_id")
+    )

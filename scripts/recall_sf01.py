@@ -105,11 +105,13 @@ def main() -> None:
     cents = OS.centroids_from_labels(
         emb, label_col="label", vec_col="embedding", dim=E.DIM
     )
+    n_cells = cents.count()
     for nprobe in (2, 4, 6, 8):
         t0 = time.monotonic()
         r = rec_of(OS.knn_ivf(qs, emb, cents, id_col="vec_id",
                               vec_col="embedding", k=k, nprobe=nprobe))
-        curve.append((f"ivf nprobe={nprobe}/16", f"{nprobe / 16:.2f}", r,
+        curve.append((f"ivf nprobe={nprobe}/{n_cells}",
+                      f"{nprobe / n_cells:.2f}", r,
                       round(time.monotonic() - t0, 2)))
         print(f"CURVE {curve[-1]}", flush=True)
     for np_, nt in ((4, 4), (3, 6), (2, 8)):
@@ -124,6 +126,44 @@ def main() -> None:
         {"config": c, "candidate_fraction": f, "recall": r, "sec": s}
         for c, f, r, s in curve
     ]
+
+    # target-recall AUTO path (round 7): the tuner picks parameters
+    # from a sampled recall estimate instead of assuming structure
+    from filesystemagent_spark.operators.anntune import (
+        knn_ivf_auto,
+        knn_lsh_auto,
+    )
+
+    auto = {}
+    t0 = time.monotonic()
+    ivf_df, ivf_meta = knn_ivf_auto(
+        qs, emb, cents, id_col="vec_id", vec_col="embedding", k=k,
+        target_recall=0.8, sample_queries=10,
+    )
+    r = rec_of(ivf_df)
+    auto["ivf_auto"] = {
+        "params": f"nprobe={ivf_meta['nprobe']}/{ivf_meta['n_cells']}",
+        "estimate": round(ivf_meta["recall_estimate"], 3),
+        "met_target": ivf_meta["met_target"],
+        "recall": r, "sec": round(time.monotonic() - t0, 2),
+    }
+    print(f"AUTO ivf {auto['ivf_auto']}", flush=True)
+    t0 = time.monotonic()
+    lsh_df, lsh_meta = knn_lsh_auto(
+        qs, emb, id_col="vec_id", vec_col="embedding", dim=E.DIM, k=k,
+        target_recall=0.8, sample_queries=10,
+    )
+    r = rec_of(lsh_df)
+    auto["lsh_auto"] = {
+        "params": (
+            f"planes={lsh_meta['n_planes']} tables={lsh_meta['n_tables']}"
+        ),
+        "estimate": round(lsh_meta["recall_estimate"], 3),
+        "met_target": lsh_meta["met_target"],
+        "recall": r, "sec": round(time.monotonic() - t0, 2),
+    }
+    print(f"AUTO lsh {auto['lsh_auto']}", flush=True)
+    out["auto"] = auto
     print(json.dumps(out))
 
     md = [
@@ -171,7 +211,25 @@ def main() -> None:
         "wins when cluster structure exists (as the sf0.01 label-",
         "structured gates show at >=0.9).",
         "",
+        "## Target-recall AUTO path (round 7)",
+        "",
+        "`operators/anntune.py`: knn_{ivf,lsh}_auto pick parameters",
+        "from a SAMPLED recall estimate against one brute-forced",
+        "baseline (target_recall=0.8 here), so defaults adapt to the",
+        "corpus's neighbor structure instead of assuming it — and the",
+        "call site receives the estimate in the returned metadata.",
+        "Measured recall is over the full query set with the chosen",
+        "parameters; sec includes the tuning ladder.",
+        "",
+        "| path | chosen params | sampled estimate | met target | measured recall@10 | sec |",
+        "|---|---|---|---|---|---|",
     ]
+    for name, a in auto.items():
+        md.append(
+            f"| {name} | {a['params']} | {a['estimate']} "
+            f"| {a['met_target']} | {a['recall']} | {a['sec']} |"
+        )
+    md.append("")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "RECALL.md"), "w", encoding="utf-8") as fh:
         fh.write("\n".join(md))

@@ -561,3 +561,81 @@ def test_hard_example_ann_twin_agreement(spark, sf_dir):
     pos_exact = {t for t in exact if t[0] == "hard_positive"}
     pos_ann = {t for t in ann if t[0] == "hard_positive"}
     assert pos_exact == pos_ann  # positives take no approximation
+
+
+# -- target-recall tuning (round 7) ---------------------------------
+
+
+def test_tune_knn_ivf_meets_target_with_monotone_curve(spark, sf_dir):
+    """The IVF tuner escalates nprobe until the sampled recall meets
+    the target; the curve is non-decreasing (probing more cells only
+    ever ADDS candidates) and the tuner always terminates met — at
+    worst nprobe = n_cells, which is exact."""
+    from filesystemagent_spark.operators.anntune import tune_knn_ivf
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    meta = tune_knn_ivf(
+        queries, emb, cents, id_col="vec_id", vec_col="embedding",
+        k=K, target_recall=0.8, sample_queries=N_QUERIES,
+    )
+    assert meta["met_target"] and meta["recall_estimate"] >= 0.8
+    rs = [c["recall"] for c in meta["curve"]]
+    assert all(b >= a - 1e-9 for a, b in zip(rs, rs[1:])), rs
+    # the hardest target still terminates: exact at nprobe = n_cells
+    meta1 = tune_knn_ivf(
+        queries, emb, cents, id_col="vec_id", vec_col="embedding",
+        k=K, target_recall=1.0, sample_queries=N_QUERIES,
+    )
+    assert meta1["met_target"] and meta1["nprobe"] <= meta1["n_cells"]
+
+
+def test_knn_ivf_auto_result_matches_estimate(spark, sf_dir):
+    """The auto path's RETURNED result achieves the recall its meta
+    claims (sample == query set here, so the estimate is exact)."""
+    from filesystemagent_spark.operators.anntune import knn_ivf_auto
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    out, meta = knn_ivf_auto(
+        queries, emb, cents, id_col="vec_id", vec_col="embedding",
+        k=K, target_recall=0.8, sample_queries=N_QUERIES,
+    )
+    exact = _pairs(
+        S.knn_bruteforce(
+            queries, emb, id_col="vec_id", vec_col="embedding", k=K
+        ).collect()
+    )
+    got = _pairs(out.collect())
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8
+    assert abs(recall - meta["recall_estimate"]) < 1e-9
+
+
+def test_knn_lsh_auto_reports_quality_honestly(spark, sf_dir):
+    """LSH tuner: meets a reachable target (the densest rungs approach
+    the corpus) and — the round-6 verdict's point — the call site SEES
+    the estimate instead of assuming structure that isn't there."""
+    from filesystemagent_spark.operators.anntune import knn_lsh_auto
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out, meta = knn_lsh_auto(
+        queries, emb, id_col="vec_id", vec_col="embedding", dim=DIM,
+        k=K, target_recall=0.5, sample_queries=N_QUERIES,
+    )
+    assert meta["met_target"] and meta["recall_estimate"] >= 0.5
+    assert {"n_planes", "n_tables", "curve"} <= set(meta)
+    exact = _pairs(
+        S.knn_bruteforce(
+            queries, emb, id_col="vec_id", vec_col="embedding", k=K
+        ).collect()
+    )
+    got = _pairs(out.collect())
+    assert len(exact & got) / len(exact) >= 0.5

@@ -295,6 +295,7 @@ def cmd_table(args: argparse.Namespace) -> int:
         kind = ("restore" if "restored_from" in app
                 else "compact" if "compacted_from" in app
                 else "delete" if ("deleted_where" in app or "deleted_keys" in app)
+                else "update" if "updated_where" in app
                 else "stamp" if "app_only" in app
                 else "write")
         feed = "+feed" if m.get("changes") else ""

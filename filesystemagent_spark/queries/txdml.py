@@ -492,3 +492,86 @@ def events_txtable_bidirectional_join(
         .select("event_id", "user_id", "value", "tier")
         .orderBy("event_id", "user_id")
     )
+
+
+@register(
+    "events_txtable_update_dml",
+    tags=("txtable", "update", "mor", "change-feed", "snapshot"),
+    oracle="""
+WITH base AS (
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events WHERE user_id % 10 = 3
+),
+after_del AS (SELECT * FROM base WHERE event_type <> 'error'),
+fin AS (
+    SELECT event_type,
+           user_id,
+           CASE WHEN value >= 90 THEN value + 1000 ELSE value END AS value
+    FROM after_del
+),
+changes AS (
+    SELECT 'insert' AS key, user_id, value FROM base
+    UNION ALL
+    SELECT 'delete', user_id, value FROM base WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'update_preimage', user_id, value
+    FROM after_del WHERE value >= 90
+    UNION ALL
+    SELECT 'upsert', user_id, value + 1000
+    FROM after_del WHERE value >= 90
+)
+SELECT 'snapshot' AS section, event_type AS key, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM fin GROUP BY 2
+UNION ALL
+SELECT 'changes' AS section, key, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM changes GROUP BY 2
+ORDER BY section, key
+""",
+)
+def events_txtable_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE under the oracle (round 7) — the DML
+    verb between MERGE and DELETE, composed with a live MoR tombstone:
+
+    v1  init(events slice)
+    v2  delete_where(type='error', mode='mor', feed) — tombstone only
+    v3  update_where(value >= 90 -> value += 1000, props = 'hot',
+        feed) — the rewrite reads THROUGH the tombstone (deleted rows
+        must not resurrect as updates), prunes covered files out of
+        the tombstone, and stages update_preimage + upsert images
+
+    The snapshot rollup catches a resurrect, a missed/over-broad
+    update, or a type drift; the change rollup catches wrong or
+    missing images (the preimages must be the post-DELETE matching
+    rows, not the raw base)."""
+    ev = Catalog(spark, sf_dir).events
+    base = ev.where(F.col("user_id") % 10 == 3)
+    stage = tempfile.mkdtemp(prefix="events_txupdate_")
+    t = TxTable(os.path.join(stage, "tbl"))
+    t.init(base)
+    t.delete_where(
+        spark, [("event_type", "=", "error")], mode="mor", change_feed=True
+    )
+    t.update_where(
+        spark, [("value", ">=", 90.0)],
+        {"value": "value + 1000", "props": "'hot'"},
+        change_feed=True,
+    )
+    snap_agg = (
+        t.read(spark)
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(*_agg())
+        .select(F.lit("snapshot").alias("section"), "key",
+                "n_rows", "total_value", "n_users")
+    )
+    ch_agg = (
+        t.table_changes(spark, 1)
+        .groupBy(F.col("_change_type").alias("key"))
+        .agg(*_agg())
+        .select(F.lit("changes").alias("section"), "key",
+                "n_rows", "total_value", "n_users")
+    )
+    return snap_agg.unionByName(ch_agg).orderBy("section", "key")

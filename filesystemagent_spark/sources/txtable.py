@@ -1554,6 +1554,130 @@ class TxTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        where: list[tuple[str, str, object]],
+        set_exprs: dict[str, object],
+        max_retries: int = 10,
+        change_feed: bool = False,
+        app: dict | None = None,
+    ) -> int:
+        """Row-level UPDATE:  UPDATE t SET col = expr, ... WHERE pred —
+        the DML verb between MERGE (needs the new rows precomputed and
+        keyed) and DELETE. Same predicate grammar as read/delete;
+        ``set_exprs`` maps column -> Column or SQL expression string,
+        evaluated against the row's OLD values (standard SQL UPDATE:
+        `{"v": "v * 2"}` doubles, `{"a": "b", "b": "a"}` swaps).
+
+        COPY-ON-WRITE with stats pruning: only files that MAY contain a
+        matching row are read (through any MoR tombstones — deleted
+        rows can't resurrect as updates) and rewritten with the
+        transform applied to matching rows; everything else carries
+        verbatim, stats included. Null-valued predicates leave the row
+        UNCHANGED (SQL semantics). Assignments cast back to the
+        column's existing type — UPDATE never evolves the schema
+        (evolve via merge_into). Unknown columns raise.
+
+        ``change_feed=True`` stages `update_preimage` (the matched old
+        rows) and `upsert` (their transformed post-images) — the same
+        two-part shape merge_into emits, so every incremental consumer
+        (agg sink, join-view sink) handles an UPDATE commit unchanged.
+        A provably-no-op update commits nothing — unless ``app`` is
+        given (exactly-once stamp discipline, like delete)."""
+        if not where:
+            raise ValueError("update_where requires at least one predicate")
+        if not set_exprs:
+            raise ValueError("update_where requires at least one assignment")
+        _check_ops(where)
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        for _attempt in range(max_retries):
+            base = self.latest_version()
+            if base == 0:
+                raise ValueError(f"table {self.path} has no committed snapshot")
+            m = self._read_manifest(base)
+            schema = spark.createDataFrame([], m["schema_ddl"]).schema
+            cols = [f.name for f in schema]
+            types = {f.name: f.dataType for f in schema}
+            unknown = sorted(set(set_exprs) - set(cols))
+            if unknown:
+                raise ValueError(
+                    f"update_where assigns unknown column(s) {unknown}; "
+                    f"table columns: {cols}"
+                )
+            touched, carried, carried_stats, reused, _ = self._split_files(
+                m, lambda per: all(_file_may_match(per, p) for p in where)
+            )
+            if not touched:
+                self.last_update_info = {"touched": 0, "rewritten": 0}
+                if app is not None:
+                    return self.commit_app(app)
+                return base
+            if not all(
+                isinstance(e, (str, Column)) for e in set_exprs.values()
+            ):
+                raise ValueError(
+                    "set_exprs values must be Column or SQL string"
+                )
+            scan = self._apply_tombstones(spark, m, touched)
+            cond = F.coalesce(_where_cond(where), F.lit(False))
+            assigned = {
+                c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
+                for c, e in set_exprs.items()
+            }
+            rewritten = scan.select(
+                *[
+                    F.when(cond, assigned[c]).otherwise(F.col(c)).alias(c)
+                    if c in assigned
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+            changes = None
+            if change_feed:
+                pre = scan.filter(cond)
+                pre_files, _ = self._write_data(pre)
+                post = pre.select(
+                    *[
+                        assigned[c].alias(c) if c in assigned else F.col(c)
+                        for c in cols
+                    ]
+                )
+                post_files, _ = self._write_data(post)
+                changes = {
+                    "parts": [
+                        {"files": post_files, "type": "upsert"},
+                        {"files": pre_files, "type": "update_preimage"},
+                    ]
+                }
+            new_files, _ = self._write_data(rewritten)
+            kw = {"reuse_segments": reused} if reused else {}
+            try:
+                self._try_commit(
+                    base + 1, carried + new_files, m["schema_ddl"],
+                    app={
+                        "updated_where": _json_where(where),
+                        "updated_cols": sorted(set_exprs),
+                        **(app or {}),
+                    },
+                    stats=carried_stats, changes=changes,
+                    new_dirs=_dirs_of(new_files),
+                    tombstones=_pruned_tombstones(
+                        m.get("tombstones") or [], set(touched)
+                    ),
+                    **kw,
+                )
+                self.last_update_info = {
+                    "touched": len(touched), "rewritten": len(touched),
+                }
+                return base + 1
+            except CommitConflict:
+                _conflict_backoff(_attempt)
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
     def tombstone_info(self, version: int | None = None) -> dict:
         """Read-amplification accounting for MoR tombstones: ``depth``
         (stacked tombstones — each adds an anti-filter/anti-join to

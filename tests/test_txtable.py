@@ -2116,3 +2116,101 @@ def test_cli_materialize_tombstones_policy(spark, tmp_path, capsys):
     ]) == 0
     assert t.tombstone_info()["depth"] == 0
     assert t.read(spark).count() == 93
+
+# -- update_where: the UPDATE ... SET ... WHERE DML verb -------------
+
+
+def test_update_where_cow_with_stats_pruning(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)  # two files: k in [0,100), [1000,1100)
+    before = set(t._manifest_files(t._read_manifest(t.latest_version())))
+    v = t.update_where(
+        spark, [("k", "<", 10)], {"v": "v * 10 + 1"},
+    )
+    assert t.last_update_info == {"touched": 1, "rewritten": 1}
+    m = t._read_manifest(v)
+    # only the overlapping file rewritten; the other carried verbatim
+    assert len(set(t._manifest_files(m)) & before) >= 1
+    got = {r.k: r.v for r in t.read(spark).filter(F.col("k") < 12).collect()}
+    assert got == {**{i: i * 10 + 1 for i in range(10)}, 10: 10, 11: 11}
+    assert t.read(spark).count() == 200                  # UPDATE adds nothing
+    # time travel: pre-update snapshot intact
+    assert t.read(spark, version=v - 1).filter(F.col("k") == 0).first().v == 0
+
+
+def test_update_where_multi_assign_uses_old_values(spark, tmp_path):
+    """Standard SQL UPDATE: every assignment sees the OLD row — a swap
+    must not see its sibling's new value."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 10).selectExpr("id AS a", "id * 100 AS b").coalesce(1))
+    t.update_where(spark, [("a", "<", 3)], {"a": "b", "b": "a"})
+    got = {(r.a, r.b) for r in t.read(spark).collect()}
+    swapped = {(0, 0), (100, 1), (200, 2)}
+    untouched = {(i, i * 100) for i in range(3, 10)}
+    assert got == swapped | untouched
+
+
+def test_update_where_null_predicate_keeps_row_unchanged(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.sql(
+            "SELECT id AS k, CASE WHEN id = 5 THEN NULL ELSE id END AS v "
+            "FROM range(10)"
+        ).coalesce(1)
+    )
+    t.update_where(spark, [("v", ">=", 0)], {"v": "v + 1000"})
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[5] is None                                # null pred -> unchanged
+    assert all(got[i] == i + 1000 for i in range(10) if i != 5)
+
+
+def test_update_where_change_feed_pre_and_post_images(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    v = t.update_where(
+        spark, [("k", "<", 3)], {"v": "v + 7"}, change_feed=True,
+    )
+    parts = {p["type"]: p for p in t.changes_for_version(v)}
+    pre = spark.read.schema(parts["update_preimage"]["schema_ddl"]).parquet(
+        *parts["update_preimage"]["files"]
+    )
+    post = spark.read.schema(parts["upsert"]["schema_ddl"]).parquet(
+        *parts["upsert"]["files"]
+    )
+    assert sorted((r.k, r.v) for r in pre.collect()) == [(0, 0), (1, 1), (2, 2)]
+    assert sorted((r.k, r.v) for r in post.collect()) == [(0, 7), (1, 8), (2, 9)]
+    # the feed drives the incremental-agg consumer unchanged: replay
+    # via the batch reader matches the SQL delta
+    assert t.table_changes(spark, v, v).count() == 6
+
+
+def test_update_where_noop_stamp_and_validation(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    head = t.latest_version()
+    assert t.update_where(spark, [("k", ">", 10_000)], {"v": "v"}) == head
+    v = t.update_where(
+        spark, [("k", ">", 10_000)], {"v": "v"}, app={"batch_id": 9}
+    )
+    assert v == head + 1 and t.latest_app_value("batch_id") == 9
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where(spark, [("k", "<", 1)], {"nope": "k"})
+    with pytest.raises(ValueError, match="at least one assignment"):
+        t.update_where(spark, [("k", "<", 1)], {})
+    # schema is stable: assignment casts back to the column type
+    t.update_where(spark, [("k", "<", 1)], {"v": "CAST(1.9 AS DOUBLE)"})
+    m = t._read_manifest(t.latest_version())
+    assert "v bigint" in m["schema_ddl"]
+    assert t.read(spark).filter(F.col("k") == 0).first().v == 1
+
+
+def test_update_where_through_mor_tombstone_no_resurrect(spark, tmp_path):
+    """Updating a file covered by a MoR tombstone must not resurrect
+    the deleted rows (the rewrite reads THROUGH the tombstone) and
+    prunes the file out of the tombstone list."""
+    t = _mor_table(spark, tmp_path)
+    t.delete_where(spark, [("k", "<", 10)], mode="mor")
+    v = t.update_where(spark, [("k", "<", 50)], {"v": "v + 1"})
+    m = t._read_manifest(v)
+    assert not m.get("tombstones")                       # pruned to empty
+    df = t.read(spark)
+    assert df.count() == 190
+    assert df.filter(F.col("k") < 10).count() == 0       # still deleted
+    assert df.filter(F.col("k") == 20).first().v == 21

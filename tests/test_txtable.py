@@ -2214,3 +2214,118 @@ def test_update_where_through_mor_tombstone_no_resurrect(spark, tmp_path):
     assert df.count() == 190
     assert df.filter(F.col("k") < 10).count() == 0       # still deleted
     assert df.filter(F.col("k") == 20).first().v == 21
+
+# -- round-7 DML verbs under the randomized lifecycle model ----------
+
+
+def test_full_lifecycle_random_ops_with_round7_verbs(spark, tmp_path):
+    """The lifecycle model test extended over the round-7 surface:
+    UPDATE ... SET ... WHERE, key-set deletes (file-backed MoR
+    tombstones), predicate MoR deletes, and tombstone materialization
+    interleaved with merges/compaction — the snapshot must equal the
+    dict model after EVERY commit, and the change feed alone must
+    rebuild the final state (materialization is feed-transparent)."""
+    import random
+
+    rng = random.Random(7)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id bigint, v bigint")
+
+    t = TxTable(str(tmp_path / "tbl"))
+    model = {i: i * 10 for i in range(100)}
+    t.init(df(sorted(model.items())).repartition(4))               # v1
+
+    schedule = [
+        "merge", "update", "delkeys", "mor", "merge",
+        "materialize", "update", "delkeys", "compact", "mor",
+    ]
+    for step, op in enumerate(schedule):
+        if op == "merge":
+            keys = rng.sample(range(0, 160), rng.randint(1, 10))
+            ups = [(k, step * 1000 + k) for k in sorted(keys)]
+            t.merge_into(df(ups), ["id"], change_feed=True)
+            model.update(dict(ups))
+        elif op == "update":
+            lo = rng.randint(0, 150)
+            bump = (step + 1) * 10_000
+            t.update_where(
+                spark, [("id", ">=", lo), ("id", "<", lo + 15)],
+                {"v": f"v + {bump}"}, change_feed=True,
+            )
+            model = {
+                k: (x + bump if lo <= k < lo + 15 else x)
+                for k, x in model.items()
+            }
+        elif op == "delkeys":
+            keys = rng.sample(range(0, 160), rng.randint(1, 12))
+            t.delete_keys(
+                df([(k, 0) for k in sorted(keys)]).select("id"),
+                ["id"], mode="mor", change_feed=True,
+            )
+            model = {k: x for k, x in model.items() if k not in set(keys)}
+        elif op == "mor":
+            lo = rng.randint(0, 150)
+            t.delete_where(
+                spark, [("id", ">=", lo), ("id", "<", lo + 20)],
+                mode="mor", change_feed=True,
+            )
+            model = {k: x for k, x in model.items() if not (lo <= k < lo + 20)}
+        elif op == "materialize":
+            t.materialize_tombstones(spark)
+        else:
+            t.compact(spark, target_files=3)
+        got = {r.id: r.v for r in t.read(spark).collect()}
+        assert got == model, f"step {step} ({op})"
+
+    # the feed alone rebuilds the final state across every verb
+    rebuilt: dict = {}
+    for r in sorted(
+        t.table_changes(spark, 1).collect(), key=lambda r: r._commit_version
+    ):
+        if r._change_type == "delete":
+            rebuilt.pop(r.id, None)
+        elif r._change_type != "update_preimage":
+            rebuilt[r.id] = r.v
+    assert rebuilt == model
+
+
+def test_incremental_agg_sink_tracks_update_where(spark, tmp_path):
+    """The subtractive-state consumer handles an UPDATE commit with no
+    special casing — update_where's preimage/upsert images are the
+    merge shape, so new_agg = old + post − pre stays exact."""
+    from filesystemagent_spark.streaming.sinks import (
+        start_incremental_agg_sink,
+    )
+
+    src_path, drv_path = str(tmp_path / "src"), str(tmp_path / "derived")
+    src = TxTable(src_path)
+    src.init(
+        spark.range(0, 90).selectExpr("id", "id % 3 AS grp", "id AS value")
+    )
+
+    def drain():
+        start_incremental_agg_sink(
+            spark, src_path, drv_path, str(tmp_path / "ckpt"),
+            group_col="grp", value_col="value",
+        ).awaitTermination()
+
+    drain()
+    src.update_where(
+        spark, [("id", "<", 30)], {"value": "value + 1000"},
+        change_feed=True,
+    )
+    src.delete_where(spark, [("id", ">=", 80)], change_feed=True)
+    drain()
+    got = {
+        (r.grp, r.n_rows, r.total)
+        for r in TxTable(drv_path).read(spark).collect()
+    }
+    want = {
+        (r.grp, r.n_rows, r.total)
+        for r in src.read(spark)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_rows"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want

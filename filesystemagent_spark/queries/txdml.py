@@ -539,14 +539,16 @@ def events_txtable_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1  init(events slice)
     v2  delete_where(type='error', mode='mor', feed) — tombstone only
     v3  update_where(value >= 90 -> value += 1000, props = 'hot',
-        feed) — the rewrite reads THROUGH the tombstone (deleted rows
-        must not resurrect as updates), prunes covered files out of
-        the tombstone, and stages update_preimage + upsert images
+        mode='mor', feed) — ALSO metadata-plus-post-images: the old
+        matched rows die via a second tombstone stacked on the
+        delete's (the pre-image scan reads THROUGH it, so deleted
+        rows must not resurrect as updates) and the transformed rows
+        append; the snapshot read resolves BOTH stacked tombstones
 
     The snapshot rollup catches a resurrect, a missed/over-broad
-    update, or a type drift; the change rollup catches wrong or
-    missing images (the preimages must be the post-DELETE matching
-    rows, not the raw base)."""
+    update, a type drift, or a wrong stacked-tombstone read; the
+    change rollup catches wrong or missing images (the preimages must
+    be the post-DELETE matching rows, not the raw base)."""
     ev = Catalog(spark, sf_dir).events
     base = ev.where(F.col("user_id") % 10 == 3)
     stage = tempfile.mkdtemp(prefix="events_txupdate_")
@@ -558,7 +560,7 @@ def events_txtable_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.update_where(
         spark, [("value", ">=", 90.0)],
         {"value": "value + 1000", "props": "'hot'"},
-        change_feed=True,
+        mode="mor", change_feed=True,
     )
     snap_agg = (
         t.read(spark)

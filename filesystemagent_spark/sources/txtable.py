@@ -1561,6 +1561,7 @@ class TxTable:
         set_exprs: dict[str, object],
         max_retries: int = 10,
         change_feed: bool = False,
+        mode: str = "cow",
         app: dict | None = None,
     ) -> int:
         """Row-level UPDATE:  UPDATE t SET col = expr, ... WHERE pred —
@@ -1570,14 +1571,25 @@ class TxTable:
         evaluated against the row's OLD values (standard SQL UPDATE:
         `{"v": "v * 2"}` doubles, `{"a": "b", "b": "a"}` swaps).
 
-        COPY-ON-WRITE with stats pruning: only files that MAY contain a
-        matching row are read (through any MoR tombstones — deleted
-        rows can't resurrect as updates) and rewritten with the
-        transform applied to matching rows; everything else carries
-        verbatim, stats included. Null-valued predicates leave the row
-        UNCHANGED (SQL semantics). Assignments cast back to the
-        column's existing type — UPDATE never evolves the schema
-        (evolve via merge_into). Unknown columns raise.
+        ``mode='cow'`` (default, copy-on-write) with stats pruning:
+        only files that MAY contain a matching row are read (through
+        any MoR tombstones — deleted rows can't resurrect as updates)
+        and rewritten with the transform applied to matching rows;
+        everything else carries verbatim, stats included.
+
+        ``mode='mor'`` (merge-on-read): the matched rows' OLD versions
+        die via a predicate TOMBSTONE over the covered files (exactly
+        the delete-MoR mechanism) and their transformed POST-IMAGES
+        append as new files — a 1-row update in a 1 GB file costs the
+        matched rows' write, not the file rewrite. Post-image files
+        are never tombstone-covered (per-file scoping), so updated
+        rows survive even when they still match the predicate; the
+        next merge/compact/materialize folds everything down.
+
+        Null-valued predicates leave the row UNCHANGED (SQL
+        semantics). Assignments cast back to the column's existing
+        type — UPDATE never evolves the schema (evolve via
+        merge_into). Unknown columns raise.
 
         ``change_feed=True`` stages `update_preimage` (the matched old
         rows) and `upsert` (their transformed post-images) — the same
@@ -1589,6 +1601,8 @@ class TxTable:
             raise ValueError("update_where requires at least one predicate")
         if not set_exprs:
             raise ValueError("update_where requires at least one assignment")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown update mode: {mode!r} (cow|mor)")
         _check_ops(where)
         from pyspark.sql import Column
         from pyspark.sql import functions as F
@@ -1607,11 +1621,15 @@ class TxTable:
                     f"update_where assigns unknown column(s) {unknown}; "
                     f"table columns: {cols}"
                 )
-            touched, carried, carried_stats, reused, _ = self._split_files(
-                m, lambda per: all(_file_may_match(per, p) for p in where)
+            touched, carried, carried_stats, reused, touched_stats = (
+                self._split_files(
+                    m, lambda per: all(_file_may_match(per, p) for p in where)
+                )
             )
             if not touched:
-                self.last_update_info = {"touched": 0, "rewritten": 0}
+                self.last_update_info = {
+                    "mode": mode, "touched": 0, "rewritten": 0,
+                }
                 if app is not None:
                     return self.commit_app(app)
                 return base
@@ -1627,6 +1645,60 @@ class TxTable:
                 c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
                 for c, e in set_exprs.items()
             }
+            post = scan.filter(cond).select(
+                *[
+                    assigned[c].alias(c) if c in assigned else F.col(c)
+                    for c in cols
+                ]
+            )
+            changes = None
+            if change_feed:
+                pre_files, _ = self._write_data(scan.filter(cond))
+                post_files, _ = self._write_data(post)
+                changes = {
+                    "parts": [
+                        {"files": post_files, "type": "upsert"},
+                        {"files": pre_files, "type": "update_preimage"},
+                    ]
+                }
+            app_meta = {
+                "updated_where": _json_where(where),
+                "updated_cols": sorted(set_exprs),
+                **({"mor": True} if mode == "mor" else {}),
+                **(app or {}),
+            }
+            tbs = m.get("tombstones") or []
+            kw = {"reuse_segments": reused} if reused else {}
+            if mode == "mor":
+                # the matched rows' OLD versions die via a predicate
+                # tombstone over the covered files; the transformed
+                # post-images append as NEW files (never covered — the
+                # per-file scoping that lets still-matching post rows
+                # survive). Feed post-image files double as the data
+                # files when the feed staged them (identical content).
+                if changes is not None:
+                    new_files = list(changes["parts"][0]["files"])
+                else:
+                    new_files, _ = self._write_data(post)
+                try:
+                    self._try_commit(
+                        base + 1, carried + touched + new_files,
+                        m["schema_ddl"], app=app_meta,
+                        stats={**carried_stats, **touched_stats},
+                        changes=changes, new_dirs=_dirs_of(new_files),
+                        tombstones=tbs + [
+                            {"where": _json_where(where),
+                             "files": list(touched)}
+                        ],
+                        **kw,
+                    )
+                    self.last_update_info = {
+                        "mode": "mor", "touched": len(touched), "rewritten": 0,
+                    }
+                    return base + 1
+                except CommitConflict:
+                    _conflict_backoff(_attempt)
+                    continue
             rewritten = scan.select(
                 *[
                     F.when(cond, assigned[c]).otherwise(F.col(c)).alias(c)
@@ -1635,41 +1707,18 @@ class TxTable:
                     for c in cols
                 ]
             )
-            changes = None
-            if change_feed:
-                pre = scan.filter(cond)
-                pre_files, _ = self._write_data(pre)
-                post = pre.select(
-                    *[
-                        assigned[c].alias(c) if c in assigned else F.col(c)
-                        for c in cols
-                    ]
-                )
-                post_files, _ = self._write_data(post)
-                changes = {
-                    "parts": [
-                        {"files": post_files, "type": "upsert"},
-                        {"files": pre_files, "type": "update_preimage"},
-                    ]
-                }
             new_files, _ = self._write_data(rewritten)
-            kw = {"reuse_segments": reused} if reused else {}
             try:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
-                    app={
-                        "updated_where": _json_where(where),
-                        "updated_cols": sorted(set_exprs),
-                        **(app or {}),
-                    },
+                    app=app_meta,
                     stats=carried_stats, changes=changes,
                     new_dirs=_dirs_of(new_files),
-                    tombstones=_pruned_tombstones(
-                        m.get("tombstones") or [], set(touched)
-                    ),
+                    tombstones=_pruned_tombstones(tbs, set(touched)),
                     **kw,
                 )
                 self.last_update_info = {
+                    "mode": "cow",
                     "touched": len(touched), "rewritten": len(touched),
                 }
                 return base + 1
@@ -2134,23 +2183,44 @@ class TxTable:
                 continue  # a real write won — recompact its snapshot
         raise CommitConflict(f"gave up after {max_retries} retries")
 
-    def expire_versions(self, keep_last: int = 1) -> list[int]:
+    def expire_versions(
+        self, keep_last: int = 1, older_than_seconds: float | None = None
+    ) -> list[int]:
         """Retention: drop manifests older than the newest `keep_last`
         versions. Expired versions stop being time-travelable; any
         data files no longer referenced by a SURVIVING manifest become
         vacuum()-able. Files a granular merge carried forward are
         still referenced by newer manifests and survive vacuum — only
         truly dead data is reclaimed. The current version can never
-        expire."""
+        expire.
+
+        ``older_than_seconds`` adds the Delta-style TIME retention:
+        a version expires only when it is BOTH beyond `keep_last` AND
+        committed more than this many seconds ago — so
+        `expire_versions(keep_last=1, older_than_seconds=7*86400)`
+        keeps a week of time travel regardless of commit rate, and a
+        burst of commits can never age history out early."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         latest = self.latest_version()
+        cutoff = (
+            time.time() - older_than_seconds
+            if older_than_seconds is not None
+            else None
+        )
         expired = []
         for v in range(1, latest - keep_last + 1):
             p = self._manifest_path(v)
-            if os.path.exists(p):
-                os.unlink(p)
-                expired.append(v)
+            if not os.path.exists(p):
+                continue
+            if cutoff is not None:
+                try:
+                    if self._read_manifest(v)["committed_at"] >= cutoff:
+                        continue  # too young — keep time travel alive
+                except FileNotFoundError:
+                    continue
+            os.unlink(p)
+            expired.append(v)
         return expired
 
     def vacuum(self, grace_seconds: float = 0.0) -> list[str]:

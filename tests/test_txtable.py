@@ -2126,7 +2126,7 @@ def test_update_where_cow_with_stats_pruning(spark, tmp_path):
     v = t.update_where(
         spark, [("k", "<", 10)], {"v": "v * 10 + 1"},
     )
-    assert t.last_update_info == {"touched": 1, "rewritten": 1}
+    assert t.last_update_info == {"mode": "cow", "touched": 1, "rewritten": 1}
     m = t._read_manifest(v)
     # only the overlapping file rewritten; the other carried verbatim
     assert len(set(t._manifest_files(m)) & before) >= 1
@@ -2329,3 +2329,98 @@ def test_incremental_agg_sink_tracks_update_where(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+def test_update_where_mor_appends_and_tombstones(spark, tmp_path):
+    """MoR UPDATE: old versions of the matched rows die via a
+    predicate tombstone (zero rewrite of the covered files) and the
+    transformed post-images append as new files — which survive even
+    when they STILL match the predicate (per-file scoping)."""
+    t = _mor_table(spark, tmp_path)  # k in [0,100) and [1000,1100)
+    before = set(t._manifest_files(t._read_manifest(t.latest_version())))
+    v = t.update_where(
+        spark, [("k", "<", 10)], {"v": "v + 1000"}, mode="mor",
+    )
+    assert t.last_update_info == {"mode": "mor", "touched": 1, "rewritten": 0}
+    m = t._read_manifest(v)
+    assert before <= set(t._manifest_files(m))      # nothing rewritten
+    assert len(m["tombstones"]) == 1
+    df = t.read(spark)
+    assert df.count() == 200                        # UPDATE adds nothing
+    got = {r.k: r.v for r in df.filter(F.col("k") < 12).collect()}
+    assert got == {**{i: i + 1000 for i in range(10)}, 10: 10, 11: 11}
+    # post rows still match k < 10 — a second MoR update hits THEM now
+    t.update_where(spark, [("k", "<", 10)], {"v": "v + 1"}, mode="mor")
+    got = {r.k: r.v for r in t.read(spark).filter(F.col("k") < 10).collect()}
+    assert got == {i: i + 1001 for i in range(10)}
+    # time travel across both updates
+    assert t.read(spark, version=v - 1).filter(F.col("k") == 0).first().v == 0
+    # materialization folds everything down
+    t.materialize_tombstones(spark)
+    assert not t._read_manifest(t.latest_version()).get("tombstones")
+    assert t.read(spark).count() == 200
+    assert t.read(spark).filter(F.col("k") == 0).first().v == 1001
+
+
+def test_update_where_mor_change_feed_reuses_post_files(spark, tmp_path):
+    """With the feed on, the staged upsert images double as the
+    appended data files (identical content, written once), and the
+    image set matches the COW variant's."""
+    t = _mor_table(spark, tmp_path)
+    v = t.update_where(
+        spark, [("k", "<", 3)], {"v": "v + 7"}, mode="mor", change_feed=True,
+    )
+    m = t._read_manifest(v)
+    parts = {p["type"]: p for p in t.changes_for_version(v)}
+    assert set(parts["upsert"]["files"]) <= set(t._manifest_files(m))
+    pre = spark.read.schema(parts["update_preimage"]["schema_ddl"]).parquet(
+        *parts["update_preimage"]["files"]
+    )
+    post = spark.read.schema(parts["upsert"]["schema_ddl"]).parquet(
+        *parts["upsert"]["files"]
+    )
+    assert sorted((r.k, r.v) for r in pre.collect()) == [(0, 0), (1, 1), (2, 2)]
+    assert sorted((r.k, r.v) for r in post.collect()) == [(0, 7), (1, 8), (2, 9)]
+    assert t.read(spark).count() == 200
+
+
+def test_update_where_mor_on_top_of_delete_tombstone(spark, tmp_path):
+    """UPDATE-MoR stacked on DELETE-MoR over the same file: deleted
+    rows neither update nor resurrect; tombstone_info counts both."""
+    t = _mor_table(spark, tmp_path)
+    t.delete_where(spark, [("k", "<", 5)], mode="mor")
+    t.update_where(spark, [("k", "<", 20)], {"v": "v + 100"}, mode="mor")
+    assert t.tombstone_info()["depth"] == 2
+    df = t.read(spark)
+    assert df.count() == 195
+    assert df.filter(F.col("k") < 5).count() == 0
+    got = {r.k: r.v for r in df.filter(F.col("k") < 22).collect()}
+    assert got == {**{i: i + 100 for i in range(5, 20)}, 20: 20, 21: 21}
+
+def test_expire_versions_time_retention(spark, tmp_path):
+    """older_than_seconds composes with keep_last: young versions stay
+    time-travelable regardless of commit rate; old ones beyond
+    keep_last expire."""
+    import json
+    import os
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 10).selectExpr("id AS k", "id AS v").coalesce(1))
+    for i in range(3):
+        t.merge_into(
+            spark.range(i, i + 1).selectExpr("id AS k", "id + 99 AS v"),
+            ["k"],
+        )                                                      # v2..v4
+    # everything is young: nothing expires under a 1-hour window
+    assert t.expire_versions(keep_last=1, older_than_seconds=3600) == []
+    assert t.read(spark, version=1).count() == 10              # still travelable
+    # age v1/v2 artificially (rewrite committed_at in the manifest)
+    for v in (1, 2):
+        p = t._manifest_path(v)
+        m = json.load(open(p))
+        m["committed_at"] -= 10_000
+        json.dump(m, open(p, "w"))
+    t._committed_at_cache.clear()
+    assert t.expire_versions(keep_last=1, older_than_seconds=3600) == [1, 2]
+    assert not os.path.exists(t._manifest_path(1))
+    assert os.path.exists(t._manifest_path(3))                 # young: kept
+    assert t.read(spark).count() == 10                         # head unaffected

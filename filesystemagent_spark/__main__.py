@@ -300,7 +300,9 @@ def cmd_table(args: argparse.Namespace) -> int:
                 else "write")
         feed = "+feed" if m.get("changes") else ""
         extra = f" app={json.dumps(app)}" if app else ""
-        print(f"v{v:<4} {ts}  {kind:<7}{feed:<5} files={n}{extra}")
+        nrows = t.row_count(v)
+        rows = f" rows={nrows}" if nrows is not None else ""
+        print(f"v{v:<4} {ts}  {kind:<7}{feed:<5} files={n}{rows}{extra}")
     return 0
 
 

@@ -163,6 +163,9 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
         # carry [min_bytes, max_bytes], so bin-packed compaction can
         # prove an all-large segment skippable without opening it.
         per["__bytes__"] = [os.path.getsize(f)] * 2
+        # Row count likewise (footer metadata, no scan): lets
+        # row_count() answer COUNT(*) without touching data.
+        per["__rows__"] = [md.num_rows] * 2
         out[f] = per
     return out
 
@@ -479,6 +482,14 @@ class TxTable:
         for f, _ in rows:
             d = os.path.dirname(f)
             dirs[d] = dirs.get(d, 0) + 1
+        # exact row total when every file carries footer row counts —
+        # lets row_count() answer from descriptors without opening
+        # the segment (None = unknown, metadata count falls back)
+        n_rows = (
+            sum(s["__rows__"][0] for _, s in rows)
+            if all("__rows__" in s for _, s in rows)
+            else None
+        )
         return {
             "path": p,
             "n_files": len(rows),
@@ -487,6 +498,7 @@ class TxTable:
             # planner prove a dir fully live (count == dirs_created
             # census) WITHOUT opening this segment's parquet
             "dirs": dirs,
+            "rows": n_rows,
         }
 
     def _segment_files(self, seg: dict) -> list[str]:
@@ -1091,6 +1103,7 @@ class TxTable:
         use merge_into/overwrite afterwards)."""
         os.makedirs(self.data_dir, exist_ok=True)
         files, ddl = self._write_data(df)
+        self._check_constraints(df.sparkSession, files)
         self._try_commit(1, files, ddl, app, new_dirs=_dirs_of(files))
         return 1
 
@@ -1098,6 +1111,7 @@ class TxTable:
         """Replace the table contents (still CAS-serialized)."""
         os.makedirs(self.data_dir, exist_ok=True)
         files, ddl = self._write_data(df)
+        self._check_constraints(df.sparkSession, files)
         for _attempt in range(max_retries):
             v = self.latest_version()
             try:
@@ -1206,6 +1220,7 @@ class TxTable:
                 )
                 merged = one_sided.select(*cols)
             new_files, new_ddl = self._write_data(merged)
+            self._check_constraints(spark, new_files)
             changes = None
             if change_feed:
                 # CDF (Delta change-feed recipe): the UPDATE BATCH itself,
@@ -1680,6 +1695,7 @@ class TxTable:
                     new_files = list(changes["parts"][0]["files"])
                 else:
                     new_files, _ = self._write_data(post)
+                self._check_constraints(spark, new_files)
                 try:
                     self._try_commit(
                         base + 1, carried + touched + new_files,
@@ -1708,6 +1724,7 @@ class TxTable:
                 ]
             )
             new_files, _ = self._write_data(rewritten)
+            self._check_constraints(spark, new_files)
             try:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
@@ -1726,6 +1743,124 @@ class TxTable:
                 _conflict_backoff(_attempt)
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    # -- CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity) --
+
+    def _constraints_path(self) -> str:
+        return os.path.join(self.manifest_dir, "constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name -> SQL boolean expression."""
+        try:
+            with open(self._constraints_path(), encoding="utf-8") as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> None:
+        """ADD CONSTRAINT name CHECK (expr): validates the CURRENT
+        snapshot first (a constraint existing data violates is refused,
+        the Delta rule), then every subsequent write validates its
+        staged rows and fails the commit on violation. SQL CHECK
+        semantics: a row violates only when the expression is FALSE —
+        NULL passes (constrain nullability with `col IS NOT NULL`).
+
+        Table-level, not snapshot-level: constraints live beside the
+        manifests and apply to all future writes regardless of which
+        snapshot a reader pins (time travel still sees old data that
+        predates the constraint). Concurrent add/drop is last-writer-
+        wins — constraint DDL is an administrative op, not a data
+        race."""
+        v = self.latest_version()
+        if v:
+            from pyspark.sql import functions as F
+
+            bad = (
+                self.read(spark)
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {bad} existing "
+                    f"row(s) violate CHECK ({expr})"
+                )
+        cons = self.constraints()
+        cons[name] = expr
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = self._constraints_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(cons, fh)
+        os.replace(tmp, self._constraints_path())
+
+    def drop_constraint(self, name: str) -> bool:
+        cons = self.constraints()
+        if name not in cons:
+            return False
+        del cons[name]
+        tmp = self._constraints_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(cons, fh)
+        os.replace(tmp, self._constraints_path())
+        return True
+
+    def _check_constraints(
+        self, spark: SparkSession, files: list[str]
+    ) -> None:
+        """Validate freshly-staged TABLE CONTENT against the active
+        CHECK constraints, before the manifest references it — a
+        violating write raises and its staged files stay unreferenced
+        (vacuumable litter, never visible data). Reads the just-written
+        parquet instead of re-executing the caller's plan."""
+        cons = self.constraints()
+        if not cons or not files:
+            return
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(*files)
+        checks = [
+            F.count_if(~F.coalesce(F.expr(e), F.lit(True))).alias(n)
+            for n, e in sorted(cons.items())
+        ]
+        row = df.agg(*checks).first()
+        bad = {n: row[n] for n, _ in sorted(cons.items()) if row[n]}
+        if bad:
+            detail = ", ".join(
+                f"{n}: {c} row(s) violate CHECK ({cons[n]})"
+                for n, c in bad.items()
+            )
+            raise ValueError(f"constraint violation — {detail}")
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) from manifest metadata alone — zero data IO (the
+        Delta/Iceberg trick: footer row counts ride the per-file
+        stats, segment descriptors carry exact totals). Returns None
+        when the count is not PROVABLE from metadata: live MoR
+        tombstones (deleted-row counts are unknown until
+        materialization), or history written before row stats existed
+        — callers then fall back to read().count(). Never returns a
+        wrong number."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"table {self.path} has no committed snapshot")
+        m = self._read_manifest(v)
+        if m.get("tombstones"):
+            return None
+        if "segments" in m:
+            total = 0
+            for seg in m["segments"]:
+                if seg.get("rows") is None:
+                    return None  # legacy segment — unknown
+                total += seg["rows"]
+            return total
+        stats = m.get("stats", {})
+        total = 0
+        for f in m["files"]:
+            per = stats.get(f, {})
+            if "__rows__" not in per:
+                return None
+            total += per["__rows__"][0]
+        return total
 
     def tombstone_info(self, version: int | None = None) -> dict:
         """Read-amplification accounting for MoR tombstones: ``depth``

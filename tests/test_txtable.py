@@ -2424,3 +2424,85 @@ def test_expire_versions_time_retention(spark, tmp_path):
     assert not os.path.exists(t._manifest_path(1))
     assert os.path.exists(t._manifest_path(3))                 # young: kept
     assert t.read(spark).count() == 10                         # head unaffected
+
+def test_row_count_metadata_only(spark, tmp_path):
+    """COUNT(*) from manifest metadata: exact across init/merge/COW
+    delete and format-2 (segment) manifests; honest None under live
+    MoR tombstones and for legacy history without row stats."""
+    import json
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 500).selectExpr("id AS k", "id AS v").repartition(4))
+    assert t.row_count() == 500
+    t.merge_into(
+        spark.range(400, 600).selectExpr("id AS k", "id AS v"), ["k"]
+    )
+    assert t.row_count() == 600 == t.read(spark).count()
+    t.delete_where(spark, [("k", "<", 50)])                   # COW: exact
+    assert t.row_count() == 550
+    t.delete_where(spark, [("k", "<", 100)], mode="mor")      # MoR: unknown
+    assert t.row_count() is None
+    t.materialize_tombstones(spark)
+    assert t.row_count() == 500 == t.read(spark).count()
+    # old versions answer too (time-travel count)
+    assert t.row_count(version=1) == 500
+
+    # format 2: spill into segments, totals ride the descriptors
+    t2 = TxTable(str(tmp_path / "big"))
+    t2.init(
+        spark.range(0, 7000).selectExpr("id AS k", "id AS v").repartition(70)
+    )
+    m = t2._read_manifest(1)
+    assert "segments" in m
+    assert t2.row_count() == 7000
+    # legacy segment (no 'rows' key): honest None, never a wrong number
+    for seg in m["segments"]:
+        seg.pop("rows", None)
+    json.dump(m, open(t2._manifest_path(1), "w"))
+    assert t2.row_count() is None
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """CHECK constraints (Delta parity): adding validates existing
+    data; init/merge/update writes that violate FAIL BEFORE commit
+    (snapshot unchanged, staged litter vacuumable); NULL passes (SQL
+    CHECK); drop re-permits."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(spark.range(0, 50).selectExpr("id AS k", "id AS v").coalesce(1))
+    # refuses a constraint existing data violates
+    with pytest.raises(ValueError, match="existing.*violate"):
+        t.add_constraint(spark, "v_big", "v >= 10")
+    t.add_constraint(spark, "v_nonneg", "v >= 0")
+    t.add_constraint(spark, "k_mag", "k < 1000000")
+    assert set(t.constraints()) == {"v_nonneg", "k_mag"}
+    head = t.latest_version()
+    # violating merge fails before commit
+    with pytest.raises(ValueError, match="v_nonneg.*violate"):
+        t.merge_into(
+            spark.createDataFrame([(1, -5)], "k bigint, v bigint"), ["k"]
+        )
+    assert t.latest_version() == head                   # nothing committed
+    assert t.read(spark).filter(F.col("k") == 1).first().v == 1
+    # clean merge passes
+    t.merge_into(spark.createDataFrame([(1, 7)], "k bigint, v bigint"), ["k"])
+    # violating UPDATE fails (both modes)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.update_where(spark, [("k", "<", 3)], {"v": "v - 100"})
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.update_where(spark, [("k", "<", 3)], {"v": "v - 100"}, mode="mor")
+    # NULL passes CHECK (SQL semantics)
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.init(spark.createDataFrame([(1, None)], "k bigint, v bigint"))
+    t2.add_constraint(spark, "v_pos", "v > 0")
+    t2.merge_into(
+        spark.createDataFrame([(2, None)], "k bigint, v bigint"), ["k"]
+    )
+    assert t2.read(spark).count() == 2
+    # drop re-permits; violating init on a fresh table also blocked
+    assert t.drop_constraint("v_nonneg") and not t.drop_constraint("v_nonneg")
+    t.update_where(spark, [("k", "=", 1)], {"v": "v - 100"})
+    assert t.read(spark).filter(F.col("k") == 1).first().v == -93
+    t3 = TxTable(str(tmp_path / "t3"))
+    t3.add_constraint(spark, "nn", "x IS NOT NULL")
+    with pytest.raises(ValueError, match="nn"):
+        t3.init(spark.createDataFrame([(None,)], "x bigint"))
+    assert t3.latest_version() == 0

@@ -244,8 +244,29 @@ def _stats_rollup(stats_list: list[dict]) -> dict[str, list]:
             continue
     return out
 
-# The predicate grammar shared by read(where=...), delete_where, and
-# the stats pruner — one definition so the three can never drift.
+# The predicate grammar shared by read(where=...), delete_where,
+# update_where, and the stats pruner — one definition so they can
+# never drift. Two accepted shapes:
+#   [(col, op, val), ...]              one CONJUNCTION (every round-5
+#                                      call site; unchanged)
+#   [[(col, op, val), ...], [...]]     DNF — OR of conjunctions
+# (round 7): `[[("a","=",1),("b","<",2)], [("c",">",3)]]` reads as
+# (a=1 AND b<2) OR c>3. Stats pruning distributes over the OR: a file
+# is skipped only when EVERY disjunct is proven empty for it.
+def _dnf(where) -> list[list]:
+    """Normalize to DNF. Detection: a conjunction's first element is a
+    predicate triple whose first item is the column NAME (str); a
+    DNF's first element is a list of triples."""
+    if not where:
+        return []
+    first = where[0]
+    if isinstance(first, (list, tuple)) and first and isinstance(
+        first[0], str
+    ):
+        return [list(where)]
+    return [list(conj) for conj in where]
+
+
 def _isin(c, v):
     from pyspark.sql import functions as F
 
@@ -265,17 +286,21 @@ _OPS = {
 
 
 def _where_cond(where):
-    """The conjunctive predicate as one Column — the single builder
-    shared by read/delete/tombstones so the grammar can't drift."""
+    """The predicate as one Column (OR over DNF disjuncts, AND within
+    each) — the single builder shared by read/delete/update/tombstones
+    so the grammar can't drift."""
     from pyspark.sql import functions as F
 
-    cond = F.lit(True)
-    for col, op, val in where:
-        # `in` handles its own literals (one per scalar); F.lit on a
-        # list would build a single ARRAY literal and break isin
-        rhs = val if op == "in" else F.lit(val)
-        cond = cond & _OPS[op](F.col(col), rhs)
-    return cond
+    out = None
+    for conj in _dnf(where):
+        cond = F.lit(True)
+        for col, op, val in conj:
+            # `in` handles its own literals (one per scalar); F.lit on
+            # a list would build a single ARRAY literal and break isin
+            rhs = val if op == "in" else F.lit(val)
+            cond = cond & _OPS[op](F.col(col), rhs)
+        out = cond if out is None else (out | cond)
+    return F.lit(True) if out is None else out
 
 
 def _delete_keep_filter(df, where):
@@ -304,22 +329,42 @@ def _json_where(where) -> list[list]:
             "bool/None; cast the key column first"
         )
 
-    out = []
-    for c, op, v in where:
-        if isinstance(v, (list, tuple, set, frozenset)):
-            vs = sorted(v) if isinstance(v, (set, frozenset)) else list(v)
-            out.append([c, op, [_scalar(x) for x in vs]])
-        else:
-            out.append([c, op, _scalar(v)])
-    return out
+    def _conv(conj) -> list[list]:
+        out = []
+        for c, op, v in conj:
+            if isinstance(v, (list, tuple, set, frozenset)):
+                vs = sorted(v) if isinstance(v, (set, frozenset)) else list(v)
+                out.append([c, op, [_scalar(x) for x in vs]])
+            else:
+                out.append([c, op, _scalar(v)])
+        return out
+
+    dnf = [_conv(conj) for conj in _dnf(where)]
+    # single-conjunction predicates keep the flat round-5 shape, so
+    # every existing manifest/tombstone round-trips unchanged
+    return dnf[0] if len(dnf) == 1 else dnf
 
 
 def _check_ops(where) -> None:
-    bad = [op for _, op, _ in where if op not in _OPS]
+    dnf = _dnf(where)
+    if any(not conj for conj in dnf):
+        raise ValueError(
+            "empty disjunct in predicate — a bare [] inside a DNF "
+            "would match EVERY row"
+        )
+    bad = [op for conj in dnf for _, op, _ in conj if op not in _OPS]
     if bad:
         raise ValueError(
             f"unsupported predicate op(s) {bad}; supported: {sorted(_OPS)}"
         )
+
+
+def _dnf_may_match(per: dict[str, list], where) -> bool:
+    """Stats test over the full grammar: a file is prunable only when
+    EVERY disjunct is proven empty for it (OR distributes)."""
+    return any(
+        all(_file_may_match(per, p) for p in conj) for conj in _dnf(where)
+    )
 
 
 def _merge_probe(updates: DataFrame, key_cols: list[str]) -> dict[str, tuple | None]:
@@ -814,12 +859,15 @@ class TxTable:
         manifest once; the returned DataFrame scans exactly that file
         set no matter what commits land afterwards.
 
-        ``where`` — optional conjunctive predicates [(col, op, value)]
-        with op in {=, <, <=, >, >=, in} — enables STATS-BASED FILE
-        SKIPPING: files whose manifest min/max stats prove no matching
-        row are dropped from the scan before Spark ever plans it (the
-        Iceberg/Delta data-skipping recipe; Spark's own pushdown can
-        only prune row groups INSIDE files it was given). The same
+        ``where`` — optional predicates, either one conjunction
+        [(col, op, value), ...] or DNF [[conj], [conj], ...] = OR of
+        conjunctions (round 7), op in {=, <, <=, >, >=, in} — enables
+        STATS-BASED FILE SKIPPING: files whose manifest min/max stats
+        prove no matching row are dropped from the scan before Spark
+        ever plans it (the Iceberg/Delta data-skipping recipe; Spark's
+        own pushdown can only prune row groups INSIDE files it was
+        given). Pruning distributes over OR: a file is skipped only
+        when every disjunct is proven empty for it. The same
         predicates are then applied as real filters, so results are
         exact whether or not any file was skipped; manifests written
         before stats existed simply skip nothing.
@@ -837,7 +885,7 @@ class TxTable:
         if where:
             _check_ops(where)
             files, _, _, _, _ = self._split_files(
-                m, lambda per: all(_file_may_match(per, p) for p in where)
+                m, lambda per: _dnf_may_match(per, where)
             )
             if tbs:
                 df = self._apply_tombstones(spark, m, files)
@@ -1330,7 +1378,7 @@ class TxTable:
             m = self._read_manifest(base)
             touched, carried, carried_stats, reused, touched_stats = (
                 self._split_files(
-                    m, lambda per: all(_file_may_match(per, p) for p in where)
+                    m, lambda per: _dnf_may_match(per, where)
                 )
             )
             if not touched:
@@ -1638,7 +1686,7 @@ class TxTable:
                 )
             touched, carried, carried_stats, reused, touched_stats = (
                 self._split_files(
-                    m, lambda per: all(_file_may_match(per, p) for p in where)
+                    m, lambda per: _dnf_may_match(per, where)
                 )
             )
             if not touched:
@@ -2202,9 +2250,7 @@ class TxTable:
                     # conservative: no size stats -> treat as small
                     if b is not None and b[0] >= small_file_bytes:
                         return False
-                    return all(
-                        _file_may_match(per, pred) for pred in (where or [])
-                    )
+                    return (not where) or _dnf_may_match(per, where)
 
                 small, carried, carried_stats, reused, small_stats = self._split_files(
                     m, _is_small

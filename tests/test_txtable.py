@@ -2506,3 +2506,71 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     with pytest.raises(ValueError, match="nn"):
         t3.init(spark.createDataFrame([(None,)], "x bigint"))
     assert t3.latest_version() == 0
+
+# -- DNF predicates: OR of conjunctions across the grammar -----------
+
+
+def test_dnf_read_prunes_and_stays_exact(spark, tmp_path):
+    """OR-of-conjunctions in read(where=): stats pruning distributes
+    over the OR (a file survives if ANY disjunct may match), results
+    exact."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 400).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(4, "id")
+    )
+    dnf = [[("k", "<", 10)], [("k", ">=", 390)]]
+    df = t.read(spark, where=dnf)
+    assert sorted(r.k for r in df.collect()) == list(range(10)) + list(
+        range(390, 400)
+    )
+    # only the two boundary files scan (middle two pruned)
+    assert len(df.inputFiles()) == 2
+    # conjunction inside a disjunct
+    got = t.read(
+        spark, where=[[("k", ">=", 5), ("k", "<", 8)], [("k", "=", 395)]]
+    )
+    assert sorted(r.k for r in got.collect()) == [5, 6, 7, 395]
+    # flat grammar unchanged
+    assert t.read(spark, where=[("k", "<", 3)]).count() == 3
+
+
+def test_dnf_delete_cow_and_mor_roundtrip(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)  # k in [0,100) + [1000,1100)
+    dnf = [[("k", "<", 5)], [("k", ">=", 1095)]]
+    v = t.delete_where(spark, dnf, mode="mor")
+    m = t._read_manifest(v)
+    # nested predicate round-trips manifest JSON and both files covered
+    assert len(m["tombstones"][0]["files"]) == 2
+    df = t.read(spark)
+    assert df.count() == 190
+    assert df.filter((F.col("k") < 5) | (F.col("k") >= 1095)).count() == 0
+    # COW over a DNF too (materializes the tombstone on those files)
+    v2 = t.delete_where(spark, [[("k", "=", 50)], [("k", "=", 1050)]])
+    assert t.read(spark, version=v2).count() == 188
+    # SQL null semantics hold through the OR
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.init(
+        spark.sql(
+            "SELECT id AS k, CASE WHEN id = 5 THEN NULL ELSE id END AS v "
+            "FROM range(10)"
+        ).coalesce(1)
+    )
+    t2.delete_where(spark, [[("v", "=", 3)], [("v", "=", 99)]])
+    got = sorted(r.k for r in t2.read(spark).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9]  # null row kept
+
+
+def test_dnf_update_and_validation(spark, tmp_path):
+    t = _mor_table(spark, tmp_path)
+    t.update_where(
+        spark, [[("k", "<", 2)], [("k", ">=", 1098)]], {"v": "v + 5000"},
+    )
+    got = {r.k: r.v for r in t.read(spark).filter(
+        (F.col("k") < 2) | (F.col("k") >= 1098)
+    ).collect()}
+    assert got == {0: 5000, 1: 5001, 1098: 6098, 1099: 6099}
+    with pytest.raises(ValueError, match="empty disjunct"):
+        t.read(spark, where=[[("k", "=", 1)], []])
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        t.delete_where(spark, [[("k", "!=", 1)]])

@@ -182,3 +182,76 @@ def test_corr_integer_partials_model(data):
     vy = sum((y - my) ** 2 for _, y in data) / n
     want = cov / math.sqrt(vx * vy)
     assert abs(got - want) < 1e-9
+
+
+# -- DNF stats-pruning soundness (round 7) ---------------------------
+
+_int_val = st.integers(-5, 15)
+_str_val = st.text(alphabet="abc", min_size=0, max_size=2)
+
+
+def _pred(col, scalar):
+    # list values are legal only with "in" (the real grammar's rule)
+    return st.one_of(
+        st.tuples(
+            st.just(col),
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            scalar,
+        ),
+        st.tuples(
+            st.just(col),
+            st.just("in"),
+            st.lists(scalar, min_size=0, max_size=4),
+        ),
+    )
+
+
+_pred_int = _pred("k", _int_val)
+_pred_str = _pred("s", _str_val)
+_conj = st.lists(st.one_of(_pred_int, _pred_str), min_size=1, max_size=3)
+_dnf_strategy = st.one_of(
+    _conj,  # flat conjunction grammar
+    st.lists(_conj, min_size=1, max_size=3),  # OR of conjunctions
+)
+_rows = st.lists(
+    st.tuples(st.integers(-5, 15), st.text(alphabet="abc", min_size=0, max_size=2)),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _eval_pred(row, pred) -> bool:
+    (k, s) = row
+    col, op, val = pred
+    x = k if col == "k" else s
+    if op == "in":
+        vals = list(val) if isinstance(val, (list, tuple)) else [val]
+        return x in vals
+    return {
+        "=": x == val, "<": x < val, "<=": x <= val,
+        ">": x > val, ">=": x >= val,
+    }[op]
+
+
+@settings(max_examples=500, deadline=None)
+@given(rows=_rows, dnf=_dnf_strategy)
+def test_dnf_stats_pruning_never_drops_a_matching_file(rows, dnf):
+    """SOUNDNESS of the file-skipping test over the full predicate
+    grammar: whenever `_dnf_may_match` prunes a file (returns False),
+    no row in that file may satisfy the predicate under a direct
+    row-level evaluation. (The reverse direction — pruning
+    aggressiveness — is a performance property, not correctness.)"""
+    from filesystemagent_spark.sources.txtable import _dnf, _dnf_may_match
+
+    stats = {
+        "k": [min(k for k, _ in rows), max(k for k, _ in rows)],
+        "s": [min(s for _, s in rows), max(s for _, s in rows)],
+    }
+    norm = _dnf(dnf)
+
+    def row_matches(row):
+        return any(all(_eval_pred(row, p) for p in conj) for conj in norm)
+
+    if not _dnf_may_match(stats, dnf):
+        bad = [r for r in rows if row_matches(r)]
+        assert not bad, f"pruned file holds matching rows {bad}; dnf={dnf}"

@@ -300,7 +300,7 @@ def cmd_table(args: argparse.Namespace) -> int:
                 else "write")
         feed = "+feed" if m.get("changes") else ""
         extra = f" app={json.dumps(app)}" if app else ""
-        nrows = t.row_count(v)
+        nrows = t._row_count_of(m)  # m is already loaded — no re-read
         rows = f" rows={nrows}" if nrows is not None else ""
         print(f"v{v:<4} {ts}  {kind:<7}{feed:<5} files={n}{rows}{extra}")
     return 0

@@ -120,7 +120,10 @@ def tune_knn_lsh(
             "curve": curve,
         }
     finally:
+        # release BOTH tuning caches — leaving the corpus pinned would
+        # hold a corpus-sized cache until the session-wide release hook
         sample.unpersist()
+        corpus.unpersist()
 
 
 def tune_knn_ivf(
@@ -169,6 +172,7 @@ def tune_knn_ivf(
             nprobe = min(n_cells, nprobe * 2)
     finally:
         sample.unpersist()
+        corpus.unpersist()
 
 
 def knn_lsh_auto(

@@ -84,12 +84,13 @@ def _conflict_backoff(attempt: int) -> None:
     time.sleep(random.uniform(0.0, 0.002 * (2 ** min(attempt, 5))))
 
 
-_RESERVED_COLUMNS = ("__bytes__",)
+_RESERVED_COLUMNS = ("__bytes__", "__rows__")
 
 
 def _reject_reserved_columns(df: DataFrame) -> None:
-    """The manifest stats namespace reserves `__bytes__` for the
-    file-size pseudo-column; a real column with that name would have
+    """The manifest stats namespace reserves `__bytes__` (file size)
+    and `__rows__` (footer row count) pseudo-columns; a real column
+    with either name would have
     its collected range clobbered by the file size, and stats pruning
     on it could then prove a file disjoint from rows it actually
     holds (missed reads, un-deleted rows, duplicate keys on merge).
@@ -1531,9 +1532,14 @@ class TxTable:
         # Stage the distinct key set ONCE, outside the CAS retry loop
         # (immutable once written; a lost CAS replans file coverage,
         # never the keys). _write_data drops 0-row part files, so an
-        # empty key set stages no files at all.
+        # empty key set stages no files at all. NULL keys drop here:
+        # they match nothing (the documented SQL IN rule), and left in
+        # they would poison the pruning probe into covering EVERY file
+        # with the tombstone.
         spark = keys_df.sparkSession
-        keyfiles, _ = self._write_data(keys_df.select(*key_cols).distinct())
+        keyfiles, _ = self._write_data(
+            keys_df.select(*key_cols).na.drop().distinct()
+        )
         if not keyfiles:
             self.last_delete_info = {"mode": mode, "touched": 0, "rewritten": 0}
             if app is not None:
@@ -1670,6 +1676,11 @@ class TxTable:
         from pyspark.sql import Column
         from pyspark.sql import functions as F
 
+        # validate BEFORE the retry loop: a bad assignment must raise
+        # unconditionally, not only when stats say some file matches
+        if not all(isinstance(e, (str, Column)) for e in set_exprs.values()):
+            raise ValueError("set_exprs values must be Column or SQL string")
+
         for _attempt in range(max_retries):
             base = self.latest_version()
             if base == 0:
@@ -1696,12 +1707,6 @@ class TxTable:
                 if app is not None:
                     return self.commit_app(app)
                 return base
-            if not all(
-                isinstance(e, (str, Column)) for e in set_exprs.values()
-            ):
-                raise ValueError(
-                    "set_exprs values must be Column or SQL string"
-                )
             scan = self._apply_tombstones(spark, m, touched)
             cond = F.coalesce(_where_cond(where), F.lit(False))
             assigned = {
@@ -1891,7 +1896,12 @@ class TxTable:
         v = self.latest_version() if version is None else version
         if v == 0:
             raise ValueError(f"table {self.path} has no committed snapshot")
-        m = self._read_manifest(v)
+        return self._row_count_of(self._read_manifest(v))
+
+    @staticmethod
+    def _row_count_of(m: dict) -> int | None:
+        """row_count over an already-loaded manifest (the history CLI
+        iterates manifests anyway — no second read per version)."""
         if m.get("tombstones"):
             return None
         if "segments" in m:

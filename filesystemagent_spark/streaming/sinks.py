@@ -40,11 +40,27 @@ def _change_feed_reader(
         reader = reader.option(
             "maxversionspertrigger", str(max_versions_per_trigger)
         )
-    if "://" not in checkpoint:  # plain-path checkpoints are driver-local
+    local_dir = _local_checkpoint_dir(checkpoint)
+    if local_dir is not None:
         reader = reader.option(
-            "cursorfile", os.path.join(checkpoint, "txchanges_cursor.json")
+            "cursorfile", os.path.join(local_dir, "txchanges_cursor.json")
         )
     return reader.load()
+
+
+def _local_checkpoint_dir(checkpoint: str) -> str | None:
+    """The checkpoint as a driver-local filesystem path, or None when
+    it lives on a remote store (hdfs://, s3a://, ...) where a plain
+    open() cannot write the cursor belt. Handles every file: URI
+    spelling Hadoop accepts (file:/p, file:///p) — a naive '://'
+    substring test would misread file:/p as local-relative and skip
+    file:///p entirely."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(checkpoint)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or checkpoint
+    return None
 
 
 def start_idempotent_file_sink(

@@ -356,3 +356,17 @@ def test_read_path_has_no_per_row_python():
     src = inspect.getsource(m)
     assert "to_pylist" not in src
     assert "iter_batches" in src
+
+
+def test_local_checkpoint_dir_scheme_handling():
+    """The cursor belt engages for every local spelling Hadoop accepts
+    and stays off for remote stores (a naive '://' test misread
+    file:/p as relative and skipped file:///p; review finding)."""
+    from filesystemagent_spark.streaming.sinks import _local_checkpoint_dir
+
+    assert _local_checkpoint_dir("/tmp/ck") == "/tmp/ck"
+    assert _local_checkpoint_dir("ckpt/rel") == "ckpt/rel"
+    assert _local_checkpoint_dir("file:/tmp/ck") == "/tmp/ck"
+    assert _local_checkpoint_dir("file:///tmp/ck") == "/tmp/ck"
+    assert _local_checkpoint_dir("hdfs://nn/ck") is None
+    assert _local_checkpoint_dir("s3a://bucket/ck") is None

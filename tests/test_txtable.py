@@ -2623,3 +2623,27 @@ def test_incremental_join_sink_million_key_batch(spark, tmp_path):
     df = d.read(spark)
     assert df.count() == 1_000_000
     assert df.agg(F.min("v")).first()[0] == 7  # post-images landed
+
+def test_reserved_rows_column_refused(spark, tmp_path):
+    """__rows__ joined __bytes__ in the reserved stats namespace: a
+    real column with that name would have its range clobbered by the
+    footer row count and stats pruning would go unsound — refuse at
+    the write chokepoint (review finding, round 7)."""
+    t = TxTable(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="reserved"):
+        t.init(spark.range(3).selectExpr("id AS k", "id AS __rows__"))
+
+
+def test_delete_keys_null_key_does_not_poison_pruning(spark, tmp_path):
+    """A NULL in the key set matches nothing — it must also not defeat
+    the coverage probe (a kept NULL made the probe unprunable and the
+    tombstone covered EVERY file; review finding, round 7)."""
+    t = _mor_table(spark, tmp_path)  # two files, disjoint k ranges
+    keys = spark.sql(
+        "SELECT CAST(NULL AS bigint) AS k UNION ALL SELECT 5"
+    )
+    v = t.delete_keys(keys, ["k"], mode="mor")
+    tb = t._read_manifest(v)["tombstones"][0]
+    assert len(tb["files"]) == 1            # only the overlapping file
+    assert t.read(spark).count() == 199     # exactly k=5 gone
+    assert t.read(spark).filter(F.col("k") == 5).count() == 0

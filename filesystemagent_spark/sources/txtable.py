@@ -177,6 +177,17 @@ def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool
     Missing stats (all-null files, unsupported types) keep the file —
     correctness never depends on stats existing."""
     col, op, val = pred
+    if op in ("isnull", "notnull", "!="):
+        # min/max stats track VALUES only — no null counts, and a
+        # range can prove `!=` empty only in the degenerate
+        # single-value case below; stay conservative otherwise
+        if op == "!=" and col in per:
+            mn, mx = per[col]
+            try:
+                return not (mn == val == mx)
+            except TypeError:
+                return True
+        return True
     if col not in per:
         return True
     mn, mx = per[col]
@@ -277,12 +288,17 @@ def _isin(c, v):
 
 _OPS = {
     "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
     "<": lambda c, v: c < v,
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
     # value is a list/tuple/set of scalars; empty -> matches nothing
     "in": lambda c, v: _isin(c, v),
+    # null tests take value=None (ignored); SQL three-valued logic
+    # does not apply — they are TRUE/FALSE for every row
+    "isnull": lambda c, v: c.isNull(),
+    "notnull": lambda c, v: c.isNotNull(),
 }
 
 
@@ -862,7 +878,7 @@ class TxTable:
 
         ``where`` — optional predicates, either one conjunction
         [(col, op, value), ...] or DNF [[conj], [conj], ...] = OR of
-        conjunctions (round 7), op in {=, <, <=, >, >=, in} — enables
+        conjunctions (round 7), op in {=, !=, <, <=, >, >=, in, isnull, notnull} — enables
         STATS-BASED FILE SKIPPING: files whose manifest min/max stats
         prove no matching row are dropped from the scan before Spark
         ever plans it (the Iceberg/Delta data-skipping recipe; Spark's
@@ -1336,7 +1352,7 @@ class TxTable:
         app: dict | None = None,
     ) -> int:
         """Row-level DELETE: same predicate grammar as `read(where=...)`
-        — conjunctive [(col, op, value)], op in {=, <, <=, >, >=, in}
+        — conjunctive [(col, op, value)], op in {=, !=, <, <=, >, >=, in, isnull, notnull}
         (`in` takes a list of scalars).
         A delete that provably touches no file commits nothing and
         returns the current version. Loses CAS conflicts by retrying

@@ -195,7 +195,7 @@ def _pred(col, scalar):
     return st.one_of(
         st.tuples(
             st.just(col),
-            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
             scalar,
         ),
         st.tuples(
@@ -228,7 +228,7 @@ def _eval_pred(row, pred) -> bool:
         vals = list(val) if isinstance(val, (list, tuple)) else [val]
         return x in vals
     return {
-        "=": x == val, "<": x < val, "<=": x <= val,
+        "=": x == val, "!=": x != val, "<": x < val, "<=": x <= val,
         ">": x > val, ">=": x >= val,
     }[op]
 

@@ -712,9 +712,9 @@ def test_unsupported_predicate_op_is_loud(spark, tmp_path):
     t = TxTable(str(tmp_path / "tbl"))
     t.init(_df(spark, [("/a", 1)]))
     with pytest.raises(ValueError, match="unsupported predicate"):
-        t.read(spark, where=[("size", "!=", 1)])
+        t.read(spark, where=[("size", "like", "1%")])
     with pytest.raises(ValueError, match="unsupported predicate"):
-        t.delete_where(spark, [("size", "!=", 1)])
+        t.delete_where(spark, [("size", "between", 1)])
 
 
 def test_stats_dropped_when_any_row_group_lacks_min_max(spark, tmp_path):
@@ -2573,7 +2573,7 @@ def test_dnf_update_and_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="empty disjunct"):
         t.read(spark, where=[[("k", "=", 1)], []])
     with pytest.raises(ValueError, match="unsupported predicate"):
-        t.delete_where(spark, [[("k", "!=", 1)]])
+        t.delete_where(spark, [[("k", "like", "a%")]])
 
 def test_incremental_join_sink_million_key_batch(spark, tmp_path):
     """The round-6 verdict's backfill case, end to end THROUGH the
@@ -2647,3 +2647,42 @@ def test_delete_keys_null_key_does_not_poison_pruning(spark, tmp_path):
     assert len(tb["files"]) == 1            # only the overlapping file
     assert t.read(spark).count() == 199     # exactly k=5 gone
     assert t.read(spark).filter(F.col("k") == 5).count() == 0
+
+def test_neq_and_null_test_predicates(spark, tmp_path):
+    """Grammar extension: !=, isnull, notnull across read/delete/
+    update. != prunes only the degenerate single-value file; null
+    tests never prune (stats carry no null counts) but filter
+    exactly."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.sql(
+            "SELECT id AS k, CASE WHEN id % 4 = 0 THEN NULL ELSE id END AS v "
+            "FROM range(20)"
+        ).coalesce(1)
+    )
+    # constant second file: != can prove it disjoint
+    t.merge_into(
+        spark.sql("SELECT 1000 + id AS k, CAST(7 AS BIGINT) AS v FROM range(5)").coalesce(1),
+        ["k"],
+    )
+    assert t.read(spark, where=[("v", "isnull", None)]).count() == 5
+    assert t.read(spark, where=[("v", "notnull", None)]).count() == 20
+    df = t.read(spark, where=[("v", "!=", 7)])
+    # null v rows do NOT match != (SQL); 7 itself excluded
+    assert df.count() == 14
+    assert len(df.inputFiles()) == 1      # constant-7 file pruned
+    # DELETE WHERE v IS NULL
+    v = t.delete_where(spark, [("v", "isnull", None)])
+    assert t.read(spark).count() == 20
+    assert t.read(spark, version=v).filter(F.col("v").isNull()).count() == 0
+    # UPDATE ... WHERE v != 7 (nulls already gone; non-7 bump). Sevens
+    # stay put: the 5 constant-file rows AND the base row with v=7
+    t.update_where(spark, [("v", "!=", 7)], {"v": "v + 100"})
+    got = t.read(spark)
+    assert got.filter(F.col("v") == 7).count() == 6     # untouched
+    assert got.filter((F.col("v") >= 100) & (F.col("v") < 200)).count() == 14
+    # DNF composition with the new ops: 6 sevens ∪ {k=1} (k=0's row
+    # died with the null delete)
+    assert t.read(
+        spark, where=[[("v", "=", 7)], [("k", "<", 2)]]
+    ).count() == 7

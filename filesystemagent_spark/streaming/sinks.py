@@ -396,6 +396,14 @@ def _join_view_apply(
                 t.merge_into(
                     new_rows, merge_keys, app={stamp_key: batch_id}
                 )
+            elif t.tombstone_info()["depth"] > 4:
+                # upsert batches self-materialize (their merge rewrites
+                # the covered files, pruning the tombstone — measured:
+                # depth returns to 0 after every post-image batch), so
+                # only a RUN of delete-only batches can stack depth;
+                # fold it at the SCALE.md policy threshold. Layout-only
+                # commit: feed-transparent, stamps unaffected.
+                t.materialize_tombstones(batch_df.sparkSession)
         finally:
             latest.unpersist()
             if new_rows is not None:

@@ -2686,3 +2686,42 @@ def test_neq_and_null_test_predicates(spark, tmp_path):
     assert t.read(
         spark, where=[[("v", "=", 7)], [("k", "<", 2)]]
     ).count() == 7
+
+def test_join_sink_bounds_tombstone_depth_under_delete_runs(spark, tmp_path):
+    """Upsert batches self-materialize their retraction tombstones
+    (the merge rewrites the covered files), so only a RUN of
+    delete-only batches can stack read amplification — the sink folds
+    it at the policy threshold instead of growing without bound."""
+    from filesystemagent_spark.streaming.sinks import (
+        start_incremental_join_sink,
+    )
+
+    src_path, drv_path = str(tmp_path / "src"), str(tmp_path / "derived")
+    right = spark.range(0, 10).selectExpr("id AS jk", "id AS dim")
+    src = TxTable(src_path)
+    src.init(
+        spark.range(0, 200).selectExpr("id AS pk", "id % 10 AS jk", "id AS v")
+        .repartition(4)
+    )
+
+    def drain():
+        start_incremental_join_sink(
+            spark, src_path, right, drv_path, str(tmp_path / "ckpt"),
+            on="jk", left_pk="pk", right_pk="jk",
+        ).awaitTermination()
+
+    drain()
+    d = TxTable(drv_path)
+    depths = []
+    for i in range(8):  # 8 consecutive delete-only commits/batches
+        src.delete_where(spark, [("pk", "=", i)], change_feed=True)
+        drain()
+        depths.append(d.tombstone_info()["depth"])
+    assert max(depths) <= 5, depths            # folded at the threshold
+    assert d.read(spark).count() == 192        # correctness unaffected
+    want = sorted(
+        (r.pk, r.dim)
+        for r in src.read(spark).join(right, "jk").select("pk", "dim").collect()
+    )
+    got = sorted((r.pk, r.dim) for r in d.read(spark).select("pk", "dim").collect())
+    assert got == want

@@ -461,3 +461,120 @@ def events_stream_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(dropped).cast("long").alias("n_dropped_late"),
         (F.lit(staged) - F.lit(dropped)).cast("long").alias("n_stragglers_kept"),
     )
+
+
+@register(
+    "events_stream_interval_join_outer",
+    tags=("streaming", "stream-stream-join", "outer", "watermark"),
+    oracle="""
+WITH p AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT user_id, event_id AS v_id, ts AS v_ts
+    FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.p_id, v.v_id,
+       CASE WHEN v.v_id IS NULL THEN NULL
+            ELSE epoch_us(p.p_ts) - epoch_us(v.v_ts) END AS gap_us
+FROM p LEFT JOIN v ON p.user_id = v.user_id
+  AND v.v_ts >= p.p_ts - INTERVAL 1800 SECONDS
+  AND v.v_ts <= p.p_ts + INTERVAL 1800 SECONDS
+ORDER BY p_id, v_id
+""",
+)
+def events_stream_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (round 7): purchases
+    with no view within ±30 min must still emit, with a NULL right
+    side — the half of the stream-join contract the inner gate can't
+    check (unmatched-row eviction discipline).
+
+    Outer results only flush when the watermark passes a row's
+    eligibility window, and eviction runs in the batch AFTER the
+    watermark advances — so the staging appends two far-future tick
+    batches (one row per side each, sentinel ids, disjoint user/key
+    space and mutually unjoinable timestamps): b1 pushes both
+    watermarks past every real row's window, b2 triggers the eviction
+    pass that emits the unmatched purchases. Sentinels filter out
+    post-join; the result must equal the batch LEFT JOIN the oracle
+    computes — a swallowed unmatched row, a double emission, or an
+    early flush each shifts the hash."""
+    import glob
+    import shutil
+    import time as _time
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.functions.tscompat import epoch_micros
+    from filesystemagent_spark.streaming.events import read_events_stream
+    from filesystemagent_spark.streaming.joins import stream_interval_join
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    stage = tempfile.mkdtemp(prefix="events_sjoin_outer_")
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    t1 = ev.agg(F.max("ts")).first()[0]
+    tick = spark.createDataFrame(
+        [(-1, None, -1, "purchase", 0.0, ""), (-2, None, -1, "view", 0.0, "")],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    b1 = tick.withColumn(
+        "ts",
+        F.lit(t1) + F.expr("INTERVAL 4 HOURS")
+        + F.when(F.col("event_id") == -2, F.expr("INTERVAL 100 HOURS"))
+        .otherwise(F.expr("INTERVAL 0 HOURS")),
+    )
+    b2 = b1.withColumn("ts", F.col("ts") + F.expr("INTERVAL 300 HOURS")).withColumn(
+        "event_id", F.col("event_id") - 10
+    )
+    now = _time.time()
+    for i, df in enumerate([ev, b1, b2]):
+        d = os.path.join(stage, f"b{i}")
+        df.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 100 + i * 10,) * 2)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    left = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    right = read_events_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = stream_interval_join(
+        left, right, on="user_id", left_ts="p_ts", right_ts="v_ts",
+        max_gap_seconds=1800, watermark="1 hour", how="leftOuter",
+    )
+    sink = f"events_sjoin_outer_{uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .filter(F.col("p_id") >= 0)  # drop the watermark tick sentinels
+        .select(
+            "user_id", "p_id", "v_id",
+            F.when(
+                F.col("v_id").isNotNull(),
+                epoch_micros("p_ts") - epoch_micros("v_ts"),
+            ).alias("gap_us"),
+        )
+        .orderBy("p_id", "v_id")
+    )

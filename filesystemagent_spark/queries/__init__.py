@@ -228,6 +228,16 @@ GRADE_ORDER = (
     # dimension maintenance (SCD2 full-outer apply)
     "customer_scd2_apply",
 )
+# Round-8 rotation candidates (strongest round-7 arrivals not yet
+# graded, with the rows they would most defensibly displace):
+#   events_txtable_update_dml        — UPDATE+MoR stacked-tombstone
+#       lifecycle; candidate displacement: events_stream_interval_join
+#       (the range-join class keeps events_asof_prior_view +
+#       the new outer gate below as sim coverage)
+#   events_txtable_bidirectional_join — both-feeds view maintenance
+#       incl. delete_keys; candidate displacement: events_funnel
+#       (row-local sequence shape also covered by events_asof/sessions)
+#   events_stream_interval_join_outer — unmatched-row eviction gate
 
 
 def registry() -> dict[str, Query]:

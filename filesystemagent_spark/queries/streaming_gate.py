@@ -200,6 +200,53 @@ def events_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("user_id", "event_type")
 
 
+def _interval_join_drain(
+    spark: SparkSession,
+    src_dir: str,
+    stage: str,
+    *,
+    how: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The purchase⋈view interval-join stream both gates share: two
+    readers over `src_dir`, |p_ts - v_ts| <= 1800s on user_id,
+    watermark 1h, drained availableNow into a memory sink. One
+    definition so the inner and outer gates can never drift on the
+    join contract or sink recipe."""
+    from filesystemagent_spark.streaming.events import read_events_stream
+    from filesystemagent_spark.streaming.joins import stream_interval_join
+
+    stream = read_events_stream(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    left = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    right = read_events_stream(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    ).filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = stream_interval_join(
+        left, right, on="user_id", left_ts="p_ts", right_ts="v_ts",
+        max_gap_seconds=1800, watermark="1 hour", how=how,
+    )
+    sink = f"events_sjoin_{uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
 @register(
     "events_stream_interval_join",
     tags=("streaming", "stream-stream-join", "watermark"),
@@ -225,46 +272,13 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree row-for-row; the watermark exists to BOUND state, not to
     change the result."""
     from filesystemagent_spark.functions.tscompat import epoch_micros
-    from filesystemagent_spark.streaming.events import read_events_stream
-    from filesystemagent_spark.streaming.joins import stream_interval_join
 
     stage = tempfile.mkdtemp(prefix="events_sjoin_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
     )
-    src = read_events_stream(spark, stage)
-    left = src.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
-    )
-    right = read_events_stream(spark, stage).filter(
-        F.col("event_type") == "view"
-    ).select(
-        F.col("user_id").alias("user_id"),
-        F.col("event_id").alias("v_id"),
-        F.col("ts").alias("v_ts"),
-    )
-    joined = stream_interval_join(
-        left,
-        right,
-        on="user_id",
-        left_ts="p_ts",
-        right_ts="v_ts",
-        max_gap_seconds=1800,
-        watermark="1 hour",
-    )
-    sink = f"events_sjoin_sink_{uuid.uuid4().hex[:8]}"
-    with _pinned_shuffle(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(sink)
+        _interval_join_drain(spark, stage, stage, how="inner")
         .select(
             "user_id",
             "p_id",
@@ -508,8 +522,6 @@ def events_stream_interval_join_outer(
 
     from filesystemagent_spark.catalog import Catalog
     from filesystemagent_spark.functions.tscompat import epoch_micros
-    from filesystemagent_spark.streaming.events import read_events_stream
-    from filesystemagent_spark.streaming.joins import stream_interval_join
 
     ev = Catalog(spark, sf_dir).events.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -540,34 +552,10 @@ def events_stream_interval_join_outer(
         dst = os.path.join(src, f"batch_{i}.parquet")
         shutil.copy(part, dst)
         os.utime(dst, (now - 100 + i * 10,) * 2)
-    stream = read_events_stream(spark, src, max_files_per_trigger=1)
-    left = stream.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
-    )
-    right = read_events_stream(spark, src, max_files_per_trigger=1).filter(
-        F.col("event_type") == "view"
-    ).select(
-        F.col("user_id").alias("user_id"),
-        F.col("event_id").alias("v_id"),
-        F.col("ts").alias("v_ts"),
-    )
-    joined = stream_interval_join(
-        left, right, on="user_id", left_ts="p_ts", right_ts="v_ts",
-        max_gap_seconds=1800, watermark="1 hour", how="leftOuter",
-    )
-    sink = f"events_sjoin_outer_{uuid.uuid4().hex[:8]}"
-    with _pinned_shuffle(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(sink)
+        _interval_join_drain(
+            spark, src, stage, how="leftOuter", max_files_per_trigger=1
+        )
         .filter(F.col("p_id") >= 0)  # drop the watermark tick sentinels
         .select(
             "user_id", "p_id", "v_id",

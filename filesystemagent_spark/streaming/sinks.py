@@ -396,13 +396,17 @@ def _join_view_apply(
                 t.merge_into(
                     new_rows, merge_keys, app={stamp_key: batch_id}
                 )
-            elif t.tombstone_info()["depth"] > 4:
-                # upsert batches self-materialize (their merge rewrites
-                # the covered files, pruning the tombstone — measured:
-                # depth returns to 0 after every post-image batch), so
-                # only a RUN of delete-only batches can stack depth;
-                # fold it at the SCALE.md policy threshold. Layout-only
-                # commit: feed-transparent, stamps unaffected.
+            if t.tombstone_info()["depth"] > 4:
+                # post-image batches USUALLY self-materialize (the
+                # merge rewrites the covered files, pruning the
+                # tombstone — measured: depth returns to 0 after a
+                # same-key upsert batch), but a MIXED batch that
+                # deletes key A while upserting key B leaves A's files
+                # covered (the merge probe only spans B), and
+                # delete-only runs stack plainly — so the fold check
+                # runs after EVERY batch, at the SCALE.md policy
+                # threshold. Layout-only commit: feed-transparent,
+                # stamps unaffected (latest_app_value walks past it).
                 t.materialize_tombstones(batch_df.sparkSession)
         finally:
             latest.unpersist()

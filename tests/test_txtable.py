@@ -2725,3 +2725,54 @@ def test_join_sink_bounds_tombstone_depth_under_delete_runs(spark, tmp_path):
     )
     got = sorted((r.pk, r.dim) for r in d.read(spark).select("pk", "dim").collect())
     assert got == want
+
+def test_join_sink_bounds_tombstone_depth_under_mixed_batches(spark, tmp_path):
+    """Review finding (round 7): a MIXED batch that deletes key A
+    while upserting key B leaves A's tombstone standing (the merge
+    probe spans only B's files), so the depth fold must run after
+    EVERY batch — a sustained delete-one/insert-one stream would
+    otherwise grow read amplification one tombstone per batch."""
+    from filesystemagent_spark.streaming.sinks import (
+        start_incremental_join_sink,
+    )
+
+    src_path, drv_path = str(tmp_path / "src"), str(tmp_path / "derived")
+    right = spark.range(0, 10).selectExpr("id AS jk", "id AS dim")
+    src = TxTable(src_path)
+    # range-clustered files: low-pk deletes and high-pk inserts touch
+    # DISJOINT files, so merges never rewrite the delete's coverage
+    src.init(
+        spark.range(0, 400).selectExpr("id AS pk", "id % 10 AS jk", "id AS v")
+        .repartitionByRange(4, "pk")
+    )
+
+    def drain():
+        start_incremental_join_sink(
+            spark, src_path, right, drv_path, str(tmp_path / "ckpt"),
+            on="jk", left_pk="pk", right_pk="jk",
+        ).awaitTermination()
+
+    drain()
+    d = TxTable(drv_path)
+    depths = []
+    for i in range(8):  # delete one low key + insert one high key
+        src.delete_where(spark, [("pk", "=", i)], change_feed=True)
+        src.merge_into(
+            spark.range(10_000 + i, 10_001 + i).selectExpr(
+                "id AS pk", "id % 10 AS jk", "id AS v"
+            ),
+            ["pk"], change_feed=True,
+        )
+        drain()
+        depths.append(d.tombstone_info()["depth"])
+    assert max(depths) <= 5, depths
+    want = sorted(
+        (r.pk, r.v, r.dim)
+        for r in src.read(spark).join(right, "jk")
+        .select("pk", "v", "dim").collect()
+    )
+    got = sorted(
+        (r.pk, r.v, r.dim)
+        for r in d.read(spark).select("pk", "v", "dim").collect()
+    )
+    assert got == want

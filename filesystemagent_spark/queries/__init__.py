@@ -109,7 +109,13 @@ GRADE_ORDER = (
     # lifecycle below — its dropDuplicates-in-append-mode DISTINCT
     # shape is subsumed by the sessions/late gates (same stateful
     # machinery, stronger checks); it stays registered + sim-checked.
-    "events_stream_interval_join",
+    # round 8: events_stream_interval_join displaced by its LEFT OUTER
+    # twin — the outer gate drives the SAME stream-stream interval-join
+    # machinery (both watermarks, the range condition, state eviction)
+    # PLUS the unmatched-row null-emission path the inner variant never
+    # exercises; the inner gate stays registered + sim-checked, and the
+    # range-join SEMANTICS also stay graded via events_asof_prior_view.
+    "events_stream_interval_join_outer",
     "events_stream_incremental_rollup",
     # training-data curation / dedup / text family
     "doc_chunks",
@@ -149,7 +155,13 @@ GRADE_ORDER = (
     "doc_minhash_incremental",
     "doc_curation_funnel",
     "doc_transform_shim",
-    "doc_dup_clusters",
+    # round 8: doc_dup_clusters displaced by the bidirectional
+    # join-view flagship below. Its two mechanisms each keep a graded
+    # slot: dup-PAIR generation is the exact pipeline hashed by
+    # doc_minhash_pairs_checkable, and the iterative label-propagation
+    # loop (connected components) is the same iterative-join class
+    # graded by parts_copurchase_pagerank + part_reach_3hops; the
+    # query stays registered + sim-checked.
     # embeddings — round 4: the graded slots carry the scale-safe
     # forms, each STILL hash-matched because the LSH planes are seeded
     # deterministic literals the oracle replays (same discipline as
@@ -163,7 +175,11 @@ GRADE_ORDER = (
     "embedding_norms_arrow",
     # events analytics (windows, json, asof/range, rollup, UDAF, UDTF)
     "events_props_json",
-    "events_funnel",
+    # round 8: events_funnel displaced by the UPDATE DML lifecycle
+    # below — the funnel's ordered-sequence-per-user shape stays graded
+    # twice over (events_asof_prior_view's as-of ordering and
+    # events_stream_sessions' per-user stateful ordering) and the query
+    # stays registered + sim-checked.
     "events_asof_prior_view",
     "events_value_mad",
     # round 5: the transactional table's full DML lifecycle (init →
@@ -182,6 +198,14 @@ GRADE_ORDER = (
     # doc_term_redaction (rationale at their old slots above).
     "events_txtable_mor_dml",
     "events_txtable_incremental_join",
+    # round 8: the two round-7 storage flagships take graded slots
+    # (verdict rotation) — UPDATE with CoW + stacked-MoR tombstones and
+    # change-feed pre/post images, and BIDIRECTIONAL join-view
+    # maintenance (both feeds drained, delete_keys retraction,
+    # per-feed stamp keys). Displacements: events_funnel and
+    # doc_dup_clusters (rationale at their old slots above).
+    "events_txtable_update_dml",
+    "events_txtable_bidirectional_join",
     # REAL audio decode + spectral-fingerprint dedup (round 3):
     # G.711 mu-law WAV synthesized per doc, decoded and fingerprinted
     # by the production audio ladder, banded-Hamming deduped,
@@ -228,16 +252,10 @@ GRADE_ORDER = (
     # dimension maintenance (SCD2 full-outer apply)
     "customer_scd2_apply",
 )
-# Round-8 rotation candidates (strongest round-7 arrivals not yet
-# graded, with the rows they would most defensibly displace):
-#   events_txtable_update_dml        — UPDATE+MoR stacked-tombstone
-#       lifecycle; candidate displacement: events_stream_interval_join
-#       (the range-join class keeps events_asof_prior_view +
-#       the new outer gate below as sim coverage)
-#   events_txtable_bidirectional_join — both-feeds view maintenance
-#       incl. delete_keys; candidate displacement: events_funnel
-#       (row-local sequence shape also covered by events_asof/sessions)
-#   events_stream_interval_join_outer — unmatched-row eviction gate
+# Round-8 rotation (landed): events_txtable_update_dml,
+# events_txtable_bidirectional_join, and events_stream_interval_join_outer
+# hold graded slots; displaced events_funnel, doc_dup_clusters, and
+# events_stream_interval_join (rationales inline above).
 
 
 def registry() -> dict[str, Query]:

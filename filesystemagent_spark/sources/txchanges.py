@@ -37,8 +37,9 @@ end-to-end by tests/test_txchanges_stream.py's
 test_restart_keeps_admission_bound_engaged), and both hooks seed the
 cursor — so the admission bound holds across restarts.
 
-``cursorfile`` (optional, a DRIVER-LOCAL path; the sinks put it under
-their checkpoint dir) adds a durable third belt for the hypothetical
+``cursorfile`` (optional — a driver-local path, a ``file:`` URI, or a
+remote-filesystem URI the sinks derive from their checkpoint location)
+adds a durable third belt for the hypothetical
 flow where a future Spark calls `latestOffset` first: the reader
 persists every PLANNED version to the file BEFORE returning it from
 `latestOffset`, so the file is always >= any offset Spark has logged
@@ -51,6 +52,20 @@ exactly-once wins over one oversized catch-up batch). Note
 `Trigger.AvailableNow` snapshots one target offset up front (Spark
 wraps sources lacking native support), so the cap binds per-batch
 under processing-time triggers, not availableNow drains.
+
+Cursor storage: a local path (or ``file:`` URI with an empty/localhost
+authority) writes via plain open() + atomic os.replace. Any OTHER URI
+(hdfs://, s3://, s3a://, ...) goes through ``pyarrow.fs`` — the reader
+runs in a driver-side Python worker with no JVM gateway, so Hadoop's
+own FileSystem API is unreachable from here; pyarrow is the filesystem
+layer that exists in the reader process. Atomicity caveat: object
+stores have no atomic rename (the tmp-write + move degrades to
+copy+delete), so a racing reader can observe a missing or torn cursor
+file — that degrades to the documented cursor-less fallback (one
+unbounded catch-up batch), never to planning behind the checkpoint,
+because the cursor is advisory admission capping while exactly-once
+rides Spark's offsets log. A URI pyarrow cannot service (no driver,
+no credentials) disables the belt the same way a missing option does.
 
 Versions committed WITHOUT the change feed fail the stream loudly (a
 silent gap would corrupt every downstream consumer) — except v1,
@@ -72,6 +87,86 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from filesystemagent_spark.sources.txtable import TxTable
+
+
+class _LocalCursorStore:
+    """Cursor belt on the driver-local filesystem: plain open() reads,
+    tmp-write + os.replace (atomic on POSIX) publishes."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> int | None:
+        try:
+            with open(self.path, encoding="utf-8") as fh:
+                return int(json.load(fh)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def save(self, version: int) -> None:
+        parent = os.path.dirname(self.path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = f"{self.path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, self.path)
+
+
+class _ArrowFsCursorStore:
+    """Cursor belt on a checkpoint filesystem pyarrow.fs can reach
+    (hdfs://, s3://, gs://, or file:// itself) — the reader process
+    has no JVM gateway, so this is the remote-FS layer available to
+    it. Publishes via tmp-write + move; on stores without atomic
+    rename the move is copy+delete, and the module docstring's
+    caveat applies: a torn/missing read degrades to the cursor-less
+    fallback, never to planning behind the checkpoint."""
+
+    def __init__(self, uri: str):
+        from pyarrow import fs as pafs
+
+        # Hadoop spells S3 access s3a://; pyarrow's S3 driver is s3://
+        if uri.startswith("s3a://"):
+            uri = "s3://" + uri[len("s3a://"):]
+        self.fs, self.path = pafs.FileSystem.from_uri(uri)
+
+    def load(self) -> int | None:
+        try:
+            with self.fs.open_input_stream(self.path) as fh:
+                return int(json.loads(fh.read().decode("utf-8"))["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def save(self, version: int) -> None:
+        parent = self.path.rsplit("/", 1)[0] if "/" in self.path else ""
+        if parent:
+            self.fs.create_dir(parent, recursive=True)
+        tmp = f"{self.path}.tmp-{os.getpid()}"
+        with self.fs.open_output_stream(tmp) as fh:
+            fh.write(json.dumps({"version": version}).encode("utf-8"))
+        self.fs.move(tmp, self.path)
+
+
+def _make_cursor_store(location: str | None):
+    """Resolve a cursorfile option to a store, or None (belt off).
+    Local paths and local-authority file: URIs take the atomic local
+    store; any other URI tries pyarrow.fs, and a URI pyarrow cannot
+    service (unknown scheme, missing driver/credentials) disables the
+    belt — the same degraded-but-safe behavior as omitting the
+    option. A file: URI with a REMOTE authority (file://otherhost/p)
+    is not driver-local and must not be misread as the local path
+    /p — it falls to the pyarrow branch."""
+    if not location:
+        return None
+    from urllib.parse import urlparse
+
+    parsed = urlparse(location)
+    if parsed.scheme in ("", "file") and parsed.netloc in ("", "localhost"):
+        return _LocalCursorStore(parsed.path or location)
+    try:
+        return _ArrowFsCursorStore(location)
+    except Exception:
+        return None
 
 
 @dataclass
@@ -124,16 +219,12 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         # partitions(start, end) / commit(end) — or, third belt, the
         # durable cursorfile.
         self._cursor: int | None = None
-        self.cursor_file = options.get("cursorfile")
+        self._cursor_store = _make_cursor_store(options.get("cursorfile"))
 
     def _load_cursor(self) -> int | None:
-        if not self.cursor_file:
+        if self._cursor_store is None:
             return None
-        try:
-            with open(self.cursor_file, encoding="utf-8") as fh:
-                return int(json.load(fh)["version"])
-        except (FileNotFoundError, ValueError, KeyError):
-            return None
+        return self._cursor_store.load()
 
     def _seed_cursor(self, v: int) -> None:
         self._cursor = max(self._cursor or 0, int(v))
@@ -143,18 +234,12 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         leaves latestOffset, so the file is always >= anything Spark
         has logged (a crash between the write and the log replays
         versions, never skips them)."""
-        if not self.cursor_file or self._cursor is None:
+        if self._cursor_store is None or self._cursor is None:
             return
         stored = self._load_cursor()
         if stored is not None and stored >= self._cursor:
             return
-        parent = os.path.dirname(self.cursor_file)
-        if parent:
-            os.makedirs(parent, exist_ok=True)
-        tmp = f"{self.cursor_file}.tmp-{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"version": self._cursor}, fh)
-        os.replace(tmp, self.cursor_file)
+        self._cursor_store.save(self._cursor)
 
     def initialOffset(self):
         self._cursor = self.start_after

@@ -1543,6 +1543,13 @@ class TxTable:
             raise ValueError("delete_keys requires at least one key column")
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown delete mode: {mode!r} (cow|mor)")
+        if self.latest_version() == 0:
+            # fail like the other DML verbs BEFORE staging anything —
+            # otherwise the key side file lands as data/ litter under a
+            # table that was never initialized (re-checked in the CAS
+            # loop: a table can't be un-initialized, so this is the
+            # only uninitialized path)
+            raise ValueError(f"table {self.path} has no committed snapshot")
         from pyspark.sql import functions as F
 
         # Stage the distinct key set ONCE, outside the CAS retry loop
@@ -2423,7 +2430,11 @@ class TxTable:
             if cutoff is not None:
                 try:
                     if self._read_manifest(v)["committed_at"] >= cutoff:
-                        continue  # too young — keep time travel alive
+                        # committed_at is monotonically non-decreasing
+                        # across versions, so every later candidate is
+                        # also too young — stop instead of reading the
+                        # rest of a long history's manifests
+                        break
                 except FileNotFoundError:
                     continue
             os.unlink(p)

@@ -29,10 +29,13 @@ def _change_feed_reader(
     max_versions_per_trigger: int | None,
 ) -> DataFrame:
     """The change-feed stream every feed-driven sink reads: admission
-    bound plus — for a driver-local checkpoint — a durable cursor file
-    inside it, so the bound survives even a restart flow where Spark
-    never reveals the checkpointed offset to the reader (the third
-    belt; see sources/txchanges.py)."""
+    bound plus a durable cursor file INSIDE the checkpoint, so the
+    bound survives even a restart flow where Spark never reveals the
+    checkpointed offset to the reader (the third belt; see
+    sources/txchanges.py). The cursorfile rides the checkpoint's own
+    filesystem — driver-local paths via plain IO, remote stores via
+    pyarrow.fs inside the reader (the reader's _make_cursor_store
+    degrades to belt-off when the URI can't be serviced)."""
     reader = spark.readStream.format("txtable_changes").option(
         "path", source_table
     )
@@ -40,12 +43,9 @@ def _change_feed_reader(
         reader = reader.option(
             "maxversionspertrigger", str(max_versions_per_trigger)
         )
-    local_dir = _local_checkpoint_dir(checkpoint)
-    if local_dir is not None:
-        reader = reader.option(
-            "cursorfile", os.path.join(local_dir, "txchanges_cursor.json")
-        )
-    return reader.load()
+    return reader.option(
+        "cursorfile", _cursorfile_location(checkpoint)
+    ).load()
 
 
 def _local_checkpoint_dir(checkpoint: str) -> str | None:
@@ -54,13 +54,27 @@ def _local_checkpoint_dir(checkpoint: str) -> str | None:
     open() cannot write the cursor belt. Handles every file: URI
     spelling Hadoop accepts (file:/p, file:///p) — a naive '://'
     substring test would misread file:/p as local-relative and skip
-    file:///p entirely."""
+    file:///p entirely. A file: URI with a REMOTE authority
+    (file://otherhost/p) is NOT driver-local: treating it as /p would
+    write the cursor to a wrong local location."""
     from urllib.parse import urlparse
 
     parsed = urlparse(checkpoint)
-    if parsed.scheme in ("", "file"):
+    if parsed.scheme in ("", "file") and parsed.netloc in ("", "localhost"):
         return parsed.path or checkpoint
     return None
+
+
+def _cursorfile_location(checkpoint: str) -> str:
+    """Where the durable cursor belt lives for ANY checkpoint: joined
+    locally for driver-local checkpoints, URI-joined for remote ones
+    (hdfs://, s3a://, ...) where the reader writes it through
+    pyarrow.fs — see sources/txchanges.py for the store selection and
+    the non-atomic-rename caveat on object stores."""
+    local_dir = _local_checkpoint_dir(checkpoint)
+    if local_dir is not None:
+        return os.path.join(local_dir, "txchanges_cursor.json")
+    return checkpoint.rstrip("/") + "/txchanges_cursor.json"
 
 
 def start_idempotent_file_sink(
@@ -257,6 +271,8 @@ def start_incremental_join_sink(
     right_pk: str,
     available_now: bool = True,
     max_versions_per_trigger: int | None = None,
+    fold_depth: int = 4,
+    fold_covered_frac: float = 0.5,
 ):
     """Maintain a derived INNER EQUI-JOIN table  L ⋈ R  from L's
     CHANGE FEED — incremental view maintenance for joins, the
@@ -292,9 +308,20 @@ def start_incremental_join_sink(
     backfill batch costs one side-file write plus the joins, with O(1)
     driver memory and a manifest that never grows with the key
     count."""
+    from filesystemagent_spark.sources.txtable import _where_cond
+
+    def read_right(prune):
+        # a generic DataFrame can't stats-prune a manifest, but the
+        # footprint filter still pushes down to whatever source backs
+        # it (parquet row-group pruning) and shrinks the join input
+        if prune is None:
+            return right_df
+        return right_df.filter(_where_cond(prune))
+
     apply_batch = _join_view_apply(
-        derived_table, lambda: right_df, on=on, this_pk=left_pk,
+        derived_table, read_right, on=on, this_pk=left_pk,
         merge_keys=[left_pk, right_pk], stamp_key="batch_id",
+        fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
     )
     return _start_feed_sink(
         spark, source_table, checkpoint, apply_batch,
@@ -321,6 +348,27 @@ def _start_feed_sink(
     return writer.start()
 
 
+def _post_key_prune(post: DataFrame, on: str) -> list | None:
+    """The batch's post-image join-key footprint as a predicate the
+    OTHER side's read can prune with — `[(on, 'in', values)]` when the
+    batch touches few keys, `[(on, '>=', lo), (on, '<=', hi)]` when
+    wide (the true aggregated extremes, same discipline as
+    _merge_probe), or None when the keys aren't orderable scalars
+    (NaN/complex → no pruning, full read). Restricting the other side
+    to this footprint is exact for the inner-join view: a row whose
+    key no post-image carries cannot produce a joined row."""
+    from filesystemagent_spark.sources.txtable import _merge_probe
+
+    p = _merge_probe(post, [on])[on]
+    if p is None:
+        return None
+    if p[0] == "empty":
+        return [(on, "in", [])]  # no post-images: the join is empty
+    if p[0] == "range":
+        return [(on, ">=", p[1]), (on, "<=", p[2])]
+    return [(on, "in", p[1])]
+
+
 def _join_view_apply(
     derived_table: str,
     other_df_fn,
@@ -329,15 +377,33 @@ def _join_view_apply(
     this_pk: str,
     merge_keys: list[str],
     stamp_key: str,
+    fold_depth: int = 4,
+    fold_covered_frac: float = 0.5,
 ):
     """The per-batch join-view maintenance step, parameterized over
     which side's feed drives it: dedup the batch to each key's latest
     image, kill the derived slice for the affected keys via a
     file-backed MoR key tombstone, join the post-images against the
-    OTHER side (read fresh per batch via `other_df_fn`) and merge
-    back. `stamp_key` isolates the exactly-once stamp per feed so two
-    legs maintaining the same view never clobber each other's
-    replay detection."""
+    OTHER side and merge back. `other_df_fn(prune)` returns the other
+    side restricted AT LEAST to the post-images' join-key footprint
+    when `prune` (a txtable where-conjunction) is given — at 100 TB
+    the per-batch full dimension scan is the dominant cost, so the
+    TxTable-backed legs stats-prune their file list with it and a
+    generic DataFrame applies it as a pushdown-able filter; prune=None
+    means the footprint wasn't provable and the full read is required.
+    `stamp_key` isolates the exactly-once stamp per feed so two legs
+    maintaining the same view never clobber each other's replay
+    detection. `fold_depth` / `fold_covered_frac` are the
+    tombstone-materialization policy thresholds (defaults = the
+    SCALE.md-measured CLI policy: fold when depth > 4 OR covered_frac
+    > 0.5).
+
+    An EMPTY micro-batch (availableNow drains emit one when the feed
+    has nothing new) returns without writing a stamp — deliberately:
+    stamping would cost a commit per idle tick, and replaying an empty
+    batch is an idempotent no-op, so the 'last commit carries the
+    stamp' discipline only needs to hold for batches that commit
+    anything at all."""
     from filesystemagent_spark.sources.txtable import CommitConflict, TxTable
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -373,8 +439,11 @@ def _join_view_apply(
                 .drop("_rn", "_change_type", "_commit_version")
             )
             # cached so the isEmpty probe and the merge share ONE
-            # execution of the post-image ⋈ other-side join per batch
-            new_rows = post.join(other_df_fn(), on).cache()
+            # execution of the post-image ⋈ other-side join per batch;
+            # the other side reads ONLY the files the batch's join-key
+            # footprint can touch (prune derived from the cached
+            # post-images — one tiny distinct/agg job per batch)
+            new_rows = post.join(other_df_fn(_post_key_prune(post, on)), on).cache()
             if t.latest_version() == 0:
                 try:
                     t.init(new_rows, app={stamp_key: batch_id})
@@ -396,7 +465,11 @@ def _join_view_apply(
                 t.merge_into(
                     new_rows, merge_keys, app={stamp_key: batch_id}
                 )
-            if t.tombstone_info()["depth"] > 4:
+            info = t.tombstone_info()
+            if (
+                info["depth"] > fold_depth
+                or info["covered_frac"] > fold_covered_frac
+            ):
                 # post-image batches USUALLY self-materialize (the
                 # merge rewrites the covered files, pruning the
                 # tombstone — measured: depth returns to 0 after a
@@ -404,9 +477,11 @@ def _join_view_apply(
                 # deletes key A while upserting key B leaves A's files
                 # covered (the merge probe only spans B), and
                 # delete-only runs stack plainly — so the fold check
-                # runs after EVERY batch, at the SCALE.md policy
-                # threshold. Layout-only commit: feed-transparent,
-                # stamps unaffected (latest_app_value walks past it).
+                # runs after EVERY batch, at BOTH SCALE.md policy
+                # thresholds (a shallow tombstone covering most of the
+                # snapshot costs like a deep one). Layout-only commit:
+                # feed-transparent, stamps unaffected
+                # (latest_app_value walks past it).
                 t.materialize_tombstones(batch_df.sparkSession)
         finally:
             latest.unpersist()
@@ -429,6 +504,8 @@ def start_bidirectional_join_sinks(
     right_pk: str,
     available_now: bool = True,
     max_versions_per_trigger: int | None = None,
+    fold_depth: int = 4,
+    fold_covered_frac: float = 0.5,
 ):
     """Maintain  L ⋈ R  when BOTH sides mutate: two feed-driven sinks
     over the same derived table — L's feed kills/rebuilds the
@@ -459,17 +536,25 @@ def start_bidirectional_join_sinks(
     both feeds never confuse each other's replay detection."""
     from filesystemagent_spark.sources.txtable import TxTable
 
+    # each leg stats-prunes the OTHER side's file list to the batch's
+    # join-key footprint (read(where=...) drops files whose min/max
+    # stats prove no overlap) — a batch touching one key range of a
+    # clustered table reads only that range's files instead of the
+    # full snapshot, the difference between O(batch) and O(table) per
+    # micro-batch at 100 TB; prune=None falls back to the full read
     left_leg = _join_view_apply(
         derived_table,
-        lambda: TxTable(right_table).read(spark),
+        lambda prune: TxTable(right_table).read(spark, where=prune),
         on=on, this_pk=left_pk,
         merge_keys=[left_pk, right_pk], stamp_key="batch_id_l",
+        fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
     )
     right_leg = _join_view_apply(
         derived_table,
-        lambda: TxTable(left_table).read(spark),
+        lambda prune: TxTable(left_table).read(spark, where=prune),
         on=on, this_pk=right_pk,
         merge_keys=[left_pk, right_pk], stamp_key="batch_id_r",
+        fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
     )
     ql = _start_feed_sink(
         spark, left_table, checkpoint_left, left_leg,

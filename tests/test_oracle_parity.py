@@ -58,6 +58,13 @@ def test_graded_window_is_curated():
     assert {"events_txtable_mor_dml", "events_txtable_incremental_join"} <= set(
         window
     )
+    # round-8 rotation: UPDATE lifecycle, bidirectional join view, and
+    # the LEFT OUTER stream-stream interval-join gate hold graded slots
+    assert {
+        "events_txtable_update_dml",
+        "events_txtable_bidirectional_join",
+        "events_stream_interval_join_outer",
+    } <= set(window)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

@@ -212,13 +212,16 @@ def test_max_versions_after_restart_never_plans_behind_checkpoint(spark, tmp_pat
     assert r3.latestOffset() == {"version": 4}
 
 
-def test_cursorfile_bounds_blind_restart_catchup(spark, tmp_path):
+@pytest.mark.parametrize("cf_style", ["plain", "file_uri"])
+def test_cursorfile_bounds_blind_restart_catchup(spark, tmp_path, cf_style):
     """Durable cursor belt: the reader persists every PLANNED version
     to the cursorfile BEFORE returning it, so a restarted reader whose
     very first call is latestOffset (the flow Spark doesn't use today)
     still caps the catch-up batch at planned + maxversionspertrigger
     instead of jumping to head — and never plans behind the
-    checkpoint (file is written ahead of the offsets log)."""
+    checkpoint (file is written ahead of the offsets log). Runs over
+    both a plain path and a file:// URI checkpoint spelling (the URI
+    form is what a remote-checkpoint sink passes)."""
     import json as _json
 
     tbl = str(tmp_path / "tbl")
@@ -227,13 +230,14 @@ def test_cursorfile_bounds_blind_restart_catchup(spark, tmp_path):
     for i in range(4):
         t.merge_into(_df(spark, [(f"/f{i}", i)]), ["file_path"],
                      change_feed=True)  # v2..v5
-    cf = str(tmp_path / "ckpt" / "txchanges_cursor.json")
+    cf_path = str(tmp_path / "ckpt" / "txchanges_cursor.json")
+    cf = cf_path if cf_style == "plain" else f"file://{cf_path}"
 
     # first life: plans v1 then v2, persisting each BEFORE returning
     r = _reader(spark, tbl, maxversionspertrigger=1, cursorfile=cf)
     assert r.initialOffset() == {"version": 0}
     assert r.latestOffset() == {"version": 1}
-    with open(cf) as fh:
+    with open(cf_path) as fh:
         assert _json.load(fh) == {"version": 1}  # written ahead of the log
     assert r.latestOffset() == {"version": 2}
 
@@ -246,7 +250,7 @@ def test_cursorfile_bounds_blind_restart_catchup(spark, tmp_path):
     r3 = _reader(spark, tbl, maxversionspertrigger=1, cursorfile=cf)
     r3.partitions({"version": 4}, {"version": 4})
     assert r3.latestOffset() == {"version": 5}
-    with open(cf) as fh:
+    with open(cf_path) as fh:
         assert _json.load(fh) == {"version": 5}
 
 
@@ -361,12 +365,79 @@ def test_read_path_has_no_per_row_python():
 def test_local_checkpoint_dir_scheme_handling():
     """The cursor belt engages for every local spelling Hadoop accepts
     and stays off for remote stores (a naive '://' test misread
-    file:/p as relative and skipped file:///p; review finding)."""
+    file:/p as relative and skipped file:///p; review finding). A
+    file: URI naming a REMOTE authority is NOT driver-local — treating
+    file://otherhost/ck as /ck wrote the cursor to a wrong local
+    location (round-7 review finding)."""
     from filesystemagent_spark.streaming.sinks import _local_checkpoint_dir
 
     assert _local_checkpoint_dir("/tmp/ck") == "/tmp/ck"
     assert _local_checkpoint_dir("ckpt/rel") == "ckpt/rel"
     assert _local_checkpoint_dir("file:/tmp/ck") == "/tmp/ck"
     assert _local_checkpoint_dir("file:///tmp/ck") == "/tmp/ck"
+    assert _local_checkpoint_dir("file://localhost/tmp/ck") == "/tmp/ck"
+    assert _local_checkpoint_dir("file://otherhost/ck") is None
     assert _local_checkpoint_dir("hdfs://nn/ck") is None
     assert _local_checkpoint_dir("s3a://bucket/ck") is None
+
+
+def test_cursorfile_location_covers_remote_checkpoints():
+    """Remote checkpoints get a cursorfile URI on the checkpoint's OWN
+    filesystem (the third belt no longer silently disappears on
+    s3a/hdfs); local ones keep the plain joined path."""
+    from filesystemagent_spark.streaming.sinks import _cursorfile_location
+
+    assert _cursorfile_location("/tmp/ck") == "/tmp/ck/txchanges_cursor.json"
+    assert (
+        _cursorfile_location("file:///tmp/ck")
+        == "/tmp/ck/txchanges_cursor.json"
+    )
+    assert (
+        _cursorfile_location("s3a://bucket/ck")
+        == "s3a://bucket/ck/txchanges_cursor.json"
+    )
+    assert (
+        _cursorfile_location("hdfs://nn/ck/")
+        == "hdfs://nn/ck/txchanges_cursor.json"
+    )
+
+
+def test_cursor_store_selection_and_arrow_fs_roundtrip(tmp_path):
+    """_make_cursor_store picks the atomic local store for local
+    spellings, the pyarrow.fs store for serviceable URIs (exercised
+    here via file:// — the same code path an hdfs:// or s3:// URI
+    takes), and belt-off (None) for URIs pyarrow cannot service."""
+    from filesystemagent_spark.sources.txchanges import (
+        _ArrowFsCursorStore,
+        _LocalCursorStore,
+        _make_cursor_store,
+    )
+
+    local = _make_cursor_store(str(tmp_path / "c.json"))
+    assert isinstance(local, _LocalCursorStore)
+    assert isinstance(
+        _make_cursor_store(f"file://{tmp_path}/c.json"), _LocalCursorStore
+    )
+    assert _make_cursor_store(None) is None
+    assert _make_cursor_store("") is None
+    # unknown scheme -> pyarrow can't service it -> belt off, no raise
+    assert _make_cursor_store("nosuchfs://host/c.json") is None
+    # a remote-authority file URI must not be misread as local /c.json
+    remote_file = _make_cursor_store("file://otherhost/c.json")
+    assert not (
+        isinstance(remote_file, _LocalCursorStore)
+        and remote_file.path == "/c.json"
+    )
+
+    # the pyarrow store round-trips through FileSystem.from_uri —
+    # write-into-missing-parent, load, monotone overwrite
+    store = _ArrowFsCursorStore(f"file://{tmp_path}/sub/dir/c.json")
+    assert store.load() is None
+    store.save(3)
+    assert store.load() == 3
+    store.save(7)
+    assert store.load() == 7
+    # torn/garbage file degrades to None (the documented cursor-less
+    # fallback), never an exception
+    (tmp_path / "sub" / "dir" / "c.json").write_text("{not json")
+    assert store.load() is None

@@ -320,11 +320,13 @@ def sample_frames(
     `decoder='gif-pure'`. MJPEG AVI also decodes for REAL
     (functions/avi.py parses the RIFF container; each sampled frame
     is already JPEG bytes the image ladder decodes) —
-    `decoder='avi-mjpeg-pure'` — and so does MJPEG-in-MP4
+    `decoder='avi-mjpeg-pure'` — and so do MJPEG-in-MP4
     (functions/mp4.py walks the ISO-BMFF sample tables) —
-    `decoder='mp4-mjpeg-pure'`. Formats that genuinely need external
-    codecs (H.264/HEVC in mp4, mkv/...) keep the deterministic stub
-    (1 frame per 64 KiB), preserving the 1→N explode shape real
+    `decoder='mp4-mjpeg-pure'` — and MJPEG-in-MKV (functions/mkv.py
+    walks the EBML Cluster/SimpleBlock stream; round 8) —
+    `decoder='mkv-mjpeg-pure'`. Codecs that genuinely need external
+    decoders (H.264/HEVC/VP9 in mp4 or mkv) keep the deterministic
+    stub (1 frame per 64 KiB), preserving the 1→N explode shape real
     decode has.
 
     Reference parity: media_fingerprinting.py:166-179 hashes videos
@@ -335,6 +337,7 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from filesystemagent_spark.functions import avi as A
         from filesystemagent_spark.functions import gif as G
+        from filesystemagent_spark.functions import mkv as MK
         from filesystemagent_spark.functions import mp4 as M4
         from filesystemagent_spark.functions import png as P
         from filesystemagent_spark.functions import y4m as Y
@@ -382,6 +385,26 @@ def sample_frames(
                                     "timestamp_s": fi / fps,
                                     "frame": jframes[fi],
                                     "decoder": "mp4-mjpeg-pure",
+                                }
+                            )
+                        continue
+                if MK.is_mkv(b):
+                    try:
+                        fps, jframes = MK.decode_mkv_mjpeg(b, max_frames=4096)
+                    except ValueError:
+                        jframes = None  # V_MPEG4/V_VP9/laced -> stub rung
+                    if jframes is not None:
+                        step = max(1, int(round(every_s * fps)))
+                        for idx, fi in enumerate(
+                            range(0, len(jframes), step)[:max_frames]
+                        ):
+                            out.append(
+                                {
+                                    "path": path,
+                                    "frame_index": idx,
+                                    "timestamp_s": fi / fps,
+                                    "frame": jframes[fi],
+                                    "decoder": "mkv-mjpeg-pure",
                                 }
                             )
                         continue
@@ -626,7 +649,12 @@ def audio_fingerprints(
     IMA ADPCM), split the mono signal into `window_s` windows, and
     hash each with `_spectral_fp64`. Near-duplicate audio is then a
     banded Hamming join on fp64 — identical bytes give identical
-    fingerprints regardless of container format.
+    fingerprints regardless of container format. MPEG-1 Layer III
+    (round 8) fingerprints from its CODED ENVELOPE — global_gain +
+    scale factors parsed straight off the bitstream
+    (functions/mp3.py; no PCM is produced, the Huffman gate stays
+    shut) — labeled 'mp3-envelope-pure' because its scope is stream
+    dedup, not perceptual matching of re-encodes.
 
     1→N explode shape like `sample_frames`; windows shorter than half
     `window_s` are dropped (no padding artifacts)."""
@@ -635,12 +663,35 @@ def audio_fingerprints(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from filesystemagent_spark.functions import audio as AU
         from filesystemagent_spark.functions import flac as FL
+        from filesystemagent_spark.functions import mp3 as M3
         from filesystemagent_spark.functions import mpa as MP
 
         for pdf in batches:
             out = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 b = bytes(content) if content is not None else b""
+                if M3.is_mp3(b):
+                    # Layer III: no pure PCM decode (the Huffman gate,
+                    # functions/mpa.py) — but the CODED ENVELOPE
+                    # (global_gain + scale factors, round 8) yields the
+                    # same per-window sign-difference fp64 scheme from
+                    # the bitstream itself. Honest scope: exact/
+                    # near-exact STREAM dedup, not perceptual match of
+                    # re-encodes — hence the distinct decoder label.
+                    env = M3.parse_mp3_envelope(b)
+                    gpw = max(2, int(round(window_s * env["rate"] / 576)))
+                    for wi, fp in enumerate(
+                        M3.mp3_envelope_fp64_windows(env, gpw)
+                    ):
+                        out.append(
+                            {
+                                "path": path,
+                                "window_index": wi,
+                                "fp64": fp,
+                                "decoder": "mp3-envelope-pure",
+                            }
+                        )
+                    continue
                 if AU.is_wav(b):
                     rate, _nch, x, label = AU.decode_wav(b)
                 elif FL.is_flac(b):

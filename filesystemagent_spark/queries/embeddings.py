@@ -221,7 +221,10 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via an IVF index: label-derived centroids as
     the coarse quantizer, nprobe=3 cells probed per query. Rows-only
     check; recall vs embedding_knn asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. STATIC nprobe: measured 0.49 recall@10
+    at sf0.1 on this weak-structure corpus (RECALL.md) — the honest
+    default surface is `embedding_knn_ivf_auto` below, which escalates
+    nprobe to a recall target."""
     emb = Catalog(spark, sf_dir).embeddings
     centroids = S.centroids_from_labels(emb, label_col="label", vec_col="embedding", dim=DIM)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -234,7 +237,11 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path where the cross join is impossible. Rows-only check; recall
-    vs embedding_knn asserted in tests/test_similarity.py."""
+    vs embedding_knn asserted in tests/test_similarity.py. STATIC
+    parameters (4 planes x 4 tables): measured 0.40 recall@10 at sf0.1
+    on this weak-structure synthetic corpus (RECALL.md) — the honest
+    default surface is `embedding_knn_lsh_auto` below, which tunes to
+    a recall target instead of assuming neighbor structure."""
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return S.knn_lsh(
@@ -247,6 +254,77 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=4,
         n_tables=4,
     ).orderBy("query_id", "rnk")
+
+
+# the recall bar the auto-tuned registry entries promise; pytest gates
+# assert the returned meta's estimate meets it on the test corpora and
+# that the emitted rows agree with the exact baseline at that level
+AUTO_TARGET_RECALL = 0.8
+
+
+def embedding_knn_ivf_auto_with_meta(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """The registered IVF query's full result: (rows, tuner meta).
+    Exposed so the pytest gate can assert meta['recall_estimate'] >=
+    AUTO_TARGET_RECALL on the same path the registry runs."""
+    from filesystemagent_spark.operators.anntune import knn_ivf_auto
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out, meta = knn_ivf_auto(
+        queries, emb, centroids, id_col="vec_id", vec_col="embedding",
+        k=K, target_recall=AUTO_TARGET_RECALL, sample_queries=N_QUERIES,
+    )
+    return out.orderBy("query_id", "rnk"), meta
+
+
+@register(
+    "embedding_knn_ivf_auto",
+    tags=("vector", "ivf", "approx", "auto-tuned"),
+)
+def embedding_knn_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF with TARGET-RECALL auto-tuning
+    (operators/anntune.py): nprobe escalates until the sampled recall
+    estimate meets {AUTO_TARGET_RECALL} (worst case nprobe = n_cells,
+    which is exact — the tuner provably terminates met). This is the
+    honest default ANN surface: 0.94 recall@10 measured at sf0.1
+    (RECALL.md) vs 0.49 for the static default. Rows-only check;
+    recall + agreement-vs-exact gated in tests/test_similarity.py."""
+    return embedding_knn_ivf_auto_with_meta(spark, sf_dir)[0]
+
+
+def embedding_knn_lsh_auto_with_meta(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """The registered LSH query's full result: (rows, tuner meta)."""
+    from filesystemagent_spark.operators.anntune import knn_lsh_auto
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out, meta = knn_lsh_auto(
+        queries, emb, id_col="vec_id", vec_col="embedding", dim=DIM,
+        k=K, target_recall=AUTO_TARGET_RECALL, sample_queries=N_QUERIES,
+    )
+    return out.orderBy("query_id", "rnk"), meta
+
+
+@register(
+    "embedding_knn_lsh_auto",
+    tags=("vector", "lsh", "approx", "auto-tuned"),
+)
+def embedding_knn_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH with TARGET-RECALL auto-tuning:
+    walks the (n_planes, n_tables) ladder until the sampled recall
+    estimate meets {AUTO_TARGET_RECALL}; unlike IVF the densest rung
+    is not provably exact, so on pathological corpora the meta carries
+    met_target=False and the best rung found (0.82 recall@10 measured
+    at sf0.1, RECALL.md, vs 0.40 static). Rows-only check; recall +
+    agreement-vs-exact gated in tests/test_similarity.py."""
+    return embedding_knn_lsh_auto_with_meta(spark, sf_dir)[0]
 
 
 def _duck_plane_dot(vec: str, plane: list[float]) -> str:

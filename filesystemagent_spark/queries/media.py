@@ -263,6 +263,90 @@ def doc_gif_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_mkv_video_dedup",
+    tags=("multimodal", "video", "mkv", "mp4", "dedup", "mapInPandas"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 58)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_mkv_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINER-INVARIANT video dedup through the round-8 MKV slice
+    (SURVEY F3): each doc's 58-char-prefix md5 expands to 3
+    deterministic 16x16 JPEG frames, muxed into Matroska
+    (functions/mkv.py, CodecID V_MJPEG) for even doc_ids and ISO-BMFF
+    MP4 (functions/mp4.py) for odd ones — then the production ladder
+    runs with NO knowledge of how the bytes were built: sample_frames
+    demuxes BOTH containers ('mkv-mjpeg-pure' / 'mp4-mjpeg-pure'),
+    image_features JPEG-decodes and dhashes each frame, video_hash64
+    takes the bit majority, and the banded Hamming join pairs them.
+    JPEG is byte-deterministic, so identical prefixes give identical
+    payloads and distance-0 pairs EVEN ACROSS CONTAINERS — exactly the
+    md5-equality self-join DuckDB replays. Registered outside the
+    graded window (the GIF-video slot carries the class);
+    driver_sim hash-checks it every run."""
+    import hashlib as _hl
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    from filesystemagent_spark.functions import jpeg as J
+    from filesystemagent_spark.functions import mkv as MK
+    from filesystemagent_spark.functions import mp4 as M4
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+    from filesystemagent_spark.operators.multimodal import (
+        image_features,
+        sample_frames,
+        video_hash64,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.substring("text", 1, 58)).alias("hp")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, hp in zip(pdf["doc_id"], pdf["hp"]):
+                jframes = []
+                for f in range(3):
+                    raw = b"".join(
+                        _hl.sha256(hp.encode() + bytes([f, i])).digest()
+                        for i in range(24)
+                    )
+                    px = _np.frombuffer(raw, dtype=_np.uint8, count=768)
+                    jframes.append(
+                        J.encode_jpeg(
+                            ((px >> 6) * 85).reshape(16, 16, 3), 90
+                        )
+                    )
+                mux = MK.encode_mkv_mjpeg if doc_id % 2 == 0 else (
+                    M4.encode_mp4_mjpeg
+                )
+                rows.append(
+                    {"path": str(doc_id), "content": mux(jframes, fps=1.0)}
+                )
+            yield _pd.DataFrame(rows, columns=["path", "content"])
+
+    vids = docs.mapInPandas(gen, "path string, content binary")
+    frames = sample_frames(vids, every_s=1.0, max_frames=8)
+    feats = image_features(frames.select("path", F.col("frame").alias("content")))
+    vh = video_hash64(feats.select("path", "dhash64"))
+    keyed = vh.select(
+        F.col("path").cast("long").alias("doc_id"), "video_hash64"
+    )
+    pairs = hamming_near_dup_pairs(keyed, "doc_id", "video_hash64", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "doc_jpeg_roundtrip_dedup",
     tags=("multimodal", "jpeg", "dedup", "mapInPandas"),
     oracle="""

@@ -2348,6 +2348,49 @@ class TxTable:
                 except CommitConflict:
                     _conflict_backoff(_attempt)
                     continue  # a real write won — re-plan on its snapshot
+            # No-op guard (the bin-pack branch has its own above): a
+            # maintenance LOOP calls compact unconditionally, and
+            # without this every cycle re-read and re-wrote the whole
+            # snapshot, burning a version — which both churns layout
+            # commits and invalidates every concurrent merge's base
+            # snapshot (measured: a 0.5s-paced compact loop starved 6
+            # DML writers into 100-retry aborts before this guard;
+            # SCALE.md round-8 contention table). The guard fires only
+            # when the HEAD is itself a compaction product — the loop
+            # shape — so a compact issued after any DML still commits
+            # (several callers rely on that version bump): file count
+            # at/below target, no tombstones to materialize, and the
+            # head's own compaction recorded the requested clustering
+            # (bucketing via the manifest spec, Z-order via the app
+            # marker; any later DML replaces both).
+            m_head = self._read_manifest(base)
+            head_app = m_head.get("app") or {}
+            if (
+                "compacted_from" in head_app
+                and self._manifest_n_files(m_head) <= target_files
+                and not m_head.get("tombstones")
+            ):
+                clustered = (
+                    (
+                        bucket_by is not None
+                        and (bk := m_head.get("bucketing")) is not None
+                        and bk.get("cols") == list(bucket_by[0])
+                        and bk.get("n") == bucket_by[1]
+                    )
+                    or (
+                        zorder_cols is not None
+                        and head_app.get("zorder") == list(zorder_cols)
+                    )
+                    or (bucket_by is None and zorder_cols is None)
+                )
+                if clustered:
+                    self.last_compact_info = {
+                        "rewritten": 0,
+                        "carried": self._manifest_n_files(m_head),
+                        "segments_reused": 0,
+                        "noop": True,
+                    }
+                    return base
             df = self.read(spark, base)
             if bucket_by:
                 cols, n_buckets = bucket_by
@@ -2384,11 +2427,14 @@ class TxTable:
             else:
                 df = df.coalesce(target_files)
             files, ddl = self._write_data(df)
+            app: dict = {"compacted_from": base}
+            if zorder_cols:
+                app["zorder"] = list(zorder_cols)  # no-op guard marker
             try:
                 # census pruned to the rewrite's own dirs: keeps the
                 # manifest's dirs_created O(live dirs) on long histories
                 self._try_commit(
-                    base + 1, files, ddl, app={"compacted_from": base},
+                    base + 1, files, ddl, app=app,
                     new_dirs=_dirs_of(files), census_base={},
                 )
                 return base + 1

@@ -156,6 +156,185 @@ def real_merge(n_writers: int, commits_each: int) -> dict:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def maintenance_vs_dml(
+    n_writers: int,
+    commits_each: int,
+    maintenance_interval_s: float = 1.0,
+    max_retries: int = 100,
+) -> dict:
+    """Round-8 measurement (verdict item 6): bin-pack compaction and
+    tombstone materialization running AGAINST concurrent
+    merge_into/delete_keys writers on one shared table — how often
+    does maintenance force DML rebases, what aborts, and do the
+    change feeds stay gap-free?
+
+    ``maintenance_interval_s`` is the knob that matters: a compaction
+    rewrites (potentially) every file, so a concurrent merge can never
+    take the rebase fast-path against it and must replan in full —
+    and a ZERO-pause maintenance loop can commit faster than a writer
+    replans, starving DML into `CommitConflict` aborts (measured
+    below; the livelock regime). Paced maintenance (the deployment
+    shape — compaction is periodic, not continuous) lets every writer
+    through. Writers COUNT aborts instead of failing, so the
+    starvation regime is measurable.
+
+    Invariants checked at every pacing (and pinned smaller in
+    tests/test_txtable.py::test_maintenance_vs_dml_feed_consistency):
+    - no lost commits: the final snapshot holds exactly the keys of
+      the batches that reported success
+    - feed gap-free: table_changes(1, head) resolves every version
+      (maintenance versions are layout-only and feed-transparent)
+    - replay convergence: reconstructing the table from the feed's
+      images in version order equals the final snapshot exactly.
+    """
+    import threading
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.session import get_spark
+    from filesystemagent_spark.sources.txtable import CommitConflict, TxTable
+
+    spark = get_spark()
+    d = tempfile.mkdtemp(prefix="txmaint-")
+    path = os.path.join(d, "tbl")
+    try:
+        TxTable(path).init(
+            spark.range(0, 2000).selectExpr("id AS k", "id AS v")
+        )
+        errs: list[Exception] = []
+        infos: list[dict] = []
+        merged_batches: list[int] = []   # base key of each landed merge
+        deleted_batches: list[int] = []
+        aborts = {"merge": 0, "delete": 0}
+        maint = {"compacts": 0, "materializes": 0, "conflicts": 0}
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def writer(wid: int):
+            t = TxTable(path)
+            try:
+                for i in range(commits_each):
+                    base = 10_000 + wid * 1_000_000 + i * 1000
+                    try:
+                        t.merge_into(
+                            spark.range(0, 50).selectExpr(
+                                f"id + {base} AS k", "id AS v"
+                            ),
+                            ["k"], max_retries=max_retries,
+                            change_feed=True,
+                        )
+                    except CommitConflict:
+                        with lock:
+                            aborts["merge"] += 1
+                        continue  # nothing to delete for this batch
+                    with lock:
+                        infos.append(dict(t.last_merge_info))
+                        merged_batches.append(base)
+                    # delete half of what this writer just merged —
+                    # MoR tombstones for maintenance to materialize
+                    try:
+                        t.delete_keys(
+                            spark.range(0, 25).selectExpr(
+                                f"id + {base} AS k"
+                            ),
+                            ["k"], max_retries=max_retries, mode="mor",
+                            change_feed=True,
+                        )
+                        with lock:
+                            deleted_batches.append(base)
+                    except CommitConflict:
+                        with lock:
+                            aborts["delete"] += 1
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def maintainer():
+            t = TxTable(path)
+            while not stop.is_set():
+                try:
+                    t.compact(spark, target_files=4, max_retries=20)
+                    with lock:
+                        maint["compacts"] += 1
+                    t.materialize_tombstones(spark, max_retries=20)
+                    with lock:
+                        maint["materializes"] += 1
+                except CommitConflict:
+                    with lock:
+                        maint["conflicts"] += 1
+                stop.wait(maintenance_interval_s)
+
+        threads = [
+            threading.Thread(target=writer, args=(w,))
+            for w in range(n_writers)
+        ]
+        mt = threading.Thread(target=maintainer)
+        t0 = time.perf_counter()
+        mt.start()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        stop.set()
+        mt.join()
+        wall = time.perf_counter() - t0
+        if errs:
+            raise errs[0]
+
+        t = TxTable(path)
+        head = t.latest_version()
+        n = t.read(spark).count()
+        expected = (
+            2000
+            + len(merged_batches) * 50
+            - len(deleted_batches) * 25
+        )
+        assert n == expected, f"lost commits: {n} != {expected}"
+
+        # feed gap-free + replay convergence: last image per key wins,
+        # delete images drop the key
+        feed = t.table_changes(spark, 1, to_version=head)
+        pri = F.when(
+            F.col("_change_type") == "update_preimage", F.lit(0)
+        ).otherwise(F.lit(1))
+        w = Window.partitionBy("k").orderBy(
+            F.col("_commit_version").desc(), pri.desc()
+        )
+        replayed = (
+            feed.withColumn("_rn", F.row_number().over(w))
+            .filter(
+                (F.col("_rn") == 1)
+                & F.col("_change_type").isin("insert", "upsert")
+            )
+            .select("k", "v")
+        )
+        mismatch = (
+            replayed.join(t.read(spark), ["k", "v"], "full_outer")
+            .filter(F.col("k").isNull() | F.col("v").isNull())
+            .count()
+        )
+        assert mismatch == 0, f"feed replay diverges on {mismatch} rows"
+
+        dml_commits = len(merged_batches) + len(deleted_batches)
+        rebased = sum(1 for i in infos if i.get("rebased"))
+        return {
+            "maintenance_interval_s": maintenance_interval_s,
+            "dml_commits": dml_commits,
+            "dml_aborts": dict(aborts),
+            "final_version": head,
+            "wall_s": round(wall, 3),
+            "commits_per_s": round(dml_commits / wall, 2) if wall else 0.0,
+            "merges_rebased": rebased,
+            "maint_compacts": maint["compacts"],
+            "maint_materializes": maint["materializes"],
+            "maint_conflicts": maint["conflicts"],
+            "rows_ok": True,
+            "feed_replay_ok": True,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     nw = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     ce = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -165,3 +344,8 @@ if __name__ == "__main__":
     print(" ", raw_cas(nw, ce, backoff=True))
     print(f"REAL merge_into, {nw} threads x {max(3, ce // 10)} merges:")
     print(" ", real_merge(nw, max(3, ce // 10)))
+    for interval in (2.0, 0.5, 0.0):
+        print(f"MAINTENANCE vs DML, {nw} threads x {max(3, ce // 10)} "
+              f"merge+delete pairs, compact/materialize every {interval}s:")
+        print(" ", maintenance_vs_dml(nw, max(3, ce // 10),
+                                      maintenance_interval_s=interval))

@@ -1,0 +1,161 @@
+"""MPEG-1 Layer III envelope slice (functions/mp3.py): side-info +
+scale-factor round trip through self-encoded silence frames, bit
+reservoir reconstruction, fingerprint determinism, and the honest
+PCM gate staying shut (round 8, verdict item 8)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from filesystemagent_spark.functions import mp3 as M3
+from filesystemagent_spark.functions import mpa as MP
+
+
+def test_silence_roundtrip_gains_and_scalefacs():
+    """The WAV/FLAC-style self-round-trip: caller-chosen global_gain
+    and scale factors come back EXACTLY through encode -> parse."""
+    gains = [100, 120, 90, 250, 0, 33]
+    # slen widths at scalefac_compress=15: 4 bits (bands 0-10), 3 bits
+    # (bands 11-20) — values must fit their fields
+    sfs = [
+        [(g + b) % (16 if b < 11 else 8) for b in range(21)]
+        for g in range(6)
+    ]
+    b = M3.encode_mp3_silence(gains, rate=48000, scalefacs=sfs)
+    assert M3.is_mp3(b)
+    env = M3.parse_mp3_envelope(b)
+    assert (env["rate"], env["nch"], env["bitrate_kbps"]) == (48000, 1, 128)
+    assert env["n_frames"] == 3
+    got = [g for g in env["granules"] if g["channel"] == 0]
+    assert [g["global_gain"] for g in got] == gains
+    assert [g["scalefacs"] for g in got] == sfs
+    assert all(g["block_type"] == 0 for g in got)
+
+
+def test_roundtrip_at_441_and_scalefac_scale():
+    b = M3.encode_mp3_silence(
+        [10, 20], rate=44100, bitrate_kbps=160, scalefac_scale=1
+    )
+    env = M3.parse_mp3_envelope(b)
+    assert env["rate"] == 44100 and env["bitrate_kbps"] == 160
+    assert [g["scalefac_scale"] for g in env["granules"]] == [1, 1]
+
+
+def test_bit_reservoir_backreference():
+    """main_data_begin back-references into the PREVIOUS frame's main
+    data: move frame 2's scale-factor bits into frame 1's stuffing
+    region and point main_data_begin at them — the parser must
+    reconstruct the reservoir and still read the right values."""
+    gains = [7, 9, 40, 50]
+    sfs = [[b % 8 for b in range(21)], [(b + 1) % 8 for b in range(21)],
+           [(b + 2) % 8 for b in range(21)], [(b + 3) % 8 for b in range(21)]]
+    b = bytearray(M3.encode_mp3_silence(gains, rate=48000, scalefacs=sfs))
+    frame_len = 144 * 128000 // 48000
+    # frame 1's main_data region: after 4-byte header + 17-byte side
+    # info; its scalefactor payload is 2 granules x 74 bits = 19 bytes
+    md1 = 4 + 17
+    payload = 19
+    # frame 2's payload currently lives at its own main_data start
+    md2 = frame_len + 4 + 17
+    moved = bytes(b[md2 : md2 + payload])
+    # stash it at the END of frame 1's main_data (the stuffing area)
+    stash = frame_len - payload
+    b[stash : stash + payload] = moved
+    b[md2 : md2 + payload] = b"\x00" * payload
+    # frame 2's main_data_begin = bytes between stash point and frame
+    # 2's own main_data start, in RESERVOIR coordinates (main_data
+    # regions only): frame 1's region spans [md1, frame_len) -> the
+    # stash sits (frame_len - stash) bytes before the region's end
+    mdb = frame_len - stash
+    r = M3._Bits(bytes(b), 0)
+    r.pos = (frame_len + 4) * 8  # frame 2's side info
+    w = M3._BitW()
+    w.write(mdb, 9)
+    rest = M3._Bits(bytes(b), (frame_len + 4) * 8 + 9)
+    for _ in range(17 * 8 - 9):
+        w.bits.append(rest.read(1))
+    b[frame_len + 4 : frame_len + 4 + 17] = w.tobytes(17)
+    env = M3.parse_mp3_envelope(bytes(b))
+    got = [g for g in env["granules"]]
+    assert [g["global_gain"] for g in got] == gains
+    assert [g["scalefacs"] for g in got] == sfs
+
+
+def test_cut_stream_skips_unresolvable_reservoir():
+    """A stream cut mid-reservoir (first frame's main_data_begin
+    points before the data we have) skips that frame instead of
+    misreading garbage — the real-decoder behavior."""
+    b = bytearray(M3.encode_mp3_silence([1, 2, 3, 4], rate=48000))
+    # set frame 0's main_data_begin to 5 (its bits don't exist)
+    w = M3._BitW()
+    w.write(5, 9)
+    rest = M3._Bits(bytes(b), 4 * 8 + 9)
+    for _ in range(17 * 8 - 9):
+        w.bits.append(rest.read(1))
+    b[4 : 4 + 17] = w.tobytes(17)
+    env = M3.parse_mp3_envelope(bytes(b))
+    assert env["n_frames"] == 2
+    assert [g["global_gain"] for g in env["granules"]] == [3, 4]
+
+
+def test_envelope_fingerprints_deterministic_and_gain_sensitive():
+    quiet = M3.encode_mp3_silence([60] * 16)
+    loud_ramp = M3.encode_mp3_silence(
+        [60 + 10 * i for i in range(16)],
+        scalefacs=[[(i + b) % 8 for b in range(21)] for i in range(16)],
+    )
+    f1 = M3.mp3_envelope_fp64_windows(M3.parse_mp3_envelope(quiet))
+    f2 = M3.mp3_envelope_fp64_windows(M3.parse_mp3_envelope(quiet))
+    f3 = M3.mp3_envelope_fp64_windows(M3.parse_mp3_envelope(loud_ramp))
+    assert f1 and f1 == f2          # identical bytes -> identical fps
+    assert f1 != f3                  # different envelope -> different fps
+    assert all(-(1 << 63) <= v < (1 << 63) for v in f1 + f3)  # BIGINT
+
+
+def test_malformed_and_non_mp3_raise():
+    with pytest.raises(ValueError, match="not an MPEG-1 Layer III"):
+        M3.parse_mp3_envelope(b"\x00" * 64)
+    ok = M3.encode_mp3_silence([1, 2])
+    bad = bytearray(ok)
+    bad[2] = (bad[2] & 0x0F) | 0xF0  # bitrate_index 15 (reserved)
+    with pytest.raises(ValueError, match="reserved"):
+        M3.parse_mp3_envelope(bytes(bad))
+
+
+def test_audio_fingerprints_mp3_envelope_rung(spark):
+    """The ladder integration: mp3 streams fingerprint via the coded
+    envelope (decoder='mp3-envelope-pure'), identical streams collide,
+    different envelopes don't, and WAV files keep their PCM rung."""
+    from filesystemagent_spark.functions import audio as AU
+    from filesystemagent_spark.operators import multimodal as M
+    import numpy as np
+
+    sfs = [[(i + b) % 8 for b in range(21)] for i in range(32)]
+    a = M3.encode_mp3_silence([60 + (i % 7) * 9 for i in range(32)],
+                              scalefacs=sfs)
+    c = M3.encode_mp3_silence([200 - (i % 11) * 4 for i in range(32)])
+    t = np.arange(4800) / 48000.0
+    wav = AU.encode_wav((0.4 * np.sin(2 * np.pi * 440 * t)), 48000)
+    rows = spark.createDataFrame(
+        [("a.mp3", a), ("dup.mp3", a), ("c.mp3", c), ("w.wav", wav)],
+        "path string, content binary",
+    )
+    got = M.audio_fingerprints(rows, window_s=0.1).toPandas()
+    by = {p: g.sort_values("window_index") for p, g in got.groupby("path")}
+    assert set(by["a.mp3"]["decoder"]) == {"mp3-envelope-pure"}
+    assert set(by["w.wav"]["decoder"]) == {"wav-pure"}
+    assert list(by["a.mp3"]["fp64"]) == list(by["dup.mp3"]["fp64"])
+    assert list(by["a.mp3"]["fp64"]) != list(by["c.mp3"]["fp64"])
+    assert len(by["a.mp3"]) >= 2  # multiple windows over 32 granules
+
+
+def test_pcm_gate_stays_shut():
+    """The envelope slice must NOT quietly become a fake PCM decoder:
+    decode_mpa still raises for Layer III, and the silence frames are
+    recognized as MPEG audio by the existing prober."""
+    b = M3.encode_mp3_silence([100, 100])
+    assert MP.is_mpa(b)
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        MP.decode_mpa(b)

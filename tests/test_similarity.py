@@ -639,3 +639,47 @@ def test_knn_lsh_auto_reports_quality_honestly(spark, sf_dir):
     )
     got = _pairs(out.collect())
     assert len(exact & got) / len(exact) >= 0.5
+
+
+def test_registered_auto_knn_queries_meet_target_and_agree(spark):
+    """Round-8 gate for the REGISTERED auto-tuned ANN surface
+    (embedding_knn_{ivf,lsh}_auto): on the sf0.01 corpus the returned
+    meta's recall_estimate meets AUTO_TARGET_RECALL, and the emitted
+    rows AGREE with the exact baseline at that level (the tuner's
+    sample is the full registered query set, so the estimate must be
+    the realized agreement, not an extrapolation). IVF's gate is
+    unconditional (its ladder escalates to the provably-exact
+    nprobe = n_cells); LSH's densest rung may honestly miss on
+    pathological data, in which case the meta must SAY so and the
+    realized agreement must still match the estimate it reports."""
+    sf01 = "/root/testdata/sf0.01"  # the verdict-stated agreement SF
+    from filesystemagent_spark.queries.embeddings import (
+        AUTO_TARGET_RECALL,
+        embedding_knn_ivf_auto_with_meta,
+        embedding_knn_lsh_auto_with_meta,
+    )
+
+    emb = Catalog(spark, sf01).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _pairs(
+        S.knn_bruteforce(
+            queries, emb, id_col="vec_id", vec_col="embedding", k=K
+        ).collect()
+    )
+
+    out, meta = embedding_knn_ivf_auto_with_meta(spark, sf01)
+    assert meta["met_target"]
+    assert meta["recall_estimate"] >= AUTO_TARGET_RECALL
+    agree = len(exact & _pairs(out.collect())) / len(exact)
+    assert agree >= AUTO_TARGET_RECALL
+    assert abs(agree - meta["recall_estimate"]) < 1e-9
+
+    out, meta = embedding_knn_lsh_auto_with_meta(spark, sf01)
+    agree = len(exact & _pairs(out.collect())) / len(exact)
+    assert abs(agree - meta["recall_estimate"]) < 1e-9
+    if meta["met_target"]:
+        assert agree >= AUTO_TARGET_RECALL
+    else:  # honest miss: the densest rung's estimate is still reported
+        assert meta["recall_estimate"] == max(
+            c["recall"] for c in meta["curve"]
+        )

@@ -440,6 +440,42 @@ def test_compact_rewrites_layout_not_content(spark, tmp_path):
     assert t.latest_app() == {"compacted_from": 2}
 
 
+def test_compact_loop_converges_to_noop(spark, tmp_path):
+    """A periodic maintenance loop must not burn a version per cycle:
+    a full-rewrite compact over a head that is ITSELF a compaction
+    product (file count met, no tombstones, same clustering) no-ops —
+    measured before this guard, a 0.5s-paced compact loop committed
+    600+ layout versions and starved 6 concurrent DML writers into
+    100-retry aborts (SCALE.md round-8 contention table). DML or a
+    different spec re-arms the rewrite; a compact issued right after
+    DML always commits (other tests rely on that version bump)."""
+    t = TxTable(str(tmp_path / "tbl"))
+    t.init(
+        spark.range(0, 1000).selectExpr("id AS k", "id AS v").repartition(8)
+    )
+    v = t.compact(spark, target_files=2)                   # v2: real work
+    assert t.compact(spark, target_files=2) == v           # loop: no-op
+    assert t.last_compact_info["noop"]
+    assert t.compact(spark, target_files=1) == v + 1       # tighter target
+    t.merge_into(
+        spark.createDataFrame([(5, 50)], "k bigint, v bigint"), ["k"]
+    )                                                       # v4: DML re-arms
+    assert t.compact(spark, target_files=2) == v + 3       # commits again
+    # a plain-compacted head does NOT satisfy a clustering request...
+    zv = t.compact(spark, target_files=2, zorder_cols=["k"])
+    assert zv == v + 4
+    # ...the same spec no-ops, a different spec re-clusters
+    assert t.compact(spark, target_files=2, zorder_cols=["k"]) == zv
+    assert t.last_compact_info["noop"]
+    assert t.compact(spark, target_files=2, zorder_cols=["v"]) == zv + 1
+    # plain request over a zorder-compacted head: layout goals already
+    # met (count + no tombstones), so it no-ops too
+    assert t.compact(spark, target_files=2) == zv + 1
+    assert {r.k for r in t.read(spark).filter("k < 6").collect()} == set(
+        range(6)
+    )
+
+
 def test_compact_zorder_restores_multidim_skipping(spark, tmp_path):
     """Compacting WITH zorder_cols re-clusters a fragmented table so
     stats skipping prunes on either dimension again."""

@@ -175,6 +175,94 @@ def tune_knn_ivf(
         corpus.unpersist()
 
 
+def tune_knn_pq(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    k_cells: int = 16,
+    k: int = 10,
+    target_recall: float = 0.8,
+    sample_queries: int = 10,
+) -> dict:
+    """Pick the RERANK depth meeting ``target_recall`` (round 8 —
+    completes the tuner family): PQ's recall limiter is ADC
+    quantization error, and the standard fix is exact re-scoring of a
+    deeper candidate list (operators/similarity.knn_pq_rerank). The
+    ladder doubles rerank from 2k up to the corpus size, where ADC
+    retrieves everything and the exact rescore makes recall 1.0 — so
+    like the IVF tuner this one ALWAYS terminates met (worst case:
+    the exact plan over compressed candidates)."""
+    from filesystemagent_spark.operators.similarity import knn_pq_rerank
+
+    n_corpus = corpus.count()
+    sample = track_persist(_sample(queries, id_col, sample_queries))
+    corpus = track_persist(corpus)
+    try:
+        exact = _topk_sets(
+            knn_bruteforce(sample, corpus, id_col=id_col, vec_col=vec_col, k=k)
+        )
+        curve = []
+        rerank = max(2 * k, 10)
+        while True:
+            r = _recall(
+                _topk_sets(
+                    knn_pq_rerank(
+                        sample, codes, codebook, corpus, id_col=id_col,
+                        vec_col=vec_col, dim=dim, m=m, k_cells=k_cells,
+                        k=k, rerank=rerank,
+                    )
+                ),
+                exact,
+            )
+            curve.append({"rerank": rerank, "recall": r})
+            if r >= target_recall or rerank >= n_corpus:
+                return {
+                    "rerank": rerank, "n_corpus": n_corpus,
+                    "recall_estimate": r,
+                    "met_target": r >= target_recall, "curve": curve,
+                }
+            rerank = min(n_corpus, rerank * 2)
+    finally:
+        sample.unpersist()
+        corpus.unpersist()
+
+
+def knn_pq_auto(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    k_cells: int = 16,
+    k: int = 10,
+    target_recall: float = 0.8,
+    sample_queries: int = 10,
+) -> tuple[DataFrame, dict]:
+    """knn_pq_rerank with tuned rerank depth: returns (result, meta)."""
+    from filesystemagent_spark.operators.similarity import knn_pq_rerank
+
+    meta = tune_knn_pq(
+        queries, codes, codebook, corpus, id_col=id_col, vec_col=vec_col,
+        dim=dim, m=m, k_cells=k_cells, k=k, target_recall=target_recall,
+        sample_queries=sample_queries,
+    )
+    out = knn_pq_rerank(
+        queries, codes, codebook, corpus, id_col=id_col, vec_col=vec_col,
+        dim=dim, m=m, k_cells=k_cells, k=k, rerank=meta["rerank"],
+    )
+    return out, meta
+
+
 def knn_lsh_auto(
     queries: DataFrame,
     corpus: DataFrame,

@@ -97,6 +97,222 @@ def build_bm25_index(
     return post_t, term_t
 
 
+def start_bm25_index_sink(
+    spark: SparkSession,
+    source_table: str,
+    index_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+    n_term_partitions: int = 8,
+):
+    """INCREMENTAL index maintenance from the source corpus's CHANGE
+    FEED (round 8) — the continuous-ingest twin of `build_bm25_index`,
+    completing the 'derived artifact replaces recomputation' story:
+    documents merge/update/delete in the source TxTable and the
+    (postings, terms) index tracks them WITHOUT ever rescanning the
+    corpus or the index itself.
+
+    The trick that keeps it index-scan-free: document-frequency and
+    corpus-scalar deltas come entirely from the feed's images. Per
+    micro-batch, each touched doc contributes its BEFORE state (its
+    earliest update_preimage/delete image — the reason pre-images
+    exist) as negative term counts and its AFTER state (latest
+    insert/upsert image) as positive ones:
+
+      postings: delete_keys(touched doc_ids, mode='mor')  — the
+                file-backed key tombstone — then merge the AFTER
+                postings;  (term, doc_id) grain
+      terms:    df' = df − |{before docs ∋ term}| + |{after docs ∋
+                term}|, merged with a term-footprint-pruned read of
+                the old rows (rows reaching df=0 stay, like the agg
+                sink's zero-count groups);
+      scalars:  n_docs / total_dl adjust by the same before/after
+                counts and ride the postings commit's app metadata
+                (avgdl = total_dl / n_docs, recorded too so
+                `bm25_from_index` keeps working unchanged).
+
+    Exactly-once: the two tables stamp INDEPENDENTLY (same
+    `bm25_batch_id` key, each checked before writing), so a crash
+    between the postings and terms commits replays only the missing
+    half; a replayed delete adds a redundant-but-harmless tombstone
+    (the `_join_view_apply` discipline). Empty batches return
+    unstamped — idempotent no-ops. Query-path scores from the
+    maintained index are bit-identical to a fresh full build over the
+    final corpus (pinned by tests/test_invindex.py and the
+    `doc_bm25_incremental_index` oracle)."""
+    from pyspark.sql import Window
+
+    from filesystemagent_spark.functions import text as T
+    from filesystemagent_spark.sources.txtable import _merge_probe
+    from filesystemagent_spark.streaming.sinks import _start_feed_sink
+
+    post_path = os.path.join(index_dir, "postings")
+    term_path = os.path.join(index_dir, "terms")
+    STAMP = "bm25_batch_id"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        post_t, term_t = TxTable(post_path), TxTable(term_path)
+        ap = post_t.latest_app_value(STAMP)
+        at = term_t.latest_app_value(STAMP)
+        done_p = ap is not None and ap >= batch_id
+        done_t = at is not None and at >= batch_id
+        if done_p and done_t:
+            return  # fully replayed batch
+        pri = F.when(
+            F.col("_change_type") == "update_preimage", F.lit(0)
+        ).otherwise(F.lit(1))
+        w_last = Window.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(), pri.desc()
+        )
+        # the BEFORE state of a key is its earliest pre-state image in
+        # the batch: update_preimage/delete sort before their version's
+        # post-image, and a key first seen as insert/upsert did not
+        # exist before the batch
+        pre_pri = F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.lit(0)
+        ).otherwise(F.lit(1))
+        w_first = Window.partitionBy(id_col).orderBy(
+            F.col("_commit_version").asc(), pre_pri.asc()
+        )
+        imgs = batch_df.withColumn(
+            "_rn_last", F.row_number().over(w_last)
+        ).withColumn("_rn_first", F.row_number().over(w_first))
+        tokenized = lambda df: df.select(  # noqa: E731
+            F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("tk")
+        )
+        before = tokenized(
+            imgs.filter(
+                (F.col("_rn_first") == 1)
+                & F.col("_change_type").isin("update_preimage", "delete")
+            )
+        ).cache()
+        after = tokenized(
+            imgs.filter(
+                (F.col("_rn_last") == 1)
+                & F.col("_change_type").isin("insert", "upsert")
+            )
+        ).cache()
+        try:
+            b_n, b_dl = before.agg(
+                F.count("*"), F.coalesce(F.sum(F.size("tk")), F.lit(0))
+            ).first()
+            a_n, a_dl = after.agg(
+                F.count("*"), F.coalesce(F.sum(F.size("tk")), F.lit(0))
+            ).first()
+            if a_n == 0 and b_n == 0:
+                return  # empty batch: idempotent no-op, unstamped
+            if not done_p:
+                new_post = (
+                    after.select(
+                        "doc_id",
+                        F.size("tk").cast("double").alias("dl"),
+                        F.explode("tk").alias("term"),
+                    )
+                    .groupBy("term", "doc_id", "dl")
+                    .agg(F.count("*").cast("double").alias("tf"))
+                    .repartitionByRange(n_term_partitions, "term")
+                    .sortWithinPartitions("term", "doc_id")
+                )
+                if post_t.latest_version() == 0:
+                    post_t.init(
+                        new_post,
+                        app={
+                            "n_docs": float(a_n),
+                            "total_dl": float(a_dl),
+                            "avgdl": float(a_dl) / a_n if a_n else 0.0,
+                            STAMP: batch_id,
+                        },
+                    )
+                else:
+                    n0 = float(post_t.latest_app_value("n_docs") or 0.0)
+                    tdl0 = float(post_t.latest_app_value("total_dl") or 0.0)
+                    n1 = n0 + a_n - b_n
+                    tdl1 = tdl0 + float(a_dl) - float(b_dl)
+                    scalars = {
+                        "n_docs": n1,
+                        "total_dl": tdl1,
+                        "avgdl": (tdl1 / n1) if n1 else 0.0,
+                        STAMP: batch_id,
+                    }
+                    touched = before.select("doc_id").unionByName(
+                        after.select("doc_id")
+                    )
+                    post_t.delete_keys(touched, ["doc_id"], mode="mor")
+                    if after.isEmpty():
+                        post_t.commit_app(scalars)
+                    else:
+                        post_t.merge_into(
+                            new_post, ["term", "doc_id"], app=scalars
+                        )
+            if not done_t:
+                per_term = lambda df, sign: (  # noqa: E731
+                    df.select(F.explode(F.array_distinct("tk")).alias("term"))
+                    .groupBy("term")
+                    .agg((F.count("*") * sign).cast("double").alias("_delta"))
+                )
+                delta = (
+                    per_term(after, 1)
+                    .unionByName(per_term(before, -1))
+                    .groupBy("term")
+                    .agg(F.sum("_delta").alias("_delta"))
+                    # a term present in both images of an update nets
+                    # to zero — rewriting its row would be correct but
+                    # pure churn (most of an update batch's vocabulary)
+                    .filter(F.col("_delta") != 0)
+                )
+                if term_t.latest_version() == 0:
+                    term_t.init(
+                        delta.select("term", F.col("_delta").alias("df"))
+                        .repartitionByRange(n_term_partitions, "term")
+                        .sortWithinPartitions("term"),
+                        app={STAMP: batch_id},
+                    )
+                elif delta.isEmpty():
+                    # no net df change (an update that kept every
+                    # term's presence) — merge_into's empty no-op would
+                    # skip the app, so stamp explicitly: the 'last
+                    # commit carries the stamp' discipline
+                    term_t.commit_app({STAMP: batch_id})
+                else:
+                    # footprint-pruned read of the old rows: the batch
+                    # vocabulary bounds the slice (vals probe when
+                    # narrow, min/max range when wide)
+                    p = _merge_probe(delta, ["term"])["term"]
+                    where = (
+                        None
+                        if p is None
+                        else [("term", "in", p[1])]
+                        if p[0] == "vals"
+                        else [("term", ">=", p[1]), ("term", "<=", p[2])]
+                        if p[0] == "range"
+                        else [("term", "in", [])]
+                    )
+                    current = term_t.read(spark, where=where).select(
+                        "term", "df"
+                    )
+                    updates = delta.join(current, "term", "left").select(
+                        "term",
+                        (
+                            F.coalesce(F.col("df"), F.lit(0.0))
+                            + F.col("_delta")
+                        ).alias("df"),
+                    )
+                    term_t.merge_into(updates, ["term"], app={STAMP: batch_id})
+        finally:
+            before.unpersist()
+            after.unpersist()
+
+    return _start_feed_sink(
+        spark, source_table, checkpoint, apply_batch,
+        available_now=available_now,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+
+
 def bm25_from_index(
     spark: SparkSession,
     index_dir: str,

@@ -1068,3 +1068,67 @@ def knn_pq(
         k,
         keep_rank=True,
     )
+
+
+def knn_pq_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    k_cells: int = 16,
+    k: int = 5,
+    rerank: int = 50,
+) -> DataFrame:
+    """PQ with EXACT RERANKING — the standard Faiss recipe for closing
+    PQ's quantization-error recall gap: ADC retrieves the top
+    ``rerank`` candidates from the compressed codes (the bandwidth
+    win: the corpus scan still reads 16x-smaller codes), then ONLY
+    those candidates' true vectors are fetched and exactly
+    cosine-rescored for the final top-``k``. Recall is monotone in
+    ``rerank`` and provably 1.0 at rerank >= corpus size, which is
+    what lets a tuner terminate (operators/anntune.tune_knn_pq).
+
+    Scale shape: the candidate set is n_queries x rerank rows — tiny
+    next to the corpus — so it broadcasts to the true-vector fetch;
+    the full-width corpus is touched only for candidates (the
+    IVF-ADC + refine layout at 100 TB: codes in fast storage, raw
+    vectors cold). Returns (query_id, neighbor_id, cosine, rnk) like
+    knn_bruteforce."""
+    cand = knn_pq(
+        queries, codes, codebook, id_col=id_col, vec_col=vec_col,
+        dim=dim, m=m, k_cells=k_cells, k=rerank,
+    ).select("query_id", "neighbor_id")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            V.l2_norm(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        V.l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c, "neighbor_id")     # true vectors for candidates only
+        .join(q, "query_id")
+        .withColumn(
+            "cosine",
+            V.cosine_from(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
+    )
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        keep_rank=True,
+    )

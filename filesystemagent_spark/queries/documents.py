@@ -10,6 +10,8 @@ exact ground truth checked in tests/ against ngram_jaccard_pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -651,7 +653,11 @@ _BM25_TERMS = ("spark", "merge", "window")
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(source: str = "documents") -> str:
+    """The full-scan BM25 replay over any doc source expression —
+    `source` is a table name or a parenthesized subquery producing
+    (doc_id, text); the incremental-index query passes the
+    DML-transformed corpus."""
     tf = {t: f"len(list_filter(tk, x -> x = '{t}'))" for t in _BM25_TERMS}
     score_terms = " + ".join(
         f"""(ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)
@@ -665,7 +671,7 @@ def _bm25_oracle() -> str:
         for t in _BM25_TERMS
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM {source} AS _src),
 stats AS (
     SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
            AVG(CAST(len(tk) AS DOUBLE)) AS avgdl, {dfs}
@@ -775,6 +781,72 @@ def doc_bm25_from_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bm25_from_index(
         spark, stage, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
+    )
+
+
+_BM25_INC_SOURCE = """(
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 1 THEN text || ' spark merge'
+                ELSE text END AS text
+    FROM documents
+    WHERE doc_id % 11 <> 7
+)"""
+
+
+@register(
+    "doc_bm25_incremental_index",
+    tags=("search", "text", "inverted-index", "txtable", "change-feed",
+          "incremental"),
+    oracle=_bm25_oracle(source=_BM25_INC_SOURCE),
+)
+def doc_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED lexical index (round 8): the corpus
+    lives in a TxTable and mutates — an initial subset, then one merge
+    that INSERTS the held-out docs and UPDATES every doc_id%5==1 text
+    (appending ' spark merge', deliberately shifting df/tf for the
+    query terms), then a keyed DELETE of doc_id%11==7 — while
+    `start_bm25_index_sink` (operators/invindex.py) tracks it from the
+    CHANGE FEED: postings die/rebuild per touched doc via file-backed
+    key tombstones, df deltas come from the feed's pre/post images
+    (the corpus and the index are never rescanned), and the corpus
+    scalars ride the commit metadata. The final BM25 top-k answered
+    from the maintained index must be BIT-IDENTICAL to a full scan of
+    the final corpus — which is exactly what the oracle computes over
+    the SQL-replayed DML. A missed retraction, a double-applied df
+    delta, or a stale scalar shifts the hash."""
+    import tempfile
+
+    from filesystemagent_spark.operators.invindex import (
+        bm25_from_index,
+        start_bm25_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    stage = tempfile.mkdtemp(prefix="bm25_inc_")
+    src = os.path.join(stage, "docs")
+    idx = os.path.join(stage, "index")
+    ckpt = os.path.join(stage, "ckpt")
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    t = TxTable(src)
+    t.init(docs.filter(F.col("doc_id") % 3 != 0))                   # v1
+    start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+    upd = docs.filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 1)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" spark merge")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t.merge_into(upd, ["doc_id"], change_feed=True)                 # v2
+    t.delete_keys(
+        docs.filter(F.col("doc_id") % 11 == 7).select("doc_id"),
+        ["doc_id"], change_feed=True,
+    )                                                               # v3
+    start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+    return bm25_from_index(
+        spark, idx, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
     )
 
 

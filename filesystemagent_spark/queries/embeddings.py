@@ -327,6 +327,59 @@ def embedding_knn_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_knn_lsh_auto_with_meta(spark, sf_dir)[0]
 
 
+def embedding_knn_pq_auto_with_meta(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """The registered PQ-auto query's full result: (rows, tuner meta).
+    Exposed so the pytest gate can assert meta['recall_estimate'] >=
+    AUTO_TARGET_RECALL on the same path the registry runs."""
+    from filesystemagent_spark.caching import track_persist
+    from filesystemagent_spark.operators.anntune import knn_pq_auto
+
+    emb = track_persist(S.normalize(Catalog(spark, sf_dir).embeddings))
+    try:
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        book = S.pq_codebooks(
+            emb, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+            max_iter=2,
+        )
+        codes = track_persist(
+            S.pq_encode(
+                emb, book, id_col="vec_id", vec_col="embedding", dim=DIM,
+                m=8, k=16,
+            )
+        )
+        try:
+            out, meta = knn_pq_auto(
+                queries, codes, book, emb, id_col="vec_id",
+                vec_col="embedding", dim=DIM, m=8, k_cells=16, k=K,
+                target_recall=AUTO_TARGET_RECALL, sample_queries=N_QUERIES,
+            )
+            return out.orderBy("query_id", "rnk"), meta
+        finally:
+            codes.unpersist()
+    finally:
+        emb.unpersist()
+
+
+@register(
+    "embedding_knn_pq_auto",
+    tags=("vector", "pq", "approx", "auto-tuned"),
+)
+def embedding_knn_pq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with TARGET-RECALL auto-tuned rerank
+    depth (round 8 — completes the tuner family alongside ivf_auto /
+    lsh_auto): ADC scans the 16x-compressed codes, the tuner doubles
+    the exact-rerank candidate depth until the sampled recall meets
+    {AUTO_TARGET_RECALL}, terminating provably met at rerank = corpus
+    size (exact rescore of everything). The static embedding_knn_pq's
+    fixed top-50 rerank measured 0.41 recall@10 at sf0.1 (RECALL.md);
+    this surface reports its quality instead of assuming it. Rows-only
+    check; recall + agreement-vs-exact gated in
+    tests/test_similarity.py."""
+    return embedding_knn_pq_auto_with_meta(spark, sf_dir)[0]
+
+
 def _duck_plane_dot(vec: str, plane: list[float]) -> str:
     """DuckDB replay of the Spark-side sign-LSH fold
     (functions/pqkernels.make_lsh_sigs_udf): identical term order,
@@ -441,7 +494,10 @@ def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     than raw float32, so the query scan is bandwidth-light), score by
     asymmetric-distance lookup tables, then exactly rerank the top-50
     candidates. Rows-only check; recall vs embedding_knn asserted in
-    tests/test_similarity.py.
+    tests/test_similarity.py. STATIC rerank depth: measured 0.41
+    recall@10 at sf0.1 on this weak-structure corpus (RECALL.md) — the
+    honest default surface is `embedding_knn_pq_auto` below, which
+    escalates the rerank depth to a recall target.
 
     Codebooks train on vectors normalized to unit L2, making PQ's L2
     ranking equal cosine ranking (operators/similarity.normalize).

@@ -566,3 +566,96 @@ def events_stream_interval_join_outer(
         )
         .orderBy("p_id", "v_id")
     )
+
+
+@register(
+    "events_stream_interval_join_full",
+    tags=("streaming", "stream-stream-join", "full-outer", "watermark"),
+    oracle="""
+WITH p AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT user_id, event_id AS v_id, ts AS v_ts
+    FROM events WHERE event_type = 'view'
+)
+SELECT COALESCE(p.user_id, v.user_id) AS user_id, p.p_id, v.v_id,
+       CASE WHEN p.p_id IS NULL OR v.v_id IS NULL THEN NULL
+            ELSE epoch_us(p.p_ts) - epoch_us(v.v_ts) END AS gap_us
+FROM p FULL JOIN v ON p.user_id = v.user_id
+  AND v.v_ts >= p.p_ts - INTERVAL 1800 SECONDS
+  AND v.v_ts <= p.p_ts + INTERVAL 1800 SECONDS
+ORDER BY p_id, v_id
+""",
+)
+def events_stream_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (round 8) — completes
+    the outer family: unmatched PURCHASES and unmatched VIEWS must
+    both flush with a NULL opposite side once the watermark passes
+    their eligibility windows, with the join key surviving from
+    whichever side exists (streaming/joins.py coalesces it; before
+    round 8 a fullOuter unmatched-right row came back with a NULL
+    key). Same tick-batch staging as the LEFT OUTER gate — the
+    sentinels push both watermarks past every real row and then
+    trigger the eviction pass — and the result must equal the batch
+    FULL JOIN the oracle computes: a swallowed unmatched row on
+    EITHER side, a double emission, or a nulled key shifts the
+    hash."""
+    import glob
+    import shutil
+    import time as _time
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.functions.tscompat import epoch_micros
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    stage = tempfile.mkdtemp(prefix="events_sjoin_full_")
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    t1 = ev.agg(F.max("ts")).first()[0]
+    tick = spark.createDataFrame(
+        [(-1, None, -1, "purchase", 0.0, ""), (-2, None, -1, "view", 0.0, "")],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    b1 = tick.withColumn(
+        "ts",
+        F.lit(t1) + F.expr("INTERVAL 4 HOURS")
+        + F.when(F.col("event_id") == -2, F.expr("INTERVAL 100 HOURS"))
+        .otherwise(F.expr("INTERVAL 0 HOURS")),
+    )
+    b2 = b1.withColumn("ts", F.col("ts") + F.expr("INTERVAL 300 HOURS")).withColumn(
+        "event_id", F.col("event_id") - 10
+    )
+    now = _time.time()
+    for i, df in enumerate([ev, b1, b2]):
+        d = os.path.join(stage, f"b{i}")
+        df.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 100 + i * 10,) * 2)
+    return (
+        _interval_join_drain(
+            spark, src, stage, how="fullOuter", max_files_per_trigger=1
+        )
+        # sentinels flush as unmatched rows on their own side — drop
+        # them by id sign, keeping real NULL-side rows
+        .filter(
+            (F.coalesce(F.col("p_id"), F.lit(0)) >= 0)
+            & (F.coalesce(F.col("v_id"), F.lit(0)) >= 0)
+        )
+        .select(
+            "user_id", "p_id", "v_id",
+            F.when(
+                F.col("p_id").isNotNull() & F.col("v_id").isNotNull(),
+                epoch_micros("p_ts") - epoch_micros("v_ts"),
+            ).alias("gap_us"),
+        )
+        .orderBy("p_id", "v_id")
+    )

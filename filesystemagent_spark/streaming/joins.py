@@ -46,4 +46,12 @@ def stream_interval_join(
             <= F.col(left_ts) + F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
         )
     )
-    return l.join(r, cond, how).drop(f"_r_{on}")
+    # the join key must survive OUTER joins from whichever side is
+    # present: a fullOuter unmatched-right row has a NULL left key, so
+    # plain drop(_r_key) would null the key column (round 8, added
+    # with the full-outer gate)
+    return (
+        l.join(r, cond, how)
+        .withColumn(on, F.coalesce(F.col(on), F.col(f"_r_{on}")))
+        .drop(f"_r_{on}")
+    )

@@ -593,6 +593,34 @@ def test_tune_knn_ivf_meets_target_with_monotone_curve(spark, sf_dir):
     assert meta1["met_target"] and meta1["nprobe"] <= meta1["n_cells"]
 
 
+def test_tune_knn_pq_terminates_met_with_monotone_curve(spark, sf_dir):
+    """The PQ tuner escalates the exact-rerank depth until the sampled
+    recall meets the target; deeper rerank only ADDS rescored
+    candidates so the curve is non-decreasing, and rerank = corpus is
+    an exact rescore — the tuner always terminates met, even at
+    target 1.0."""
+    from filesystemagent_spark.operators.anntune import tune_knn_pq
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    book = S.pq_codebooks(
+        emb, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+        max_iter=2,
+    )
+    codes = S.pq_encode(
+        emb, book, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16
+    )
+    meta = tune_knn_pq(
+        queries, codes, book, emb, id_col="vec_id", vec_col="embedding",
+        dim=DIM, m=8, k_cells=16, k=K, target_recall=1.0,
+        sample_queries=N_QUERIES,
+    )
+    assert meta["met_target"] and meta["recall_estimate"] == 1.0
+    assert meta["rerank"] <= meta["n_corpus"]
+    rs = [c["recall"] for c in meta["curve"]]
+    assert all(b >= a - 1e-9 for a, b in zip(rs, rs[1:])), rs
+
+
 def test_knn_ivf_auto_result_matches_estimate(spark, sf_dir):
     """The auto path's RETURNED result achieves the recall its meta
     claims (sample == query set here, so the estimate is exact)."""
@@ -683,3 +711,17 @@ def test_registered_auto_knn_queries_meet_target_and_agree(spark):
         assert meta["recall_estimate"] == max(
             c["recall"] for c in meta["curve"]
         )
+
+    # PQ (round 8): rerank-depth tuner — unconditional like IVF (the
+    # ladder tops out at rerank = corpus, an exact rescore)
+    from filesystemagent_spark.queries.embeddings import (
+        embedding_knn_pq_auto_with_meta,
+    )
+
+    out, meta = embedding_knn_pq_auto_with_meta(spark, sf01)
+    assert meta["met_target"]
+    assert meta["recall_estimate"] >= AUTO_TARGET_RECALL
+    agree = len(exact & _pairs(out.collect())) / len(exact)
+    assert agree >= AUTO_TARGET_RECALL
+    rs = [c["recall"] for c in meta["curve"]]
+    assert all(b >= a - 1e-9 for a, b in zip(rs, rs[1:])), rs

@@ -174,6 +174,104 @@ def test_bm25_index_incremental_merge_matches_full_build(spark, sf_dir, tmp_path
     assert answer(inc_dir) == answer(full_dir)
 
 
+def test_bm25_feed_sink_tracks_dml_and_matches_fresh_build(
+    spark, sf_dir, tmp_path
+):
+    """The round-8 FEED-DRIVEN index maintenance
+    (operators/invindex.start_bm25_index_sink): a corpus TxTable
+    mutates (insert + text UPDATE that shifts df/tf + keyed DELETE)
+    and the sink tracks it from the change feed — df deltas from the
+    pre/post images, postings retraction via key tombstones, scalars
+    on the commit app. The maintained index must answer BIT-IDENTICAL
+    to a from-scratch build over the final corpus — including the
+    incremental n_docs/avgdl scalars equalling the fresh ones exactly
+    (integer-exact sums, so the float division agrees) — and an empty
+    re-drain must publish nothing to either table (per-table
+    exactly-once stamps)."""
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.invindex import (
+        bm25_from_index,
+        build_bm25_index,
+        start_bm25_index_sink,
+    )
+    from filesystemagent_spark.queries.documents import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(src)
+    t.init(docs.filter(F.col("doc_id") % 2 == 0))                    # v1
+    start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+    upd = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 5 == 1)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" spark merge")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t.merge_into(upd, ["doc_id"], change_feed=True)                  # v2
+    t.delete_keys(
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        ["doc_id"], change_feed=True,
+    )                                                                # v3
+    start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+
+    final_docs = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" spark merge")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    fresh = str(tmp_path / "fresh")
+    build_bm25_index(final_docs, fresh, n_term_partitions=4)
+
+    def answer(d):
+        return [
+            (r.doc_id, r.bm25)
+            for r in bm25_from_index(
+                spark, d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+                top_k=_BM25_TOPK,
+            ).collect()
+        ]
+
+    assert answer(idx) == answer(fresh)
+    import os as _os
+
+    post_inc = TxTable(_os.path.join(idx, "postings"))
+    post_fresh = TxTable(_os.path.join(fresh, "postings"))
+    for key in ("n_docs", "avgdl"):
+        assert float(post_inc.latest_app_value(key)) == float(
+            post_fresh.latest_app_value(key)
+        ), key
+    # maintained content equals the fresh build's, row for row
+    inc_rows = {
+        tuple(r) for r in post_inc.read(spark)
+        .select("term", "doc_id", "tf", "dl").collect()
+    }
+    fresh_rows = {
+        tuple(r) for r in post_fresh.read(spark)
+        .select("term", "doc_id", "tf", "dl").collect()
+    }
+    assert inc_rows == fresh_rows
+    # exactly-once: an empty re-drain publishes nothing to either table
+    term_inc = TxTable(_os.path.join(idx, "terms"))
+    heads = (post_inc.latest_version(), term_inc.latest_version())
+    start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+    assert (post_inc.latest_version(), term_inc.latest_version()) == heads
+
+
 def test_bm25_index_survives_compaction(spark, sf_dir, tmp_path):
     """compact() publishes its own app metadata; the query path must
     walk back to the newest commit carrying the corpus scalars, and

@@ -551,6 +551,135 @@ def assign_cells(
     return out if keep_score else out.drop("_cell_cos")
 
 
+def start_ivf_index_sink(
+    spark,
+    source_table: str,
+    index_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+):
+    """INCREMENTAL IVF index maintenance from the embedding corpus's
+    CHANGE FEED (round 8) — the vector leg of the maintained-artifact
+    trilogy (join views: streaming/sinks; lexical index:
+    invindex.start_bm25_index_sink; this). The corpus lives in a
+    TxTable and mutates; the stored cell-assignment table
+    (`<index_dir>/cells`, the `corpus_cells` input of `knn_ivf`)
+    tracks it without ever rescanning the corpus: per micro-batch the
+    touched vec_ids die via a file-backed MoR key tombstone and the
+    post-image vectors are assigned to their nearest centroid
+    (broadcast from the stored `<index_dir>/centroids` table) and
+    merged back.
+
+    Centroids stay FIXED between re-trains — the Faiss deploy recipe
+    (train the coarse quantizer on a sample, then serve/append; a
+    drifted corpus re-trains offline and re-assigns ONCE). Because
+    assignment is a pure function of the centroids, the maintained
+    cells table is BIT-IDENTICAL to a fresh assign over the final
+    corpus — the invariant
+    tests/test_similarity.py::test_ivf_feed_sink_tracks_dml pins.
+    Exactly-once: an `ivf_batch_id` stamp on the cells table, the
+    batch's last commit carrying it (the join-sink discipline)."""
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    from filesystemagent_spark.sources.txtable import TxTable
+    from filesystemagent_spark.streaming.sinks import _start_feed_sink
+
+    cells_path = _os.path.join(index_dir, "cells")
+    cent_path = _os.path.join(index_dir, "centroids")
+    STAMP = "ivf_batch_id"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells_t = TxTable(cells_path)
+        applied = cells_t.latest_app_value(STAMP)
+        if applied is not None and applied >= batch_id:
+            return  # replayed batch
+        pri = F.when(
+            F.col("_change_type") == "update_preimage", F.lit(0)
+        ).otherwise(F.lit(1))
+        w = _W.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(), pri.desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .cache()
+        )
+        try:
+            if latest.isEmpty():
+                return  # empty batch: idempotent no-op, unstamped
+            post = latest.filter(
+                F.col("_change_type").isin("insert", "upsert")
+            ).select(id_col, vec_col)
+            # staged CLUSTERED on cell_id: every file covers a tight
+            # cell range, so manifest stats skipping serves the probe
+            # path (read_cells_for_queries) nprobe/|cells| of the files
+            assigned = assign_cells(
+                post, TxTable(cent_path).read(spark),
+                id_col=id_col, vec_col=vec_col, nprobe=1,
+            ).repartitionByRange(8, "cell_id")
+            if cells_t.latest_version() == 0:
+                cells_t.init(assigned, app={STAMP: batch_id})
+                return
+            has_new = not post.isEmpty()
+            cells_t.delete_keys(
+                latest.select(id_col), [id_col], mode="mor",
+                app=None if has_new else {STAMP: batch_id},
+            )
+            if has_new:
+                cells_t.merge_into(assigned, [id_col], app={STAMP: batch_id})
+        finally:
+            latest.unpersist()
+
+    return _start_feed_sink(
+        spark, source_table, checkpoint, apply_batch,
+        available_now=available_now,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+
+
+def read_cells_for_queries(
+    spark,
+    cells_table: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """The PRUNED stored-IVF probe read (round 8): resolve the query
+    batch's probed cell ids first (nprobe nearest centroids per query
+    — a tiny driver-side set, <= n_queries x nprobe), then read the
+    stored cells table with a `cell_id IN (...)` predicate so manifest
+    stats skipping drops every file whose cell range can't overlap —
+    the 'corpus written clustered by cell_id so probing prunes at scan
+    time' shape knn_ivf's docstring promises, now real for the stored
+    path (the sink and builders stage cells repartitionByRange on
+    cell_id). Results are exact for the probe: knn_ivf only ever joins
+    candidates on the probed cells, so rows outside them are dead
+    weight. Falls back to the full read when the probe set is
+    degenerate."""
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    probed = [
+        r.cell_id
+        for r in assign_cells(
+            queries.select(F.col(id_col), F.col(vec_col)),
+            centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+        ).select("cell_id").distinct().collect()
+    ]
+    t = TxTable(cells_table)
+    if not probed:
+        return t.read(spark)
+    return t.read(spark, where=[("cell_id", "in", probed)])
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,

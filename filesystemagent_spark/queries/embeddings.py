@@ -380,6 +380,80 @@ def embedding_knn_pq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_knn_pq_auto_with_meta(spark, sf_dir)[0]
 
 
+@register(
+    "embedding_stored_ivf_incremental",
+    tags=("vector", "ivf", "txtable", "change-feed", "incremental"),
+)
+def embedding_stored_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED vector index (round 8 — the vector leg
+    of the maintained-artifact trilogy beside the join views and the
+    incremental BM25 index): the embedding corpus lives in a TxTable
+    and mutates — initial three quarters, then a merge that INSERTS
+    the held-out quarter and UPDATES every vec_id%7==2 embedding to
+    its reverse (moving those vectors between cells), then a keyed
+    DELETE of vec_id%9==5 — while
+    `operators/similarity.start_ivf_index_sink` tracks the stored
+    cell-assignment table from the CHANGE FEED (touched ids die via
+    file-backed key tombstones, post-images assign against the FIXED
+    stored centroids and merge back; the corpus is never rescanned).
+    The final top-k is answered purely from the stored tables.
+    Approximate by construction → rows-only; the bit-exact
+    maintained-vs-fresh-assign invariant and the stored-vs-in-memory
+    answer equality are pinned in
+    tests/test_similarity.py::test_ivf_feed_sink_tracks_dml."""
+    import os as _os
+    import tempfile
+
+    from filesystemagent_spark.operators.similarity import (
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    stage = tempfile.mkdtemp(prefix="ivf_inc_")
+    src = _os.path.join(stage, "corpus")
+    idx = _os.path.join(stage, "index")
+    ckpt = _os.path.join(stage, "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 4 != 0)
+    TxTable(src).init(corpus0.select("vec_id", "embedding"))        # v1
+    # the coarse quantizer trains ONCE on the initial labeled corpus
+    # and stays fixed between re-trains (the Faiss deploy recipe)
+    TxTable(_os.path.join(idx, "centroids")).init(
+        S.centroids_from_labels(
+            corpus0, label_col="label", vec_col="embedding", dim=DIM
+        )
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    t = TxTable(src)
+    upd = emb.filter(
+        (F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 7 == 2)
+    ).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 2, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    t.merge_into(upd, ["vec_id"], change_feed=True)                 # v2
+    t.delete_keys(
+        emb.filter(F.col("vec_id") % 9 == 5).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )                                                               # v3
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    stored_centroids = TxTable(_os.path.join(idx, "centroids")).read(spark)
+    return S.knn_ivf(
+        queries, None,
+        stored_centroids,
+        id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
+        corpus_cells=S.read_cells_for_queries(
+            spark, _os.path.join(idx, "cells"), stored_centroids, queries,
+            id_col="vec_id", vec_col="embedding", nprobe=2,
+        ),
+    ).orderBy("query_id", "rnk")
+
+
 def _duck_plane_dot(vec: str, plane: list[float]) -> str:
     """DuckDB replay of the Spark-side sign-LSH fold
     (functions/pqkernels.make_lsh_sigs_udf): identical term order,
@@ -904,16 +978,23 @@ def embedding_knn_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = S.assign_cells(
         emb.select("vec_id", "embedding"),
         centroids, id_col="vec_id", vec_col="embedding", nprobe=1,
-    )
+    ).repartitionByRange(8, "cell_id")  # clustered: probe reads prune
     ct = TxTable(stage + "/centroids")
     ct.init(centroids)
     at = TxTable(stage + "/cells")
     at.init(cells)
 
+    # probe-pruned read (round 8): only files whose cell range overlaps
+    # the queries' nprobe cells are scanned (plan-gated in
+    # tests/test_similarity.py::test_stored_ivf_probe_read_prunes_files)
+    stored_centroids = ct.read(spark)
     return S.knn_ivf(
         queries,
         None,
-        ct.read(spark),
+        stored_centroids,
         id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
-        corpus_cells=at.read(spark),
+        corpus_cells=S.read_cells_for_queries(
+            spark, stage + "/cells", stored_centroids, queries,
+            id_col="vec_id", vec_col="embedding", nprobe=2,
+        ),
     ).orderBy("query_id", "rnk")

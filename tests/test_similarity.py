@@ -669,6 +669,147 @@ def test_knn_lsh_auto_reports_quality_honestly(spark, sf_dir):
     assert len(exact & got) / len(exact) >= 0.5
 
 
+def test_ivf_feed_sink_tracks_dml(spark, sf_dir, tmp_path):
+    """The feed-driven IVF maintenance (round 8,
+    operators/similarity.start_ivf_index_sink): the corpus TxTable
+    mutates (insert + vector UPDATE that moves rows between cells +
+    keyed DELETE) and the stored cells table must end BIT-IDENTICAL to
+    a fresh assign over the final corpus (assignment is a pure
+    function of the fixed centroids), with the stored-table answer
+    equal to the in-memory path and an empty re-drain publishing
+    nothing (exactly-once stamp)."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 4 != 0)
+    TxTable(src).init(corpus0.select("vec_id", "embedding"))
+    centroids = S.centroids_from_labels(
+        corpus0, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(os.path.join(idx, "centroids")).init(centroids)
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    t = TxTable(src)
+    upd = emb.filter(
+        (F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 7 == 2)
+    ).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 2, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    t.merge_into(upd, ["vec_id"], change_feed=True)
+    t.delete_keys(
+        emb.filter(F.col("vec_id") % 9 == 5).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+
+    final = emb.filter(F.col("vec_id") % 9 != 5).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 2, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    cells_t = TxTable(os.path.join(idx, "cells"))
+    maintained = {
+        (r.vec_id, r.cell_id, tuple(r.embedding))
+        for r in cells_t.read(spark).collect()
+    }
+    fresh = {
+        (r.vec_id, r.cell_id, tuple(r.embedding))
+        for r in S.assign_cells(
+            final, centroids, id_col="vec_id", vec_col="embedding", nprobe=1
+        ).collect()
+    }
+    assert maintained == fresh
+    # the update really moved at least one vector between cells —
+    # otherwise the retraction path proved nothing
+    moved = (
+        cells_t.read(spark).alias("a")
+        .join(
+            S.assign_cells(
+                corpus0.select("vec_id", "embedding"), centroids,
+                id_col="vec_id", vec_col="embedding", nprobe=1,
+            ).alias("b"),
+            "vec_id",
+        )
+        .filter("a.cell_id <> b.cell_id")
+        .count()
+    )
+    assert moved > 0
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    via_stored = S.knn_ivf(
+        queries, None, TxTable(os.path.join(idx, "centroids")).read(spark),
+        id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
+        corpus_cells=cells_t.read(spark),
+    ).collect()
+    direct = S.knn_ivf(
+        queries, final, centroids,
+        id_col="vec_id", vec_col="embedding", k=K, nprobe=2,
+    ).collect()
+    assert sorted(
+        [(r.query_id, r.neighbor_id, r.rnk) for r in via_stored]
+    ) == sorted([(r.query_id, r.neighbor_id, r.rnk) for r in direct])
+
+    head = cells_t.latest_version()
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    assert cells_t.latest_version() == head  # exactly-once re-drain
+
+
+def test_stored_ivf_probe_read_prunes_files(spark, sf_dir, tmp_path):
+    """The stored cells table is staged CLUSTERED on cell_id, so the
+    probe-pruned read (read_cells_for_queries) must scan only the
+    files whose cell range overlaps the queries' nprobe cells — the
+    scan-time pruning knn_ivf's 100 TB note promises — while returning
+    exactly the probed cells' rows (results unchanged)."""
+    import os
+
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    cells = S.assign_cells(
+        emb.select("vec_id", "embedding"), centroids,
+        id_col="vec_id", vec_col="embedding", nprobe=1,
+    ).repartitionByRange(8, "cell_id")
+    path = str(tmp_path / "cells")
+    t = TxTable(path)
+    t.init(cells)
+    n_all = len(t.read(spark).inputFiles())
+    assert n_all >= 4  # clustered into several cell-range files
+
+    queries = emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding")
+    pruned = S.read_cells_for_queries(
+        spark, path, centroids, queries,
+        id_col="vec_id", vec_col="embedding", nprobe=2,
+    )
+    assert len(pruned.inputFiles()) < n_all  # stats skipping engaged
+    probed = {
+        r.cell_id
+        for r in S.assign_cells(
+            queries, centroids, id_col="vec_id", vec_col="embedding",
+            nprobe=2,
+        ).select("cell_id").distinct().collect()
+    }
+    assert {r.cell_id for r in pruned.select("cell_id").distinct().collect()} == probed
+    # exact per-cell content: pruning never drops a probed-cell row
+    want = cells.filter(F.col("cell_id").isin(*probed)).count()
+    assert pruned.count() == want
+
+
 def test_registered_auto_knn_queries_meet_target_and_agree(spark):
     """Round-8 gate for the REGISTERED auto-tuned ANN surface
     (embedding_knn_{ivf,lsh}_auto): on the sf0.01 corpus the returned

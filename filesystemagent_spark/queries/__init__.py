@@ -256,6 +256,20 @@ GRADE_ORDER = (
 # events_txtable_bidirectional_join, and events_stream_interval_join_outer
 # hold graded slots; displaced events_funnel, doc_dup_clusters, and
 # events_stream_interval_join (rationales inline above).
+# Round-9 rotation candidates (strongest round-8 arrivals not yet
+# graded, with the rows they would most defensibly displace):
+#   doc_bm25_incremental_index — feed-driven lexical-index maintenance
+#       (insert + df-shifting update + keyed delete), bit-identical to
+#       a fresh build; candidate displacement: doc_bm25_search (the
+#       full-scan scorer is replayed INSIDE this query's oracle, and
+#       the index-answered twin doc_bm25_from_stored_index stays
+#       sim-checked)
+#   doc_mkv_video_dedup — container-INVARIANT video dedup (same JPEG
+#       payloads through MKV and MP4 pair at distance 0); candidate
+#       displacement: doc_gif_video_dedup (same ladder, one container)
+#   events_stream_interval_join_full — both-sides unmatched eviction;
+#       candidate displacement: events_stream_interval_join_outer
+#       (strictly subsumed: full = left outer + right outer)
 
 
 def registry() -> dict[str, Query]:

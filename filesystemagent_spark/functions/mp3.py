@@ -341,14 +341,19 @@ def encode_mp3_silence(
     scalefac_compress: int = 15,
     scalefacs: list[list[int]] | None = None,
     scalefac_scale: int = 0,
+    scfsi: list[int] | None = None,
 ) -> bytes:
     """Standard-conformant CBR mono Layer III frames carrying DIGITAL
     SILENCE (big_values=0, no count1 data — an empty spectrum is
     valid) with caller-chosen per-granule global_gain and scale
     factors: `gains` has one entry per granule (2 per frame, padded
     with the last value), `scalefacs[i]` optionally gives granule i's
-    21 long-block scale factors. The envelope parser must read every
-    value back exactly — the WAV/FLAC-style self-round-trip."""
+    21 long-block scale factors. ``scfsi`` (4 band-group flags) makes
+    granule 1 REUSE granule 0's scale factors for the flagged groups —
+    those bands' bits are then ABSENT from granule 1's part2, exactly
+    as the spec transmits them (the reuse branch real encoders emit
+    constantly). The envelope parser must read every value back
+    exactly — the WAV/FLAC-style self-round-trip."""
     if not gains:
         raise ValueError("need at least one granule gain")
     if rate not in _RATES:
@@ -359,7 +364,22 @@ def encode_mp3_silence(
         gains = gains + [gains[-1]]
     s1 = _SLEN1[scalefac_compress]
     s2 = _SLEN2[scalefac_compress]
-    part2 = 11 * s1 + 10 * s2
+    flags = scfsi or [0, 0, 0, 0]
+    if len(flags) != 4:
+        raise ValueError("scfsi takes 4 band-group flags")
+
+    def _part2_bits(g: int) -> int:
+        # granule 1 omits every scfsi-flagged group's bits
+        bits = 0
+        for band in range(21):
+            group = next(
+                i for i, (a, e) in enumerate(_SCFSI_BANDS) if a <= band < e
+            )
+            if g == 1 and flags[group]:
+                continue
+            bits += s1 if band < 11 else s2
+        return bits
+
     frame_len = 144 * bitrate_kbps * 1000 // rate
     out = b""
     for f in range(len(gains) // 2):
@@ -373,9 +393,10 @@ def encode_mp3_silence(
         si = _BitW()
         si.write(0, 9)            # main_data_begin: no reservoir
         si.write(0, 5)            # private
-        si.write(0, 4)            # scfsi: granule 1 re-reads its own
+        for flag in flags:
+            si.write(flag, 1)
         for g in range(2):
-            si.write(part2, 12)   # part2_3_length: scalefacs only
+            si.write(_part2_bits(g), 12)  # part2_3_length: scalefacs only
             si.write(0, 9)        # big_values
             si.write(gains[f * 2 + g], 8)
             si.write(scalefac_compress, 4)
@@ -397,6 +418,11 @@ def encode_mp3_silence(
             if len(sf) != 21:
                 raise ValueError("long-block granules carry 21 scalefacs")
             for band in range(21):
+                group = next(
+                    i for i, (a, e) in enumerate(_SCFSI_BANDS) if a <= band < e
+                )
+                if g == 1 and flags[group]:
+                    continue  # reused from granule 0: bits absent
                 sl = s1 if band < 11 else s2
                 if not 0 <= sf[band] < (1 << sl):
                     raise ValueError(

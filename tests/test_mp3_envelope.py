@@ -83,6 +83,27 @@ def test_bit_reservoir_backreference():
     assert [g["scalefacs"] for g in got] == sfs
 
 
+def test_scfsi_reuses_granule0_scalefacs():
+    """scfsi-flagged band groups transmit NO bits for granule 1 — the
+    parser must reuse granule 0's values there and read the unflagged
+    groups from the (shorter) part2 at the right offsets. Encoded with
+    groups 0 and 2 flagged (bands 0-5 and 11-15 reused)."""
+    sf0 = [(3 + b) % (16 if b < 11 else 8) for b in range(21)]
+    sf1 = [(9 + b) % (16 if b < 11 else 8) for b in range(21)]
+    b = M3.encode_mp3_silence(
+        [77, 88], scalefacs=[sf0, sf1], scfsi=[1, 0, 1, 0]
+    )
+    env = M3.parse_mp3_envelope(b)
+    g0, g1 = env["granules"]
+    assert g0["scalefacs"] == sf0
+    expected = [
+        sf0[band] if (band < 6 or 11 <= band < 16) else sf1[band]
+        for band in range(21)
+    ]
+    assert g1["scalefacs"] == expected
+    assert (g0["global_gain"], g1["global_gain"]) == (77, 88)
+
+
 def test_cut_stream_skips_unresolvable_reservoir():
     """A stream cut mid-reservoir (first frame's main_data_begin
     points before the data we have) skips that frame instead of

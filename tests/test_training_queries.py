@@ -272,6 +272,82 @@ def test_bm25_feed_sink_tracks_dml_and_matches_fresh_build(
     assert (post_inc.latest_version(), term_inc.latest_version()) == heads
 
 
+def test_bm25_sink_crash_between_tables_replays_only_missing_half(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The sink's exactly-once claim under its worst crash point: fail
+    AFTER the postings commit but BEFORE the terms commit. The restart
+    must replay the batch, SKIP the already-stamped postings half (no
+    double tombstone/merge), apply the terms half once, and converge
+    to the fresh-build state — a double-applied df delta or a repeated
+    postings merge would shift the final answer."""
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.invindex import (
+        bm25_from_index,
+        build_bm25_index,
+        start_bm25_index_sink,
+    )
+    from filesystemagent_spark.queries.documents import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    src, idx, ckpt = (str(tmp_path / d) for d in ("docs", "idx", "ckpt"))
+    t = TxTable(src)
+    t.init(docs.filter(F.col("doc_id") % 2 == 0))
+    start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+    t.merge_into(
+        docs.filter(F.col("doc_id") % 2 == 1), ["doc_id"], change_feed=True
+    )
+
+    import os
+
+    orig = TxTable.merge_into
+    boom = {"armed": True}
+
+    def failing(self, *a, **kw):
+        if boom["armed"] and self.path.endswith(os.sep + "terms"):
+            boom["armed"] = False
+            raise RuntimeError("injected crash before the terms commit")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(TxTable, "merge_into", failing)
+    q = start_bm25_index_sink(spark, src, idx, ckpt)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    post_t = TxTable(os.path.join(idx, "postings"))
+    term_t = TxTable(os.path.join(idx, "terms"))
+    post_head = post_t.latest_version()     # postings half landed...
+    term_head = term_t.latest_version()     # ...terms half did not
+    assert post_t.latest_app_value("bm25_batch_id") is not None
+    # restart: replay applies ONLY the terms half
+    start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+    assert post_t.latest_version() == post_head  # postings untouched
+    assert term_t.latest_version() > term_head
+
+    fresh = str(tmp_path / "fresh")
+    build_bm25_index(docs, fresh, n_term_partitions=4)
+
+    def answer(d):
+        return [
+            (r.doc_id, r.bm25)
+            for r in bm25_from_index(
+                spark, d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+                top_k=_BM25_TOPK,
+            ).collect()
+        ]
+
+    assert answer(idx) == answer(fresh)
+
+
 def test_bm25_index_survives_compaction(spark, sf_dir, tmp_path):
     """compact() publishes its own app metadata; the query path must
     walk back to the newest commit carrying the corpus scalars, and

@@ -505,6 +505,88 @@ def doc_wav_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_mp3_envelope_dedup",
+    tags=("multimodal", "audio", "mp3", "dedup", "mapInPandas"),
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(substr(text, 1, 48)) AS hp FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS distance
+FROM h a JOIN h b ON a.hp = b.hp AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_mp3_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 mp3 ENVELOPE rung end-to-end and oracle-checked:
+    each doc's 48-char-prefix md5 drives 16 granules of caller-chosen
+    global_gain + scale factors encoded as standard-conformant CBR
+    Layer III silence frames (functions/mp3.encode_mp3_silence), which
+    the production audio ladder fingerprints WITHOUT any PCM decode —
+    `audio_fingerprints` parses side info + bit reservoir + scale
+    factors off the bitstream ('mp3-envelope-pure') and hashes the
+    coded spectral envelope with the same sign-of-adjacent-band
+    scheme as the PCM rungs — then the banded Hamming join pairs the
+    window-0 fingerprints. Identical prefixes give byte-identical
+    streams give identical fingerprints (the honest scope of envelope
+    fingerprinting: exact/near-exact STREAM dedup), so the distance-0
+    pair set equals the md5-equality self-join DuckDB computes;
+    distinct md5-random envelopes differ in ~half the 64 sign bits.
+
+    Scale shape: encode+parse is linear mapInPandas work; the only
+    shuffle is the band join."""
+    import hashlib as _hl
+    from collections.abc import Iterator
+
+    import pandas as _pd
+
+    from filesystemagent_spark.functions import mp3 as M3
+    from filesystemagent_spark.operators.dedup import hamming_near_dup_pairs
+    from filesystemagent_spark.operators.multimodal import audio_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.substring("text", 1, 48)).alias("hp")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, hp in zip(pdf["doc_id"], pdf["hp"]):
+                raw = b"".join(
+                    _hl.sha256(hp.encode() + bytes([i])).digest()
+                    for i in range(11)
+                )  # 352 bytes: 16 granules x (1 gain + 21 scalefacs)
+                gains, sfs = [], []
+                for g in range(16):
+                    blk = raw[g * 22 : (g + 1) * 22]
+                    gains.append(blk[0])
+                    sfs.append(
+                        [
+                            blk[1 + b] % (16 if b < 11 else 8)
+                            for b in range(21)
+                        ]
+                    )
+                rows.append(
+                    {
+                        "path": str(doc_id),
+                        "content": M3.encode_mp3_silence(
+                            gains, rate=48000, scalefacs=sfs
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["path", "content"])
+
+    streams = docs.mapInPandas(gen, "path string, content binary")
+    fps = audio_fingerprints(streams, window_s=0.1).where(
+        F.col("window_index") == 0
+    )
+    keyed = fps.select(F.col("path").cast("long").alias("doc_id"), "fp64")
+    pairs = hamming_near_dup_pairs(keyed, "doc_id", "fp64", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "doc_mp1_audio_dedup",
     tags=("multimodal", "audio", "dedup", "lossy-codec", "mapInPandas"),
     oracle="""

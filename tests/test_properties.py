@@ -255,3 +255,91 @@ def test_dnf_stats_pruning_never_drops_a_matching_file(rows, dnf):
     if not _dnf_may_match(stats, dnf):
         bad = [r for r in rows if row_matches(r)]
         assert not bad, f"pruned file holds matching rows {bad}; dnf={dnf}"
+
+
+# -- round-8 codec slices: randomized round-trips ---------------------
+
+_mp3_gains = st.lists(st.integers(0, 255), min_size=1, max_size=10)
+_mp3_scfsi = st.lists(st.integers(0, 1), min_size=4, max_size=4)
+# every scalefac_compress keeps bands within their slen fields via %
+_mp3_compress = st.integers(0, 15)
+
+
+@settings(max_examples=150, deadline=None)
+@given(gains=_mp3_gains, scfsi=_mp3_scfsi, compress=_mp3_compress,
+       seed=st.integers(0, 2**31), scale=st.integers(0, 1))
+def test_mp3_envelope_roundtrip_property(gains, scfsi, compress, seed, scale):
+    """encode_mp3_silence -> parse_mp3_envelope is the identity on the
+    envelope for EVERY (gains, scfsi, scalefac_compress,
+    scalefac_scale) combination — including slen1=0/slen2=0 compress
+    codes where whole band ranges carry zero bits (and must read back
+    as zeros), and scfsi granule-1 reuse against randomized granule-0
+    values."""
+    import random
+
+    from filesystemagent_spark.functions import mp3 as M3
+
+    rng = random.Random(seed)
+    n = len(gains) + (len(gains) % 2)  # encoder pads to granule pairs
+    s1 = M3._SLEN1[compress]
+    s2 = M3._SLEN2[compress]
+    sfs = [
+        [rng.randrange(1 << (s1 if b < 11 else s2)) if (s1 if b < 11 else s2) else 0
+         for b in range(21)]
+        for _ in range(n)
+    ]
+    b = M3.encode_mp3_silence(
+        gains, scalefacs=sfs, scalefac_compress=compress,
+        scalefac_scale=scale, scfsi=scfsi,
+    )
+    env = M3.parse_mp3_envelope(b)
+    got = env["granules"]
+    want_gains = gains + ([gains[-1]] if len(gains) % 2 else [])
+    assert [g["global_gain"] for g in got] == want_gains
+    assert all(g["scalefac_scale"] == scale for g in got)
+    for i, g in enumerate(got):
+        if i % 2 == 1:  # granule 1: scfsi-flagged groups reuse granule 0
+            want = [
+                sfs[i - 1][band]
+                if scfsi[
+                    next(
+                        gi
+                        for gi, (a, e) in enumerate(M3._SCFSI_BANDS)
+                        if a <= band < e
+                    )
+                ]
+                else sfs[i][band]
+                for band in range(21)
+            ]
+        else:
+            want = sfs[i]
+        assert g["scalefacs"] == want, (i, compress, scfsi)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n_frames=st.integers(1, 6),
+    fps=st.sampled_from([1.0, 2.0, 12.5, 25.0, 30.0]),
+    sizes=st.lists(st.integers(4, 200), min_size=1, max_size=6),
+    seed=st.integers(0, 2**31),
+)
+def test_mkv_container_roundtrip_property(n_frames, fps, sizes, seed):
+    """encode_mkv_mjpeg -> decode_mkv_mjpeg returns the exact frame
+    payloads and the encoded fps for arbitrary frame counts, sizes,
+    and rates — the EBML writer and parser must agree on every vint
+    width the sizes exercise."""
+    import random
+
+    from filesystemagent_spark.functions import mkv as MK
+
+    rng = random.Random(seed)
+    frames = [
+        b"\xff\xd8" + bytes(rng.randrange(256) for _ in range(
+            sizes[i % len(sizes)]
+        )) + b"\xff\xd9"
+        for i in range(n_frames)
+    ]
+    b = MK.encode_mkv_mjpeg(frames, fps=fps, width=8, height=8)
+    got_fps, back = MK.decode_mkv_mjpeg(b)
+    assert back == frames
+    assert abs(got_fps - fps) / fps < 1e-6

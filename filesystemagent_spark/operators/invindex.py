@@ -8,13 +8,14 @@ the lexical mirror of the incremental-dedup story
 (operators/dedup.minhash_band_index): a derived, storable,
 incrementally-maintainable artifact replaces recomputation.
 
-Scale shape of the query path: each query term is a stats-pruned
-`TxTable.read(where=[("term", "=", t)])` — the postings are written
-range-partitioned and sorted on term, so the manifest's per-file
-min/max prunes non-matching files BEFORE Spark plans the scan (and
-parquet row-group stats prune inside the survivors). The per-term
-frequency lookups broadcast. Nothing in the query path is
-proportional to corpus size except the postings actually read.
+Scale shape of the query path: ONE stats-pruned
+`TxTable.read(where=[("term", "in", terms)])` per index table — the
+postings are written range-partitioned and sorted on term, so the
+manifest's per-file min/max prunes non-matching files BEFORE Spark
+plans the scan (and parquet row-group stats prune inside the
+survivors). A T-term query is 2 Spark jobs, not ~2T. Nothing in the
+query path is proportional to corpus size except the postings
+actually read.
 
 Exact-float contract: the per-(term, doc) BM25 part is computed
 row-locally with the same IEEE expression as the full-scan scorer
@@ -322,11 +323,16 @@ def bm25_from_index(
     b: float = 0.75,
     top_k: int = 20,
 ) -> DataFrame:
-    """Answer a BM25 top-k from the stored index: one stats-pruned
-    postings read per query term, per-term frequencies broadcast, the
-    per-(term, doc) part computed row-locally, parts pivoted and added
-    in FIXED term order (bit-identical to the full-scan scorer). The
-    corpus text is never touched."""
+    """Answer a BM25 top-k from the stored index: ONE stats-pruned read
+    per table — `("term", "in", terms)` reaches the manifest's per-file
+    min/max before Spark plans either scan, so only the files whose term
+    range intersects the query vocabulary are scanned (and parquet
+    row-group stats prune inside the survivors). Per-term frequencies
+    come back in the same single `terms` scan and fold driver-side; the
+    per-(term, doc) part is computed row-locally, parts pivoted and
+    added in FIXED term order (bit-identical to the full-scan scorer).
+    The corpus text is never touched, and a T-term query is 2 Spark
+    jobs, not ~2T (round 9 — was one read + one collect per term)."""
     post_t = TxTable(os.path.join(index_dir, "postings"))
     term_t = TxTable(os.path.join(index_dir, "terms"))
     # corpus scalars ride commit app metadata; maintenance commits that
@@ -338,17 +344,14 @@ def bm25_from_index(
         raise ValueError(f"no corpus scalars recorded in {index_dir}/postings")
     n_docs, avgdl = float(n_docs_v), float(avgdl_v)
 
+    vocab = [("term", "in", list(terms))]
     dfs = {
         r["term"]: float(r["df"])
-        for t in terms
-        for r in term_t.read(spark, where=[("term", "=", t)]).collect()
+        for r in term_t.read(spark, where=vocab).collect()
     }
-    matched = None
-    for t in terms:
-        part = post_t.read(spark, where=[("term", "=", t)]).select(
-            "doc_id", "term", "tf", "dl"
-        )
-        matched = part if matched is None else matched.unionByName(part)
+    matched = post_t.read(spark, where=vocab).select(
+        "doc_id", "term", "tf", "dl"
+    )
 
     def part_expr(i: int, t: str):
         df_t = dfs.get(t, 0.0)

@@ -115,7 +115,13 @@ GRADE_ORDER = (
     # PLUS the unmatched-row null-emission path the inner variant never
     # exercises; the inner gate stays registered + sim-checked, and the
     # range-join SEMANTICS also stay graded via events_asof_prior_view.
-    "events_stream_interval_join_outer",
+    # round 9: the LEFT OUTER gate is displaced by its FULL OUTER twin
+    # — full strictly subsumes left outer (left-side null emission is
+    # the same eviction path, and the full gate ADDS the right-side
+    # unmatched eviction plus the coalesced-join-key discipline of
+    # streaming/joins.py:50-57 that left outer never exercises); the
+    # outer gate stays registered + sim-checked.
+    "events_stream_interval_join_full",
     "events_stream_incremental_rollup",
     # training-data curation / dedup / text family
     "doc_chunks",
@@ -131,8 +137,15 @@ GRADE_ORDER = (
     # lexical retrieval (BM25 top-k) — round-3 capability class;
     # displaces doc_repetition_stats, whose row-local text-array shape
     # stays covered by doc_curation_funnel + doc_column_profile (and
-    # the query itself stays registered + sim-checked)
-    "doc_bm25_search",
+    # the query itself stays registered + sim-checked).
+    # round 9: doc_bm25_search displaced by the feed-driven incremental
+    # index-maintenance flagship — its oracle REPLAYS the full-scan BM25
+    # scorer as the ground truth (so the displaced query's whole scoring
+    # pipeline is still value-hashed every round, now against an index
+    # maintained through insert + df-shifting update + keyed delete);
+    # doc_bm25_search stays registered + sim-checked, and the
+    # index-answered twin doc_bm25_from_stored_index stays sim-checked.
+    "doc_bm25_incremental_index",
     "doc_bigram_logprob",
     # iterative graph + recursive-CTE BFS (round-2 capability classes)
     "parts_copurchase_pagerank",
@@ -227,7 +240,14 @@ GRADE_ORDER = (
     # end-to-end. Displaces listdlls_parse: the text-normalizer class
     # keeps two graded slots (hayabusa, clamscan_pyds) and listdlls
     # stays registered + sim-checked.
-    "doc_gif_video_dedup",
+    # round 9: doc_gif_video_dedup displaced by the container-INVARIANCE
+    # check — doc_mkv_video_dedup routes the SAME JPEG payloads through
+    # both the MKV (EBML) and MP4 (ISO-BMFF) demuxers and requires the
+    # pair at Hamming distance 0, exercising two container parsers, the
+    # MJPEG frame ladder, and the banded dedup in one graded row (the
+    # GIF rung drives one decoder over one container and stays
+    # registered + sim-checked).
+    "doc_mkv_video_dedup",
     # baseline diff + severity ranking (reference's core analyzers)
     "baseline_diff_users",
     # round 6: event_findings_ranked — "the findings pipeline in
@@ -256,20 +276,10 @@ GRADE_ORDER = (
 # events_txtable_bidirectional_join, and events_stream_interval_join_outer
 # hold graded slots; displaced events_funnel, doc_dup_clusters, and
 # events_stream_interval_join (rationales inline above).
-# Round-9 rotation candidates (strongest round-8 arrivals not yet
-# graded, with the rows they would most defensibly displace):
-#   doc_bm25_incremental_index — feed-driven lexical-index maintenance
-#       (insert + df-shifting update + keyed delete), bit-identical to
-#       a fresh build; candidate displacement: doc_bm25_search (the
-#       full-scan scorer is replayed INSIDE this query's oracle, and
-#       the index-answered twin doc_bm25_from_stored_index stays
-#       sim-checked)
-#   doc_mkv_video_dedup — container-INVARIANT video dedup (same JPEG
-#       payloads through MKV and MP4 pair at distance 0); candidate
-#       displacement: doc_gif_video_dedup (same ladder, one container)
-#   events_stream_interval_join_full — both-sides unmatched eviction;
-#       candidate displacement: events_stream_interval_join_outer
-#       (strictly subsumed: full = left outer + right outer)
+# Round-9 rotation (landed): doc_bm25_incremental_index,
+# doc_mkv_video_dedup, and events_stream_interval_join_full hold graded
+# slots; displaced doc_bm25_search, doc_gif_video_dedup, and
+# events_stream_interval_join_outer (rationales inline above).
 
 
 def registry() -> dict[str, Query]:

@@ -761,8 +761,8 @@ def doc_bm25_from_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index instead of a corpus scan
     (operators/invindex.py): tokenize once into a (term, doc_id, tf,
     dl) posting TxTable (range-partitioned + sorted on term, corpus
-    scalars in app metadata), then per query term do one stats-pruned
-    postings read, pivot, and combine parts in fixed term order —
+    scalars in app metadata), then ONE stats-pruned `term IN (...)`
+    read per table, pivot, and combine parts in fixed term order —
     bit-identical scores, so the one oracle replays both forms. At
     100 TB this is the difference between a full corpus scan per query
     and reading only the matched terms' postings; index build is the

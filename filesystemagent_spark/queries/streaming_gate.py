@@ -31,6 +31,99 @@ def _pinned_shuffle(spark: SparkSession, n: str = "16"):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# -- shared gate staging/drain machinery (round 9: factored out of the
+# -- eight gates, which each hand-rolled these ~50 lines) --------------
+
+
+def _stage_symlink(sf_dir: str, prefix: str) -> str:
+    """A tempdir with the events table symlinked in — file sources need
+    DIRECTORIES, and the harness table is a single parquet file."""
+    stage = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    return stage
+
+
+def _stage_ordered_batches(stage: str, batches) -> str:
+    """Write each DataFrame in `batches` to `<stage>/src` as ONE parquet
+    file with strictly ascending mtimes, so a file-source stream with
+    maxFilesPerTrigger=1 replays them as ordered micro-batches — the
+    staging recipe every controlled-batch gate (late accounting, the
+    outer interval joins) shares. Order is load-bearing: watermark
+    crossings must happen in the batch the gate's spec says they do."""
+    import glob
+    import shutil
+    import time as _time
+
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, df in enumerate(batches):
+        d = os.path.join(stage, f"b{i}")
+        df.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 100 + i * 10,) * 2)
+    return src
+
+
+def _drain_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    ckpt_dir: str,
+    *,
+    output_mode: str | None = None,
+    sink_prefix: str = "gate_sink",
+):
+    """Drain a streaming DataFrame into a memory sink with availableNow
+    under a pinned shuffle count; returns (sink table, finished query —
+    the query object carries recentProgress for metrics-reading gates).
+    One definition so no gate can drift on the checkpoint/trigger/drain
+    recipe or forget the shuffle pin (frozen into the checkpoint)."""
+    sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
+    writer = df.writeStream.format("memory").queryName(sink)
+    if output_mode:
+        writer = writer.outputMode(output_mode)
+    with _pinned_shuffle(spark):
+        q = (
+            writer.option("checkpointLocation", os.path.join(ckpt_dir, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink), q
+
+
+def _watermark_tick_batches(spark: SparkSession, ev: DataFrame) -> list:
+    """The two sentinel tick batches the OUTER interval-join gates
+    append: one far-future row per side (sentinel ids -1/-2 and
+    -11/-12, user_id -1 — disjoint from real keys, and the two sides'
+    timestamps 100h apart so the sentinels never join each other). b1
+    pushes BOTH watermarks past every real row's eligibility window;
+    b2 triggers the eviction pass that flushes the unmatched rows
+    (eviction runs in the batch AFTER the watermark advances).
+    Sentinels are filtered out post-join by id sign."""
+    t1 = ev.agg(F.max("ts")).first()[0]
+    tick = spark.createDataFrame(
+        [(-1, None, -1, "purchase", 0.0, ""), (-2, None, -1, "view", 0.0, "")],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    b1 = tick.withColumn(
+        "ts",
+        F.lit(t1) + F.expr("INTERVAL 4 HOURS")
+        + F.when(F.col("event_id") == -2, F.expr("INTERVAL 100 HOURS"))
+        .otherwise(F.expr("INTERVAL 0 HOURS")),
+    )
+    b2 = b1.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 300 HOURS")
+    ).withColumn("event_id", F.col("event_id") - 10)
+    return [b1, b2]
+
+
 @register(
     "events_stream_tumbling",
     headline=True,
@@ -51,24 +144,16 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts only: integer results are stream/batch/oracle exact."""
     from filesystemagent_spark.streaming.events import read_events_stream, windowed_counts
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
+    stage = _stage_symlink(sf_dir, "events_stream_")
+    table, _ = _drain_to_memory(
+        spark,
+        windowed_counts(read_events_stream(spark, stage), window="1 hour"),
+        stage,
+        output_mode="complete",
+        sink_prefix="events_stream_sink",
     )
-    sink = f"events_stream_sink_{uuid.uuid4().hex[:8]}"
-    with _pinned_shuffle(spark):
-        q = (
-            windowed_counts(read_events_stream(spark, stage), window="1 hour")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(sink)
+        table
         .select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -127,26 +212,16 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesystemagent_spark.streaming.sessions import sessionize_stream
     from filesystemagent_spark.streaming.events import read_events_stream
 
-    stage = tempfile.mkdtemp(prefix="events_sessions_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
-    )
-    sink = f"events_sessions_sink_{uuid.uuid4().hex[:8]}"
+    stage = _stage_symlink(sf_dir, "events_sessions_")
     sessions = sessionize_stream(
         read_events_stream(spark, stage), gap_seconds=1800, watermark="0 seconds"
     )
-    with _pinned_shuffle(spark):
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    table, _ = _drain_to_memory(
+        spark, sessions, stage,
+        output_mode="append", sink_prefix="events_sessions_sink",
+    )
     return (
-        spark.table(sink)
+        table
         .select(
             "user_id",
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
@@ -181,23 +256,15 @@ def events_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filesystemagent_spark.streaming.dedup import dedup_stream
     from filesystemagent_spark.streaming.events import read_events_stream
 
-    stage = tempfile.mkdtemp(prefix="events_dedup_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
+    stage = _stage_symlink(sf_dir, "events_dedup_")
+    table, _ = _drain_to_memory(
+        spark,
+        dedup_stream(read_events_stream(spark, stage), ["user_id", "event_type"])
+        .select("user_id", "event_type"),
+        stage,
+        sink_prefix="events_dedup_sink",
     )
-    sink = f"events_dedup_sink_{uuid.uuid4().hex[:8]}"
-    with _pinned_shuffle(spark):
-        q = (
-            dedup_stream(read_events_stream(spark, stage), ["user_id", "event_type"])
-            .select("user_id", "event_type")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink).orderBy("user_id", "event_type")
+    return table.orderBy("user_id", "event_type")
 
 
 def _interval_join_drain(
@@ -233,18 +300,10 @@ def _interval_join_drain(
         left, right, on="user_id", left_ts="p_ts", right_ts="v_ts",
         max_gap_seconds=1800, watermark="1 hour", how=how,
     )
-    sink = f"events_sjoin_{uuid.uuid4().hex[:8]}"
-    with _pinned_shuffle(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    table, _ = _drain_to_memory(
+        spark, joined, stage, output_mode="append", sink_prefix="events_sjoin"
+    )
+    return table
 
 
 @register(
@@ -273,10 +332,7 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     change the result."""
     from filesystemagent_spark.functions.tscompat import epoch_micros
 
-    stage = tempfile.mkdtemp(prefix="events_sjoin_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
-    )
+    stage = _stage_symlink(sf_dir, "events_sjoin_")
     return (
         _interval_join_drain(spark, stage, stage, how="inner")
         .select(
@@ -410,17 +466,12 @@ def events_stream_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
     is the Spark-first upgrade, and at 100 TB it is the difference
     between 'the rollup is eventually exact' and 'nobody can say what
     the rollup missed'."""
-    import glob
     import json as _json
-    import shutil
-    import time as _time
 
     from filesystemagent_spark.catalog import Catalog
 
     ev = Catalog(spark, sf_dir).events.select("event_id", "ts")
     stage = tempfile.mkdtemp(prefix="events_late_")
-    src = os.path.join(stage, "src")
-    os.makedirs(src)
     bounds = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).first()
     t0, t1 = bounds["t0"], bounds["t1"]
     batches = [
@@ -430,14 +481,7 @@ def events_stream_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
             ev.filter(F.col("ts") >= F.lit(t1) - F.expr("INTERVAL 30 MINUTE"))
         ),                                                    # b2: stragglers
     ]
-    now = _time.time()
-    for i, df in enumerate(batches):
-        d = os.path.join(stage, f"b{i}")
-        df.coalesce(1).write.parquet(d)
-        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch_{i}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+    src = _stage_ordered_batches(stage, batches)
     from filesystemagent_spark.streaming.events import read_events_stream
 
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
@@ -452,24 +496,17 @@ def events_stream_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_id")
         .agg(F.count("*").alias("n"))
     )
-    sink = f"events_late_sink_{uuid.uuid4().hex[:8]}"
-    with _pinned_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(stage, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    table, q = _drain_to_memory(
+        spark, agg, stage,
+        output_mode="append", sink_prefix="events_late_sink",
+    )
     dropped = 0
     for p in q.recentProgress:
         d = p if isinstance(p, dict) else _json.loads(p.json)
         for so in d.get("stateOperators", []):
             dropped += int(so.get("numRowsDroppedByWatermark", 0))
     staged = batches[2].count()
-    return spark.table(sink).agg(
+    return table.agg(
         F.countDistinct("w").cast("long").alias("n_windows"),
         F.count("*").cast("long").alias("sum_events"),
         F.lit(dropped).cast("long").alias("n_dropped_late"),
@@ -516,10 +553,6 @@ def events_stream_interval_join_outer(
     post-join; the result must equal the batch LEFT JOIN the oracle
     computes — a swallowed unmatched row, a double emission, or an
     early flush each shifts the hash."""
-    import glob
-    import shutil
-    import time as _time
-
     from filesystemagent_spark.catalog import Catalog
     from filesystemagent_spark.functions.tscompat import epoch_micros
 
@@ -527,31 +560,9 @@ def events_stream_interval_join_outer(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     stage = tempfile.mkdtemp(prefix="events_sjoin_outer_")
-    src = os.path.join(stage, "src")
-    os.makedirs(src)
-    t1 = ev.agg(F.max("ts")).first()[0]
-    tick = spark.createDataFrame(
-        [(-1, None, -1, "purchase", 0.0, ""), (-2, None, -1, "view", 0.0, "")],
-        "event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string",
+    src = _stage_ordered_batches(
+        stage, [ev, *_watermark_tick_batches(spark, ev)]
     )
-    b1 = tick.withColumn(
-        "ts",
-        F.lit(t1) + F.expr("INTERVAL 4 HOURS")
-        + F.when(F.col("event_id") == -2, F.expr("INTERVAL 100 HOURS"))
-        .otherwise(F.expr("INTERVAL 0 HOURS")),
-    )
-    b2 = b1.withColumn("ts", F.col("ts") + F.expr("INTERVAL 300 HOURS")).withColumn(
-        "event_id", F.col("event_id") - 10
-    )
-    now = _time.time()
-    for i, df in enumerate([ev, b1, b2]):
-        d = os.path.join(stage, f"b{i}")
-        df.coalesce(1).write.parquet(d)
-        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch_{i}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (now - 100 + i * 10,) * 2)
     return (
         _interval_join_drain(
             spark, src, stage, how="leftOuter", max_files_per_trigger=1
@@ -604,10 +615,6 @@ def events_stream_interval_join_full(
     FULL JOIN the oracle computes: a swallowed unmatched row on
     EITHER side, a double emission, or a nulled key shifts the
     hash."""
-    import glob
-    import shutil
-    import time as _time
-
     from filesystemagent_spark.catalog import Catalog
     from filesystemagent_spark.functions.tscompat import epoch_micros
 
@@ -615,31 +622,9 @@ def events_stream_interval_join_full(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     stage = tempfile.mkdtemp(prefix="events_sjoin_full_")
-    src = os.path.join(stage, "src")
-    os.makedirs(src)
-    t1 = ev.agg(F.max("ts")).first()[0]
-    tick = spark.createDataFrame(
-        [(-1, None, -1, "purchase", 0.0, ""), (-2, None, -1, "view", 0.0, "")],
-        "event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string",
+    src = _stage_ordered_batches(
+        stage, [ev, *_watermark_tick_batches(spark, ev)]
     )
-    b1 = tick.withColumn(
-        "ts",
-        F.lit(t1) + F.expr("INTERVAL 4 HOURS")
-        + F.when(F.col("event_id") == -2, F.expr("INTERVAL 100 HOURS"))
-        .otherwise(F.expr("INTERVAL 0 HOURS")),
-    )
-    b2 = b1.withColumn("ts", F.col("ts") + F.expr("INTERVAL 300 HOURS")).withColumn(
-        "event_id", F.col("event_id") - 10
-    )
-    now = _time.time()
-    for i, df in enumerate([ev, b1, b2]):
-        d = os.path.join(stage, f"b{i}")
-        df.coalesce(1).write.parquet(d)
-        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"batch_{i}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (now - 100 + i * 10,) * 2)
     return (
         _interval_join_drain(
             spark, src, stage, how="fullOuter", max_files_per_trigger=1

@@ -58,12 +58,20 @@ def test_graded_window_is_curated():
     assert {"events_txtable_mor_dml", "events_txtable_incremental_join"} <= set(
         window
     )
-    # round-8 rotation: UPDATE lifecycle, bidirectional join view, and
-    # the LEFT OUTER stream-stream interval-join gate hold graded slots
+    # round-8 rotation: UPDATE lifecycle and the bidirectional join
+    # view hold graded slots
     assert {
         "events_txtable_update_dml",
         "events_txtable_bidirectional_join",
-        "events_stream_interval_join_outer",
+    } <= set(window)
+    # round-9 rotation: incremental BM25 index maintenance, the
+    # container-invariance video dedup, and the FULL OUTER stream-stream
+    # interval-join gate hold graded slots (displacing doc_bm25_search,
+    # doc_gif_video_dedup, events_stream_interval_join_outer)
+    assert {
+        "doc_bm25_incremental_index",
+        "doc_mkv_video_dedup",
+        "events_stream_interval_join_full",
     } <= set(window)
 
 

@@ -386,6 +386,76 @@ def test_bm25_index_survives_compaction(spark, sf_dir, tmp_path):
     assert after == before
 
 
+def test_bm25_query_path_is_one_scan_per_table(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 9: a T-term query is ONE stats-pruned `term IN (...)` read
+    per index table — 2 Spark scans total, not ~2T (was: a per-term
+    read + collect for df lookups, then per-term postings reads unioned
+    in a Python loop). Gated three ways: (a) TxTable.read is invoked
+    exactly once per table, (b) the single postings scan's inputFiles
+    is the manifest-pruned subset (the IN predicate reaches per-file
+    min/max stats before Spark plans the scan), and (c) answers stay
+    bit-identical to the full-scan scorer."""
+    import os
+
+    from filesystemagent_spark.operators.invindex import (
+        bm25_from_index,
+        build_bm25_index,
+    )
+    from filesystemagent_spark.queries.documents import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+        _bm25_scored,
+        _doc_text_rebalanced,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    idx = str(tmp_path / "idx")
+    post_t, _ = build_bm25_index(
+        _doc_text_rebalanced(spark, sf_dir), idx, n_term_partitions=8
+    )
+    n_post_files = len(post_t.read(spark).inputFiles())
+
+    reads = []  # (table basename, n files the pruned scan will touch)
+    orig = TxTable.read
+
+    def counting(self, *a, **kw):
+        df = orig(self, *a, **kw)
+        reads.append((os.path.basename(self.path), len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(TxTable, "read", counting)
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_from_index(
+            spark, idx, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_TOPK
+        ).collect()
+    ]
+    monkeypatch.setattr(TxTable, "read", orig)
+
+    by_table = sorted(t for t, _ in reads)
+    assert by_table == ["postings", "terms"], reads  # one scan per table
+    post_files_scanned = dict(reads)["postings"]
+    assert post_files_scanned < n_post_files, (
+        post_files_scanned,
+        n_post_files,
+    )  # the IN predicate pruned files before Spark planned the scan
+
+    full = _bm25_scored(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    want = [
+        (r.doc_id, r.bm25)
+        for r in full.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+        .collect()
+    ]
+    assert got == want  # bit-identical to the corpus scan
+
+
 def test_bloom_contamination_never_undercounts_exact(spark, sf_dir):
     """The Bloom guarantee: per test doc, n_flagged >= the exact join's
     n_contaminated (false positives only, never negatives)."""

@@ -2091,6 +2091,102 @@ def test_bidirectional_join_sinks_concurrent_drain(spark, tmp_path):
     assert all(pk != 6 for pk, *_ in got)  # the delete never resurrects
 
 
+def test_bidirectional_join_crash_between_legs_replays_once(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 worst-point crash audit (the BM25 sink's crash-replay
+    pattern applied to the bidirectional join's two-phase shape): both
+    sides mutate in one drain window, the L leg fully applies its batch
+    (tombstone + merge + batch_id_l stamp), and the R leg crashes AFTER
+    its key tombstone lands but BEFORE its merge stamps batch_id_r —
+    the exact between-commits point. Restart must (a) leave the L leg
+    alone (no double-apply: batch_id_l never advances again), (b)
+    replay the R batch exactly once (the re-delete is a
+    redundant-but-harmless tombstone, then the merge lands and stamps),
+    (c) converge the derived view to the one-shot join of the two final
+    snapshots with one row per (pk, jk), and (d) a disaster-recovery
+    re-drain from FRESH checkpoints (batch ids restart at 0) must
+    publish NOTHING — the per-feed stamps alone carry exactly-once when
+    the checkpoints are gone."""
+    from filesystemagent_spark.streaming.sinks import (
+        start_bidirectional_join_sinks,
+    )
+
+    def lrows(data):
+        return spark.createDataFrame(data, "pk bigint, jk string, v bigint")
+
+    def rrows(data):
+        return spark.createDataFrame(data, "jk string, dim bigint")
+
+    lp, rp = str(tmp_path / "L"), str(tmp_path / "R")
+    dp = str(tmp_path / "derived")
+    ckl, ckr = str(tmp_path / "ckl"), str(tmp_path / "ckr")
+    L, R = TxTable(lp), TxTable(rp)
+    L.init(lrows([(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
+    R.init(rrows([("a", 100), ("b", 200), ("c", 300)]))
+
+    def drain(ck_l=ckl, ck_r=ckr):
+        ql, qr = start_bidirectional_join_sinks(
+            spark, lp, rp, dp, ck_l, ck_r,
+            on="jk", left_pk="pk", right_pk="jk",
+        )
+        ql.awaitTermination()
+        qr.awaitTermination()
+
+    def truth():
+        return sorted(
+            (r.pk, r.jk, r.v, r.dim)
+            for r in L.read(spark).join(R.read(spark), "jk").collect()
+        )
+
+    drain()  # clean initial materialization, both stamps at batch 0
+    d = TxTable(dp)
+    al0, ar0 = d.latest_app_value("batch_id_l"), d.latest_app_value("batch_id_r")
+
+    # both sides mutate, including the same pair (pk=1 / jk='a')
+    L.merge_into(lrows([(1, "a", 11), (7, "b", 70)]), ["pk"],
+                 change_feed=True)
+    R.merge_into(rrows([("a", 101), ("c", 301)]), ["jk"], change_feed=True)
+
+    orig = TxTable.merge_into
+    boom = {"armed": True}
+
+    def failing(self, *a, **kw):
+        app = kw.get("app") or {}
+        if boom["armed"] and "batch_id_r" in app:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before the R leg's stamp")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(TxTable, "merge_into", failing)
+    ql, qr = start_bidirectional_join_sinks(
+        spark, lp, rp, dp, ckl, ckr, on="jk", left_pk="pk", right_pk="jk",
+    )
+    ql.awaitTermination()  # the L leg commits its batch in full
+    with pytest.raises(Exception, match="injected crash"):
+        qr.awaitTermination()
+    al1 = d.latest_app_value("batch_id_l")
+    assert al1 > al0                               # first leg committed...
+    assert d.latest_app_value("batch_id_r") == ar0  # ...second never stamped
+
+    drain()  # restart: only the R batch replays
+    assert d.latest_app_value("batch_id_l") == al1  # no L double-apply
+    assert d.latest_app_value("batch_id_r") > ar0   # R applied exactly once
+    rows = [(r.pk, r.jk, r.v, r.dim) for r in d.read(spark).collect()]
+    assert sorted(rows) == truth()                  # one-shot join
+    assert (1, "a", 11, 101) in rows                # the doubly-touched pair
+    assert len({(pk, jk) for pk, jk, *_ in rows}) == len(rows)  # no dups
+
+    # checkpoints gone entirely: batch ids restart at 0, and the stamps
+    # (already >= 0) must make the full-feed replay a pure no-op
+    head = d.latest_version()
+    drain(str(tmp_path / "ckl2"), str(tmp_path / "ckr2"))
+    assert d.latest_version() == head
+    assert sorted(
+        (r.pk, r.jk, r.v, r.dim) for r in d.read(spark).collect()
+    ) == truth()
+
+
 def test_join_view_prunes_other_side_scan(spark, tmp_path, monkeypatch):
     """The 100 TB cost model for feed-driven join views: a micro-batch
     touching ONE key range of a CLUSTERED dimension must read ~1/N of

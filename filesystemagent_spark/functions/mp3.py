@@ -44,8 +44,10 @@ import struct
 __all__ = [
     "is_mp3",
     "parse_mp3_envelope",
+    "parse_mp3_spectra",
     "mp3_envelope_fp64_windows",
     "encode_mp3_silence",
+    "encode_mp3_pulses",
 ]
 
 _RATES = [44100, 48000, 32000]
@@ -161,6 +163,64 @@ def _read_scalefacs(r: _Bits, ch: dict, gr: int, scfsi: list[int],
     return out
 
 
+def _walk_frames(
+    b: bytes, max_frames: int | None
+) -> tuple[int, int, int, int, bytes, list[tuple[dict, int]]]:
+    """The frame/reservoir walk shared by the envelope and spectra
+    parsers: returns (rate, nch, bitrate0, n_frames, reservoir,
+    pending) where `reservoir` is the concatenated main_data stream
+    and `pending` pairs each decodable frame's side info with its
+    part2 start offset (bytes) in the reservoir. Frames whose part2
+    bits would land before the reservoir's start (a cut stream's first
+    frames with main_data_begin != 0) are skipped the way real
+    decoders skip them."""
+    if not is_mp3(b):
+        raise ValueError("not an MPEG-1 Layer III stream")
+    pos = 0
+    rate = nch = None
+    bitrate0 = None
+    reservoir = b""        # concatenated main_data regions
+    pending: list[tuple[dict, int]] = []
+    n_frames = 0
+    while pos + 4 <= len(b):
+        h = struct.unpack(">I", b[pos : pos + 4])[0]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        if (h >> 19) & 0x3 != 0x3 or (h >> 17) & 0x3 != 0x1:
+            raise ValueError("not MPEG-1 Layer III mid-stream")
+        protection = (h >> 16) & 1
+        bidx, ridx = (h >> 12) & 0xF, (h >> 10) & 0x3
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError(
+                f"reserved/free-format header (bitrate_index={bidx}, "
+                f"sample_rate_index={ridx})"
+            )
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 0x3
+        f_nch = 1 if mode == 0x3 else 2
+        f_rate = _RATES[ridx]
+        if rate is None:
+            rate, nch, bitrate0 = f_rate, f_nch, _BITRATES_L3[bidx]
+        frame_len = 144 * _BITRATES_L3[bidx] * 1000 // f_rate + padding
+        if pos + frame_len > len(b):
+            break  # truncated final frame
+        si_off = pos + 4 + (0 if protection else 2)
+        si_len = 17 if f_nch == 1 else 32
+        si = _parse_side_info(b, si_off, f_nch)
+        main = b[si_off + si_len : pos + frame_len]
+        # this frame's part2 starts main_data_begin bytes BEFORE
+        # its own main_data in the reservoir stream
+        start = len(reservoir) - si["main_data_begin"]
+        reservoir += main
+        if start >= 0:
+            pending.append((si, start))
+        n_frames += 1
+        pos += frame_len
+        if max_frames is not None and n_frames >= max_frames:
+            break
+    return rate, nch, bitrate0, n_frames, reservoir, pending
+
+
 def parse_mp3_envelope(b: bytes, max_frames: int | None = None) -> dict:
     """Walk an MPEG-1 Layer III stream and return its envelope:
 
@@ -169,56 +229,12 @@ def parse_mp3_envelope(b: bytes, max_frames: int | None = None) -> dict:
        block_type, subblock_gain, scalefacs}, ...]}
 
     Reads side info per frame and scale factors from the reconstructed
-    bit-reservoir stream. Raises ValueError on malformed input; frames
-    whose part2 bits would land before the reservoir's start (a cut
-    stream's first frames with main_data_begin != 0) are skipped the
-    way real decoders skip them."""
-    if not is_mp3(b):
-        raise ValueError("not an MPEG-1 Layer III stream")
-    pos = 0
-    rate = nch = None
-    bitrate0 = None
-    reservoir = b""        # concatenated main_data regions
-    pending: list[tuple[dict, int]] = []  # (side_info, reservoir offset of this frame's main_data)
+    bit-reservoir stream. Raises ValueError on malformed input."""
     granules: list[dict] = []
-    n_frames = 0
     try:
-        while pos + 4 <= len(b):
-            h = struct.unpack(">I", b[pos : pos + 4])[0]
-            if (h >> 21) & 0x7FF != 0x7FF:
-                break
-            if (h >> 19) & 0x3 != 0x3 or (h >> 17) & 0x3 != 0x1:
-                raise ValueError("not MPEG-1 Layer III mid-stream")
-            protection = (h >> 16) & 1
-            bidx, ridx = (h >> 12) & 0xF, (h >> 10) & 0x3
-            if bidx in (0, 15) or ridx == 3:
-                raise ValueError(
-                    f"reserved/free-format header (bitrate_index={bidx}, "
-                    f"sample_rate_index={ridx})"
-                )
-            padding = (h >> 9) & 1
-            mode = (h >> 6) & 0x3
-            f_nch = 1 if mode == 0x3 else 2
-            f_rate = _RATES[ridx]
-            if rate is None:
-                rate, nch, bitrate0 = f_rate, f_nch, _BITRATES_L3[bidx]
-            frame_len = 144 * _BITRATES_L3[bidx] * 1000 // f_rate + padding
-            if pos + frame_len > len(b):
-                break  # truncated final frame
-            si_off = pos + 4 + (0 if protection else 2)
-            si_len = 17 if f_nch == 1 else 32
-            si = _parse_side_info(b, si_off, f_nch)
-            main = b[si_off + si_len : pos + frame_len]
-            # this frame's part2 starts main_data_begin bytes BEFORE
-            # its own main_data in the reservoir stream
-            start = len(reservoir) - si["main_data_begin"]
-            reservoir += main
-            if start >= 0:
-                pending.append((si, start))
-            n_frames += 1
-            pos += frame_len
-            if max_frames is not None and n_frames >= max_frames:
-                break
+        rate, nch, bitrate0, n_frames, reservoir, pending = _walk_frames(
+            b, max_frames
+        )
         for fi, (si, start) in enumerate(pending):
             r = _Bits(reservoir, start * 8)
             prev_by_ch: dict[int, list[int]] = {}  # granule 0's, for scfsi

@@ -582,7 +582,22 @@ def start_ivf_index_sink(
     corpus — the invariant
     tests/test_similarity.py::test_ivf_feed_sink_tracks_dml pins.
     Exactly-once: an `ivf_batch_id` stamp on the cells table, the
-    batch's last commit carrying it (the join-sink discipline)."""
+    batch's last commit carrying it (the join-sink discipline).
+
+    DRIFT LEDGER (round 9): fixed centroids decay silently — after
+    heavy distribution shift the cells skew and recall drops with no
+    error anywhere. Each batch therefore maintains an exact running
+    ledger of the live corpus's assignment quality in the same app
+    metadata the stamp rides: `ivf_cos_sum`/`ivf_n` (sum of each live
+    row's cosine to its assigned centroid, and the live row count)
+    adjust by +post-images / −pre-images per batch (the pre-images
+    carry the vectors, so the subtraction is exact and O(batch); the
+    assignment being a pure function of the fixed centroids means a
+    row subtracts the same value it once added, modulo float
+    summation order). `ivf_cos_sum0`/`ivf_n0` snapshot the first
+    applied batch — the corpus the centroids were trained on.
+    `ivf_drift_info` turns the four scalars into the re-train signal;
+    the measured recall-vs-ratio policy lives in SCALE.md/RECALL.md."""
     import os as _os
 
     from pyspark.sql import Window as _W
@@ -605,42 +620,135 @@ def start_ivf_index_sink(
         w = _W.partitionBy(id_col).orderBy(
             F.col("_commit_version").desc(), pri.desc()
         )
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .cache()
+        # the BEFORE state of a key is its earliest pre-state image in
+        # the batch (update_preimage/delete sort before their version's
+        # post-image; a key first seen as insert did not exist before)
+        pre_pri = F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.lit(0)
+        ).otherwise(F.lit(1))
+        w_first = _W.partitionBy(id_col).orderBy(
+            F.col("_commit_version").asc(), pre_pri.asc()
         )
+        imgs = batch_df.withColumn(
+            "_rn", F.row_number().over(w)
+        ).withColumn("_rn_first", F.row_number().over(w_first))
+        latest = imgs.filter(F.col("_rn") == 1).cache()
+        assigned = None
+        cents = TxTable(cent_path).read(spark)
         try:
             if latest.isEmpty():
                 return  # empty batch: idempotent no-op, unstamped
             post = latest.filter(
                 F.col("_change_type").isin("insert", "upsert")
             ).select(id_col, vec_col)
+            before = imgs.filter(
+                (F.col("_rn_first") == 1)
+                & F.col("_change_type").isin("update_preimage", "delete")
+            ).select(id_col, vec_col)
             # staged CLUSTERED on cell_id: every file covers a tight
             # cell range, so manifest stats skipping serves the probe
-            # path (read_cells_for_queries) nprobe/|cells| of the files
+            # path (read_cells_for_queries) nprobe/|cells| of the files.
+            # keep_score carries each row's assigned-centroid cosine —
+            # the drift ledger's addition — dropped before staging.
             assigned = assign_cells(
-                post, TxTable(cent_path).read(spark),
-                id_col=id_col, vec_col=vec_col, nprobe=1,
-            ).repartitionByRange(8, "cell_id")
+                post, cents,
+                id_col=id_col, vec_col=vec_col, nprobe=1, keep_score=True,
+            ).cache()
+            a_sum, a_n = assigned.agg(
+                F.coalesce(F.sum("_cell_cos"), F.lit(0.0)), F.count("*")
+            ).first()
+            b_sum, b_n = assign_cells(
+                before, cents,
+                id_col=id_col, vec_col=vec_col, nprobe=1, keep_score=True,
+            ).agg(
+                F.coalesce(F.sum("_cell_cos"), F.lit(0.0)), F.count("*")
+            ).first()
+            staged = assigned.drop("_cell_cos").repartitionByRange(
+                8, "cell_id"
+            )
             if cells_t.latest_version() == 0:
-                cells_t.init(assigned, app={STAMP: batch_id})
+                cells_t.init(
+                    staged,
+                    app={
+                        STAMP: batch_id,
+                        "ivf_cos_sum": float(a_sum), "ivf_n": int(a_n),
+                        "ivf_cos_sum0": float(a_sum), "ivf_n0": int(a_n),
+                    },
+                )
                 return
+            scalars = {
+                STAMP: batch_id,
+                "ivf_cos_sum": float(
+                    cells_t.latest_app_value("ivf_cos_sum") or 0.0
+                ) + float(a_sum) - float(b_sum),
+                "ivf_n": int(cells_t.latest_app_value("ivf_n") or 0)
+                + int(a_n) - int(b_n),
+                "ivf_cos_sum0": cells_t.latest_app_value("ivf_cos_sum0"),
+                "ivf_n0": cells_t.latest_app_value("ivf_n0"),
+            }
             has_new = not post.isEmpty()
             cells_t.delete_keys(
                 latest.select(id_col), [id_col], mode="mor",
-                app=None if has_new else {STAMP: batch_id},
+                app=None if has_new else scalars,
             )
             if has_new:
-                cells_t.merge_into(assigned, [id_col], app={STAMP: batch_id})
+                cells_t.merge_into(staged, [id_col], app=scalars)
         finally:
             latest.unpersist()
+            if assigned is not None:
+                assigned.unpersist()
 
     return _start_feed_sink(
         spark, source_table, checkpoint, apply_batch,
         available_now=available_now,
         max_versions_per_trigger=max_versions_per_trigger,
     )
+
+
+def ivf_drift_info(index_dir: str, *, retrain_ratio: float = 0.90) -> dict:
+    """The stored IVF index's centroid-drift signal, read from the
+    ledger `start_ivf_index_sink` maintains in the cells table's app
+    metadata (the `last_delete_info` exposure pattern: cheap scalars a
+    maintenance loop can poll without a corpus or index scan).
+
+    drift_ratio = (mean cosine of live rows to their assigned
+    centroid) / (the same mean over the training-time snapshot). 1.0 =
+    no drift; falling values mean the corpus has moved away from the
+    fixed centroids — cells widen/skew and recall decays silently.
+    `retrain_recommended` fires when the ratio crosses
+    `retrain_ratio`; the default 0.90 is measured at sf0.1
+    (scripts/exp_ivf_drift.py, table in SCALE.md): same-distribution
+    DML holds >= 0.98, a 30% half-blend perturbation sits at 0.94 with
+    NO recall loss, and the states that do lose recall@10 (~9 points
+    at ratio 0.69, with re-training buying back ~+6) are far below —
+    0.90 splits the no-loss and loss regimes with margin on both
+    sides. Re-training = rebuild centroids offline, re-assign once,
+    restart the sink — the Faiss recipe this sink's docstring names."""
+    import os as _os
+
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    t = TxTable(_os.path.join(index_dir, "cells"))
+    vals = {
+        k: t.latest_app_value(k)
+        for k in ("ivf_cos_sum", "ivf_n", "ivf_cos_sum0", "ivf_n0")
+    }
+    if any(v is None for v in vals.values()):
+        raise ValueError(
+            f"no drift ledger in {index_dir}/cells — index predates the "
+            "round-9 sink or was built without start_ivf_index_sink"
+        )
+    n, n0 = int(vals["ivf_n"]), int(vals["ivf_n0"])
+    mean = float(vals["ivf_cos_sum"]) / n if n else 0.0
+    base = float(vals["ivf_cos_sum0"]) / n0 if n0 else 0.0
+    ratio = (mean / base) if base else 1.0
+    return {
+        "n_rows": n,
+        "mean_assigned_cos": mean,
+        "baseline_mean_cos": base,
+        "drift_ratio": ratio,
+        "retrain_recommended": ratio < retrain_ratio,
+    }
 
 
 def read_cells_for_queries(

@@ -767,6 +767,87 @@ def test_ivf_feed_sink_tracks_dml(spark, sf_dir, tmp_path):
     assert cells_t.latest_version() == head  # exactly-once re-drain
 
 
+def test_ivf_drift_ledger_is_exact_and_flags_drift(spark, sf_dir, tmp_path):
+    """The round-9 drift ledger: `start_ivf_index_sink` maintains
+    (ivf_cos_sum, ivf_n) — sum/count of each LIVE row's cosine to its
+    assigned centroid — by adding post-images and subtracting
+    pre-images per batch, with the first applied batch snapshotted as
+    the training baseline. Gated four ways: (a) the running mean is
+    EXACT — it matches a fresh keep-score assign over the final corpus
+    to float-noise; (b) drift_ratio is 1.0 at init; (c) adversarial
+    drift (negating most vectors) drops the ratio well below any
+    same-distribution state and trips retrain_recommended; (d) the
+    ledger rides the exactly-once stamp — a re-drain changes
+    nothing."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        ivf_drift_info,
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 4 != 0)
+    t = TxTable(src)
+    t.init(corpus0.select("vec_id", "embedding"))
+    centroids = S.centroids_from_labels(
+        corpus0, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(os.path.join(idx, "centroids")).init(centroids)
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    info0 = ivf_drift_info(idx)
+    assert info0["drift_ratio"] == 1.0          # baseline == live at init
+    assert not info0["retrain_recommended"]
+
+    # mutate: insert the held-out quarter, update some, delete some —
+    # all three image kinds flow through the ledger
+    t.merge_into(
+        emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding"),
+        ["vec_id"], change_feed=True,
+    )
+    t.delete_keys(
+        emb.filter(F.col("vec_id") % 9 == 5).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    info1 = ivf_drift_info(idx)
+    live = t.read(spark)
+    fresh_mean, fresh_n = (
+        S.assign_cells(
+            live, centroids, id_col="vec_id", vec_col="embedding",
+            nprobe=1, keep_score=True,
+        )
+        .agg(F.avg("_cell_cos"), F.count("*"))
+        .first()
+    )
+    assert info1["n_rows"] == fresh_n
+    assert abs(info1["mean_assigned_cos"] - fresh_mean) < 1e-9  # exact
+
+    # adversarial drift: negate most vectors; the ratio must fall well
+    # below every same-distribution state (absolute thresholds live in
+    # the sf0.1 experiment, scripts/exp_ivf_drift.py / SCALE.md)
+    t.merge_into(
+        live.filter(F.col("vec_id") % 5 != 0).select(
+            "vec_id",
+            F.transform("embedding", lambda x: (-x).cast("float"))
+            .alias("embedding"),
+        ),
+        ["vec_id"], change_feed=True,
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    info2 = ivf_drift_info(idx)
+    assert info2["drift_ratio"] < info1["drift_ratio"] - 0.05
+    assert info2["retrain_recommended"]
+
+    # the ledger rides the stamp: an empty re-drain publishes nothing
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    assert ivf_drift_info(idx) == info2
+
+
 def test_stored_ivf_probe_read_prunes_files(spark, sf_dir, tmp_path):
     """The stored cells table is staged CLUSTERED on cell_id, so the
     probe-pruned read (read_cells_for_queries) must scan only the

@@ -275,6 +275,275 @@ def parse_mp3_envelope(b: bytes, max_frames: int | None = None) -> dict:
     }
 
 
+# -- Huffman → requantize slice (round 9) ----------------------------
+#
+# The spectral decode chain, scoped to what this container can VALIDATE
+# (self-encoded round-trips, the WAV/FLAC/envelope discipline — no
+# external conformance vectors can exist here):
+#
+#   real:  big-values Huffman decode (prefix walk + sign bits), the
+#          part2_3_length bit accounting, and the ISO 2.4.3.4
+#          requantizer  xr = sign·|ix|^(4/3) · 2^((global_gain−210)/4)
+#          · 2^(−(scalefac_scale+1)/2 · scalefac[band])  — formula
+#          implemented in full, exercised with caller-supplied band
+#          widths;
+#   data:  code TABLES are per-table spec constants; this slice ships
+#          table 0 (the all-zero table) and table 1 (x,y ∈ {0,1}:
+#          00→'1', 10→'01', 01→'001', 11→'000'), the one table whose
+#          codes are structurally forced (a complete prefix code on 4
+#          symbols with lengths 1/2/3/3). Streams selecting tables
+#          2–31, count1 spectral data, window-switched granules, or
+#          per-region table changes raise NotImplementedError — a DATA
+#          entry gap (ISO 11172-3 Table B.7/B.8 constants), stated as
+#          such and test-pinned; the decode MACHINERY is complete.
+#
+# Consequence for a user: mp3 dedup runs on the envelope rung
+# (exact/near-exact streams); spectral-level fingerprints for
+# differently-encoded identical audio additionally need tables 2–31 +
+# IMDCT/synthesis (the remaining honest gate in functions/mpa.py).
+
+_HUFF_BIG: dict[int, dict[tuple[int, int], tuple[int, int]] | None] = {
+    0: None,  # table 0: no bits, (0, 0) pairs
+    1: {(1, 0b1): (0, 0), (2, 0b01): (1, 0), (3, 0b001): (0, 1),
+        (3, 0b000): (1, 1)},
+}
+# encoder view: (x, y) -> (hlen, hcod)
+_HUFF_BIG_ENC = {
+    t: {xy: code for code, xy in tab.items()}
+    for t, tab in _HUFF_BIG.items()
+    if tab
+}
+
+
+def _huff_decode_pair(r: "_Bits", table: dict) -> tuple[int, int]:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | r.read(1)
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+        if length > 19:
+            raise ValueError("invalid Huffman code in big-values region")
+
+
+def encode_mp3_pulses(
+    spectra: list[list[int]],
+    gains: list[int],
+    rate: int = 48000,
+    bitrate_kbps: int = 128,
+    scalefacs: list[list[int]] | None = None,
+    scalefac_compress: int = 15,
+    scalefac_scale: int = 0,
+) -> bytes:
+    """Standard-conformant CBR mono Layer III frames whose big-values
+    region carries CALLER-CHOSEN quantized spectra coded with Huffman
+    table 1 (values ∈ {−1, 0, 1}; sign bit 1 = negative, emitted after
+    each nonzero code) — `encode_mp3_silence`'s sibling for the
+    spectral round-trip. `spectra[i]` is granule i's leading spectral
+    lines (even length ≤ 576; the tail is the all-zero region);
+    `gains[i]` its global_gain. part2_3_length is computed exactly
+    (scalefac bits + Huffman bits + sign bits), so the decoder's bit
+    accounting is genuinely exercised; all three region table_selects
+    are 1 (uniform, so region boundaries — a B.8 data gap — never
+    bind). The spectra parser must read every value back exactly."""
+    if len(spectra) != len(gains):
+        raise ValueError("one spectrum per granule gain")
+    if not gains:
+        raise ValueError("need at least one granule")
+    if rate not in _RATES or bitrate_kbps not in _BITRATES_L3:
+        raise ValueError("bad rate/bitrate")
+    if len(gains) % 2:
+        gains = gains + [gains[-1]]
+        spectra = spectra + [[]]
+    s1 = _SLEN1[scalefac_compress]
+    s2 = _SLEN2[scalefac_compress]
+    part2 = 11 * s1 + 10 * s2  # 21 long-block scalefacs, no scfsi
+    enc = _HUFF_BIG_ENC[1]
+    frame_len = 144 * bitrate_kbps * 1000 // rate
+    out = b""
+    for f in range(len(gains) // 2):
+        grs = []
+        for g in range(2):
+            ix = spectra[f * 2 + g]
+            if len(ix) % 2 or len(ix) > 576:
+                raise ValueError("spectrum must be even-length <= 576")
+            if any(abs(v) > 1 for v in ix):
+                raise ValueError("table-1 slice carries values in {-1,0,1}")
+            hb = _BitW()
+            for i in range(0, len(ix), 2):
+                x, y = abs(ix[i]), abs(ix[i + 1])
+                hlen, hcod = enc[(x, y)]
+                hb.write(hcod, hlen)
+                if x:
+                    hb.write(1 if ix[i] < 0 else 0, 1)
+                if y:
+                    hb.write(1 if ix[i + 1] < 0 else 0, 1)
+            grs.append((len(ix) // 2, hb))
+        si = _BitW()
+        si.write(0, 9)   # main_data_begin
+        si.write(0, 5)   # private
+        for _ in range(4):
+            si.write(0, 1)  # scfsi off: both granules carry scalefacs
+        for g in range(2):
+            big_values, hb = grs[g]
+            si.write(part2 + len(hb.bits), 12)
+            si.write(big_values, 9)
+            si.write(gains[f * 2 + g], 8)
+            si.write(scalefac_compress, 4)
+            si.write(0, 1)   # no window switching
+            for _ in range(3):
+                si.write(1, 5)   # table_select: table 1 everywhere
+            si.write(0, 4)   # region0_count
+            si.write(0, 3)   # region1_count
+            si.write(0, 1)   # preflag
+            si.write(scalefac_scale, 1)
+            si.write(0, 1)   # count1table_select
+        md = _BitW()
+        for g in range(2):
+            sf = (
+                scalefacs[f * 2 + g] if scalefacs is not None else [0] * 21
+            )
+            if len(sf) != 21:
+                raise ValueError("long-block granules carry 21 scalefacs")
+            for band in range(21):
+                sl = s1 if band < 11 else s2
+                if not 0 <= sf[band] < (1 << sl):
+                    raise ValueError("scalefac exceeds its field")
+                md.write(sf[band], sl)
+            md.bits.extend(grs[g][1].bits)
+        header = (
+            (0x7FF << 21) | (0x3 << 19) | (0x1 << 17) | (1 << 16)
+            | (_BITRATES_L3.index(bitrate_kbps) << 12)
+            | (_RATES.index(rate) << 10) | (0x3 << 6)
+        )
+        body = si.tobytes(17) + md.tobytes(frame_len - 4 - 17)
+        out += struct.pack(">I", header) + body
+    return out
+
+
+def parse_mp3_spectra(
+    b: bytes,
+    max_frames: int | None = None,
+    band_widths: list[int] | None = None,
+) -> dict:
+    """Decode an MPEG-1 Layer III stream through the big-values Huffman
+    region and the ISO 2.4.3.4 requantizer — the round-9 slice past the
+    envelope. Returns the envelope dict with each granule extended by
+    `ix` (quantized spectral values, sign applied) and `xr` (requantized
+    spectral lines).
+
+    `band_widths` maps spectral position → scale-factor band for the
+    attenuation term (sum = coverage of the scalefac'd region); when
+    None, streams with any nonzero scalefac or preflag raise — the B.8
+    per-rate band tables are spec data this slice doesn't ship, and
+    silently ignoring attenuation would be a wrong answer. Streams
+    selecting Huffman tables outside {0, 1}, carrying count1 spectral
+    data, mixing table_selects across regions, or using window
+    switching raise NotImplementedError (the remaining DATA gap; see
+    the slice note above)."""
+    granules: list[dict] = []
+    try:
+        rate, nch, bitrate0, n_frames, reservoir, pending = _walk_frames(
+            b, max_frames
+        )
+        for fi, (si, start) in enumerate(pending):
+            r = _Bits(reservoir, start * 8)
+            prev_by_ch: dict[int, list[int]] = {}
+            for gr in range(2):
+                for c in range(len(si["granules"][gr])):
+                    ch = si["granules"][gr][c]
+                    if ch["block_type"] != 0:
+                        raise NotImplementedError(
+                            "spectra slice covers long-block granules only"
+                        )
+                    bit0 = r.pos
+                    sf = _read_scalefacs(
+                        r, ch, gr, si["scfsi"][c], prev_by_ch.get(c)
+                    )
+                    if gr == 0:
+                        prev_by_ch[c] = sf
+                    sels = set(ch["table_select"])
+                    if len(sels) > 1:
+                        raise NotImplementedError(
+                            "per-region table changes need the B.8 region "
+                            "boundaries — outside the validated slice"
+                        )
+                    sel = ch["table_select"][0]
+                    if sel not in _HUFF_BIG:
+                        raise NotImplementedError(
+                            f"Huffman table {sel} not shipped (tables 2-31 "
+                            "are ISO B.7 data; the decode machinery is "
+                            "table-driven)"
+                        )
+                    tab = _HUFF_BIG[sel]
+                    ix: list[int] = []
+                    for _ in range(ch["big_values"]):
+                        x, y = (0, 0) if tab is None else _huff_decode_pair(
+                            r, tab
+                        )
+                        if x and r.read(1):
+                            x = -x
+                        if y and r.read(1):
+                            y = -y
+                        ix.extend((x, y))
+                    if r.pos < bit0 + ch["part2_3_length"]:
+                        raise NotImplementedError(
+                            "count1 spectral data present — count1 Huffman "
+                            "tables are outside the validated slice"
+                        )
+                    if r.pos > bit0 + ch["part2_3_length"]:
+                        raise ValueError(
+                            "Huffman decode overran part2_3_length"
+                        )
+                    if band_widths is None:
+                        if ch["preflag"] or any(sf):
+                            raise NotImplementedError(
+                                "nonzero scalefacs need band_widths (ISO "
+                                "B.8 per-rate tables — spec data this "
+                                "slice doesn't ship); pass them explicitly"
+                            )
+                        atten = [0.0] * len(ix)
+                    else:
+                        mult = 0.5 * (ch["scalefac_scale"] + 1)
+                        atten = []
+                        for band, width in enumerate(band_widths):
+                            a = mult * (sf[band] if band < len(sf) else 0)
+                            atten.extend([a] * width)
+                        atten.extend([0.0] * max(0, len(ix) - len(atten)))
+                    gain = 0.25 * (ch["global_gain"] - 210)
+                    xr = [
+                        0.0 if v == 0 else
+                        (1 if v > 0 else -1) * abs(v) ** (4.0 / 3.0)
+                        * 2.0 ** (gain - atten[i])
+                        for i, v in enumerate(ix)
+                    ]
+                    granules.append(
+                        {
+                            "frame": fi,
+                            "granule": gr,
+                            "channel": c,
+                            "global_gain": ch["global_gain"],
+                            "scalefac_scale": ch["scalefac_scale"],
+                            "block_type": ch["block_type"],
+                            "subblock_gain": ch["subblock_gain"],
+                            "scalefacs": sf,
+                            "ix": ix,
+                            "xr": xr,
+                        }
+                    )
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed mp3 stream: {e}") from e
+    if not granules:
+        raise ValueError("mp3 stream yielded no parsable granules")
+    return {
+        "rate": rate,
+        "nch": nch,
+        "bitrate_kbps": bitrate0,
+        "n_frames": n_frames,
+        "granules": granules,
+    }
+
+
 def _granule_bands(g: dict, n_bands: int = 9) -> list[float]:
     """Per-band log-domain loudness proxy of one granule: global_gain
     minus the scaled scalefactor attenuation, folded into `n_bands`

@@ -77,7 +77,7 @@ def _banded_keys(
     seed: int,
     base: str,
     band_key: str,
-    max_bucket: int,
+    max_bucket: int | None,
 ) -> DataFrame:
     """(_id, band, band_hash) LSH band keys over `_shingled_docs`
     output, bucket-capped and persisted — the shape every minhash
@@ -122,6 +122,13 @@ def _banded_keys(
     banded = signed.select("_id", F.explode(bands_col).alias("bk")).select(
         "_id", "bk.band", "bk.band_hash"
     )
+    if max_bucket is None:
+        # UNCAPPED — the stored-index maintenance shape: the cap is a
+        # property of the whole corpus, so an incrementally-maintained
+        # index stores raw band rows and consumers cap AT READ TIME
+        # (capped_band_index) over the full index, which equals the
+        # fresh build's cap over the full corpus bit-for-bit.
+        return track_persist(banded)
     bsz = F.count("*").over(Window.partitionBy("band", "band_hash"))
     return track_persist(
         banded.withColumn("_bsz", bsz)
@@ -310,7 +317,7 @@ def minhash_band_index(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     seed: int = 42,
     base: str = "xxhash64",
     band_key: str = "hash",
@@ -336,6 +343,179 @@ def minhash_band_index(
         max_bucket=max_bucket,
     )
     return banded.select(F.col("_id").alias(id_col), "band", "band_hash")
+
+
+def capped_band_index(index_df: DataFrame, max_bucket: int) -> DataFrame:
+    """Apply the LSH bucket cap AT READ TIME over a stored band index:
+    drop (band, band_hash) buckets larger than `max_bucket` before any
+    join goes quadratic. Over a full uncapped index this equals the
+    fresh build's cap over the full corpus exactly — which is what
+    lets `start_minhash_index_sink` maintain raw band rows and stay
+    bit-identical to a rebuild. One window exchange on the same
+    (band, band_hash) key every downstream join shuffles on."""
+    from pyspark.sql import Window
+
+    bsz = F.count("*").over(Window.partitionBy("band", "band_hash"))
+    return (
+        index_df.withColumn("_bsz", bsz)
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def start_minhash_index_sink(
+    spark,
+    source_table: str,
+    index_table: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    base: str = "xxhash64",
+    band_key: str = "hash",
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+):
+    """INCREMENTAL LSH band-index maintenance from the document
+    corpus's CHANGE FEED (round 9) — the dedup leg of the
+    maintained-artifact family (join views: streaming/sinks; lexical
+    index: invindex.start_bm25_index_sink; vector index:
+    similarity.start_ivf_index_sink; this). The corpus lives in a
+    TxTable and mutates; the stored (id, band, band_hash) table tracks
+    it WITHOUT ever re-shingling the corpus or scanning the index: per
+    micro-batch the touched doc_ids' band rows die via a file-backed
+    MoR key tombstone and the post-image texts run the signature
+    pipeline alone, merging back on (id, band).
+
+    The index stores UNCAPPED band rows — the bucket cap is a property
+    of the WHOLE corpus (a per-batch cap would diverge from a fresh
+    build), so consumers apply it at read time (`capped_band_index`),
+    which makes the maintained index BIT-IDENTICAL in effect to
+    `minhash_band_index` over the final corpus
+    (tests/test_dedup.py pins the row-set equality and the
+    pairs-level equality). Exactly-once: a `minhash_batch_id` stamp,
+    the batch's last commit carrying it (the join-sink discipline);
+    empty batches return unstamped (idempotent no-ops)."""
+    from pyspark.sql import Window as _W
+
+    from filesystemagent_spark.sources.txtable import TxTable
+    from filesystemagent_spark.streaming.sinks import _start_feed_sink
+
+    STAMP = "minhash_batch_id"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = TxTable(index_table)
+        applied = t.latest_app_value(STAMP)
+        if applied is not None and applied >= batch_id:
+            return  # replayed batch
+        pri = F.when(
+            F.col("_change_type") == "update_preimage", F.lit(0)
+        ).otherwise(F.lit(1))
+        w = _W.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(), pri.desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .cache()
+        )
+        try:
+            if latest.isEmpty():
+                return  # empty batch: idempotent no-op, unstamped
+            post = latest.filter(
+                F.col("_change_type").isin("insert", "upsert")
+            ).select(id_col, text_col)
+            new_rows = minhash_band_index(
+                post, id_col, text_col,
+                shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+                max_bucket=None, seed=seed, base=base, band_key=band_key,
+            ).repartitionByRange(8, "band", "band_hash")
+            if t.latest_version() == 0:
+                t.init(new_rows, app={STAMP: batch_id})
+                return
+            # a post-image doc with EMPTY shingles contributes zero
+            # rows — the delete still retires its old slice, so the
+            # index never carries rows for an emptied doc
+            has_new = not new_rows.isEmpty()
+            t.delete_keys(
+                latest.select(id_col), [id_col], mode="mor",
+                app=None if has_new else {STAMP: batch_id},
+            )
+            if has_new:
+                t.merge_into(new_rows, [id_col, "band"], app={STAMP: batch_id})
+        finally:
+            latest.unpersist()
+
+    return _start_feed_sink(
+        spark, source_table, checkpoint, apply_batch,
+        available_now=available_now,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+
+
+def minhash_pairs_from_index(
+    corpus_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    threshold: float = 0.5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Whole-corpus near-dup PAIRS answered from a STORED band index:
+    cap the index at read (`capped_band_index`), self-join on
+    (band, band_hash) for candidates, verify exact Jaccard on corpus
+    text touched ONLY for surfaced candidates (semi-join prune, the
+    `minhash_dedup_incremental` discipline). Returns (id_a, id_b,
+    jaccard), id_a < id_b. Run over an index maintained by
+    `start_minhash_index_sink`, the pair set is identical to
+    `minhash_near_dup_pairs*` re-signing the corpus — without the
+    signature pipeline ever running at query time."""
+    idx = capped_band_index(index_df, max_bucket)
+    left, right = idx.alias("l"), idx.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    touched = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = _shingled_docs(
+        corpus_df.join(touched, id_col, "left_semi"),
+        id_col, text_col, shingle_n,
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b"))
+    jac = F.col("_inter").cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("_inter")
+    ).cast("double")
+    if round_to is not None:
+        jac = F.round(jac, round_to)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_dedup_incremental(

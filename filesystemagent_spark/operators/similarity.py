@@ -751,6 +751,63 @@ def ivf_drift_info(index_dir: str, *, retrain_ratio: float = 0.90) -> dict:
     }
 
 
+def retrain_ivf_index(
+    spark,
+    source_table: str,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    max_iter: int = 5,
+) -> dict:
+    """Act on `ivf_drift_info`'s re-train signal: rebuild the coarse
+    quantizer from the LIVE corpus (k-means, k defaulting to the
+    current cell count), re-assign ONCE, and re-baseline the drift
+    ledger — the offline Faiss re-train recipe as one call. The sink's
+    `ivf_batch_id` stamp is carried forward so feed maintenance
+    resumes exactly where it left off (a replayed batch still
+    no-ops); the fresh assignment snapshot becomes the new
+    `ivf_cos_sum0`/`ivf_n0` baseline, so drift_ratio restarts at 1.0.
+    Run between drains (the CAS serializes against a live sink, but a
+    retrain racing a batch would waste one of the two). Returns the
+    post-retrain `ivf_drift_info`."""
+    import os as _os
+
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    cells_t = TxTable(_os.path.join(index_dir, "cells"))
+    cent_t = TxTable(_os.path.join(index_dir, "centroids"))
+    stamp = cells_t.latest_app_value("ivf_batch_id")
+    live = TxTable(source_table).read(spark)
+    n_cells = k if k is not None else cent_t.read(spark).count()
+    cents = kmeans_centroids(
+        live, k=n_cells, id_col=id_col, vec_col=vec_col, max_iter=max_iter
+    )
+    cent_t.overwrite(cents)
+    assigned = assign_cells(
+        live, cent_t.read(spark),
+        id_col=id_col, vec_col=vec_col, nprobe=1, keep_score=True,
+    ).cache()
+    try:
+        s, n = assigned.agg(
+            F.coalesce(F.sum("_cell_cos"), F.lit(0.0)), F.count("*")
+        ).first()
+        cells_t.overwrite(
+            assigned.drop("_cell_cos").repartitionByRange(8, "cell_id")
+        )
+        app = {
+            "ivf_cos_sum": float(s), "ivf_n": int(n),
+            "ivf_cos_sum0": float(s), "ivf_n0": int(n),
+        }
+        if stamp is not None:
+            app["ivf_batch_id"] = stamp
+        cells_t.commit_app(app)
+    finally:
+        assigned.unpersist()
+    return ivf_drift_info(index_dir)
+
+
 def read_cells_for_queries(
     spark,
     cells_table: str,

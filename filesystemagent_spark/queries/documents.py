@@ -1372,6 +1372,136 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_new", "dup_of")
 
 
+_MH_INC_SOURCE = """(
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 1 THEN text || ' lsh shift'
+                ELSE text END AS text
+    FROM documents
+    WHERE doc_id % 11 <> 5
+)"""
+
+
+@register(
+    "doc_minhash_incremental_index",
+    tags=("dedup", "lsh", "minhash", "txtable", "change-feed",
+          "incremental", "cross-engine"),
+    oracle=f"""
+WITH src AS (
+    SELECT * FROM {_MH_INC_SOURCE} s
+), toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+    FROM src
+), shingled AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(tk) - 1),
+                                        i -> array_to_string(tk[i:i+2], ' '))
+               END) AS sh
+    FROM toks
+), docs AS (
+    SELECT doc_id, sh FROM shingled WHERE len(sh) > 0
+), hs AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(t.s), 1, 15)) AS UBIGINT) % 2038074743 AS hv
+    FROM docs, UNNEST(docs.sh) AS t(s)
+), params(i, a, b) AS (VALUES {_MH_VALUES}),
+sig AS (
+    SELECT doc_id, p.i, MIN((p.a * hv + p.b) % 2038074743) AS mv
+    FROM hs CROSS JOIN params p
+    GROUP BY doc_id, p.i
+), bands AS (
+    SELECT doc_id, i // {_MH_N // _MH_BANDS} AS band,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS band_val
+    FROM sig GROUP BY doc_id, i // {_MH_N // _MH_BANDS}
+), bucket_ok AS (
+    SELECT band, band_val FROM bands GROUP BY band, band_val HAVING COUNT(*) <= 1000
+), bands_capped AS (
+    SELECT bands.* FROM bands JOIN bucket_ok USING (band, band_val)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands_capped a JOIN bands_capped b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+), verified AS (
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                 / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))),
+                 6) AS jaccard
+    FROM cand
+    JOIN docs da ON da.doc_id = cand.id_a
+    JOIN docs db ON db.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def doc_minhash_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED LSH band index (round 9) — the dedup
+    leg of the maintained-artifact family, completing the trilogy into
+    a quartet (join views, BM25 postings, IVF cells, and now the
+    MinHash band index). The corpus lives in a TxTable and mutates —
+    an initial subset (doc_id % 3 != 0), then one merge that INSERTS
+    the held-out docs and UPDATES every doc_id % 7 == 1 text
+    (appending ' lsh shift', deliberately changing shingles and
+    signatures), then a keyed DELETE of doc_id % 11 == 5 — while
+    `start_minhash_index_sink` (operators/dedup.py) tracks it from the
+    CHANGE FEED: touched docs' band rows die via file-backed key
+    tombstones and only the post-image texts run the signature
+    pipeline (the corpus is never re-shingled, the index never
+    rescanned). The final near-dup PAIR SET is answered from the
+    maintained index alone (`minhash_pairs_from_index`: read-time
+    bucket cap + banded self-join + semi-join-pruned exact-Jaccard
+    verify) and must be BIT-IDENTICAL to the full checkable pipeline
+    over the final corpus — which is exactly what the oracle computes
+    over the SQL-replayed DML. A missed band retraction, a stale
+    signature, or a double-merged row surfaces or hides a pair and
+    shifts the hash."""
+    import tempfile
+
+    from filesystemagent_spark.operators.dedup import (
+        minhash_pairs_from_index,
+        start_minhash_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    stage = tempfile.mkdtemp(prefix="mh_inc_idx_")
+    src = os.path.join(stage, "docs")
+    idx = os.path.join(stage, "index")
+    ckpt = os.path.join(stage, "ckpt")
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    mh = dict(
+        shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, seed=_MH_SEED,
+        base="md5", band_key="slice",
+    )
+    t = TxTable(src)
+    t.init(docs.filter(F.col("doc_id") % 3 != 0))                   # v1
+    start_minhash_index_sink(
+        spark, src, idx, ckpt, id_col="doc_id", text_col="text", **mh
+    ).awaitTermination()
+    upd = docs.filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 1)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit(" lsh shift")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t.merge_into(upd, ["doc_id"], change_feed=True)                 # v2
+    t.delete_keys(
+        docs.filter(F.col("doc_id") % 11 == 5).select("doc_id"),
+        ["doc_id"], change_feed=True,
+    )                                                               # v3
+    start_minhash_index_sink(
+        spark, src, idx, ckpt, id_col="doc_id", text_col="text", **mh
+    ).awaitTermination()
+    return minhash_pairs_from_index(
+        t.read(spark), TxTable(idx).read(spark), "doc_id", "text",
+        shingle_n=3, max_bucket=1000, threshold=0.4, round_to=6,
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "doc_simhash_pairs_checkable",
     tags=("dedup", "simhash", "cross-engine"),

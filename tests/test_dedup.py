@@ -359,3 +359,152 @@ def test_remove_duplicate_spans_matches_reference_model(spark):
             for r in remove_duplicate_spans(df, "doc_id", "text", n=n).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_minhash_feed_sink_tracks_dml_and_matches_fresh_build(
+    spark, sf_dir, tmp_path
+):
+    """The round-9 feed-driven LSH index maintenance
+    (operators/dedup.start_minhash_index_sink): the corpus TxTable
+    mutates (insert + text UPDATE that shifts signatures + keyed
+    DELETE) and the stored band index tracks it from the change feed —
+    band rows retract via key tombstones, only post-image texts run
+    the signature pipeline. The maintained index must equal a fresh
+    UNCAPPED minhash_band_index over the final corpus row-for-row, the
+    pairs answered from it (read-time cap) must equal the fresh
+    checkable pipeline's pairs, and an empty re-drain must publish
+    nothing (exactly-once stamp)."""
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_near_dup_pairs_checkable,
+        minhash_pairs_from_index,
+        start_minhash_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    src, idx, ckpt = (str(tmp_path / d) for d in ("docs", "idx", "ckpt"))
+    mh = dict(shingle_n=3, num_hashes=16, bands=4, seed=42,
+              base="md5", band_key="slice")
+    t = TxTable(src)
+    t.init(docs.filter(F.col("doc_id") % 3 != 0))
+    start_minhash_index_sink(spark, src, idx, ckpt, **mh).awaitTermination()
+    upd = docs.filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 1)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit(" lsh shift")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t.merge_into(upd, ["doc_id"], change_feed=True)
+    t.delete_keys(
+        docs.filter(F.col("doc_id") % 11 == 5).select("doc_id"),
+        ["doc_id"], change_feed=True,
+    )
+    start_minhash_index_sink(spark, src, idx, ckpt, **mh).awaitTermination()
+
+    final = t.read(spark)
+    idx_t = TxTable(idx)
+    maintained = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in idx_t.read(spark).collect()
+    }
+    fresh = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in minhash_band_index(
+            final, "doc_id", "text", max_bucket=None, **mh
+        ).collect()
+    }
+    assert maintained == fresh
+    # the update really changed at least one doc's band keys
+    assert any(r[0] % 7 == 1 for r in maintained)
+    shifted = {r for r in maintained if r[0] % 7 == 1}
+    pre_idx = minhash_band_index(
+        docs.filter(F.col("doc_id") % 7 == 1), "doc_id", "text",
+        max_bucket=None, **mh,
+    )
+    pre = {(r.doc_id, r.band, r.band_hash) for r in pre_idx.collect()}
+    assert shifted != pre  # stale signatures would have survived
+
+    got_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_pairs_from_index(
+            final, idx_t.read(spark), "doc_id", "text",
+            shingle_n=3, max_bucket=1000, threshold=0.4, round_to=6,
+        ).collect()
+    }
+    want_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_dup_pairs_checkable(
+            final, "doc_id", "text",
+            shingle_n=3, num_hashes=16, bands=4, threshold=0.4, seed=42,
+        ).withColumn("jaccard", F.round("jaccard", 6)).collect()
+    }
+    assert got_pairs == want_pairs
+
+    head = idx_t.latest_version()
+    start_minhash_index_sink(spark, src, idx, ckpt, **mh).awaitTermination()
+    assert idx_t.latest_version() == head  # exactly-once re-drain
+
+
+def test_minhash_feed_sink_crash_between_delete_and_merge(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Worst-point crash: the batch's key tombstone lands, the process
+    dies BEFORE the merge stamps. Restart must replay the batch once —
+    the re-delete is a redundant-but-harmless tombstone, the merge
+    lands and stamps — and converge to the fresh-build index."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.dedup import (
+        minhash_band_index,
+        start_minhash_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    src, idx, ckpt = (str(tmp_path / d) for d in ("docs", "idx", "ckpt"))
+    mh = dict(shingle_n=3, num_hashes=16, bands=4, seed=42,
+              base="md5", band_key="slice")
+    t = TxTable(src)
+    t.init(docs.filter(F.col("doc_id") % 2 == 0))
+    start_minhash_index_sink(spark, src, idx, ckpt, **mh).awaitTermination()
+    t.merge_into(
+        docs.filter(F.col("doc_id") % 2 == 1), ["doc_id"], change_feed=True
+    )
+
+    orig = TxTable.merge_into
+    boom = {"armed": True}
+
+    def failing(self, *a, **kw):
+        if boom["armed"] and self.path == idx:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before the index merge")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(TxTable, "merge_into", failing)
+    q = start_minhash_index_sink(spark, src, idx, ckpt, **mh)
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    idx_t = TxTable(idx)
+    assert idx_t.latest_app_value("minhash_batch_id") == 0  # stamp not advanced
+
+    start_minhash_index_sink(spark, src, idx, ckpt, **mh).awaitTermination()
+    maintained = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in idx_t.read(spark).collect()
+    }
+    fresh = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in minhash_band_index(
+            docs, "doc_id", "text", max_bucket=None, **mh
+        ).collect()
+    }
+    assert maintained == fresh

@@ -848,6 +848,78 @@ def test_ivf_drift_ledger_is_exact_and_flags_drift(spark, sf_dir, tmp_path):
     assert ivf_drift_info(idx) == info2
 
 
+def test_retrain_ivf_index_rebaselines_and_resumes_maintenance(
+    spark, sf_dir, tmp_path
+):
+    """Acting on the drift trigger: retrain_ivf_index rebuilds
+    centroids from the live corpus, re-assigns once, re-baselines the
+    ledger (drift_ratio back to 1.0), and CARRIES THE SINK'S STAMP so
+    maintenance resumes — a re-drain publishes nothing, and post-
+    retrain DML keeps the cells table bit-identical to a fresh assign
+    against the NEW centroids."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        ivf_drift_info,
+        retrain_ivf_index,
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(src)
+    t.init(emb.select("vec_id", "embedding"))
+    TxTable(os.path.join(idx, "centroids")).init(
+        S.centroids_from_labels(
+            emb, label_col="label", vec_col="embedding", dim=DIM
+        )
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    # drift the corpus hard, drain, confirm the trigger fires
+    t.merge_into(
+        emb.filter(F.col("vec_id") % 3 != 0).select(
+            "vec_id",
+            F.transform("embedding", lambda x: (-x).cast("float"))
+            .alias("embedding"),
+        ),
+        ["vec_id"], change_feed=True,
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    assert ivf_drift_info(idx)["drift_ratio"] < 1.0
+
+    info = retrain_ivf_index(spark, src, idx)
+    assert info["drift_ratio"] == 1.0          # fresh baseline
+    assert not info["retrain_recommended"]
+    assert info["n_rows"] == t.read(spark).count()
+
+    cells_t = TxTable(os.path.join(idx, "cells"))
+    head = cells_t.latest_version()
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    assert cells_t.latest_version() == head    # stamp carried: no replay
+
+    # maintenance continues against the NEW centroids
+    t.delete_keys(
+        emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    new_cents = TxTable(os.path.join(idx, "centroids")).read(spark)
+    maintained = {
+        (r.vec_id, r.cell_id) for r in cells_t.read(spark).collect()
+    }
+    fresh = {
+        (r.vec_id, r.cell_id)
+        for r in S.assign_cells(
+            t.read(spark), new_cents,
+            id_col="vec_id", vec_col="embedding", nprobe=1,
+        ).collect()
+    }
+    assert maintained == fresh
+
+
 def test_stored_ivf_probe_read_prunes_files(spark, sf_dir, tmp_path):
     """The stored cells table is staged CLUSTERED on cell_id, so the
     probe-pruned read (read_cells_for_queries) must scan only the

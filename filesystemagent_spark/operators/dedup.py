@@ -567,6 +567,28 @@ def minhash_dedup_incremental(
     idx = index_df.select(
         F.col(id_col).alias("_cid"), "band", "band_hash"
     )
+    return _incremental_pairs(
+        corpus_df, new_docs, new_banded, idx, id_col, text_col,
+        shingle_n=shingle_n, threshold=threshold, round_to=round_to,
+    )
+
+
+def _incremental_pairs(
+    corpus_df: DataFrame,
+    new_docs: DataFrame,
+    new_banded: DataFrame,
+    idx: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int,
+    threshold: float,
+    round_to: int | None,
+) -> DataFrame:
+    """The candidate + verify tail shared by `minhash_dedup_incremental`
+    and `minhash_dedup_against_stored_index`: batch-vs-index one-sided
+    join, within-batch self-join, semi-join-pruned exact-Jaccard
+    verify. `idx` is (_cid, band, band_hash)."""
     cross = (
         new_banded.join(idx, ["band", "band_hash"])
         # ids are expected disjoint between batch and corpus; the guard
@@ -612,6 +634,86 @@ def minhash_dedup_incremental(
 
     return _verify(cross, corpus_sh, "corpus").unionByName(
         _verify(within, new_docs, "batch")
+    )
+
+
+def minhash_dedup_against_stored_index(
+    spark,
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    index_table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    seed: int = 42,
+    threshold: float = 0.5,
+    base: str = "xxhash64",
+    band_key: str = "hash",
+    round_to: int | None = None,
+    probe_cap: int = 10_000,
+) -> DataFrame:
+    """`minhash_dedup_incremental` with the corpus index read from its
+    TxTable under a BUCKET-FOOTPRINT-pruned scan — the 100 TB batch
+    shape: the batch's distinct (band, band_hash) keys become a DNF
+    predicate ([band = b AND band_hash IN (...)] per band, OR across
+    bands) that the manifest's per-file min/max stats evaluate BEFORE
+    Spark plans the scan, so an index staged clustered on
+    (band, band_hash) — the sink's layout — reads only the files whose
+    key range intersects the batch's buckets. A small batch probes
+    O(batch·bands) buckets of a 10^5-file index and scan cost follows
+    the batch, not the index (files-read-gated in tests). Footprints
+    above `probe_cap` keys fall back to the full read (the predicate
+    itself would dominate).
+
+    Correctness under the read-time cap: file pruning never splits a
+    bucket — stats keep every file that may hold a probed key, so the
+    pruned read contains ALL rows of every probed bucket and
+    `capped_band_index` over it equals the full-index cap for exactly
+    the buckets the join can touch. Result is row-identical to
+    `minhash_dedup_incremental` over a build-capped in-memory index
+    (test-pinned)."""
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    new_docs = _shingled_docs(new_df, id_col, text_col, shingle_n)
+    new_banded = _banded_keys(
+        new_docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        base=base,
+        band_key=band_key,
+        max_bucket=max_bucket,
+    )
+    t = TxTable(index_table)
+    keys = (
+        new_banded.select("band", "band_hash").distinct()
+        .limit(probe_cap + 1).collect()
+    )
+    if not keys:
+        idx_raw = t.read(spark, where=[("band", "in", [])])  # empty batch
+    elif len(keys) > probe_cap:
+        idx_raw = t.read(spark)  # footprint too wide to be worth a predicate
+    else:
+        by_band: dict[int, list] = {}
+        for r in keys:
+            by_band.setdefault(r["band"], []).append(r["band_hash"])
+        idx_raw = t.read(
+            spark,
+            where=[
+                [("band", "=", b), ("band_hash", "in", sorted(vs))]
+                for b, vs in sorted(by_band.items())
+            ],
+        )
+    idx = capped_band_index(idx_raw, max_bucket).select(
+        F.col(id_col).alias("_cid"), "band", "band_hash"
+    )
+    return _incremental_pairs(
+        corpus_df, new_docs, new_banded, idx, id_col, text_col,
+        shingle_n=shingle_n, threshold=threshold, round_to=round_to,
     )
 
 

@@ -280,6 +280,21 @@ GRADE_ORDER = (
 # doc_mkv_video_dedup, and events_stream_interval_join_full hold graded
 # slots; displaced doc_bm25_search, doc_gif_video_dedup, and
 # events_stream_interval_join_outer (rationales inline above).
+# Round-10 rotation candidates (strongest round-9 arrivals not yet
+# graded, with the rows they would most defensibly displace):
+#   doc_minhash_incremental_index — feed-driven LSH band-index
+#       maintenance (insert + signature-shifting update + keyed
+#       delete), pairs from the maintained index bit-identical to the
+#       fresh checkable pipeline; candidate displacement:
+#       doc_minhash_pairs_checkable (its full signature pipeline is
+#       replayed INSIDE this query's oracle over the DML-replayed
+#       corpus, and it stays registered + sim-checked)
+#   doc_minhash_incremental_stored — the bucket-footprint-pruned
+#       stored-index batch dedup (same oracle as
+#       doc_minhash_incremental); candidate displacement:
+#       doc_minhash_incremental (same split-pipeline oracle, and the
+#       stored form adds the TxTable + stats-pruning surface — the one
+#       you'd run at 100 TB)
 
 
 def registry() -> dict[str, Query]:

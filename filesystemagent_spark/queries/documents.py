@@ -1270,11 +1270,7 @@ def doc_minhash_pairs_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "doc_minhash_incremental",
-    headline=True,
-    tags=("dedup", "lsh", "minhash", "incremental", "cross-engine"),
-    oracle=f"""
+_MH_INCREMENTAL_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
@@ -1340,7 +1336,14 @@ sig AS (
 )
 SELECT id_new, dup_of, jaccard, src FROM verified WHERE jaccard >= 0.4
 ORDER BY id_new, dup_of
-""",
+"""
+
+
+@register(
+    "doc_minhash_incremental",
+    headline=True,
+    tags=("dedup", "lsh", "minhash", "incremental", "cross-engine"),
+    oracle=_MH_INCREMENTAL_ORACLE,
 )
 def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus dedup — the continuous-ingest shape a 100 TB
@@ -1369,6 +1372,52 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS,
         seed=_MH_SEED, threshold=0.4, base="md5", band_key="slice",
         round_to=6,
+    ).orderBy("id_new", "dup_of")
+
+
+@register(
+    "doc_minhash_incremental_stored",
+    tags=("dedup", "lsh", "minhash", "incremental", "txtable",
+          "stats-pruning", "cross-engine"),
+    oracle=_MH_INCREMENTAL_ORACLE,
+)
+def doc_minhash_incremental_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`doc_minhash_incremental` answered from a STORED band index
+    under a bucket-footprint-pruned scan (round 9): the corpus's
+    UNCAPPED band rows live in a TxTable clustered on
+    (band, band_hash); the batch's distinct band keys become a DNF
+    predicate the manifest stats evaluate before Spark plans the scan
+    (operators/dedup.minhash_dedup_against_stored_index), and the
+    bucket cap is applied at read over the probed buckets — which
+    equals the in-memory build's corpus-wide cap exactly, so the SAME
+    oracle replays both forms. At 100 TB this is the difference
+    between scanning the whole band index per batch and reading
+    O(batch·bands) buckets' files; tests/test_dedup.py gates the
+    files actually read."""
+    import tempfile
+
+    from filesystemagent_spark.operators.dedup import (
+        minhash_dedup_against_stored_index,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    stage = tempfile.mkdtemp(prefix="mh_stored_idx_")
+    docs = _doc_text_rebalanced(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    mh = dict(shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS,
+              seed=_MH_SEED, base="md5", band_key="slice")
+    path = os.path.join(stage, "bandidx")
+    TxTable(path).init(
+        D.minhash_band_index(
+            corpus, "doc_id", "text", max_bucket=None, **mh
+        ).repartitionByRange(8, "band", "band_hash")
+    )
+    return minhash_dedup_against_stored_index(
+        spark, corpus, batch, path, "doc_id", "text",
+        max_bucket=1000, threshold=0.4, round_to=6, **mh,
     ).orderBy("id_new", "dup_of")
 
 

@@ -508,3 +508,78 @@ def test_minhash_feed_sink_crash_between_delete_and_merge(
         ).collect()
     }
     assert maintained == fresh
+
+
+def test_stored_index_dedup_prunes_bucket_footprint(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The 100 TB batch-dedup shape: deduping a SMALL batch against a
+    stored band index must read only the files whose key range
+    intersects the batch's (band, band_hash) footprint — the DNF
+    predicate reaches the manifest stats before Spark plans the scan —
+    and the result must be row-identical to minhash_dedup_incremental
+    over the in-memory build-capped index."""
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_against_stored_index,
+        minhash_dedup_incremental,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    # 2 fresh docs + 1 exact re-submission of a corpus doc under a new
+    # id — guarantees a non-vacuous corpus pair at jaccard 1.0
+    batch = docs.filter(F.col("doc_id") % 50 == 0).limit(2).unionByName(
+        corpus.orderBy("doc_id").limit(1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    kw = dict(shingle_n=3, num_hashes=16, bands=4, seed=42,
+              base="md5", band_key="slice")
+
+    path = str(tmp_path / "bandidx")
+    t = TxTable(path)
+    t.init(
+        minhash_band_index(corpus, "doc_id", "text", max_bucket=None, **kw)
+        .repartitionByRange(16, "band", "band_hash")
+    )
+    n_files = len(t.read(spark).inputFiles())
+    assert n_files >= 12  # enough granularity for pruning to matter
+
+    reads = []
+    orig = TxTable.read
+
+    def counting(self, *a, **kw2):
+        df = orig(self, *a, **kw2)
+        if kw2.get("where") is not None:
+            reads.append(len(df.inputFiles()))
+        return df
+
+    monkeypatch.setattr(TxTable, "read", counting)
+    got = {
+        (r.id_new, r.dup_of, r.jaccard, r.src)
+        for r in minhash_dedup_against_stored_index(
+            spark, corpus, batch, path, "doc_id", "text",
+            max_bucket=1000, threshold=0.2, round_to=6, **kw
+        ).collect()
+    }
+    monkeypatch.setattr(TxTable, "read", orig)
+    assert reads, "the stored-index read never used a predicate"
+    assert max(reads) < n_files, (reads, n_files)  # footprint pruned
+
+    idx_mem = minhash_band_index(
+        corpus, "doc_id", "text", max_bucket=1000, **kw
+    )
+    want = {
+        (r.id_new, r.dup_of, r.jaccard, r.src)
+        for r in minhash_dedup_incremental(
+            corpus, batch, idx_mem, "doc_id", "text",
+            max_bucket=1000, threshold=0.2, round_to=6, **kw
+        ).collect()
+    }
+    assert got == want
+    assert any(src == "corpus" and jac == 1.0 for *_, jac, src in got)

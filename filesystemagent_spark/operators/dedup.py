@@ -379,6 +379,8 @@ def start_minhash_index_sink(
     band_key: str = "hash",
     available_now: bool = True,
     max_versions_per_trigger: int | None = None,
+    fold_depth: int = 4,
+    fold_covered_frac: float = 0.5,
 ):
     """INCREMENTAL LSH band-index maintenance from the document
     corpus's CHANGE FEED (round 9) — the dedup leg of the
@@ -403,7 +405,10 @@ def start_minhash_index_sink(
     from pyspark.sql import Window as _W
 
     from filesystemagent_spark.sources.txtable import TxTable
-    from filesystemagent_spark.streaming.sinks import _start_feed_sink
+    from filesystemagent_spark.streaming.sinks import (
+        _maybe_fold_tombstones,
+        _start_feed_sink,
+    )
 
     STAMP = "minhash_batch_id"
 
@@ -447,6 +452,9 @@ def start_minhash_index_sink(
             )
             if has_new:
                 t.merge_into(new_rows, [id_col, "band"], app={STAMP: batch_id})
+            # delete-only runs stack MoR tombstones; fold under the
+            # shared sink policy (measured round 9, streaming/sinks.py)
+            _maybe_fold_tombstones(t, spark, fold_depth, fold_covered_frac)
         finally:
             latest.unpersist()
 

@@ -109,6 +109,8 @@ def start_bm25_index_sink(
     available_now: bool = True,
     max_versions_per_trigger: int | None = None,
     n_term_partitions: int = 8,
+    fold_depth: int = 4,
+    fold_covered_frac: float = 0.5,
 ):
     """INCREMENTAL index maintenance from the source corpus's CHANGE
     FEED (round 8) — the continuous-ingest twin of `build_bm25_index`,
@@ -143,13 +145,19 @@ def start_bm25_index_sink(
     (the `_join_view_apply` discipline). Empty batches return
     unstamped — idempotent no-ops. Query-path scores from the
     maintained index are bit-identical to a fresh full build over the
-    final corpus (pinned by tests/test_invindex.py and the
-    `doc_bm25_incremental_index` oracle)."""
+    final corpus (pinned by tests/test_training_queries.py and the
+    `doc_bm25_incremental_index` oracle). Round 9: the postings
+    table's MoR tombstones fold under the shared sink policy
+    (`fold_depth`/`fold_covered_frac`) — delete-only runs otherwise
+    stack one anti-join per batch over every covered read."""
     from pyspark.sql import Window
 
     from filesystemagent_spark.functions import text as T
     from filesystemagent_spark.sources.txtable import _merge_probe
-    from filesystemagent_spark.streaming.sinks import _start_feed_sink
+    from filesystemagent_spark.streaming.sinks import (
+        _maybe_fold_tombstones,
+        _start_feed_sink,
+    )
 
     post_path = os.path.join(index_dir, "postings")
     term_path = os.path.join(index_dir, "terms")
@@ -249,6 +257,9 @@ def start_bm25_index_sink(
                         post_t.merge_into(
                             new_post, ["term", "doc_id"], app=scalars
                         )
+                    _maybe_fold_tombstones(
+                        post_t, spark, fold_depth, fold_covered_frac
+                    )
             if not done_t:
                 per_term = lambda df, sign: (  # noqa: E731
                     df.select(F.explode(F.array_distinct("tk")).alias("term"))

@@ -561,6 +561,8 @@ def start_ivf_index_sink(
     vec_col: str = "embedding",
     available_now: bool = True,
     max_versions_per_trigger: int | None = None,
+    fold_depth: int = 4,
+    fold_covered_frac: float = 0.5,
 ):
     """INCREMENTAL IVF index maintenance from the embedding corpus's
     CHANGE FEED (round 8) — the vector leg of the maintained-artifact
@@ -603,7 +605,10 @@ def start_ivf_index_sink(
     from pyspark.sql import Window as _W
 
     from filesystemagent_spark.sources.txtable import TxTable
-    from filesystemagent_spark.streaming.sinks import _start_feed_sink
+    from filesystemagent_spark.streaming.sinks import (
+        _maybe_fold_tombstones,
+        _start_feed_sink,
+    )
 
     cells_path = _os.path.join(index_dir, "cells")
     cent_path = _os.path.join(index_dir, "centroids")
@@ -693,6 +698,11 @@ def start_ivf_index_sink(
             )
             if has_new:
                 cells_t.merge_into(staged, [id_col], app=scalars)
+            # delete-only runs stack MoR tombstones; fold under the
+            # shared sink policy (measured round 9, streaming/sinks.py)
+            _maybe_fold_tombstones(
+                cells_t, spark, fold_depth, fold_covered_frac
+            )
         finally:
             latest.unpersist()
             if assigned is not None:

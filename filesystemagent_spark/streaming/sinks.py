@@ -369,6 +369,26 @@ def _post_key_prune(post: DataFrame, on: str) -> list | None:
     return [(on, "in", p[1])]
 
 
+def _maybe_fold_tombstones(
+    t, spark, fold_depth: int, fold_covered_frac: float
+) -> None:
+    """The MoR tombstone-materialization policy every feed-driven sink
+    shares (SCALE.md-measured thresholds: fold when depth > 4 OR
+    covered_frac > 0.5). Post-image batches USUALLY self-materialize —
+    the merge rewrites the covered files, pruning the tombstone — but
+    DELETE-ONLY batches stack plainly (measured round 9: six
+    delete-only batches left the BM25 postings at depth 6 with
+    covered_frac 1.0 — every read paying six anti-joins over every
+    file), and a MIXED batch that deletes key A while upserting key B
+    leaves A's files covered. So the check runs after EVERY applying
+    batch, on BOTH thresholds. Layout-only commit: feed-transparent,
+    and exactly-once stamps are unaffected (latest_app_value walks
+    past it)."""
+    info = t.tombstone_info()
+    if info["depth"] > fold_depth or info["covered_frac"] > fold_covered_frac:
+        t.materialize_tombstones(spark)
+
+
 def _join_view_apply(
     derived_table: str,
     other_df_fn,
@@ -465,24 +485,9 @@ def _join_view_apply(
                 t.merge_into(
                     new_rows, merge_keys, app={stamp_key: batch_id}
                 )
-            info = t.tombstone_info()
-            if (
-                info["depth"] > fold_depth
-                or info["covered_frac"] > fold_covered_frac
-            ):
-                # post-image batches USUALLY self-materialize (the
-                # merge rewrites the covered files, pruning the
-                # tombstone — measured: depth returns to 0 after a
-                # same-key upsert batch), but a MIXED batch that
-                # deletes key A while upserting key B leaves A's files
-                # covered (the merge probe only spans B), and
-                # delete-only runs stack plainly — so the fold check
-                # runs after EVERY batch, at BOTH SCALE.md policy
-                # thresholds (a shallow tombstone covering most of the
-                # snapshot costs like a deep one). Layout-only commit:
-                # feed-transparent, stamps unaffected
-                # (latest_app_value walks past it).
-                t.materialize_tombstones(batch_df.sparkSession)
+            _maybe_fold_tombstones(
+                t, batch_df.sparkSession, fold_depth, fold_covered_frac
+            )
         finally:
             latest.unpersist()
             if new_rows is not None:

@@ -472,3 +472,68 @@ def test_bloom_contamination_never_undercounts_exact(spark, sf_dir):
     }
     assert set(bloom) == set(exact)
     assert all(bloom[d] >= exact[d] for d in exact)
+
+
+def test_bm25_sink_folds_tombstones_under_delete_only_load(
+    spark, sf_dir, tmp_path
+):
+    """Round 9 (measured gap): delete-only feed batches stack one MoR
+    tombstone each on the postings table — six batches left depth 6
+    with covered_frac 1.0, every read paying six anti-joins over every
+    file — because only merges self-materialize. The sinks now fold
+    under the shared policy (_maybe_fold_tombstones, depth > 4 OR
+    covered_frac > 0.5), so depth stays bounded through a delete-only
+    run and the index still answers bit-identical to a fresh build
+    over the surviving corpus."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.invindex import (
+        bm25_from_index,
+        build_bm25_index,
+        start_bm25_index_sink,
+    )
+    from filesystemagent_spark.queries.documents import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    src, idx, ckpt = (str(tmp_path / d) for d in ("docs", "idx", "ckpt"))
+    t = TxTable(src)
+    t.init(docs)
+    start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+    post_t = TxTable(os.path.join(idx, "postings"))
+
+    max_depth = 0
+    for i in range(6):
+        t.delete_keys(
+            docs.filter(F.col("doc_id") % 37 == i).select("doc_id"),
+            ["doc_id"], change_feed=True,
+        )
+        start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
+        max_depth = max(max_depth, post_t.tombstone_info()["depth"])
+    # pre-fix this reached 6 and kept growing; the policy folds at >4
+    # (or covered_frac > 0.5, which an all-files tombstone trips first)
+    assert max_depth <= 4, max_depth
+    assert post_t.tombstone_info()["covered_frac"] <= 0.5
+
+    survivors = docs.filter(~((F.col("doc_id") % 37).isin(*range(6))))
+    fresh = str(tmp_path / "fresh")
+    build_bm25_index(survivors, fresh, n_term_partitions=4)
+
+    def answer(d):
+        return [
+            (r.doc_id, r.bm25)
+            for r in bm25_from_index(
+                spark, d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+                top_k=_BM25_TOPK,
+            ).collect()
+        ]
+
+    assert answer(idx) == answer(fresh)

@@ -855,6 +855,90 @@ def read_cells_for_queries(
     return t.read(spark, where=[("cell_id", "in", probed)])
 
 
+def semdedup_incremental(
+    spark,
+    batch_df: DataFrame,
+    cells_table: str,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Semantic dedup of an INCOMING BATCH against an indexed corpus —
+    the SemDeDup continuous-ingest shape, and the vector twin of
+    `dedup.minhash_dedup_against_stored_index`: the corpus participates
+    ONLY through its stored cell-assignment table (maintained by
+    `start_ivf_index_sink`; the same artifact `knn_ivf` serves from),
+    read probe-pruned to exactly the batch's cells
+    (`read_cells_for_queries` — manifest stats skip every file whose
+    cell range the batch can't touch). Only the batch is assigned at
+    query time; the corpus is never re-embedded, re-assigned, or
+    fully scanned.
+
+    Published-recipe semantics (nprobe=1, same-cell comparisons only,
+    cosine >= threshold): returns (id_new, dup_of, cosine, src) where
+    src='corpus' pairs a batch row with an existing corpus row and
+    src='batch' pairs two batch rows (id_new > dup_of, keep-first).
+    Cost is Σ over probed cells of |batch_cell|·|corpus_cell| — the
+    batch bounds one side; a degenerate mega-cell should be split at
+    INDEX time (`semdedup_keys`' budget machinery) before this runs.
+    Exactness for the recipe is test-pinned: pairs equal a fresh
+    same-cell cosine sweep over the union corpus restricted to pairs
+    touching the batch."""
+    q = assign_cells(
+        batch_df.select(id_col, vec_col), centroids,
+        id_col=id_col, vec_col=vec_col, nprobe=1,
+    )
+    corpus_cells = read_cells_for_queries(
+        spark, cells_table, centroids, batch_df,
+        id_col=id_col, vec_col=vec_col, nprobe=1,
+    )
+    b = q.select(
+        F.col(id_col).alias("id_new"),
+        F.col(vec_col).alias("_bv"),
+        V.l2_norm(F.col(vec_col)).alias("_bn"),
+        "cell_id",
+    )
+    cos_c = V.cosine_from(F.col("_bv"), F.col("_cv"), F.col("_bn"), F.col("_cn"))
+    cos_b = V.cosine_from(F.col("l._bv"), F.col("r._bv"), F.col("l._bn"), F.col("r._bn"))
+    if round_to is not None:
+        cos_c = F.round(cos_c, round_to)
+        cos_b = F.round(cos_b, round_to)
+    c = corpus_cells.select(
+        F.col(id_col).alias("dup_of"),
+        F.col(vec_col).alias("_cv"),
+        V.l2_norm(F.col(vec_col)).alias("_cn"),
+        "cell_id",
+    )
+    cross = (
+        b.join(c, "cell_id")
+        # a re-submitted id never pairs with itself
+        .filter(F.col("id_new") != F.col("dup_of"))
+        .withColumn("cosine", cos_c)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_new", "dup_of", "cosine", F.lit("corpus").alias("src"))
+    )
+    within = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.cell_id") == F.col("r.cell_id"))
+            & (F.col("l.id_new") < F.col("r.id_new")),
+        )
+        .withColumn("cosine", cos_b)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("r.id_new").alias("id_new"),
+            F.col("l.id_new").alias("dup_of"),
+            "cosine",
+            F.lit("batch").alias("src"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,

@@ -998,3 +998,62 @@ def embedding_knn_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", vec_col="embedding", nprobe=2,
         ),
     ).orderBy("query_id", "rnk")
+
+
+@register(
+    "embedding_semdedup_incremental",
+    tags=("vector", "dedup", "semdedup", "txtable", "incremental",
+          "stats-pruning"),
+)
+def embedding_semdedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SEMANTIC dedup (round 9) — the SemDeDup
+    continuous-ingest shape and the vector twin of
+    `doc_minhash_incremental_stored`: the incoming batch (vec_id%4==0
+    plus one exact re-submission of a corpus vector under a synthetic
+    id, so the query is non-vacuous at any SF) dedups against the
+    corpus through the STORED cell table alone — the artifact
+    `start_ivf_index_sink` maintains and `knn_ivf` serves from — read
+    probe-pruned to exactly the batch's cells
+    (operators/similarity.semdedup_incremental). The corpus is never
+    re-embedded, re-assigned, or fully scanned; at 100 TB the batch
+    bounds one join side and manifest stats bound the other.
+    Approximate by construction (published recipe: same-cell
+    comparisons only) → rows-only; exactness vs a fresh same-cell
+    sweep over the union corpus is pinned in
+    tests/test_similarity.py::test_semdedup_incremental_matches_direct_same_cell_sweep."""
+    import os as _os
+    import tempfile
+
+    from filesystemagent_spark.operators.similarity import (
+        semdedup_incremental,
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    stage = tempfile.mkdtemp(prefix="semdedup_inc_")
+    src = _os.path.join(stage, "corpus")
+    idx = _os.path.join(stage, "index")
+    ckpt = _os.path.join(stage, "ckpt")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    TxTable(src).init(corpus.select("vec_id", "embedding"))
+    centroids = S.centroids_from_labels(
+        corpus, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(_os.path.join(idx, "centroids")).init(centroids)
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    batch = (
+        emb.filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            corpus.orderBy("vec_id").limit(1).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return semdedup_incremental(
+        spark, batch, _os.path.join(idx, "cells"), centroids,
+        threshold=0.9, round_to=6,
+    ).orderBy("id_new", "dup_of")

@@ -1019,3 +1019,96 @@ def test_registered_auto_knn_queries_meet_target_and_agree(spark):
     assert agree >= AUTO_TARGET_RECALL
     rs = [c["recall"] for c in meta["curve"]]
     assert all(b >= a - 1e-9 for a, b in zip(rs, rs[1:])), rs
+
+
+def test_semdedup_incremental_matches_direct_same_cell_sweep(
+    spark, sf_dir, tmp_path
+):
+    """Incremental semantic dedup (round 9): a batch dedups against
+    the corpus through the STORED cell table alone (the same artifact
+    the IVF sink maintains and knn_ivf serves from), probe-pruned to
+    the batch's cells. Pairs must equal a fresh same-cell cosine sweep
+    over the union corpus restricted to pairs touching the batch —
+    with guaranteed non-vacuous rows: an exact corpus re-submission
+    (src='corpus', cosine 1.0) and an exact within-batch duplicate
+    (src='batch', cosine 1.0)."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        semdedup_incremental,
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    dup_src = corpus.orderBy("vec_id").limit(1)
+    batch = (
+        emb.filter(F.col("vec_id") % 4 == 0)
+        .unionByName(dup_src.select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        ))
+        .unionByName(dup_src.select(
+            (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+        ))
+    )
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    TxTable(src).init(corpus)
+    centroids = S.centroids_from_labels(
+        Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 4 != 0),
+        label_col="label", vec_col="embedding", dim=DIM,
+    )
+    TxTable(os.path.join(idx, "centroids")).init(centroids)
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+
+    got = {
+        (r.id_new, r.dup_of, r.cosine, r.src)
+        for r in semdedup_incremental(
+            spark, batch, os.path.join(idx, "cells"), centroids,
+            threshold=0.95, round_to=6,
+        ).collect()
+    }
+
+    # direct sweep: fresh assignment of the UNION, same-cell pairs
+    # touching the batch at the same threshold
+    union = corpus.unionByName(batch)
+    assigned = S.assign_cells(
+        union, centroids, id_col="vec_id", vec_col="embedding", nprobe=1
+    )
+    from filesystemagent_spark.functions import vectors as V
+
+    a = assigned.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va"),
+        V.l2_norm(F.col("embedding")).alias("na"), "cell_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"),
+        V.l2_norm(F.col("embedding")).alias("nb"), "cell_id",
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn(
+            "cos",
+            F.round(
+                V.cosine_from(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= 0.95)
+        .collect()
+    )
+    batch_ids = {r.vec_id for r in batch.collect()}
+    want = set()
+    for r in pairs:
+        if r.ia in batch_ids and r.ib in batch_ids:
+            if r.ib > r.ia:
+                want.add((r.ib, r.ia, r.cos, "batch"))
+        elif r.ia in batch_ids and r.ib not in batch_ids:
+            want.add((r.ia, r.ib, r.cos, "corpus"))
+    assert got == want
+    base_id = dup_src.first().vec_id
+    assert (1000000 + base_id, base_id, 1.0, "corpus") in got
+    assert (2000000 + base_id, 1000000 + base_id, 1.0, "batch") in got

@@ -46,6 +46,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.dedup import start_minhash_index_sink
     from filesystemagent_spark.operators.invindex import start_bm25_index_sink
     from filesystemagent_spark.operators.similarity import (
         centroids_from_labels,
@@ -123,6 +124,38 @@ def main() -> None:
             start_bm25_index_sink(spark, src, idx, ckpt).awaitTermination()
 
         results.append(run(f"bm25_{copies}x", init, batch, drain))
+
+    # -- MinHash band index (round 9: the fourth maintained artifact) -
+    for copies in (1, 10):
+        big, span = replicate(docs, "doc_id", copies)
+        tmp = tempfile.mkdtemp(prefix=f"scal_mh_{copies}x_")
+        src, idx, ckpt = (os.path.join(tmp, d) for d in ("src", "idx", "ck"))
+        t = TxTable(src)
+
+        def init(t=t, big=big, src=src, idx=idx, ckpt=ckpt):
+            t.init(big.repartition(8))
+            start_minhash_index_sink(spark, src, idx, ckpt).awaitTermination()
+
+        def batch(i, t=t, docs=docs):
+            sl = docs.filter(
+                (F.col("doc_id") >= i * B) & (F.col("doc_id") < i * B + B)
+            )
+            t.merge_into(
+                sl.select(
+                    "doc_id",
+                    F.concat(F.col("text"), F.lit(f" rev{i}")).alias("text"),
+                ),
+                ["doc_id"], change_feed=True,
+            )
+            t.delete_keys(
+                sl.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+                ["doc_id"], change_feed=True,
+            )
+
+        def drain(src=src, idx=idx, ckpt=ckpt):
+            start_minhash_index_sink(spark, src, idx, ckpt).awaitTermination()
+
+        results.append(run(f"minhash_{copies}x", init, batch, drain))
 
     # -- IVF cell table ----------------------------------------------
     emb = cat.embeddings
@@ -227,7 +260,7 @@ def main() -> None:
     print("\nO(batch) check (10x table / 1x table mean per-batch ratio, "
           "PASS iff < 2.0):")
     ok = True
-    for sink in ("bm25", "ivf", "join"):
+    for sink in ("bm25", "minhash", "ivf", "join"):
         ratio = by[f"{sink}_10x"] / by[f"{sink}_1x"]
         verdict = "PASS" if ratio < 2.0 else "FAIL"
         ok = ok and ratio < 2.0

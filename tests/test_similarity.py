@@ -1112,3 +1112,75 @@ def test_semdedup_incremental_matches_direct_same_cell_sweep(
     base_id = dup_src.first().vec_id
     assert (1000000 + base_id, base_id, 1.0, "corpus") in got
     assert (2000000 + base_id, 1000000 + base_id, 1.0, "batch") in got
+
+
+def test_ivf_feed_sink_crash_between_delete_and_merge(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Worst-point crash for the IVF sink (the BM25/minhash sinks'
+    crash-replay gate applied to the third index sink): the batch's
+    key tombstone lands on the cells table, the process dies BEFORE
+    the merge stamps. Restart must replay the batch once — redundant
+    tombstone, then the merge lands with the stamp AND the drift
+    ledger applied exactly once — and converge to the fresh-assign
+    state with an exact ledger."""
+    import os
+
+    import pytest as _pytest
+
+    from filesystemagent_spark.operators.similarity import (
+        ivf_drift_info,
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(src)
+    t.init(emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"))
+    centroids = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(os.path.join(idx, "centroids")).init(centroids)
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    t.merge_into(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+        ["vec_id"], change_feed=True,
+    )
+
+    cells_path = os.path.join(idx, "cells")
+    orig = TxTable.merge_into
+    boom = {"armed": True}
+
+    def failing(self, *a, **kw):
+        if boom["armed"] and self.path == cells_path:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before the cells merge")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(TxTable, "merge_into", failing)
+    q = start_ivf_index_sink(spark, src, idx, ckpt)
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    cells_t = TxTable(cells_path)
+    assert cells_t.latest_app_value("ivf_batch_id") == 0  # stamp not advanced
+
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    final = t.read(spark)
+    maintained = {
+        (r.vec_id, r.cell_id) for r in cells_t.read(spark).collect()
+    }
+    fresh = S.assign_cells(
+        final, centroids, id_col="vec_id", vec_col="embedding", nprobe=1,
+        keep_score=True,
+    ).cache()
+    assert maintained == {(r.vec_id, r.cell_id) for r in fresh.collect()}
+    # the ledger applied exactly once: a double-applied replay would
+    # double the batch's cosine contribution
+    want_mean, want_n = fresh.agg(F.avg("_cell_cos"), F.count("*")).first()
+    info = ivf_drift_info(idx)
+    assert info["n_rows"] == want_n
+    assert abs(info["mean_assigned_cos"] - want_mean) < 1e-9
+    fresh.unpersist()

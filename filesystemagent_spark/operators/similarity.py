@@ -1401,6 +1401,102 @@ def pq_encode(
     return df.select(F.col(id_col), encode(vec_col).alias("codes"))
 
 
+def start_pq_index_sink(
+    spark,
+    source_table: str,
+    index_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    k_cells: int = 16,
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+    fold_depth: int = 4,
+    fold_covered_frac: float = 0.5,
+):
+    """INCREMENTAL PQ-codes maintenance from the embedding corpus's
+    CHANGE FEED (round 9) — the compressed-vector leg of the
+    maintained-artifact family: `embedding_knn_pq` today re-encodes
+    the corpus inside every query; at 100 TB the codes (16× smaller
+    than the raw vectors) are the thing you persist ONCE and serve
+    from. The corpus lives in a TxTable and mutates; the stored codes
+    table (`<index_dir>/codes`, the `codes` input of `knn_pq` /
+    `knn_pq_rerank`) tracks it: touched ids die via file-backed MoR
+    key tombstones, post-image vectors encode against the FIXED stored
+    codebook (`<index_dir>/codebook`, the Faiss train-once recipe —
+    same discipline as the IVF centroids, and `ivf_drift_info`'s
+    ledger pattern applies if a drift signal is ever needed) and merge
+    back. Encoding is a pure function of the codebook, so the
+    maintained codes are BIT-IDENTICAL to a fresh `pq_encode` over the
+    final corpus (test-pinned). Exactly-once: a `pq_batch_id` stamp,
+    the batch's last commit carrying it; tombstones fold under the
+    shared sink policy."""
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    from filesystemagent_spark.sources.txtable import TxTable
+    from filesystemagent_spark.streaming.sinks import (
+        _maybe_fold_tombstones,
+        _start_feed_sink,
+    )
+
+    codes_path = _os.path.join(index_dir, "codes")
+    book_path = _os.path.join(index_dir, "codebook")
+    STAMP = "pq_batch_id"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        codes_t = TxTable(codes_path)
+        applied = codes_t.latest_app_value(STAMP)
+        if applied is not None and applied >= batch_id:
+            return  # replayed batch
+        pri = F.when(
+            F.col("_change_type") == "update_preimage", F.lit(0)
+        ).otherwise(F.lit(1))
+        w = _W.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(), pri.desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .cache()
+        )
+        try:
+            if latest.isEmpty():
+                return  # empty batch: idempotent no-op, unstamped
+            post = latest.filter(
+                F.col("_change_type").isin("insert", "upsert")
+            ).select(id_col, vec_col)
+            encoded = pq_encode(
+                post, TxTable(book_path).read(spark),
+                id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k_cells,
+            )
+            if codes_t.latest_version() == 0:
+                codes_t.init(encoded, app={STAMP: batch_id})
+                return
+            has_new = not post.isEmpty()
+            codes_t.delete_keys(
+                latest.select(id_col), [id_col], mode="mor",
+                app=None if has_new else {STAMP: batch_id},
+            )
+            if has_new:
+                codes_t.merge_into(encoded, [id_col], app={STAMP: batch_id})
+            _maybe_fold_tombstones(
+                codes_t, spark, fold_depth, fold_covered_frac
+            )
+        finally:
+            latest.unpersist()
+
+    return _start_feed_sink(
+        spark, source_table, checkpoint, apply_batch,
+        available_now=available_now,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+
+
 def knn_pq(
     queries: DataFrame,
     codes: DataFrame,

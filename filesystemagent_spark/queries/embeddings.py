@@ -1057,3 +1057,76 @@ def embedding_semdedup_incremental(
         spark, batch, _os.path.join(idx, "cells"), centroids,
         threshold=0.9, round_to=6,
     ).orderBy("id_new", "dup_of")
+
+
+@register(
+    "embedding_stored_pq_incremental",
+    tags=("vector", "pq", "txtable", "change-feed", "incremental"),
+)
+def embedding_stored_pq_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTALLY MAINTAINED PQ codes (round 9 — the
+    compressed-vector leg of the maintained-artifact family):
+    `embedding_knn_pq` re-encodes the corpus inside the query; here
+    the 16×-smaller codes table is the PERSISTED artifact, maintained
+    from the corpus TxTable's CHANGE FEED by
+    `operators/similarity.start_pq_index_sink` (touched ids die via
+    file-backed key tombstones, post-images encode against the FIXED
+    stored codebook and merge back — the corpus is never re-encoded,
+    the Faiss train-once recipe). DML: initial three quarters, then a
+    merge that INSERTS the held-out quarter and UPDATES every
+    vec_id%7==2 embedding to its reverse (changing those codes), then
+    a keyed DELETE of vec_id%9==5. The final ADC top-k is answered
+    purely from the stored tables. Approximate by construction →
+    rows-only; the bit-exact maintained-vs-fresh-encode invariant and
+    stored-vs-in-memory answer equality are pinned in
+    tests/test_similarity.py::test_pq_feed_sink_tracks_dml_and_matches_fresh_encode."""
+    import os as _os
+    import tempfile
+
+    from filesystemagent_spark.operators.similarity import (
+        start_pq_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    stage = tempfile.mkdtemp(prefix="pq_inc_")
+    src = _os.path.join(stage, "corpus")
+    idx = _os.path.join(stage, "index")
+    ckpt = _os.path.join(stage, "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 4 != 0)
+    TxTable(src).init(corpus0)                                      # v1
+    book = S.pq_codebooks(
+        corpus0, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+        max_iter=2,
+    )
+    TxTable(_os.path.join(idx, "codebook")).init(book)
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    t = TxTable(src)
+    upd = emb.filter(
+        (F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 7 == 2)
+    ).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 2, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    t.merge_into(upd, ["vec_id"], change_feed=True)                 # v2
+    t.delete_keys(
+        emb.filter(F.col("vec_id") % 9 == 5).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )                                                               # v3
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    stored_book = TxTable(_os.path.join(idx, "codebook")).read(spark)
+    stored_codes = TxTable(_os.path.join(idx, "codes")).read(spark)
+    return S.knn_pq(
+        queries, stored_codes, stored_book, dim=DIM, m=8, k_cells=16, k=K
+    ).orderBy("query_id", "rnk")

@@ -1184,3 +1184,99 @@ def test_ivf_feed_sink_crash_between_delete_and_merge(
     assert info["n_rows"] == want_n
     assert abs(info["mean_assigned_cos"] - want_mean) < 1e-9
     fresh.unpersist()
+
+
+def test_pq_feed_sink_tracks_dml_and_matches_fresh_encode(
+    spark, sf_dir, tmp_path
+):
+    """The round-9 PQ-codes sink (the compressed-vector leg of the
+    maintained-artifact family): the normalized corpus mutates (insert
+    + vector UPDATE that changes codes + keyed DELETE) and the stored
+    codes table tracks it from the change feed against the FIXED
+    codebook. Encoding is a pure function of the codebook, so the
+    maintained codes must be BIT-IDENTICAL to a fresh pq_encode over
+    the final corpus, the stored-codes knn_pq answer must equal the
+    in-memory one, and an empty re-drain publishes nothing."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        start_pq_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 4 != 0)
+    TxTable(src).init(corpus0)
+    book = S.pq_codebooks(
+        corpus0, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+        max_iter=2,
+    )
+    TxTable(os.path.join(idx, "codebook")).init(book)
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    t = TxTable(src)
+    upd = emb.filter(
+        (F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 7 == 2)
+    ).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 2, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    t.merge_into(upd, ["vec_id"], change_feed=True)
+    t.delete_keys(
+        emb.filter(F.col("vec_id") % 9 == 5).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+
+    final = t.read(spark)
+    codes_t = TxTable(os.path.join(idx, "codes"))
+    maintained = {
+        (r.vec_id, tuple(r.codes)) for r in codes_t.read(spark).collect()
+    }
+    fresh_codes = S.pq_encode(
+        final, book, id_col="vec_id", vec_col="embedding", dim=DIM, m=8,
+        k=16,
+    )
+    fresh = {(r.vec_id, tuple(r.codes)) for r in fresh_codes.collect()}
+    assert maintained == fresh
+    # the update really changed at least one doc's codes
+    changed = (
+        codes_t.read(spark).alias("a")
+        .join(
+            S.pq_encode(
+                corpus0, book, id_col="vec_id", vec_col="embedding",
+                dim=DIM, m=8, k=16,
+            ).alias("b"),
+            "vec_id",
+        )
+        .filter("a.codes <> b.codes")
+        .count()
+    )
+    assert changed > 0
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    via_stored = S.knn_pq(
+        queries, codes_t.read(spark), book, dim=DIM, m=8, k_cells=16, k=K
+    ).collect()
+    direct = S.knn_pq(
+        queries, fresh_codes, book, dim=DIM, m=8, k_cells=16, k=K
+    ).collect()
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.rnk) for r in via_stored
+    ) == sorted((r.query_id, r.neighbor_id, r.rnk) for r in direct)
+
+    head = codes_t.latest_version()
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    assert codes_t.latest_version() == head  # exactly-once re-drain

@@ -583,3 +583,69 @@ def test_stored_index_dedup_prunes_bucket_footprint(
     }
     assert got == want
     assert any(src == "corpus" and jac == 1.0 for *_, jac, src in got)
+
+
+def test_stored_dedup_composes_with_sink_maintained_index(
+    spark, sf_dir, tmp_path
+):
+    """The continuous-ingest composition: the band index is MAINTAINED
+    by the feed sink while the corpus mutates, and a new batch dedups
+    against that maintained index — results must equal deduping
+    against a freshly-built index over the same final corpus (the
+    uncapped-store/cap-at-read discipline is what makes the two
+    identical)."""
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_against_stored_index,
+        start_minhash_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    src, idx, ckpt = (str(tmp_path / d) for d in ("docs", "idx", "ckpt"))
+    mh = dict(shingle_n=3, num_hashes=16, bands=4, seed=42,
+              base="md5", band_key="slice")
+    t = TxTable(src)
+    t.init(docs.filter(F.col("doc_id") % 2 == 0))
+    start_minhash_index_sink(spark, src, idx, ckpt, **mh).awaitTermination()
+    # corpus evolves: inserts + a deletion wave; the sink keeps up
+    t.merge_into(
+        docs.filter(F.col("doc_id") % 2 == 1), ["doc_id"], change_feed=True
+    )
+    t.delete_keys(
+        docs.filter(F.col("doc_id") % 13 == 3).select("doc_id"),
+        ["doc_id"], change_feed=True,
+    )
+    start_minhash_index_sink(spark, src, idx, ckpt, **mh).awaitTermination()
+
+    corpus = t.read(spark)
+    # the incoming batch: 2 fresh docs + an exact re-submission
+    batch = docs.filter(F.col("doc_id") % 97 == 0).limit(2).unionByName(
+        corpus.orderBy("doc_id").limit(1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    got = {
+        (r.id_new, r.dup_of, r.jaccard, r.src)
+        for r in minhash_dedup_against_stored_index(
+            spark, corpus, batch, idx, "doc_id", "text",
+            max_bucket=1000, threshold=0.2, round_to=6, **mh
+        ).collect()
+    }
+    fresh_path = str(tmp_path / "fresh")
+    TxTable(fresh_path).init(
+        minhash_band_index(corpus, "doc_id", "text", max_bucket=None, **mh)
+        .repartitionByRange(8, "band", "band_hash")
+    )
+    want = {
+        (r.id_new, r.dup_of, r.jaccard, r.src)
+        for r in minhash_dedup_against_stored_index(
+            spark, corpus, batch, fresh_path, "doc_id", "text",
+            max_bucket=1000, threshold=0.2, round_to=6, **mh
+        ).collect()
+    }
+    assert got == want
+    assert any(src == "corpus" and jac == 1.0 for *_, jac, src in got)

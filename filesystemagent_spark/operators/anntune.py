@@ -312,3 +312,58 @@ def knn_ivf_auto(
         nprobe=meta["nprobe"], corpus_cells=corpus_cells,
     )
     return out, meta
+
+
+def knn_stored_ivf_auto(
+    spark,
+    queries: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    target_recall: float = 0.8,
+    sample_queries: int = 10,
+) -> tuple[DataFrame, dict]:
+    """IVF auto-tune AGAINST THE STORED INDEX (round 9 — closes the
+    asymmetry where the auto paths existed only in-memory while the
+    stored path served a static nprobe=2 measured at 0.38 recall@10):
+    the tuner's exact baseline and every ladder rung read the stored
+    cells table (its rows carry the vectors, so the corpus is never
+    re-read or re-assigned), and the final serve goes through the
+    PROBE-PRUNED read at the chosen nprobe
+    (`read_cells_for_queries` — manifest stats skip non-probed files
+    exactly as the static stored path does). `index_dir` is a
+    `start_ivf_index_sink` / stored-index layout
+    (`<index_dir>/centroids`, `<index_dir>/cells`). Returns
+    (result, meta); meta is `tune_knn_ivf`'s (nprobe, recall_estimate,
+    met_target, curve) — IVF's ladder escalates to the provably-exact
+    nprobe = n_cells, so met_target is always True."""
+    import os as _os
+
+    from filesystemagent_spark.operators.similarity import (
+        read_cells_for_queries,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    centroids = TxTable(_os.path.join(index_dir, "centroids")).read(spark)
+    cells_path = _os.path.join(index_dir, "cells")
+    cells = track_persist(TxTable(cells_path).read(spark))
+    try:
+        meta = tune_knn_ivf(
+            queries, cells.select(id_col, vec_col), centroids,
+            id_col=id_col, vec_col=vec_col, k=k,
+            target_recall=target_recall, sample_queries=sample_queries,
+            corpus_cells=cells,
+        )
+    finally:
+        cells.unpersist()
+    out = knn_ivf(
+        queries, None, centroids, id_col=id_col, vec_col=vec_col,
+        k=k, nprobe=meta["nprobe"],
+        corpus_cells=read_cells_for_queries(
+            spark, cells_path, centroids, queries,
+            id_col=id_col, vec_col=vec_col, nprobe=meta["nprobe"],
+        ),
+    )
+    return out, meta

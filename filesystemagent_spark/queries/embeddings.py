@@ -1130,3 +1130,55 @@ def embedding_stored_pq_incremental(
     return S.knn_pq(
         queries, stored_codes, stored_book, dim=DIM, m=8, k_cells=16, k=K
     ).orderBy("query_id", "rnk")
+
+
+def embedding_knn_stored_ivf_auto_with_meta(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """The registered stored-auto query's full result: (rows, tuner
+    meta) — exposed so the pytest gate asserts the estimate and the
+    realized agreement on the same path the registry runs."""
+    import os as _os
+    import tempfile
+
+    from filesystemagent_spark.operators.anntune import knn_stored_ivf_auto
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    stage = tempfile.mkdtemp(prefix="ivf_auto_idx_")
+    centroids = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(_os.path.join(stage, "centroids")).init(centroids)
+    TxTable(_os.path.join(stage, "cells")).init(
+        S.assign_cells(
+            emb.select("vec_id", "embedding"), centroids,
+            id_col="vec_id", vec_col="embedding", nprobe=1,
+        ).repartitionByRange(8, "cell_id")
+    )
+    out, meta = knn_stored_ivf_auto(
+        spark, queries, stage, id_col="vec_id", vec_col="embedding",
+        k=K, target_recall=AUTO_TARGET_RECALL, sample_queries=N_QUERIES,
+    )
+    return out.orderBy("query_id", "rnk"), meta
+
+
+@register(
+    "embedding_knn_stored_ivf_auto",
+    tags=("vector", "ann", "ivf", "txtable", "auto-tuned", "scale"),
+)
+def embedding_knn_stored_ivf_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Auto-tuned ANN served from the STORED IVF index (round 9):
+    `embedding_knn_stored_ivf` probes a static nprobe=2 (measured 0.38
+    recall@10 at sf0.1, RECALL.md); this surface tunes nprobe against
+    the stored cells table itself (the tuner never re-reads or
+    re-assigns the corpus — the cells rows carry the vectors) and
+    serves through the probe-pruned read at the chosen nprobe. The
+    stored twin of `embedding_knn_ivf_auto`; IVF's ladder ends at the
+    provably-exact nprobe = n_cells, so the target is always met.
+    Rows-only; the recall + estimate-equals-realized-agreement gate
+    lives in tests/test_similarity.py."""
+    return embedding_knn_stored_ivf_auto_with_meta(spark, sf_dir)[0]

@@ -1020,6 +1020,21 @@ def test_registered_auto_knn_queries_meet_target_and_agree(spark):
     rs = [c["recall"] for c in meta["curve"]]
     assert all(b >= a - 1e-9 for a, b in zip(rs, rs[1:])), rs
 
+    # STORED-index auto (round 9): tuned against the cells table
+    # itself, served through the probe-pruned read — unconditional
+    # like the in-memory IVF tuner, and the stored serve must realize
+    # the agreement the sampled estimate promised
+    from filesystemagent_spark.queries.embeddings import (
+        embedding_knn_stored_ivf_auto_with_meta,
+    )
+
+    out, meta = embedding_knn_stored_ivf_auto_with_meta(spark, sf01)
+    assert meta["met_target"]
+    assert meta["recall_estimate"] >= AUTO_TARGET_RECALL
+    agree = len(exact & _pairs(out.collect())) / len(exact)
+    assert agree >= AUTO_TARGET_RECALL
+    assert abs(agree - meta["recall_estimate"]) < 1e-9
+
 
 def test_semdedup_incremental_matches_direct_same_cell_sweep(
     spark, sf_dir, tmp_path

@@ -295,6 +295,12 @@ GRADE_ORDER = (
 #       doc_minhash_incremental (same split-pipeline oracle, and the
 #       stored form adds the TxTable + stats-pruning surface — the one
 #       you'd run at 100 TB)
+# The other round-9 arrivals (embedding_semdedup_incremental,
+# embedding_stored_pq_incremental, embedding_knn_stored_ivf_auto) are
+# approximate/rows-only by construction and cannot enter the
+# all-oracle window; their quality bars live in tests/test_similarity.py
+# (exactness-vs-direct-sweep, fresh-encode bit-identity, and the
+# estimate-equals-realized-agreement recall gate respectively).
 
 
 def registry() -> dict[str, Query]:

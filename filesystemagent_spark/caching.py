@@ -40,6 +40,31 @@ def tracked_count() -> int:
     return len(_TRACKED)
 
 
+def tracked_mark() -> int:
+    """A position marker for `release_tracked_since` — scoped release
+    for long-running hosts that must drop THEIR intermediates without
+    draining a caller's (a feed sink's per-batch release is the
+    motivating case: thousands of micro-batches would otherwise
+    accumulate tracked entries for the session's lifetime)."""
+    return len(_TRACKED)
+
+
+def release_tracked_since(mark: int, blocking: bool = False) -> int:
+    """Unpersist every intermediate tracked after `mark` (from
+    `tracked_mark`). Interleaved tracking from a concurrent query can
+    hand this a stranger's entry — unpersist just costs that query a
+    recompute, never correctness."""
+    released = 0
+    while len(_TRACKED) > mark:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking)
+            released += 1
+        except Exception:
+            pass
+    return released
+
+
 def release_tracked_caches(blocking: bool = False) -> int:
     """Unpersist every tracked intermediate; returns how many were
     released. Safe to call at any time: unpersist on an already-freed

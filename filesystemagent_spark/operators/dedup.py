@@ -413,10 +413,19 @@ def start_minhash_index_sink(
     STAMP = "minhash_batch_id"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from filesystemagent_spark.caching import (
+            release_tracked_since,
+            tracked_mark,
+        )
+
         t = TxTable(index_table)
         applied = t.latest_app_value(STAMP)
         if applied is not None and applied >= batch_id:
             return  # replayed batch
+        # the signature pipeline track-persists two intermediates per
+        # call; a continuous sink must release ITS OWN per batch or a
+        # long-lived drain accumulates them for the session's lifetime
+        mark = tracked_mark()
         pri = F.when(
             F.col("_change_type") == "update_preimage", F.lit(0)
         ).otherwise(F.lit(1))
@@ -457,6 +466,7 @@ def start_minhash_index_sink(
             _maybe_fold_tombstones(t, spark, fold_depth, fold_covered_frac)
         finally:
             latest.unpersist()
+            release_tracked_since(mark)
 
     return _start_feed_sink(
         spark, source_table, checkpoint, apply_batch,

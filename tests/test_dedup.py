@@ -4,6 +4,7 @@ topologies the gate oracle can't reach (chains, multi-hop merges)."""
 
 from __future__ import annotations
 
+from filesystemagent_spark.catalog import Catalog
 from filesystemagent_spark.operators.dedup import (
     hamming_near_dup_pairs,
     near_dup_clusters,
@@ -649,3 +650,36 @@ def test_stored_dedup_composes_with_sink_maintained_index(
     }
     assert got == want
     assert any(src == "corpus" and jac == 1.0 for *_, jac, src in got)
+
+
+def test_minhash_sink_releases_its_tracked_caches(spark, sf_dir, tmp_path):
+    """A continuous sink must not grow the tracked-persist registry
+    per micro-batch: after N drains the registry is back at its
+    pre-sink mark (the signature pipeline's intermediates are
+    released inside apply_batch, not left for the session hook)."""
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.caching import tracked_count
+    from filesystemagent_spark.operators.dedup import (
+        start_minhash_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    src, idx, ckpt = (str(tmp_path / d) for d in ("docs", "idx", "ckpt"))
+    t = TxTable(src)
+    t.init(docs.filter(F.col("doc_id") % 2 == 0))
+    for i in range(3):  # source DML first — its own merges track caches
+        t.merge_into(
+            docs.filter(F.col("doc_id") % 7 == i).select(
+                "doc_id",
+                F.concat("text", F.lit(f" r{i}")).alias("text"),
+            ),
+            ["doc_id"], change_feed=True,
+        )
+    before = tracked_count()
+    # one version per trigger -> four separate apply_batch invocations
+    start_minhash_index_sink(
+        spark, src, idx, ckpt, max_versions_per_trigger=1
+    ).awaitTermination()
+    assert tracked_count() == before

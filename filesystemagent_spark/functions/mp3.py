@@ -355,6 +355,8 @@ def encode_mp3_pulses(
     if len(gains) % 2:
         gains = gains + [gains[-1]]
         spectra = spectra + [[]]
+        if scalefacs is not None:
+            scalefacs = list(scalefacs) + [[0] * 21]  # pad like the rest
     s1 = _SLEN1[scalefac_compress]
     s2 = _SLEN2[scalefac_compress]
     part2 = 11 * s1 + 10 * s2  # 21 long-block scalefacs, no scfsi
@@ -504,6 +506,16 @@ def parse_mp3_spectra(
                             )
                         atten = [0.0] * len(ix)
                     else:
+                        if ch["preflag"]:
+                            # ISO 2.4.3.4's term is scalefac + preflag·
+                            # pretab — pretab is another table of spec
+                            # constants this slice doesn't ship, and
+                            # silently dropping it would be a wrong
+                            # answer (the None branch's own rule)
+                            raise NotImplementedError(
+                                "preflag pretab attenuation is outside "
+                                "the validated slice"
+                            )
                         mult = 0.5 * (ch["scalefac_scale"] + 1)
                         atten = []
                         for band, width in enumerate(band_widths):
@@ -647,6 +659,8 @@ def encode_mp3_silence(
         raise ValueError("not a Layer III bitrate")
     if len(gains) % 2:
         gains = gains + [gains[-1]]
+        if scalefacs is not None:
+            scalefacs = list(scalefacs) + [[0] * 21]  # pad like gains
     s1 = _SLEN1[scalefac_compress]
     s2 = _SLEN2[scalefac_compress]
     flags = scfsi or [0, 0, 0, 0]

@@ -402,11 +402,10 @@ def start_minhash_index_sink(
     pairs-level equality). Exactly-once: a `minhash_batch_id` stamp,
     the batch's last commit carrying it (the join-sink discipline);
     empty batches return unstamped (idempotent no-ops)."""
-    from pyspark.sql import Window as _W
-
     from filesystemagent_spark.sources.txtable import TxTable
     from filesystemagent_spark.streaming.sinks import (
-        _maybe_fold_tombstones,
+        _apply_index_batch,
+        _batch_images,
         _start_feed_sink,
     )
 
@@ -426,17 +425,7 @@ def start_minhash_index_sink(
         # call; a continuous sink must release ITS OWN per batch or a
         # long-lived drain accumulates them for the session's lifetime
         mark = tracked_mark()
-        pri = F.when(
-            F.col("_change_type") == "update_preimage", F.lit(0)
-        ).otherwise(F.lit(1))
-        w = _W.partitionBy(id_col).orderBy(
-            F.col("_commit_version").desc(), pri.desc()
-        )
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .cache()
-        )
+        imgs, latest, _ = _batch_images(batch_df, id_col)
         try:
             if latest.isEmpty():
                 return  # empty batch: idempotent no-op, unstamped
@@ -448,24 +437,17 @@ def start_minhash_index_sink(
                 shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
                 max_bucket=None, seed=seed, base=base, band_key=band_key,
             ).repartitionByRange(8, "band", "band_hash")
-            if t.latest_version() == 0:
-                t.init(new_rows, app={STAMP: batch_id})
-                return
             # a post-image doc with EMPTY shingles contributes zero
-            # rows — the delete still retires its old slice, so the
-            # index never carries rows for an emptied doc
-            has_new = not new_rows.isEmpty()
-            t.delete_keys(
-                latest.select(id_col), [id_col], mode="mor",
-                app=None if has_new else {STAMP: batch_id},
+            # rows — has_new comes from new_rows (not post), so the
+            # delete still retires an emptied doc's old slice
+            _apply_index_batch(
+                t, spark, batch_id=batch_id, stamp_key=STAMP,
+                latest=latest, id_col=id_col, new_rows=new_rows,
+                merge_keys=[id_col, "band"],
+                fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
             )
-            if has_new:
-                t.merge_into(new_rows, [id_col, "band"], app={STAMP: batch_id})
-            # delete-only runs stack MoR tombstones; fold under the
-            # shared sink policy (measured round 9, streaming/sinks.py)
-            _maybe_fold_tombstones(t, spark, fold_depth, fold_covered_frac)
         finally:
-            latest.unpersist()
+            imgs.unpersist()
             release_tracked_since(mark)
 
     return _start_feed_sink(

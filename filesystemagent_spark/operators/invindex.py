@@ -150,11 +150,10 @@ def start_bm25_index_sink(
     table's MoR tombstones fold under the shared sink policy
     (`fold_depth`/`fold_covered_frac`) — delete-only runs otherwise
     stack one anti-join per batch over every covered read."""
-    from pyspark.sql import Window
-
     from filesystemagent_spark.functions import text as T
     from filesystemagent_spark.sources.txtable import _merge_probe
     from filesystemagent_spark.streaming.sinks import (
+        _batch_images,
         _maybe_fold_tombstones,
         _start_feed_sink,
     )
@@ -171,38 +170,17 @@ def start_bm25_index_sink(
         done_t = at is not None and at >= batch_id
         if done_p and done_t:
             return  # fully replayed batch
-        pri = F.when(
-            F.col("_change_type") == "update_preimage", F.lit(0)
-        ).otherwise(F.lit(1))
-        w_last = Window.partitionBy(id_col).orderBy(
-            F.col("_commit_version").desc(), pri.desc()
-        )
-        # the BEFORE state of a key is its earliest pre-state image in
-        # the batch: update_preimage/delete sort before their version's
-        # post-image, and a key first seen as insert/upsert did not
-        # exist before the batch
-        pre_pri = F.when(
-            F.col("_change_type").isin("update_preimage", "delete"), F.lit(0)
-        ).otherwise(F.lit(1))
-        w_first = Window.partitionBy(id_col).orderBy(
-            F.col("_commit_version").asc(), pre_pri.asc()
-        )
-        imgs = batch_df.withColumn(
-            "_rn_last", F.row_number().over(w_last)
-        ).withColumn("_rn_first", F.row_number().over(w_first))
+        # the shared change-feed reduction (streaming/sinks); this sink
+        # keeps its own two-table tail — the postings and terms halves
+        # stamp independently, which _apply_index_batch can't express
+        imgs, latest_imgs, before_imgs = _batch_images(batch_df, id_col)
         tokenized = lambda df: df.select(  # noqa: E731
             F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("tk")
         )
-        before = tokenized(
-            imgs.filter(
-                (F.col("_rn_first") == 1)
-                & F.col("_change_type").isin("update_preimage", "delete")
-            )
-        ).cache()
+        before = tokenized(before_imgs).cache()
         after = tokenized(
-            imgs.filter(
-                (F.col("_rn_last") == 1)
-                & F.col("_change_type").isin("insert", "upsert")
+            latest_imgs.filter(
+                F.col("_change_type").isin("insert", "upsert")
             )
         ).cache()
         try:
@@ -317,6 +295,7 @@ def start_bm25_index_sink(
         finally:
             before.unpersist()
             after.unpersist()
+            imgs.unpersist()
 
     return _start_feed_sink(
         spark, source_table, checkpoint, apply_batch,

@@ -602,11 +602,10 @@ def start_ivf_index_sink(
     the measured recall-vs-ratio policy lives in SCALE.md/RECALL.md."""
     import os as _os
 
-    from pyspark.sql import Window as _W
-
     from filesystemagent_spark.sources.txtable import TxTable
     from filesystemagent_spark.streaming.sinks import (
-        _maybe_fold_tombstones,
+        _apply_index_batch,
+        _batch_images,
         _start_feed_sink,
     )
 
@@ -619,25 +618,11 @@ def start_ivf_index_sink(
         applied = cells_t.latest_app_value(STAMP)
         if applied is not None and applied >= batch_id:
             return  # replayed batch
-        pri = F.when(
-            F.col("_change_type") == "update_preimage", F.lit(0)
-        ).otherwise(F.lit(1))
-        w = _W.partitionBy(id_col).orderBy(
-            F.col("_commit_version").desc(), pri.desc()
-        )
-        # the BEFORE state of a key is its earliest pre-state image in
-        # the batch (update_preimage/delete sort before their version's
-        # post-image; a key first seen as insert did not exist before)
-        pre_pri = F.when(
-            F.col("_change_type").isin("update_preimage", "delete"), F.lit(0)
-        ).otherwise(F.lit(1))
-        w_first = _W.partitionBy(id_col).orderBy(
-            F.col("_commit_version").asc(), pre_pri.asc()
-        )
-        imgs = batch_df.withColumn(
-            "_rn", F.row_number().over(w)
-        ).withColumn("_rn_first", F.row_number().over(w_first))
-        latest = imgs.filter(F.col("_rn") == 1).cache()
+        # refuse to assign against mid-retrain centroids: merging
+        # new-regime assignments into an old-regime cells table would
+        # mix regimes permanently (see retrain_ivf_index)
+        _check_ivf_epochs(index_dir)
+        imgs, latest, before = _batch_images(batch_df, id_col)
         assigned = None
         cents = TxTable(cent_path).read(spark)
         try:
@@ -645,10 +630,6 @@ def start_ivf_index_sink(
                 return  # empty batch: idempotent no-op, unstamped
             post = latest.filter(
                 F.col("_change_type").isin("insert", "upsert")
-            ).select(id_col, vec_col)
-            before = imgs.filter(
-                (F.col("_rn_first") == 1)
-                & F.col("_change_type").isin("update_preimage", "delete")
             ).select(id_col, vec_col)
             # staged CLUSTERED on cell_id: every file covers a tight
             # cell range, so manifest stats skipping serves the probe
@@ -663,7 +644,7 @@ def start_ivf_index_sink(
                 F.coalesce(F.sum("_cell_cos"), F.lit(0.0)), F.count("*")
             ).first()
             b_sum, b_n = assign_cells(
-                before, cents,
+                before.select(id_col, vec_col), cents,
                 id_col=id_col, vec_col=vec_col, nprobe=1, keep_score=True,
             ).agg(
                 F.coalesce(F.sum("_cell_cos"), F.lit(0.0)), F.count("*")
@@ -671,40 +652,30 @@ def start_ivf_index_sink(
             staged = assigned.drop("_cell_cos").repartitionByRange(
                 8, "cell_id"
             )
-            if cells_t.latest_version() == 0:
-                cells_t.init(
-                    staged,
-                    app={
-                        STAMP: batch_id,
-                        "ivf_cos_sum": float(a_sum), "ivf_n": int(a_n),
-                        "ivf_cos_sum0": float(a_sum), "ivf_n0": int(a_n),
-                    },
-                )
-                return
-            scalars = {
-                STAMP: batch_id,
-                "ivf_cos_sum": float(
-                    cells_t.latest_app_value("ivf_cos_sum") or 0.0
-                ) + float(a_sum) - float(b_sum),
-                "ivf_n": int(cells_t.latest_app_value("ivf_n") or 0)
-                + int(a_n) - int(b_n),
-                "ivf_cos_sum0": cells_t.latest_app_value("ivf_cos_sum0"),
-                "ivf_n0": cells_t.latest_app_value("ivf_n0"),
-            }
-            has_new = not post.isEmpty()
-            cells_t.delete_keys(
-                latest.select(id_col), [id_col], mode="mor",
-                app=None if has_new else scalars,
-            )
-            if has_new:
-                cells_t.merge_into(staged, [id_col], app=scalars)
-            # delete-only runs stack MoR tombstones; fold under the
-            # shared sink policy (measured round 9, streaming/sinks.py)
-            _maybe_fold_tombstones(
-                cells_t, spark, fold_depth, fold_covered_frac
+            _apply_index_batch(
+                cells_t, spark, batch_id=batch_id, stamp_key=STAMP,
+                latest=latest, id_col=id_col, new_rows=staged,
+                merge_keys=[id_col],
+                app_extra_init={
+                    "ivf_cos_sum": float(a_sum), "ivf_n": int(a_n),
+                    "ivf_cos_sum0": float(a_sum), "ivf_n0": int(a_n),
+                },
+                app_extra={
+                    "ivf_cos_sum": float(
+                        cells_t.latest_app_value("ivf_cos_sum") or 0.0
+                    ) + float(a_sum) - float(b_sum),
+                    "ivf_n": int(cells_t.latest_app_value("ivf_n") or 0)
+                    + int(a_n) - int(b_n),
+                    "ivf_cos_sum0": cells_t.latest_app_value("ivf_cos_sum0"),
+                    "ivf_n0": cells_t.latest_app_value("ivf_n0"),
+                },
+                # the ledger agg already counted the post rows — no
+                # extra isEmpty action (review finding)
+                has_new=int(a_n) > 0,
+                fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
             )
         finally:
-            latest.unpersist()
+            imgs.unpersist()
             if assigned is not None:
                 assigned.unpersist()
 
@@ -738,6 +709,7 @@ def ivf_drift_info(index_dir: str, *, retrain_ratio: float = 0.90) -> dict:
 
     from filesystemagent_spark.sources.txtable import TxTable
 
+    _check_ivf_epochs(index_dir)  # a mid-retrain ledger would be a lie
     t = TxTable(_os.path.join(index_dir, "cells"))
     vals = {
         k: t.latest_app_value(k)
@@ -761,6 +733,39 @@ def ivf_drift_info(index_dir: str, *, retrain_ratio: float = 0.90) -> dict:
     }
 
 
+def ivf_index_epochs(index_dir: str) -> tuple[int, int]:
+    """(centroids epoch, cells epoch) — the retrain-consistency stamps
+    `retrain_ivf_index` writes to BOTH tables. Equal epochs mean the
+    centroids and the cell assignments belong to the same regime;
+    centroids ahead means a retrain crashed between its two table
+    publishes (review finding: the two overwrites cannot be atomic
+    across tables, so the gap must be DETECTABLE and RECOVERABLE
+    instead). Tables that never retrained carry no stamp → (0, 0)."""
+    import os as _os
+
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    e_cent = TxTable(_os.path.join(index_dir, "centroids")).latest_app_value(
+        "ivf_retrain_epoch"
+    )
+    e_cells = TxTable(_os.path.join(index_dir, "cells")).latest_app_value(
+        "ivf_retrain_epoch"
+    )
+    return int(e_cent or 0), int(e_cells or 0)
+
+
+def _check_ivf_epochs(index_dir: str) -> None:
+    e_cent, e_cells = ivf_index_epochs(index_dir)
+    if e_cent != e_cells:
+        raise ValueError(
+            f"IVF index {index_dir} is mid-retrain (centroids epoch "
+            f"{e_cent} vs cells epoch {e_cells}) — a retrain crashed "
+            "between its table publishes; run retrain_ivf_index to "
+            "complete it (it resumes by re-assigning against the "
+            "already-published centroids)"
+        )
+
+
 def retrain_ivf_index(
     spark,
     source_table: str,
@@ -780,8 +785,18 @@ def retrain_ivf_index(
     no-ops); the fresh assignment snapshot becomes the new
     `ivf_cos_sum0`/`ivf_n0` baseline, so drift_ratio restarts at 1.0.
     Run between drains (the CAS serializes against a live sink, but a
-    retrain racing a batch would waste one of the two). Returns the
-    post-retrain `ivf_drift_info`."""
+    retrain racing a batch would waste one of the two).
+
+    Crash consistency (review finding): the centroids and cells
+    publishes are two commits on two tables — not atomic. Both carry
+    a monotone `ivf_retrain_epoch`, centroids FIRST: a crash between
+    the publishes leaves the centroids epoch ahead, which every
+    consumer path detects loudly (`ivf_drift_info`, the IVF sink's
+    apply_batch) instead of serving mixed-regime answers, and a rerun
+    of THIS function detects it too and RESUMES — it skips the
+    k-means and completes the interrupted retrain by re-assigning
+    against the already-published centroids. Returns the post-retrain
+    `ivf_drift_info`."""
     import os as _os
 
     from filesystemagent_spark.sources.txtable import TxTable
@@ -790,11 +805,21 @@ def retrain_ivf_index(
     cent_t = TxTable(_os.path.join(index_dir, "centroids"))
     stamp = cells_t.latest_app_value("ivf_batch_id")
     live = TxTable(source_table).read(spark)
-    n_cells = k if k is not None else cent_t.read(spark).count()
-    cents = kmeans_centroids(
-        live, k=n_cells, id_col=id_col, vec_col=vec_col, max_iter=max_iter
-    )
-    cent_t.overwrite(cents)
+    e_cent, e_cells = ivf_index_epochs(index_dir)
+    if e_cent == e_cells:
+        # normal path: train and publish new centroids, epoch bumped
+        n_cells = k if k is not None else cent_t.read(spark).count()
+        cents = kmeans_centroids(
+            live, k=n_cells, id_col=id_col, vec_col=vec_col,
+            max_iter=max_iter,
+        )
+        epoch = e_cent + 1
+        cent_t.overwrite(cents)
+        cent_t.commit_app({"ivf_retrain_epoch": epoch})
+    else:
+        # resume an interrupted retrain: the new centroids already
+        # landed; only the cells half is missing
+        epoch = e_cent
     assigned = assign_cells(
         live, cent_t.read(spark),
         id_col=id_col, vec_col=vec_col, nprobe=1, keep_score=True,
@@ -809,6 +834,7 @@ def retrain_ivf_index(
         app = {
             "ivf_cos_sum": float(s), "ivf_n": int(n),
             "ivf_cos_sum0": float(s), "ivf_n0": int(n),
+            "ivf_retrain_epoch": epoch,
         }
         if stamp is not None:
             app["ivf_batch_id"] = stamp
@@ -887,14 +913,42 @@ def semdedup_incremental(
     Exactness for the recipe is test-pinned: pairs equal a fresh
     same-cell cosine sweep over the union corpus restricted to pairs
     touching the batch."""
-    q = assign_cells(
-        batch_df.select(id_col, vec_col), centroids,
-        id_col=id_col, vec_col=vec_col, nprobe=1,
+    from filesystemagent_spark.caching import track_persist
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    # ONE assignment pass serves both the batch keys and the probe
+    # footprint (review finding: read_cells_for_queries would re-run
+    # assign_cells over the same batch just to collect the cell ids).
+    # track_persist: the probe collect materializes it, the returned
+    # plan reuses it, the session release hook drains it.
+    q = track_persist(
+        assign_cells(
+            batch_df.select(id_col, vec_col), centroids,
+            id_col=id_col, vec_col=vec_col, nprobe=1,
+        )
     )
-    corpus_cells = read_cells_for_queries(
-        spark, cells_table, centroids, batch_df,
-        id_col=id_col, vec_col=vec_col, nprobe=1,
+    probed = [r.cell_id for r in q.select("cell_id").distinct().collect()]
+    t = TxTable(cells_table)
+    corpus_cells = (
+        t.read(spark, where=[("cell_id", "in", probed)])
+        if probed
+        else t.read(spark)
     )
+    return _semdedup_pairs(
+        q, corpus_cells, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, round_to=round_to,
+    )
+
+
+def _semdedup_pairs(
+    q: DataFrame,
+    corpus_cells: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_to: int | None,
+) -> DataFrame:
     b = q.select(
         F.col(id_col).alias("id_new"),
         F.col(vec_col).alias("_bv"),
@@ -1436,11 +1490,10 @@ def start_pq_index_sink(
     shared sink policy."""
     import os as _os
 
-    from pyspark.sql import Window as _W
-
     from filesystemagent_spark.sources.txtable import TxTable
     from filesystemagent_spark.streaming.sinks import (
-        _maybe_fold_tombstones,
+        _apply_index_batch,
+        _batch_images,
         _start_feed_sink,
     )
 
@@ -1453,17 +1506,7 @@ def start_pq_index_sink(
         applied = codes_t.latest_app_value(STAMP)
         if applied is not None and applied >= batch_id:
             return  # replayed batch
-        pri = F.when(
-            F.col("_change_type") == "update_preimage", F.lit(0)
-        ).otherwise(F.lit(1))
-        w = _W.partitionBy(id_col).orderBy(
-            F.col("_commit_version").desc(), pri.desc()
-        )
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .cache()
-        )
+        imgs, latest, _ = _batch_images(batch_df, id_col)
         try:
             if latest.isEmpty():
                 return  # empty batch: idempotent no-op, unstamped
@@ -1474,21 +1517,14 @@ def start_pq_index_sink(
                 post, TxTable(book_path).read(spark),
                 id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k_cells,
             )
-            if codes_t.latest_version() == 0:
-                codes_t.init(encoded, app={STAMP: batch_id})
-                return
-            has_new = not post.isEmpty()
-            codes_t.delete_keys(
-                latest.select(id_col), [id_col], mode="mor",
-                app=None if has_new else {STAMP: batch_id},
-            )
-            if has_new:
-                codes_t.merge_into(encoded, [id_col], app={STAMP: batch_id})
-            _maybe_fold_tombstones(
-                codes_t, spark, fold_depth, fold_covered_frac
+            _apply_index_batch(
+                codes_t, spark, batch_id=batch_id, stamp_key=STAMP,
+                latest=latest, id_col=id_col, new_rows=encoded,
+                merge_keys=[id_col],
+                fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
             )
         finally:
-            latest.unpersist()
+            imgs.unpersist()
 
     return _start_feed_sink(
         spark, source_table, checkpoint, apply_batch,

@@ -369,6 +369,97 @@ def _post_key_prune(post: DataFrame, on: str) -> list | None:
     return [(on, "in", p[1])]
 
 
+def _batch_images(batch_df: DataFrame, id_col: str):
+    """The change-feed reduction every index sink shares (round-9
+    review finding: four sinks had pasted copies of these windows, so
+    an image-ordering fix would have to land identically in four
+    files). Returns (imgs, latest, before):
+
+    - ``latest``  — each key's LAST image in the batch
+      (update_preimage sorts before its version's post-image, so a
+      version's own pre-image always loses);
+    - ``before``  — each key's pre-batch state: its EARLIEST pre-state
+      image (update_preimage/delete sort first within a version; a key
+      first seen as insert/upsert did not exist before the batch) —
+      the subtraction side for ledgers and df deltas.
+
+    ``imgs`` is CACHED (both filters and any downstream build share
+    one execution of the batch windows); the caller must unpersist it
+    when the batch completes."""
+    from pyspark.sql import Window
+
+    pri = F.when(
+        F.col("_change_type") == "update_preimage", F.lit(0)
+    ).otherwise(F.lit(1))
+    w_last = Window.partitionBy(id_col).orderBy(
+        F.col("_commit_version").desc(), pri.desc()
+    )
+    pre_pri = F.when(
+        F.col("_change_type").isin("update_preimage", "delete"), F.lit(0)
+    ).otherwise(F.lit(1))
+    w_first = Window.partitionBy(id_col).orderBy(
+        F.col("_commit_version").asc(), pre_pri.asc()
+    )
+    imgs = (
+        batch_df.withColumn("_rn_last", F.row_number().over(w_last))
+        .withColumn("_rn_first", F.row_number().over(w_first))
+        .cache()
+    )
+    latest = imgs.filter(F.col("_rn_last") == 1)
+    before = imgs.filter(
+        (F.col("_rn_first") == 1)
+        & F.col("_change_type").isin("update_preimage", "delete")
+    )
+    return imgs, latest, before
+
+
+def _apply_index_batch(
+    t,
+    spark,
+    *,
+    batch_id: int,
+    stamp_key: str,
+    latest: DataFrame,
+    id_col: str,
+    new_rows: DataFrame,
+    merge_keys: list[str],
+    app_extra: dict | None = None,
+    app_extra_init: dict | None = None,
+    has_new: bool | None = None,
+    fold_depth: int = 4,
+    fold_covered_frac: float = 0.5,
+) -> None:
+    """The init / tombstone+merge / fold tail every single-table index
+    sink shares, with the last-commit-carries-stamp discipline: the
+    batch's LAST commit carries {stamp_key: batch_id} (+ app_extra) —
+    the merge when new rows exist, else the delete (delete_keys falls
+    back to an app-only commit when its stats prove the delete a
+    no-op). ``app_extra_init`` overrides the extras on the init path
+    (e.g. the IVF drift ledger's baseline snapshot); ``has_new`` lets
+    a caller that already counted the new rows (a ledger agg) skip
+    the extra isEmpty action."""
+    from filesystemagent_spark.sources.txtable import TxTable  # noqa: F401
+
+    if t.latest_version() == 0:
+        t.init(
+            new_rows,
+            app={stamp_key: batch_id, **(app_extra_init or app_extra or {})},
+        )
+        return
+    app = {stamp_key: batch_id, **(app_extra or {})}
+    if has_new is None:
+        has_new = not new_rows.isEmpty()
+    t.delete_keys(
+        latest.select(id_col), [id_col], mode="mor",
+        app=None if has_new else app,
+    )
+    if has_new:
+        t.merge_into(new_rows, merge_keys, app=app)
+    # delete-only runs stack MoR tombstones; fold under the shared
+    # policy (measured round 9: depth 6 / covered_frac 1.0 pre-fix)
+    _maybe_fold_tombstones(t, spark, fold_depth, fold_covered_frac)
+
+
 def _maybe_fold_tombstones(
     t, spark, fold_depth: int, fold_covered_frac: float
 ) -> None:

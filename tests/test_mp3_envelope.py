@@ -285,3 +285,38 @@ def test_pulses_spectra_survive_hypothesis_roundtrip():
         assert got == want
 
     roundtrip()
+
+
+def test_odd_granule_count_with_scalefacs_pads_cleanly():
+    """Review finding (round 9): an odd granule count with per-granule
+    scalefacs must pad the scalefacs alongside gains/spectra instead
+    of raising IndexError on the padded granule — in BOTH encoders."""
+    sfs3 = [[(g + b) % 8 for b in range(21)] for g in range(3)]
+    b = M3.encode_mp3_pulses([[1, 0]] * 3, [210] * 3, scalefacs=sfs3)
+    got = M3.parse_mp3_spectra(b, band_widths=[21])["granules"]
+    assert [g["scalefacs"] for g in got[:3]] == sfs3
+    assert got[3]["scalefacs"] == [0] * 21  # the pad granule
+    s = M3.encode_mp3_silence([100] * 3, scalefacs=sfs3)
+    env = M3.parse_mp3_envelope(s)
+    assert [g["scalefacs"] for g in env["granules"][:3]] == sfs3
+
+
+def test_preflag_is_gated_in_both_branches():
+    """Review finding (round 9): preflag=1 must raise with OR without
+    band_widths — the pretab is spec data this slice doesn't ship, and
+    silently dropping its attenuation term would be a wrong answer."""
+    b = M3.encode_mp3_pulses([[1, 0], [0, 0]], [210, 210])
+    # flip the preflag bit of granule 0 in the side info: it sits
+    # immediately after table_select(3x5) + region0(4) + region1(3)
+    # = 9 (mdb) + 5 (priv) + 4 (scfsi) + 12 + 9 + 8 + 4 + 1 + 15 + 4
+    # + 3 = 74 bits into the side info, i.e. bit 2 of byte 9
+    raw = bytearray(b)
+    si0 = 4  # header only, no CRC
+    raw[si0 + 74 // 8] ^= 1 << (7 - 74 % 8)
+    flipped = bytes(raw)
+    env = M3.parse_mp3_envelope(flipped)  # envelope parse unaffected
+    assert env["n_frames"] == 1
+    with pytest.raises(NotImplementedError, match="band_widths"):
+        M3.parse_mp3_spectra(flipped)
+    with pytest.raises(NotImplementedError, match="pretab"):
+        M3.parse_mp3_spectra(flipped, band_widths=[2])

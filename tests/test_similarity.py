@@ -1295,3 +1295,94 @@ def test_pq_feed_sink_tracks_dml_and_matches_fresh_encode(
         spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
     ).awaitTermination()
     assert codes_t.latest_version() == head  # exactly-once re-drain
+
+
+def test_retrain_crash_between_publishes_is_detected_and_resumed(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Review finding (round 9): retrain_ivf_index publishes centroids
+    and cells in two non-atomic commits. A crash between them must be
+    (a) DETECTED loudly by every consumer (ivf_drift_info and the sink
+    refuse mixed-regime answers via the epoch stamps) and (b)
+    RECOVERED by re-running retrain_ivf_index, which must resume —
+    re-assign against the already-published centroids WITHOUT
+    re-training — and converge to a consistent epoch with an exact
+    fresh ledger."""
+    import os
+
+    import pytest as _pytest
+
+    from filesystemagent_spark.operators.similarity import (
+        ivf_drift_info,
+        ivf_index_epochs,
+        retrain_ivf_index,
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(src)
+    t.init(emb.select("vec_id", "embedding"))
+    TxTable(os.path.join(idx, "centroids")).init(
+        S.centroids_from_labels(
+            emb, label_col="label", vec_col="embedding", dim=DIM
+        )
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+
+    cells_path = os.path.join(idx, "cells")
+    orig = TxTable.overwrite
+    boom = {"armed": True}
+
+    def failing(self, *a, **kw):
+        if boom["armed"] and self.path == cells_path:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before the cells publish")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(TxTable, "overwrite", failing)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        retrain_ivf_index(spark, src, idx)
+
+    assert ivf_index_epochs(idx) == (1, 0)  # centroids ahead: mid-retrain
+    with _pytest.raises(ValueError, match="mid-retrain"):
+        ivf_drift_info(idx)
+    # the sink refuses to merge new-regime assignments: push DML and
+    # drain — the leg must fail loudly, not mix regimes
+    t.merge_into(
+        emb.limit(5).select("vec_id", "embedding"), ["vec_id"],
+        change_feed=True,
+    )
+    q = start_ivf_index_sink(spark, src, idx, ckpt)
+    with _pytest.raises(Exception, match="mid-retrain"):
+        q.awaitTermination()
+
+    new_cents = {
+        (r.cell_id, tuple(r.centroid))
+        for r in TxTable(os.path.join(idx, "centroids")).read(spark).collect()
+    }
+    info = retrain_ivf_index(spark, src, idx)  # resume path
+    assert ivf_index_epochs(idx) == (1, 1)     # converged, NOT re-bumped
+    assert {
+        (r.cell_id, tuple(r.centroid))
+        for r in TxTable(os.path.join(idx, "centroids")).read(spark).collect()
+    } == new_cents                              # resume did not re-train
+    assert info["drift_ratio"] == 1.0
+    maintained = {
+        (r.vec_id, r.cell_id)
+        for r in TxTable(cells_path).read(spark).collect()
+    }
+    fresh = {
+        (r.vec_id, r.cell_id)
+        for r in S.assign_cells(
+            t.read(spark),
+            TxTable(os.path.join(idx, "centroids")).read(spark),
+            id_col="vec_id", vec_col="embedding", nprobe=1,
+        ).collect()
+    }
+    assert maintained == fresh
+    # and the sink resumes cleanly after recovery
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()

@@ -3128,3 +3128,84 @@ def test_join_sink_bounds_tombstone_depth_under_mixed_batches(spark, tmp_path):
         for r in d.read(spark).select("pk", "v", "dim").collect()
     )
     assert got == want
+
+
+def test_batch_images_reduction_matches_model(spark):
+    """Property test for the change-feed reduction every index sink
+    now shares (streaming/sinks._batch_images): for random valid
+    per-key op sequences spanning multiple commits, `latest` must be
+    each key's final image (post-image of the last upsert/insert, or
+    the delete/preimage row when the key ends deleted) and `before`
+    must be exactly the pre-batch state of keys that existed before
+    the batch (the first op's pre-image), absent for keys born inside
+    the batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from filesystemagent_spark.streaming.sinks import _batch_images
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=5),       # key
+            st.tuples(
+                st.booleans(),                            # exists before?
+                st.lists(
+                    st.sampled_from(["insert", "update", "delete"]),
+                    min_size=1, max_size=4,
+                ),
+            ),
+            min_size=1, max_size=4,
+        )
+    )
+    def check(spec):
+        rows = []          # (key, value, change_type, version)
+        want_latest = {}   # key -> (change_type, value)
+        want_before = {}   # key -> value
+        v = 0
+        for key, (exists0, ops) in sorted(spec.items()):
+            exists, val = exists0, (key * 1000 if exists0 else None)
+            if exists0:
+                want_before[key] = val
+            touched = False
+            for op in ops:
+                # coerce invalid ops into valid ones instead of
+                # discarding the example (keeps hypothesis efficient)
+                if op == "insert" and exists:
+                    op = "update"
+                if op in ("update", "delete") and not exists:
+                    op = "insert"
+                v += 1
+                if op == "insert":
+                    val = key * 1000 + v
+                    rows.append((key, val, "insert", v))
+                    want_latest[key] = ("insert", val)
+                    exists = True
+                elif op == "update":
+                    rows.append((key, val, "update_preimage", v))
+                    val = key * 1000 + v
+                    rows.append((key, val, "upsert", v))
+                    want_latest[key] = ("upsert", val)
+                else:  # delete
+                    rows.append((key, val, "delete", v))
+                    want_latest[key] = ("delete", val)
+                    exists, val = False, None
+                touched = True
+            if not touched and exists0:
+                del want_before[key]  # key never appears in the batch
+        batch = spark.createDataFrame(
+            rows, "k bigint, v bigint, _change_type string, "
+            "_commit_version bigint",
+        )
+        imgs, latest, before = _batch_images(batch, "k")
+        try:
+            got_latest = {
+                r.k: (r._change_type, r.v) for r in latest.collect()
+            }
+            got_before = {r.k: r.v for r in before.collect()}
+        finally:
+            imgs.unpersist()
+        assert got_latest == want_latest
+        assert got_before == want_before
+
+    check()

@@ -350,7 +350,10 @@ def encode_mp3_pulses(
         raise ValueError("one spectrum per granule gain")
     if not gains:
         raise ValueError("need at least one granule")
-    if rate not in _RATES or bitrate_kbps not in _BITRATES_L3:
+    # _BITRATES_L3[0] is 0 (the free-format escape, which we don't
+    # emit): accepting it would yield frame_len=0 and a misleading
+    # "payload exceeds frame size" much later
+    if rate not in _RATES or bitrate_kbps not in _BITRATES_L3[1:]:
         raise ValueError("bad rate/bitrate")
     if len(gains) % 2:
         gains = gains + [gains[-1]]
@@ -655,7 +658,7 @@ def encode_mp3_silence(
         raise ValueError("need at least one granule gain")
     if rate not in _RATES:
         raise ValueError(f"rate must be one of {_RATES}")
-    if bitrate_kbps not in _BITRATES_L3:
+    if bitrate_kbps not in _BITRATES_L3[1:]:  # [0]=0 is free-format
         raise ValueError("not a Layer III bitrate")
     if len(gains) % 2:
         gains = gains + [gains[-1]]

@@ -320,3 +320,14 @@ def test_preflag_is_gated_in_both_branches():
         M3.parse_mp3_spectra(flipped)
     with pytest.raises(NotImplementedError, match="pretab"):
         M3.parse_mp3_spectra(flipped, band_widths=[2])
+
+
+def test_free_format_bitrate_rejected():
+    """_BITRATES_L3[0] is 0 (the free-format escape): accepting it
+    would compute frame_len=0 and die much later with a misleading
+    'payload exceeds frame size' — both encoders must reject it up
+    front (round-10 advice)."""
+    with pytest.raises(ValueError, match="bad rate/bitrate"):
+        M3.encode_mp3_pulses([[1, -1], [0, 0]], [214, 210], bitrate_kbps=0)
+    with pytest.raises(ValueError, match="not a Layer III bitrate"):
+        M3.encode_mp3_silence([100, 100], bitrate_kbps=0)

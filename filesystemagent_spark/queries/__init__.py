@@ -156,16 +156,25 @@ GRADE_ORDER = (
     # doc_column_profile's regexp battery (and the query stays
     # registered + sim-checked).
     "doc_column_profile",
-    # the LSH pipeline itself (signature → bands → candidates →
-    # verify) replayed and hash-matched by the oracle
-    "doc_minhash_pairs_checkable",
-    # round 4: INCREMENTAL corpus dedup — the batch joins a prebuilt
-    # LSH band index one-sidedly (the continuous-ingest shape; the
-    # corpus is never re-signed) and the oracle replays the whole
-    # split pipeline. Displaces events_nearby_views: the range-join
-    # class keeps a graded slot via events_stream_interval_join, and
-    # the query stays registered + sim-checked.
-    "doc_minhash_incremental",
+    # round 10: feed-driven MinHash BAND-INDEX MAINTENANCE takes the
+    # LSH slot (verdict rotation) — the corpus is DML-replayed through
+    # a TxTable (insert + signature-shifting update + keyed delete),
+    # the band index follows from the change feed, and dup pairs come
+    # from the MAINTAINED index. Displaces doc_minhash_pairs_checkable:
+    # its full signature pipeline (shingle → minhash → band → verify)
+    # is replayed INSIDE this query's oracle over the replayed corpus,
+    # so the displaced query's whole machinery is still value-hashed
+    # every round; it stays registered + sim-checked.
+    "doc_minhash_incremental_index",
+    # round 10: the BUCKET-FOOTPRINT-PRUNED stored-index batch dedup
+    # takes the incremental-dedup slot (verdict rotation) — same
+    # split-pipeline oracle as doc_minhash_incremental, but the corpus
+    # index is read from its TxTable under a DNF stats-pruned scan
+    # (the batch's (band, band_hash) keys prune files pre-scan) — the
+    # form you'd run at 100 TB. Displaces doc_minhash_incremental
+    # (in-memory index, strictly subsumed semantics; stays registered
+    # + sim-checked).
+    "doc_minhash_incremental_stored",
     "doc_curation_funnel",
     "doc_transform_shim",
     # round 8: doc_dup_clusters displaced by the bidirectional
@@ -280,21 +289,10 @@ GRADE_ORDER = (
 # doc_mkv_video_dedup, and events_stream_interval_join_full hold graded
 # slots; displaced doc_bm25_search, doc_gif_video_dedup, and
 # events_stream_interval_join_outer (rationales inline above).
-# Round-10 rotation candidates (strongest round-9 arrivals not yet
-# graded, with the rows they would most defensibly displace):
-#   doc_minhash_incremental_index — feed-driven LSH band-index
-#       maintenance (insert + signature-shifting update + keyed
-#       delete), pairs from the maintained index bit-identical to the
-#       fresh checkable pipeline; candidate displacement:
-#       doc_minhash_pairs_checkable (its full signature pipeline is
-#       replayed INSIDE this query's oracle over the DML-replayed
-#       corpus, and it stays registered + sim-checked)
-#   doc_minhash_incremental_stored — the bucket-footprint-pruned
-#       stored-index batch dedup (same oracle as
-#       doc_minhash_incremental); candidate displacement:
-#       doc_minhash_incremental (same split-pipeline oracle, and the
-#       stored form adds the TxTable + stats-pruning surface — the one
-#       you'd run at 100 TB)
+# Round-10 rotation (landed): doc_minhash_incremental_index and
+# doc_minhash_incremental_stored hold graded slots; displaced
+# doc_minhash_pairs_checkable and doc_minhash_incremental (rationales
+# inline above).
 # The other round-9 arrivals (embedding_semdedup_incremental,
 # embedding_stored_pq_incremental, embedding_knn_stored_ivf_auto) are
 # approximate/rows-only by construction and cannot enter the

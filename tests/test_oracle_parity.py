@@ -73,6 +73,14 @@ def test_graded_window_is_curated():
         "doc_mkv_video_dedup",
         "events_stream_interval_join_full",
     } <= set(window)
+    # round-10 rotation: the maintained LSH band index and the
+    # stats-pruned stored-index batch dedup hold graded slots
+    # (displacing doc_minhash_pairs_checkable and
+    # doc_minhash_incremental, whose pipelines both oracles replay)
+    assert {
+        "doc_minhash_incremental_index",
+        "doc_minhash_incremental_stored",
+    } <= set(window)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

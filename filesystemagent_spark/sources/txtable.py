@@ -55,6 +55,7 @@ of the protocol are BOTH here as of round 4:
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import time
@@ -193,6 +194,14 @@ def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool
     mn, mx = per[col]
     try:
         if op == "in":
+            if isinstance(val, _SortedVals):
+                # pre-sorted by _prep_dnf: bisect instead of scanning.
+                # Round-10 measurement (scripts/exp_probe_cap.py): the
+                # linear test cost ~10µs per (key, file) pair — 6s for
+                # a 10k-key footprint over 64 files, HOURS at 10^5
+                # files; the bisect is O(log keys) per file.
+                i = bisect.bisect_left(val, mn)
+                return i < len(val) and val[i] <= mx
             vals = (
                 list(val)
                 if isinstance(val, (list, tuple, set, frozenset))
@@ -279,11 +288,47 @@ def _dnf(where) -> list[list]:
     return [list(conj) for conj in where]
 
 
+# Above this size, `Column.isin(*vals)` construction dominates: py4j
+# marshals one literal per value (~0.8ms each, measured round 10 —
+# 45s to BUILD a 20k-value isin before any row is read; break-even vs
+# the ~30ms flat json path is ~64 values, scripts/exp_probe_cap.py).
+# Large lists switch to ONE json string literal parsed JVM-side
+# (from_json is constant-folded) + array_contains. Trade-off: isin
+# executes as an O(1)/row hash InSet while array_contains is
+# O(|vals|)/row — but the big-list path runs on stats-PRUNED reads
+# (bounded rows), and the callers that could pair huge lists with
+# huge scans cap the list (probe_cap) or use join-based application
+# (file-backed tombstones).
+_ISIN_LITERAL_MAX = 64
+
+
 def _isin(c, v):
+    import json as _json
+    import math as _math
+
     from pyspark.sql import functions as F
 
     vals = list(v) if isinstance(v, (list, tuple, set, frozenset)) else [v]
-    return c.isin(*vals) if vals else F.lit(False)
+    if not vals:
+        return F.lit(False)
+    if len(vals) > _ISIN_LITERAL_MAX:
+        # exact JSON round-trip only for homogeneous safe types:
+        # int → bigint (exact at any magnitude), finite float → double,
+        # str → string; anything else falls back to isin
+        if all(type(x) is int for x in vals):
+            elem = "bigint"
+        elif all(type(x) is float and _math.isfinite(x) for x in vals):
+            elem = "double"
+        elif all(type(x) is str for x in vals):
+            elem = "string"
+        else:
+            elem = None
+        if elem is not None:
+            arr = F.from_json(
+                F.lit(_json.dumps(vals)), f"array<{elem}>"
+            )
+            return F.array_contains(arr, c)
+    return c.isin(*vals)
 
 
 _OPS = {
@@ -376,12 +421,51 @@ def _check_ops(where) -> None:
         )
 
 
-def _dnf_may_match(per: dict[str, list], where) -> bool:
-    """Stats test over the full grammar: a file is prunable only when
-    EVERY disjunct is proven empty for it (OR distributes)."""
+class _SortedVals(tuple):
+    """Marker type for an `in` predicate's value list after `_prep_dnf`
+    deduplicated and SORTED it — `_file_may_match` then proves a file's
+    [min, max] empty by bisect (O(log keys)) instead of a linear scan.
+    A plain list/tuple still takes the linear path, so unprepared
+    callers stay correct."""
+
+
+def _prep_dnf(where) -> list[list]:
+    """Normalize a predicate ONCE per plan for the per-file stats loop:
+    DNF shape, with every `in` value list deduplicated and sorted into
+    a `_SortedVals`. Round 10: the stats test used to re-normalize the
+    DNF and re-scan the full value list for EVERY file — O(keys·files)
+    driver time, measured at ~10µs per pair (exp_probe_cap.py), which
+    made wide in-list predicates cost seconds at 64 files and would
+    cost hours at manifest scale. Value lists that won't sort (mixed
+    types) stay as plain tuples and keep the linear test."""
+    out = []
+    for conj in _dnf(where):
+        pc = []
+        for col, op, val in conj:
+            if op == "in" and isinstance(
+                val, (list, tuple, set, frozenset)
+            ) and not isinstance(val, _SortedVals):
+                try:
+                    val = _SortedVals(sorted(set(val)))
+                except TypeError:
+                    val = tuple(val)
+            pc.append((col, op, val))
+        out.append(pc)
+    return out
+
+
+def _prepped_may_match(per: dict[str, list], prepped: list[list]) -> bool:
+    """Stats test over a `_prep_dnf` result: a file is prunable only
+    when EVERY disjunct is proven empty for it (OR distributes)."""
     return any(
-        all(_file_may_match(per, p) for p in conj) for conj in _dnf(where)
+        all(_file_may_match(per, p) for p in conj) for conj in prepped
     )
+
+
+def _dnf_may_match(per: dict[str, list], where) -> bool:
+    """One-shot form (prepares per call — loops over many files should
+    `_prep_dnf` once and use `_prepped_may_match`)."""
+    return _prepped_may_match(per, _prep_dnf(where))
 
 
 def _merge_probe(updates: DataFrame, key_cols: list[str]) -> dict[str, tuple | None]:
@@ -901,8 +985,9 @@ class TxTable:
         tbs = m.get("tombstones") or []
         if where:
             _check_ops(where)
+            prepped = _prep_dnf(where)  # once, not per file
             files, _, _, _, _ = self._split_files(
-                m, lambda per: _dnf_may_match(per, where)
+                m, lambda per: _prepped_may_match(per, prepped)
             )
             if tbs:
                 df = self._apply_tombstones(spark, m, files)
@@ -1172,8 +1257,15 @@ class TxTable:
         self._try_commit(1, files, ddl, app, new_dirs=_dirs_of(files))
         return 1
 
-    def overwrite(self, df: DataFrame, max_retries: int = 10) -> int:
-        """Replace the table contents (still CAS-serialized)."""
+    def overwrite(
+        self, df: DataFrame, max_retries: int = 10, app: dict | None = None
+    ) -> int:
+        """Replace the table contents (still CAS-serialized). ``app``
+        rides the SAME commit as the data — multi-table maintenance
+        (e.g. retrain_ivf_index's epoch stamps) needs the new content
+        and its regime marker to become visible atomically; a separate
+        commit_app would leave a window where new data carries the old
+        stamp."""
         os.makedirs(self.data_dir, exist_ok=True)
         files, ddl = self._write_data(df)
         self._check_constraints(df.sparkSession, files)
@@ -1183,7 +1275,7 @@ class TxTable:
                 # overwrite REPLACES content: prune the census like
                 # compact does — no prior dir stays referenced
                 self._try_commit(
-                    v + 1, files, ddl,
+                    v + 1, files, ddl, app,
                     new_dirs=_dirs_of(files), census_base={},
                 )
                 return v + 1
@@ -1393,9 +1485,10 @@ class TxTable:
             if base == 0:
                 raise ValueError(f"table {self.path} has no committed snapshot")
             m = self._read_manifest(base)
+            prepped = _prep_dnf(where)  # once, not per file
             touched, carried, carried_stats, reused, touched_stats = (
                 self._split_files(
-                    m, lambda per: _dnf_may_match(per, where)
+                    m, lambda per: _prepped_may_match(per, prepped)
                 )
             )
             if not touched:
@@ -1718,9 +1811,10 @@ class TxTable:
                     f"update_where assigns unknown column(s) {unknown}; "
                     f"table columns: {cols}"
                 )
+            prepped = _prep_dnf(where)  # once, not per file
             touched, carried, carried_stats, reused, touched_stats = (
                 self._split_files(
-                    m, lambda per: _dnf_may_match(per, where)
+                    m, lambda per: _prepped_may_match(per, prepped)
                 )
             )
             if not touched:
@@ -2278,12 +2372,14 @@ class TxTable:
             if small_file_bytes is not None:
                 m = self._read_manifest(base)
 
+                prepped = _prep_dnf(where) if where else None
+
                 def _is_small(per: dict) -> bool:
                     b = per.get("__bytes__")
                     # conservative: no size stats -> treat as small
                     if b is not None and b[0] >= small_file_bytes:
                         return False
-                    return (not where) or _dnf_may_match(per, where)
+                    return prepped is None or _prepped_may_match(per, prepped)
 
                 small, carried, carried_stats, reused, small_stats = self._split_files(
                     m, _is_small

@@ -343,3 +343,34 @@ def test_mkv_container_roundtrip_property(n_frames, fps, sizes, seed):
     got_fps, back = MK.decode_mkv_mjpeg(b)
     assert back == frames
     assert abs(got_fps - fps) / fps < 1e-6
+
+
+# -- stats-pruning `in` test: bisect path vs the linear definition ----
+#
+# Round 10: _prep_dnf pre-sorts `in` value lists so _file_may_match
+# proves a file's [min, max] empty by bisect instead of scanning the
+# list per file (measured O(keys·files) driver cost, exp_probe_cap.py).
+# The bisect must be EXACTLY the linear predicate — a false skip here
+# is silent data loss at read time.
+
+_in_vals = st.lists(st.integers(min_value=-50, max_value=50), max_size=30)
+_bounds = st.tuples(
+    st.integers(min_value=-60, max_value=60),
+    st.integers(min_value=-60, max_value=60),
+).map(lambda t: (min(t), max(t)))
+
+
+@settings(max_examples=500, deadline=None)
+@given(vals=_in_vals, bounds=_bounds)
+def test_sorted_in_stats_test_equals_linear(vals, bounds):
+    from filesystemagent_spark.sources.txtable import (
+        _file_may_match,
+        _prep_dnf,
+    )
+
+    mn, mx = bounds
+    per = {"c": [mn, mx]}
+    linear = any(mn <= x <= mx for x in vals)
+    (prepped,) = _prep_dnf([("c", "in", vals)])
+    got = all(_file_may_match(per, p) for p in prepped)
+    assert got == linear

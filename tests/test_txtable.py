@@ -3209,3 +3209,53 @@ def test_batch_images_reduction_matches_model(spark):
         assert got_before == want_before
 
     check()
+
+
+def test_isin_large_list_json_path_matches_small_path(spark):
+    """Round 10: `_isin` switches representation above
+    _ISIN_LITERAL_MAX — one JSON literal parsed JVM-side +
+    array_contains instead of per-value py4j literals (measured 45s to
+    BUILD a 20k-value isin). The two paths must select identical rows,
+    including the exactness edges: int64 magnitudes beyond 2^53 (a
+    float round-trip would corrupt them), negatives, JSON-escaped and
+    unicode strings."""
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.sources.txtable import (
+        _ISIN_LITERAL_MAX,
+        _isin,
+    )
+
+    big = 2**60 + 12345  # would corrupt through a double round-trip
+    ints = [big, -(2**61) + 7, 0, 42] + list(range(1000, 1000 + 2000))
+    assert len(ints) > _ISIN_LITERAL_MAX
+    df = spark.createDataFrame(
+        [(big,), (-(2**61) + 7,), (41,), (1500,), (2**60,)], "v: bigint"
+    )
+    got = sorted(
+        r.v for r in df.filter(_isin(F.col("v"), ints)).collect()
+    )
+    want = sorted(
+        r.v for r in df.filter(F.col("v").isin(big, -(2**61) + 7, 1500)).collect()
+    )
+    assert got == want == sorted([big, -(2**61) + 7, 1500])
+
+    strs = ['a"b', "unié", "tab\tx", "plain"] + [
+        f"k{i}" for i in range(2000)
+    ]
+    sdf = spark.createDataFrame(
+        [('a"b',), ("unié",), ("tab\tx",), ("nope",), ("k7",)],
+        "s: string",
+    )
+    got_s = sorted(
+        r.s for r in sdf.filter(_isin(F.col("s"), strs)).collect()
+    )
+    assert got_s == sorted(['a"b', "unié", "tab\tx", "k7"])
+
+    # floats: finite-only lists take the json path; the filter matches
+    fl = [0.5, -1.25, 3.0] + [float(i) + 0.125 for i in range(2000)]
+    fdf = spark.createDataFrame([(0.5,), (7.125,), (9.0,)], "f: double")
+    got_f = sorted(
+        r.f for r in fdf.filter(_isin(F.col("f"), fl)).collect()
+    )
+    assert got_f == [0.5, 7.125]

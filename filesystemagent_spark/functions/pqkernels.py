@@ -94,6 +94,42 @@ def make_encode_udf(C: np.ndarray):
     return encode
 
 
+def make_encode_err_udf(C: np.ndarray):
+    """`make_encode_udf` plus the RECONSTRUCTION ERROR the codes pay:
+    struct<codes, err> where err = ||x - reconstruction(x)||² = the sum
+    over subspaces of the chosen centroid's full squared L2 distance
+    (the argmin only needs ||c||² - 2x·c, but the ledger needs the
+    real distance, so the per-row ||x_s||² term is added back). The
+    error is a PURE FUNCTION of (vector, fixed codebook) — the property
+    that lets the PQ drift ledger subtract a pre-image's exact
+    contribution: a row removes the same value it once added (modulo
+    float summation order). Same argmin/tie rule as make_encode_udf,
+    so the codes halves are bit-identical."""
+    m, _k, d_sub = C.shape
+    c_sq = (C * C).sum(axis=2)                          # (m, k)
+
+    dim = m * d_sub
+
+    @pandas_udf("struct<codes: array<int>, err: double>")
+    def encode_err(vec: pd.Series) -> pd.DataFrame:
+        X, valid = _stack_valid(vec, dim)                # (n_valid, dim)
+        Xs = X.reshape(len(X), m, d_sub)
+        dots = np.einsum("nmd,mkd->nmk", Xs, C)
+        part = c_sq[None, :, :] - 2.0 * dots             # (n, m, k)
+        codes = np.argmin(part, axis=2)                  # (n, m)
+        x_sq = (Xs * Xs).sum(axis=2)                     # (n, m)
+        chosen = np.take_along_axis(part, codes[:, :, None], axis=2)[:, :, 0]
+        err = (x_sq + chosen).sum(axis=1)                # (n,)
+        return pd.DataFrame(
+            {
+                "codes": _with_nulls(list(codes.astype(np.int32)), valid),
+                "err": _with_nulls([float(e) for e in err], valid),
+            }
+        )
+
+    return encode_err
+
+
 def make_lut_udf(C: np.ndarray):
     """ADC lookup tables: per query vector, the squared L2 distance
     from each subvector to every centroid — (m, k) doubles per row,

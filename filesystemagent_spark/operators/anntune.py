@@ -342,10 +342,15 @@ def knn_stored_ivf_auto(
     import os as _os
 
     from filesystemagent_spark.operators.similarity import (
+        _check_ivf_epochs,
         read_cells_for_queries,
     )
     from filesystemagent_spark.sources.txtable import TxTable
 
+    # a mid-retrain index (centroids epoch ahead of cells) would tune
+    # AND serve new centroids against old assignments — refuse like
+    # every other consumer path does (round-10 advice)
+    _check_ivf_epochs(index_dir)
     centroids = TxTable(_os.path.join(index_dir, "centroids")).read(spark)
     cells_path = _os.path.join(index_dir, "cells")
     cells = track_persist(TxTable(cells_path).read(spark))
@@ -365,5 +370,87 @@ def knn_stored_ivf_auto(
             spark, cells_path, centroids, queries,
             id_col=id_col, vec_col=vec_col, nprobe=meta["nprobe"],
         ),
+    )
+    return out, meta
+
+
+def knn_stored_ivfpq_auto(
+    spark,
+    queries: DataFrame,
+    index_dir: str,
+    corpus_table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = 8,
+    k_cells: int = 16,
+    k: int = 10,
+    target_recall: float = 0.8,
+    sample_queries: int = 10,
+) -> tuple[DataFrame, dict]:
+    """IVFPQ auto-tune against the STORED composed index (round 10):
+    walk (nprobe, rerank) together — each rung doubles both the probe
+    width (candidate coverage: IVF's recall limiter) and the exact-
+    rescore depth (quantization error: PQ's recall limiter) — until
+    the sampled estimate meets ``target_recall``. The ladder tops out
+    at nprobe = |cells| AND rerank = |corpus|, where `knn_ivfpq` is
+    provably exact, so like the IVF/PQ tuners this one ALWAYS
+    terminates met. The final serve re-runs the chosen rung over the
+    full query batch through the probe-pruned codes read and the
+    id-footprint-pruned rerank fetch. Returns (result, meta)."""
+    import os as _os
+
+    from filesystemagent_spark.operators.similarity import (
+        _check_pq_epochs,
+        knn_ivfpq,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    _check_pq_epochs(index_dir)  # refuse a mid-retrain index up front
+    n_cells = TxTable(_os.path.join(index_dir, "centroids")).read(
+        spark
+    ).count()
+    corpus = track_persist(TxTable(corpus_table).read(spark))
+    n_corpus = corpus.count()
+    sample = track_persist(_sample(queries, id_col, sample_queries))
+    try:
+        exact = _topk_sets(
+            knn_bruteforce(
+                sample, corpus, id_col=id_col, vec_col=vec_col, k=k
+            )
+        )
+        curve = []
+        nprobe, rerank = 1, max(2 * k, 10)
+        while True:
+            r = _recall(
+                _topk_sets(
+                    knn_ivfpq(
+                        spark, sample, index_dir, corpus=corpus,
+                        id_col=id_col, vec_col=vec_col, dim=dim, m=m,
+                        k_cells=k_cells, k=k, nprobe=nprobe, rerank=rerank,
+                    )
+                ),
+                exact,
+            )
+            curve.append({"nprobe": nprobe, "rerank": rerank, "recall": r})
+            maxed = nprobe >= n_cells and rerank >= n_corpus
+            if r >= target_recall or maxed:
+                meta = {
+                    "nprobe": nprobe, "rerank": rerank,
+                    "n_cells": n_cells, "n_corpus": n_corpus,
+                    "recall_estimate": r,
+                    "met_target": r >= target_recall, "curve": curve,
+                }
+                break
+            nprobe = min(n_cells, nprobe * 2)
+            rerank = min(n_corpus, rerank * 2)
+    finally:
+        sample.unpersist()
+        corpus.unpersist()
+    out = knn_ivfpq(
+        spark, queries, index_dir, corpus_table=corpus_table,
+        id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_cells=k_cells,
+        k=k, nprobe=meta["nprobe"], rerank=meta["rerank"],
     )
     return out, meta

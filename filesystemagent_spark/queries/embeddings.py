@@ -1182,3 +1182,98 @@ def embedding_knn_stored_ivf_auto(
     Rows-only; the recall + estimate-equals-realized-agreement gate
     lives in tests/test_similarity.py."""
     return embedding_knn_stored_ivf_auto_with_meta(spark, sf_dir)[0]
+
+
+def embedding_knn_ivfpq_auto_with_meta(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """The registered IVFPQ query's full result: (rows, tuner meta) —
+    exposed so the pytest gate asserts the estimate and the realized
+    agreement on the same path the registry runs. The index is built
+    the way production would: the corpus lives in a TxTable, the
+    `cluster_by_cells` PQ sink maintains (id, codes, cell_id) rows
+    clustered on cell_id from the CHANGE FEED (insert + code-shifting
+    update + keyed delete), and serving composes probe-pruned cells
+    with ADC + exact rerank (operators/similarity.knn_ivfpq)."""
+    import os as _os
+    import tempfile
+
+    from filesystemagent_spark.operators.anntune import knn_stored_ivfpq_auto
+    from filesystemagent_spark.operators.similarity import start_pq_index_sink
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings)
+    stage = tempfile.mkdtemp(prefix="ivfpq_")
+    src = _os.path.join(stage, "corpus")
+    idx = _os.path.join(stage, "index")
+    ckpt = _os.path.join(stage, "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 4 != 0)
+    TxTable(src).init(corpus0.select("vec_id", "embedding"))           # v1
+    TxTable(_os.path.join(idx, "centroids")).init(
+        S.centroids_from_labels(
+            corpus0, label_col="label", vec_col="embedding", dim=DIM
+        )
+    )
+    TxTable(_os.path.join(idx, "codebook")).init(
+        S.pq_codebooks(
+            corpus0, id_col="vec_id", vec_col="embedding", dim=DIM,
+            m=8, k=16, max_iter=2,
+        )
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16,
+        cluster_by_cells=True,
+    ).awaitTermination()
+    t = TxTable(src)
+    t.merge_into(                                                      # v2
+        emb.filter(
+            (F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 7 == 2)
+        ).select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 7 == 2, F.reverse(F.col("embedding"))
+            ).otherwise(F.col("embedding")).alias("embedding"),
+        ),
+        ["vec_id"], change_feed=True,
+    )
+    t.delete_keys(                                                     # v3
+        emb.filter(F.col("vec_id") % 9 == 5).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16,
+        cluster_by_cells=True,
+    ).awaitTermination()
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    out, meta = knn_stored_ivfpq_auto(
+        spark, queries, idx, src,
+        id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k_cells=16,
+        k=K, target_recall=AUTO_TARGET_RECALL, sample_queries=N_QUERIES,
+    )
+    return out.orderBy("query_id", "rnk"), meta
+
+
+@register(
+    "embedding_knn_ivfpq",
+    tags=("vector", "ann", "ivf", "pq", "txtable", "auto-tuned",
+          "incremental", "stats-pruning", "scale"),
+)
+def embedding_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ COMPOSED serving over maintained stored artifacts
+    (round 10 — the Faiss IVFPQ + refine recipe, the 100 TB vector
+    shape the verdict queued): probe-pruned cells → ADC over ONLY the
+    probed cells' codes (read 16× smaller than raw, manifest stats
+    skip non-probed files) → exact rerank fetching only the
+    candidates' true vectors. The codes table carries cell_id and is
+    maintained INCREMENTALLY from the corpus TxTable's change feed
+    (`start_pq_index_sink(cluster_by_cells=True)`), and (nprobe,
+    rerank) are auto-tuned to the recall target with the
+    estimate-equals-realized discipline. Approximate by construction →
+    rows-only; the files-read pruning gate, the exactness anchor
+    (nprobe=|cells| ∧ rerank=|corpus| == bruteforce), the maintained
+    bit-identity, and the recall/agreement gates live in
+    tests/test_similarity.py."""
+    return embedding_knn_ivfpq_auto_with_meta(spark, sf_dir)[0]

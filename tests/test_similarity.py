@@ -8,6 +8,7 @@ where their quality bar lives.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from filesystemagent_spark.catalog import Catalog
@@ -1359,6 +1360,15 @@ def test_retrain_crash_between_publishes_is_detected_and_resumed(
     q = start_ivf_index_sink(spark, src, idx, ckpt)
     with _pytest.raises(Exception, match="mid-retrain"):
         q.awaitTermination()
+    # the auto-tuned stored serving path must refuse too — it would
+    # otherwise tune AND serve new centroids against old assignments
+    # (round-10 advice)
+    from filesystemagent_spark.operators.anntune import knn_stored_ivf_auto
+
+    with _pytest.raises(ValueError, match="mid-retrain"):
+        knn_stored_ivf_auto(
+            spark, emb.filter(F.col("vec_id") < N_QUERIES), idx, k=K
+        )
 
     new_cents = {
         (r.cell_id, tuple(r.centroid))
@@ -1386,3 +1396,619 @@ def test_retrain_crash_between_publishes_is_detected_and_resumed(
     assert maintained == fresh
     # and the sink resumes cleanly after recovery
     start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+
+
+def test_retrain_epoch_rides_the_data_commit(spark, sf_dir, tmp_path):
+    """Round-10 advice: a retrain's new table CONTENT and its
+    `ivf_retrain_epoch` stamp must land in ONE commit per table
+    (TxTable.overwrite app=) — a separate commit_app leaves a window
+    where new-regime data carries the old epoch, the epochs still
+    compare EQUAL, and the mixed-regime state the stamps exist to
+    detect goes undetected. Pin: the head manifest of BOTH tables
+    carries the epoch alongside its data files."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        retrain_ivf_index,
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    TxTable(src).init(emb.select("vec_id", "embedding"))
+    TxTable(os.path.join(idx, "centroids")).init(
+        S.centroids_from_labels(
+            emb, label_col="label", vec_col="embedding", dim=DIM
+        )
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    retrain_ivf_index(spark, src, idx)
+    for name in ("centroids", "cells"):
+        t = TxTable(os.path.join(idx, name))
+        head = t._read_manifest(t.latest_version())
+        app = head.get("app") or {}
+        assert app.get("ivf_retrain_epoch") == 1, name
+        assert head.get("files") or head.get("segments"), name
+
+
+def test_pre_ledger_cells_table_gets_no_fabricated_ledger(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 advice: on a cells table built BEFORE the drift ledger
+    existed (round-8 sink), the sink used to seed the running sum from
+    0.0 — a ledger that accumulates deltas off a wrong base and LOOKS
+    valid. The fix skips the ledger extras on such tables, so
+    ivf_drift_info keeps raising its honest 'no drift ledger' error
+    while the cell maintenance itself stays bit-identical to fresh."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        ivf_drift_info,
+        start_ivf_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding"
+    )
+    t = TxTable(src)
+    t.init(corpus0)
+    centroids = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(os.path.join(idx, "centroids")).init(centroids)
+    # simulate the round-8 sink's artifact: a cells table with the
+    # batch stamp but NO ledger keys
+    cells_path = os.path.join(idx, "cells")
+    TxTable(cells_path).init(
+        S.assign_cells(
+            corpus0, centroids, id_col="vec_id", vec_col="embedding",
+            nprobe=1,
+        ),
+        app={"ivf_batch_id": 0},
+    )
+    # seed the checkpoint against the already-applied v1, then mutate
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+    t.merge_into(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+        ["vec_id"], change_feed=True,
+    )
+    start_ivf_index_sink(spark, src, idx, ckpt).awaitTermination()
+
+    cells_t = TxTable(cells_path)
+    assert cells_t.latest_app_value("ivf_batch_id") is not None
+    for k in ("ivf_cos_sum", "ivf_n", "ivf_cos_sum0", "ivf_n0"):
+        assert cells_t.latest_app_value(k) is None, k
+    with pytest.raises(ValueError, match="no drift ledger"):
+        ivf_drift_info(idx)
+    maintained = {
+        (r.vec_id, r.cell_id) for r in cells_t.read(spark).collect()
+    }
+    fresh = {
+        (r.vec_id, r.cell_id)
+        for r in S.assign_cells(
+            t.read(spark), centroids, id_col="vec_id", vec_col="embedding",
+            nprobe=1,
+        ).collect()
+    }
+    assert maintained == fresh
+
+
+def test_pq_feed_sink_crash_between_delete_and_merge(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Worst-point crash for the PQ sink (round 10 — closes the one
+    maintained artifact without an injected-failure gate, completing
+    SCALE.md's 'individually test-pinned per sink' guarantee): the
+    batch's key tombstone lands on the codes table, the process dies
+    BEFORE the merge stamps. Restart must replay the batch once —
+    redundant tombstone, then the merge lands with the stamp AND the
+    drift ledger applied exactly once — and converge to fresh-encode
+    bit-identity with an exact ledger."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        pq_drift_info,
+        start_pq_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 2 == 0)
+    t = TxTable(src)
+    t.init(corpus0)
+    book = S.pq_codebooks(
+        corpus0, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+        max_iter=2,
+    )
+    TxTable(os.path.join(idx, "codebook")).init(book)
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    t.merge_into(
+        emb.filter(F.col("vec_id") % 2 == 1), ["vec_id"], change_feed=True
+    )
+
+    codes_path = os.path.join(idx, "codes")
+    orig = TxTable.merge_into
+    boom = {"armed": True}
+
+    def failing(self, *a, **kw):
+        if boom["armed"] and self.path == codes_path:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before the codes merge")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(TxTable, "merge_into", failing)
+    q = start_pq_index_sink(spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    codes_t = TxTable(codes_path)
+    assert codes_t.latest_app_value("pq_batch_id") == 0  # stamp not advanced
+
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    final = t.read(spark)
+    maintained = {
+        (r.vec_id, tuple(r.codes)) for r in codes_t.read(spark).collect()
+    }
+    fresh = S.pq_encode_with_err(
+        final, book, id_col="vec_id", vec_col="embedding", dim=DIM, m=8,
+        k=16,
+    ).cache()
+    assert maintained == {
+        (r.vec_id, tuple(r.codes)) for r in fresh.collect()
+    }
+    # the ledger applied exactly once: a double-applied replay would
+    # double the batch's error contribution
+    want_mean, want_n = fresh.agg(F.avg("_pq_err"), F.count("*")).first()
+    info = pq_drift_info(idx)
+    assert info["n_rows"] == want_n
+    assert abs(info["mean_recon_err"] - want_mean) < 1e-9
+    fresh.unpersist()
+
+
+def test_pq_drift_ledger_is_exact_and_flags_drift(spark, sf_dir, tmp_path):
+    """The round-10 PQ drift ledger (the IVF discipline ported):
+    `start_pq_index_sink` maintains (pq_err_sum, pq_n) — sum/count of
+    live rows' reconstruction error against the FIXED codebook — by
+    +post-images / −pre-images per batch. Gated four ways like the IVF
+    twin: (a) the running mean is EXACT vs a fresh encode-with-err
+    over the final corpus; (b) drift_ratio is 1.0 at init; (c)
+    adversarial drift (vectors the codebook never saw) RAISES the
+    ratio (error grows — opposite direction from IVF's cosine) and
+    trips retrain_recommended; (d) the ledger rides the exactly-once
+    stamp — a re-drain changes nothing."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        pq_drift_info,
+        start_pq_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 4 != 0)
+    t = TxTable(src)
+    t.init(corpus0)
+    book = S.pq_codebooks(
+        corpus0, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+        max_iter=2,
+    )
+    TxTable(os.path.join(idx, "codebook")).init(book)
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    info0 = pq_drift_info(idx)
+    assert info0["drift_ratio"] == 1.0
+    assert not info0["retrain_recommended"]
+
+    # mutate: insert the held-out quarter, delete some — inserts and
+    # deletes both flow through the ledger
+    t.merge_into(
+        emb.filter(F.col("vec_id") % 4 == 0), ["vec_id"], change_feed=True
+    )
+    t.delete_keys(
+        emb.filter(F.col("vec_id") % 9 == 5).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    info1 = pq_drift_info(idx)
+    live = t.read(spark)
+    fresh_mean, fresh_n = (
+        S.pq_encode_with_err(
+            live, book, id_col="vec_id", vec_col="embedding", dim=DIM,
+            m=8, k=16,
+        )
+        .agg(F.avg("_pq_err"), F.count("*"))
+        .first()
+    )
+    assert info1["n_rows"] == fresh_n
+    assert abs(info1["mean_recon_err"] - fresh_mean) < 1e-9  # exact
+    # the usage histogram is exact integer arithmetic: the maintained
+    # counts equal a fresh per-(subspace, code) count over the final
+    # corpus (the discrimination half of the two-signal ledger)
+    from filesystemagent_spark.operators.similarity import _pq_code_hist
+    from filesystemagent_spark.sources.txtable import TxTable as _T
+
+    fresh_hist = _pq_code_hist(
+        S.pq_encode(
+            live, book, id_col="vec_id", vec_col="embedding", dim=DIM,
+            m=8, k=16,
+        )
+    )
+    stored_hist = {
+        k: int(v)
+        for k, v in _T(os.path.join(idx, "codes"))
+        .latest_app_value("pq_hist").items()
+    }
+    assert stored_hist == fresh_hist
+
+    # adversarial drift: shuffle vector coordinates (reverse) — the
+    # per-subspace distributions change and reconstruction error rises
+    t.merge_into(
+        live.filter(F.col("vec_id") % 5 != 0).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+        ["vec_id"], change_feed=True,
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    info2 = pq_drift_info(idx)
+    assert info2["drift_ratio"] > info1["drift_ratio"] + 0.05
+    assert pq_drift_info(idx, retrain_ratio=info2["drift_ratio"] - 0.01)[
+        "retrain_recommended"
+    ]
+
+    # the ledger rides the stamp: an empty re-drain publishes nothing
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    assert pq_drift_info(idx) == info2
+
+
+def test_retrain_pq_index_rebaselines_resumes_and_survives_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """retrain_pq_index end-to-end (round 10): (1) rebuilds the
+    codebook from the live corpus and re-baselines the ledger
+    (drift_ratio back to 1.0) while CARRYING the sink's stamp (a
+    re-drain publishes nothing); (2) a crash between the codebook and
+    codes publishes leaves the codebook epoch ahead — pq_drift_info
+    and the sink refuse loudly, and a rerun RESUMES without
+    re-training; (3) both tables' head manifests carry the epoch
+    alongside their data (the atomic overwrite app= discipline)."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        pq_drift_info,
+        pq_index_epochs,
+        retrain_pq_index,
+        start_pq_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(src)
+    t.init(emb)
+    book0 = S.pq_codebooks(
+        emb, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+        max_iter=2,
+    )
+    TxTable(os.path.join(idx, "codebook")).init(book0)
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    # drift the corpus, drain
+    t.merge_into(
+        emb.filter(F.col("vec_id") % 3 != 0).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+        ["vec_id"], change_feed=True,
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    assert pq_drift_info(idx)["drift_ratio"] > 1.0
+
+    # crash the retrain between its two publishes
+    codes_path = os.path.join(idx, "codes")
+    orig = TxTable.overwrite
+    boom = {"armed": True}
+
+    def failing(self, *a, **kw):
+        if boom["armed"] and self.path == codes_path:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before the codes publish")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(TxTable, "overwrite", failing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retrain_pq_index(spark, src, idx, dim=DIM, m=8, k_cells=16)
+    assert pq_index_epochs(idx) == (1, 0)  # codebook ahead: mid-retrain
+    with pytest.raises(ValueError, match="mid-retrain"):
+        pq_drift_info(idx)
+    t.merge_into(emb.limit(5), ["vec_id"], change_feed=True)
+    q = start_pq_index_sink(spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16)
+    with pytest.raises(Exception, match="mid-retrain"):
+        q.awaitTermination()
+
+    book_t = TxTable(os.path.join(idx, "codebook"))
+    new_book = {
+        (r.sub_id, r.cell_id, tuple(r.centroid))
+        for r in book_t.read(spark).collect()
+    }
+    info = retrain_pq_index(spark, src, idx, dim=DIM, m=8, k_cells=16)
+    assert pq_index_epochs(idx) == (1, 1)      # converged, NOT re-bumped
+    assert {
+        (r.sub_id, r.cell_id, tuple(r.centroid))
+        for r in book_t.read(spark).collect()
+    } == new_book                               # resume did not re-train
+    assert info["drift_ratio"] == 1.0
+    assert not info["retrain_recommended"]
+    # epoch rides the data commit on both tables
+    for name in ("codebook", "codes"):
+        tt = TxTable(os.path.join(idx, name))
+        head = tt._read_manifest(tt.latest_version())
+        assert (head.get("app") or {}).get("pq_retrain_epoch") == 1, name
+        assert head.get("files") or head.get("segments"), name
+    # maintenance resumes: the limit(5) merge the sink REFUSED
+    # mid-retrain is still pending in the checkpoint — the first
+    # post-recovery drain replays it once (content-idempotent: the
+    # retrain already encoded those rows), then a further re-drain
+    # publishes nothing
+    codes_t = TxTable(codes_path)
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    maintained = {
+        (r.vec_id, tuple(r.codes))
+        for r in codes_t.read(spark).collect()
+    }
+    fresh = {
+        (r.vec_id, tuple(r.codes))
+        for r in S.pq_encode(
+            t.read(spark), book_t.read(spark),
+            id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+        ).collect()
+    }
+    assert maintained == fresh
+    head_v = codes_t.latest_version()
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16
+    ).awaitTermination()
+    assert codes_t.latest_version() == head_v
+
+
+def test_ivfpq_sink_cluster_by_cells_matches_fresh(spark, sf_dir, tmp_path):
+    """The cluster_by_cells PQ sink (round 10 — the IVFPQ layout):
+    codes rows carry cell_id and stage clustered on it. Both halves
+    are pure functions of fixed artifacts (codes ← codebook,
+    cell_id ← centroids), so after insert + code-shifting update +
+    keyed delete the maintained table must be BIT-IDENTICAL to a
+    fresh encode+assign over the final corpus."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        start_pq_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings)
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    corpus0 = emb.filter(F.col("vec_id") % 4 != 0)
+    TxTable(src).init(corpus0.select("vec_id", "embedding"))
+    centroids = S.centroids_from_labels(
+        corpus0, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(os.path.join(idx, "centroids")).init(centroids)
+    book = S.pq_codebooks(
+        corpus0, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+        max_iter=2,
+    )
+    TxTable(os.path.join(idx, "codebook")).init(book)
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16,
+        cluster_by_cells=True,
+    ).awaitTermination()
+    t = TxTable(src)
+    t.merge_into(
+        emb.filter(
+            (F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 7 == 2)
+        ).select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 7 == 2, F.reverse(F.col("embedding"))
+            ).otherwise(F.col("embedding")).alias("embedding"),
+        ),
+        ["vec_id"], change_feed=True,
+    )
+    t.delete_keys(
+        emb.filter(F.col("vec_id") % 9 == 5).select("vec_id"),
+        ["vec_id"], change_feed=True,
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16,
+        cluster_by_cells=True,
+    ).awaitTermination()
+
+    final = t.read(spark)
+    maintained = {
+        (r.vec_id, tuple(r.codes), r.cell_id)
+        for r in TxTable(os.path.join(idx, "codes")).read(spark).collect()
+    }
+    fresh = {
+        (r.vec_id, tuple(r.codes), r.cell_id)
+        for r in S.pq_encode(
+            final, book, id_col="vec_id", vec_col="embedding", dim=DIM,
+            m=8, k=16,
+        )
+        .join(
+            S.assign_cells(
+                final, centroids, id_col="vec_id", vec_col="embedding",
+                nprobe=1,
+            ).select("vec_id", "cell_id"),
+            "vec_id",
+        )
+        .collect()
+    }
+    assert maintained == fresh
+
+
+def test_knn_ivfpq_prunes_codes_scan_and_is_exact_when_exhaustive(
+    spark, sf_dir, tmp_path
+):
+    """knn_ivfpq's two contracts (round 10): (a) PRUNING — the codes
+    scan reads only the files whose cell_id range overlaps the
+    queries' probed cells (the whole point of composing the stored
+    artifacts; gated on files read, mirroring the stored-IVF gate);
+    (b) EXACTNESS ANCHOR — at nprobe = |cells| and rerank = |corpus|
+    every stage is exhaustive and the result equals knn_bruteforce
+    (what lets the auto-tuner terminate met)."""
+    import os
+
+    from filesystemagent_spark.operators.similarity import (
+        knn_ivfpq,
+        start_pq_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings)
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    TxTable(src).init(emb.select("vec_id", "embedding"))
+    centroids = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(os.path.join(idx, "centroids")).init(centroids)
+    TxTable(os.path.join(idx, "codebook")).init(
+        S.pq_codebooks(
+            emb, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+            max_iter=2,
+        )
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16,
+        cluster_by_cells=True,
+    ).awaitTermination()
+
+    codes_t = TxTable(os.path.join(idx, "codes"))
+    n_all = len(codes_t.read(spark).inputFiles())
+    assert n_all >= 4  # clustered into several cell-range files
+
+    queries = emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding")
+    probed = [
+        r.cell_id
+        for r in S.assign_cells(
+            queries, centroids, id_col="vec_id", vec_col="embedding",
+            nprobe=2,
+        ).select("cell_id").distinct().collect()
+    ]
+    pruned = codes_t.read(spark, where=[("cell_id", "in", probed)])
+    assert len(pruned.inputFiles()) < n_all  # manifest stats pruned files
+    # the pruned read still holds every probed cell's rows
+    assert (
+        pruned.count()
+        == codes_t.read(spark).filter(F.col("cell_id").isin(probed)).count()
+    )
+
+    # exactness anchor: exhaustive parameters == brute force
+    n_cells = centroids.count()
+    n_corpus = TxTable(src).read(spark).count()
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in knn_ivfpq(
+            spark, queries, idx, corpus_table=src,
+            dim=DIM, m=8, k_cells=16, k=K,
+            nprobe=n_cells, rerank=n_corpus,
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in S.knn_bruteforce(
+            queries, emb.select("vec_id", "embedding"),
+            id_col="vec_id", vec_col="embedding", k=K,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_knn_stored_ivfpq_auto_recall_and_agreement(spark, sf_dir):
+    """The composed IVFPQ auto path on the registry's own recipe
+    (maintained clustered codes through DML, then tuned serving):
+    the tuner must meet the target, and because the sample IS the
+    query batch the realized agreement with brute force must equal
+    the estimate exactly — the estimate-equals-realized discipline
+    every auto surface in this repo carries."""
+    from filesystemagent_spark.queries.embeddings import (
+        AUTO_TARGET_RECALL,
+        embedding_knn_ivfpq_auto_with_meta,
+    )
+
+    emb = S.normalize(Catalog(spark, sf_dir).embeddings)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    # ground truth over the FINAL corpus state the registry query
+    # leaves behind: (corpus0 ∪ inserts ∪ updates) − deletes
+    upd = emb.filter(
+        (F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 7 == 2)
+    ).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 2, F.reverse(F.col("embedding"))
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    final = (
+        emb.filter((F.col("vec_id") % 4 != 0) & (F.col("vec_id") % 7 != 2))
+        .select("vec_id", "embedding")
+        .unionByName(upd)
+        .filter(F.col("vec_id") % 9 != 5)
+    )
+    exact = {}
+    for r in S.knn_bruteforce(
+        queries, final, id_col="vec_id", vec_col="embedding", k=K
+    ).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    out, meta = embedding_knn_ivfpq_auto_with_meta(spark, sf_dir)
+    assert meta["met_target"]
+    assert meta["recall_estimate"] >= AUTO_TARGET_RECALL
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    agree = sum(
+        len(got.get(q, set()) & nbrs) / len(nbrs)
+        for q, nbrs in exact.items() if nbrs
+    ) / len(exact)
+    assert agree >= AUTO_TARGET_RECALL
+    assert abs(agree - meta["recall_estimate"]) < 1e-9

@@ -665,9 +665,29 @@ def minhash_dedup_against_stored_index(
     (band, band_hash) — the sink's layout — reads only the files whose
     key range intersects the batch's buckets. A small batch probes
     O(batch·bands) buckets of a 10^5-file index and scan cost follows
-    the batch, not the index (files-read-gated in tests). Footprints
-    above `probe_cap` keys fall back to the full read (the predicate
-    itself would dominate).
+    the batch, not the index (files-read-gated in tests).
+
+    Footprints above `probe_cap` keys take the MIDDLE RUNG (round 10 —
+    was a full-read cliff): one `band = b AND band_hash BETWEEN
+    min..max` conjunction per band (≤ `bands` of them, the
+    `_post_key_prune` in-list-when-narrow/range-when-wide discipline)
+    — predicate cost stays O(bands) no matter how wide the batch, and
+    a band-clustered layout still skips files outside the batch's
+    per-band hash extremes. The rung choice is driven by a per-band
+    COUNT/MIN/MAX aggregate (a tiny scalar job), so the driver never
+    collects an unbounded key list.
+
+    Measured at sf0.1 (scripts/exp_probe_cap.py, table in SCALE.md):
+    the in-list rung's resolve cost used to grow linearly with the
+    footprint — 6.3s at a 10k-key footprint over just 64 files, 56s
+    at 77k — split between O(keys·files) manifest-stats scans and
+    per-value py4j isin literals. Round 10 fixed both in TxTable
+    (`_prep_dnf` bisect stats test; json-literal membership above 64
+    values), flattening resolve to ~0.5s at ANY footprint; what
+    remains above `probe_cap` is the predicate's O(footprint) row
+    filter and plan-literal size (at 100 TB a 10M-key in-list would
+    put a ~200 MB literal in the plan and 10M ops/row in the scan),
+    which the range rung bounds at O(bands).
 
     Correctness under the read-time cap: file pruning never splits a
     bucket — stats keep every file that may hold a probed key, so the
@@ -689,15 +709,35 @@ def minhash_dedup_against_stored_index(
         max_bucket=max_bucket,
     )
     t = TxTable(index_table)
-    keys = (
-        new_banded.select("band", "band_hash").distinct()
-        .limit(probe_cap + 1).collect()
+    # footprint stats first (one tiny scalar job) decide the rung
+    # without collecting an unbounded key list
+    fp = (
+        new_banded.groupBy("band")
+        .agg(
+            F.countDistinct("band_hash").alias("_n"),
+            F.min("band_hash").alias("_lo"),
+            F.max("band_hash").alias("_hi"),
+        )
+        .collect()
     )
-    if not keys:
+    n_keys = sum(r["_n"] for r in fp)
+    if n_keys == 0:
         idx_raw = t.read(spark, where=[("band", "in", [])])  # empty batch
-    elif len(keys) > probe_cap:
-        idx_raw = t.read(spark)  # footprint too wide to be worth a predicate
+    elif n_keys > probe_cap:
+        # middle rung: per-band hash-range DNF — O(bands) conjunctions
+        idx_raw = t.read(
+            spark,
+            where=[
+                [
+                    ("band", "=", r["band"]),
+                    ("band_hash", ">=", r["_lo"]),
+                    ("band_hash", "<=", r["_hi"]),
+                ]
+                for r in sorted(fp, key=lambda r: r["band"])
+            ],
+        )
     else:
+        keys = new_banded.select("band", "band_hash").distinct().collect()
         by_band: dict[int, list] = {}
         for r in keys:
             by_band.setdefault(r["band"], []).append(r["band_hash"])

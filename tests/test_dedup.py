@@ -683,3 +683,71 @@ def test_minhash_sink_releases_its_tracked_caches(spark, sf_dir, tmp_path):
         spark, src, idx, ckpt, max_versions_per_trigger=1
     ).awaitTermination()
     assert tracked_count() == before
+
+
+def test_stored_index_dedup_wide_footprint_takes_range_rung(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10: a batch whose (band, band_hash) footprint exceeds
+    probe_cap used to fall back to a FULL index read (an index-sized
+    scan any large batch silently paid). It now takes the middle
+    rung — one band = b AND band_hash BETWEEN min..max conjunction per
+    band, O(bands) stats cost regardless of footprint width. Forced
+    here with probe_cap=0: the read must still carry a predicate
+    (never the bare full read) and the result must stay row-identical
+    to the in-memory incremental dedup."""
+    import pyspark.sql.functions as F
+
+    from filesystemagent_spark.catalog import Catalog
+    from filesystemagent_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_against_stored_index,
+        minhash_dedup_incremental,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 50 == 0).limit(2).unionByName(
+        corpus.orderBy("doc_id").limit(1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    kw = dict(shingle_n=3, num_hashes=16, bands=4, seed=42,
+              base="md5", band_key="slice")
+    path = str(tmp_path / "bandidx")
+    TxTable(path).init(
+        minhash_band_index(corpus, "doc_id", "text", max_bucket=None, **kw)
+        .repartitionByRange(16, "band", "band_hash")
+    )
+
+    predicated = []
+    orig = TxTable.read
+
+    def counting(self, *a, **kw2):
+        predicated.append(kw2.get("where") is not None)
+        return orig(self, *a, **kw2)
+
+    monkeypatch.setattr(TxTable, "read", counting)
+    got = {
+        (r.id_new, r.dup_of, r.jaccard, r.src)
+        for r in minhash_dedup_against_stored_index(
+            spark, corpus, batch, path, "doc_id", "text",
+            max_bucket=1000, threshold=0.2, round_to=6, probe_cap=0, **kw
+        ).collect()
+    }
+    monkeypatch.setattr(TxTable, "read", orig)
+    assert predicated and all(predicated), predicated  # never the full read
+
+    idx_mem = minhash_band_index(
+        corpus, "doc_id", "text", max_bucket=1000, **kw
+    )
+    want = {
+        (r.id_new, r.dup_of, r.jaccard, r.src)
+        for r in minhash_dedup_incremental(
+            corpus, batch, idx_mem, "doc_id", "text",
+            max_bucket=1000, threshold=0.2, round_to=6, **kw
+        ).collect()
+    }
+    assert got == want
+    assert any(src == "corpus" and jac == 1.0 for *_, jac, src in got)

@@ -381,6 +381,7 @@ def start_minhash_index_sink(
     max_versions_per_trigger: int | None = None,
     fold_depth: int = 4,
     fold_covered_frac: float = 0.5,
+    maintain_every: int | None = None,
 ):
     """INCREMENTAL LSH band-index maintenance from the document
     corpus's CHANGE FEED (round 9) — the dedup leg of the
@@ -445,6 +446,7 @@ def start_minhash_index_sink(
                 latest=latest, id_col=id_col, new_rows=new_rows,
                 merge_keys=[id_col, "band"],
                 fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
+                maintain_every=maintain_every,
             )
         finally:
             imgs.unpersist()

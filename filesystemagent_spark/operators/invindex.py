@@ -111,6 +111,7 @@ def start_bm25_index_sink(
     n_term_partitions: int = 8,
     fold_depth: int = 4,
     fold_covered_frac: float = 0.5,
+    maintain_every: int | None = None,
 ):
     """INCREMENTAL index maintenance from the source corpus's CHANGE
     FEED (round 8) — the continuous-ingest twin of `build_bm25_index`,
@@ -155,6 +156,7 @@ def start_bm25_index_sink(
     from filesystemagent_spark.streaming.sinks import (
         _batch_images,
         _maybe_fold_tombstones,
+        _maybe_pace_retention,
         _start_feed_sink,
     )
 
@@ -292,6 +294,16 @@ def start_bm25_index_sink(
                         ).alias("df"),
                     )
                     term_t.merge_into(updates, ["term"], app={STAMP: batch_id})
+            # long-horizon retention pacing, both tables (see
+            # streaming/sinks._maybe_pace_retention; n_docs/total_dl
+            # scalars survive — latest_app_value walks past
+            # maintenance commits)
+            _maybe_pace_retention(
+                post_t, spark, batch_id, every=maintain_every
+            )
+            _maybe_pace_retention(
+                term_t, spark, batch_id, every=maintain_every
+            )
         finally:
             before.unpersist()
             after.unpersist()

@@ -563,6 +563,7 @@ def start_ivf_index_sink(
     max_versions_per_trigger: int | None = None,
     fold_depth: int = 4,
     fold_covered_frac: float = 0.5,
+    maintain_every: int | None = None,
 ):
     """INCREMENTAL IVF index maintenance from the embedding corpus's
     CHANGE FEED (round 8) — the vector leg of the maintained-artifact
@@ -688,6 +689,7 @@ def start_ivf_index_sink(
                 # extra isEmpty action (review finding)
                 has_new=int(a_n) > 0,
                 fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
+                maintain_every=maintain_every,
             )
         finally:
             imgs.unpersist()
@@ -1562,6 +1564,7 @@ def start_pq_index_sink(
     fold_depth: int = 4,
     fold_covered_frac: float = 0.5,
     cluster_by_cells: bool = False,
+    maintain_every: int | None = None,
 ):
     """INCREMENTAL PQ-codes maintenance from the embedding corpus's
     CHANGE FEED (round 9) — the compressed-vector leg of the
@@ -1708,6 +1711,7 @@ def start_pq_index_sink(
                 # extra isEmpty action
                 has_new=int(a_n) > 0,
                 fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
+                maintain_every=maintain_every,
             )
         finally:
             imgs.unpersist()

@@ -428,6 +428,8 @@ def _apply_index_batch(
     has_new: bool | None = None,
     fold_depth: int = 4,
     fold_covered_frac: float = 0.5,
+    maintain_every: int | None = None,
+    maintain_keep_last: int = 8,
 ) -> None:
     """The init / tombstone+merge / fold tail every single-table index
     sink shares, with the last-commit-carries-stamp discipline: the
@@ -437,7 +439,8 @@ def _apply_index_batch(
     no-op). ``app_extra_init`` overrides the extras on the init path
     (e.g. the IVF drift ledger's baseline snapshot); ``has_new`` lets
     a caller that already counted the new rows (a ledger agg) skip
-    the extra isEmpty action."""
+    the extra isEmpty action. ``maintain_every`` paces long-horizon
+    retention (see `_maybe_pace_retention`)."""
     from filesystemagent_spark.sources.txtable import TxTable  # noqa: F401
 
     if t.latest_version() == 0:
@@ -458,6 +461,51 @@ def _apply_index_batch(
     # delete-only runs stack MoR tombstones; fold under the shared
     # policy (measured round 9: depth 6 / covered_frac 1.0 pre-fix)
     _maybe_fold_tombstones(t, spark, fold_depth, fold_covered_frac)
+    _maybe_pace_retention(
+        t, spark, batch_id, every=maintain_every,
+        keep_last=maintain_keep_last,
+    )
+
+
+def _maybe_pace_retention(
+    t,
+    spark,
+    batch_id: int,
+    *,
+    every: int | None,
+    keep_last: int = 8,
+    small_file_bytes: int = 8 << 20,
+    target_bytes: int = 64 << 20,
+) -> None:
+    """Long-horizon retention pacing for a continuous sink loop
+    (round 10, measured in scripts/exp_sink_longevity.py): every
+    applying micro-batch is 1–3 TxTable commits plus
+    O(shuffle-partitions) small staged files, so an UNPACED loop
+    accretes ~8 files/batch forever and a commit log that grew to
+    ~5 MB by batch 150 at sf0.01 — per-batch drain time stays flat
+    (file-granular merges skip untouched files) but the manifest
+    chain, file census, and disk footprint all trend up unbounded.
+
+    Every ``every`` applied batches: bounded BIN-PACK compaction
+    (cost proportional to the small-file TAIL — the accretion product
+    — never the table; the no-op guard keeps an idle loop from
+    burning versions), then version expiry and vacuum. Retention is
+    safe under the sink contract: the sink is its index table's only
+    writer (retrains run between drains), the exactly-once stamp
+    lives in the newest commits so ``keep_last`` ≥ 4 always preserves
+    it, and consumers read the head (index tables are not
+    time-travel surfaces). Bin-packing does NOT re-cluster — packed
+    files span wider key ranges than the sink's staged layout, so a
+    probe-heavy index (cells/codes/band tables) should still get a
+    RARE full re-clustering compact through the maintenance CLI; this
+    hook is the frequent cheap tier."""
+    if every is None or every <= 0 or (batch_id + 1) % every:
+        return
+    t.compact(
+        spark, small_file_bytes=small_file_bytes, target_bytes=target_bytes
+    )
+    t.expire_versions(keep_last=max(4, keep_last))
+    t.vacuum()
 
 
 def _maybe_fold_tombstones(

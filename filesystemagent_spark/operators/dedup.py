@@ -382,6 +382,7 @@ def start_minhash_index_sink(
     fold_depth: int = 4,
     fold_covered_frac: float = 0.5,
     maintain_every: int | None = None,
+    maintain_retention_seconds: float = 600.0,
 ):
     """INCREMENTAL LSH band-index maintenance from the document
     corpus's CHANGE FEED (round 9) — the dedup leg of the
@@ -447,6 +448,7 @@ def start_minhash_index_sink(
                 merge_keys=[id_col, "band"],
                 fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
                 maintain_every=maintain_every,
+                maintain_retention_seconds=maintain_retention_seconds,
             )
         finally:
             imgs.unpersist()

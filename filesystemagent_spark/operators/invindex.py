@@ -112,6 +112,7 @@ def start_bm25_index_sink(
     fold_depth: int = 4,
     fold_covered_frac: float = 0.5,
     maintain_every: int | None = None,
+    maintain_retention_seconds: float = 600.0,
 ):
     """INCREMENTAL index maintenance from the source corpus's CHANGE
     FEED (round 8) — the continuous-ingest twin of `build_bm25_index`,
@@ -299,10 +300,12 @@ def start_bm25_index_sink(
             # scalars survive — latest_app_value walks past
             # maintenance commits)
             _maybe_pace_retention(
-                post_t, spark, batch_id, every=maintain_every
+                post_t, spark, batch_id, every=maintain_every,
+                retention_seconds=maintain_retention_seconds,
             )
             _maybe_pace_retention(
-                term_t, spark, batch_id, every=maintain_every
+                term_t, spark, batch_id, every=maintain_every,
+                retention_seconds=maintain_retention_seconds,
             )
         finally:
             before.unpersist()

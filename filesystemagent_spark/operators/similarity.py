@@ -564,6 +564,7 @@ def start_ivf_index_sink(
     fold_depth: int = 4,
     fold_covered_frac: float = 0.5,
     maintain_every: int | None = None,
+    maintain_retention_seconds: float = 600.0,
 ):
     """INCREMENTAL IVF index maintenance from the embedding corpus's
     CHANGE FEED (round 8) — the vector leg of the maintained-artifact
@@ -607,6 +608,7 @@ def start_ivf_index_sink(
     from filesystemagent_spark.streaming.sinks import (
         _apply_index_batch,
         _batch_images,
+        _ledger_continuation,
         _start_feed_sink,
     )
 
@@ -641,41 +643,39 @@ def start_ivf_index_sink(
                 post, cents,
                 id_col=id_col, vec_col=vec_col, nprobe=1, keep_score=True,
             ).cache()
-            a_sum, a_n = assigned.agg(
-                F.coalesce(F.sum("_cell_cos"), F.lit(0.0)), F.count("*")
+            # ledger counts track rows that CONTRIBUTE cosine mass
+            # (count of the metric column, null-skipping — review
+            # finding: count(*) would deflate the mean with rows whose
+            # invalid vectors yield null cosine); a_rows drives the
+            # merge decision and counts every staged row
+            a_sum, a_n, a_rows = assigned.agg(
+                F.coalesce(F.sum("_cell_cos"), F.lit(0.0)),
+                F.count("_cell_cos"), F.count("*"),
             ).first()
             b_sum, b_n = assign_cells(
                 before.select(id_col, vec_col), cents,
                 id_col=id_col, vec_col=vec_col, nprobe=1, keep_score=True,
             ).agg(
-                F.coalesce(F.sum("_cell_cos"), F.lit(0.0)), F.count("*")
+                F.coalesce(F.sum("_cell_cos"), F.lit(0.0)),
+                F.count("_cell_cos"),
             ).first()
             staged = assigned.drop("_cell_cos").repartitionByRange(
                 8, "cell_id"
             )
-            # Ledger continuation requires a baseline to adjust from.
-            # On a PRE-LEDGER cells table (round-8 sink, or one built
-            # by hand) the keys are absent: seeding the running sum
-            # from 0.0 would fabricate a ledger that accumulates
-            # deltas off a wrong base and LOOKS valid — skip the
-            # extras instead, so ivf_drift_info keeps raising its
-            # honest "no drift ledger" error (round-10 advice).
-            prev = {
-                k: cells_t.latest_app_value(k)
-                for k in ("ivf_cos_sum", "ivf_n", "ivf_cos_sum0", "ivf_n0")
-            }
-            if cells_t.latest_version() > 0 and any(
-                v is None for v in prev.values()
-            ):
-                ledger_extra = {}
-            else:
-                ledger_extra = {
+            # pre-ledger guard shared with the PQ sink (round-10
+            # advice + review): skip the extras on a table lacking the
+            # ledger keys instead of fabricating a zero-based baseline
+            ledger_extra = _ledger_continuation(
+                cells_t,
+                ("ivf_cos_sum", "ivf_n", "ivf_cos_sum0", "ivf_n0"),
+                lambda prev: {
                     "ivf_cos_sum": float(prev["ivf_cos_sum"] or 0.0)
                     + float(a_sum) - float(b_sum),
                     "ivf_n": int(prev["ivf_n"] or 0) + int(a_n) - int(b_n),
                     "ivf_cos_sum0": prev["ivf_cos_sum0"],
                     "ivf_n0": prev["ivf_n0"],
-                }
+                },
+            )
             _apply_index_batch(
                 cells_t, spark, batch_id=batch_id, stamp_key=STAMP,
                 latest=latest, id_col=id_col, new_rows=staged,
@@ -685,11 +685,12 @@ def start_ivf_index_sink(
                     "ivf_cos_sum0": float(a_sum), "ivf_n0": int(a_n),
                 },
                 app_extra=ledger_extra,
-                # the ledger agg already counted the post rows — no
+                # the ledger agg already counted the staged rows — no
                 # extra isEmpty action (review finding)
-                has_new=int(a_n) > 0,
+                has_new=int(a_rows) > 0,
                 fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
                 maintain_every=maintain_every,
+                maintain_retention_seconds=maintain_retention_seconds,
             )
         finally:
             imgs.unpersist()
@@ -1565,6 +1566,7 @@ def start_pq_index_sink(
     fold_covered_frac: float = 0.5,
     cluster_by_cells: bool = False,
     maintain_every: int | None = None,
+    maintain_retention_seconds: float = 600.0,
 ):
     """INCREMENTAL PQ-codes maintenance from the embedding corpus's
     CHANGE FEED (round 9) — the compressed-vector leg of the
@@ -1617,6 +1619,7 @@ def start_pq_index_sink(
     from filesystemagent_spark.streaming.sinks import (
         _apply_index_batch,
         _batch_images,
+        _ledger_continuation,
         _start_feed_sink,
     )
 
@@ -1660,8 +1663,13 @@ def start_pq_index_sink(
                     id_col,
                 ).repartitionByRange(8, "cell_id")
             encoded = encoded.cache()
-            a_err, a_n = encoded.agg(
-                F.coalesce(F.sum("_pq_err"), F.lit(0.0)), F.count("*")
+            # ledger counts track rows that CONTRIBUTE error mass
+            # (null-skipping count of the metric column — review
+            # finding: count(*) deflates the mean with invalid-vector
+            # rows whose err is null); a_rows drives the merge
+            a_err, a_n, a_rows = encoded.agg(
+                F.coalesce(F.sum("_pq_err"), F.lit(0.0)),
+                F.count("_pq_err"), F.count("*"),
             ).first()
             a_hist = _pq_code_hist(encoded)
             b_encoded = pq_encode_with_err(
@@ -1670,22 +1678,18 @@ def start_pq_index_sink(
             ).cache()
             try:
                 b_err, b_n = b_encoded.agg(
-                    F.coalesce(F.sum("_pq_err"), F.lit(0.0)), F.count("*")
+                    F.coalesce(F.sum("_pq_err"), F.lit(0.0)),
+                    F.count("_pq_err"),
                 ).first()
                 b_hist = _pq_code_hist(b_encoded)
             finally:
                 b_encoded.unpersist()
-            # pre-ledger codes table (round-9 sink): seeding the
-            # running sum from 0.0 would fabricate a valid-looking
-            # ledger off a wrong base — skip the extras instead, so
-            # pq_drift_info keeps raising (same guard as the IVF sink)
-            prev = {k: codes_t.latest_app_value(k) for k in LEDGER_KEYS}
-            if codes_t.latest_version() > 0 and any(
-                v is None for v in prev.values()
-            ):
-                ledger_extra = {}
-            else:
-                ledger_extra = {
+            # pre-ledger guard shared with the IVF sink (round-10
+            # advice + review): skip the extras on a table lacking the
+            # ledger keys instead of fabricating a zero-based baseline
+            ledger_extra = _ledger_continuation(
+                codes_t, LEDGER_KEYS,
+                lambda prev: {
                     "pq_err_sum": float(prev["pq_err_sum"] or 0.0)
                     + float(a_err) - float(b_err),
                     "pq_n": int(prev["pq_n"] or 0) + int(a_n) - int(b_n),
@@ -1695,7 +1699,8 @@ def start_pq_index_sink(
                         prev["pq_hist"] or {}, a_hist, b_hist
                     ),
                     "pq_hist0": prev["pq_hist0"],
-                }
+                },
+            )
             _apply_index_batch(
                 codes_t, spark, batch_id=batch_id, stamp_key=STAMP,
                 latest=latest, id_col=id_col,
@@ -1707,11 +1712,12 @@ def start_pq_index_sink(
                     "pq_hist": a_hist, "pq_hist0": a_hist,
                 },
                 app_extra=ledger_extra,
-                # the ledger agg already counted the post rows — no
+                # the ledger agg already counted the staged rows — no
                 # extra isEmpty action
-                has_new=int(a_n) > 0,
+                has_new=int(a_rows) > 0,
                 fold_depth=fold_depth, fold_covered_frac=fold_covered_frac,
                 maintain_every=maintain_every,
+                maintain_retention_seconds=maintain_retention_seconds,
             )
         finally:
             imgs.unpersist()
@@ -1893,9 +1899,14 @@ def retrain_pq_index(
     )
     # IVFPQ layout (cluster_by_cells sink): re-encoding must preserve
     # the cell_id column and clustering — assignment re-runs against
-    # the FIXED centroids (a codebook retrain does not move them)
+    # the FIXED centroids (a codebook retrain does not move them).
+    # Keyed off the codes SCHEMA, not a co-located centroids dir
+    # (review finding: a plain PQ index sharing index_dir with IVF
+    # artifacts must not be silently flipped to the clustered shape)
     cent_path = _os.path.join(index_dir, "centroids")
-    if _os.path.isdir(cent_path):
+    if codes_t.latest_version() > 0 and "cell_id" in codes_t.read(
+        spark
+    ).columns:
         encoded = encoded.join(
             assign_cells(
                 live, TxTable(cent_path).read(spark),

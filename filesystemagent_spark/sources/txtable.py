@@ -313,9 +313,14 @@ def _isin(c, v):
         return F.lit(False)
     if len(vals) > _ISIN_LITERAL_MAX:
         # exact JSON round-trip only for homogeneous safe types:
-        # int → bigint (exact at any magnitude), finite float → double,
-        # str → string; anything else falls back to isin
-        if all(type(x) is int for x in vals):
+        # int64-range int → bigint, finite float → double, str →
+        # string; anything else falls back to isin. The int64 bound
+        # matters: a Python int past 2^63 would overflow from_json's
+        # bigint parse and NULL the whole array — silently matching
+        # NOTHING — where isin raises a loud overflow error.
+        if all(
+            type(x) is int and -(2**63) <= x < 2**63 for x in vals
+        ):
             elem = "bigint"
         elif all(type(x) is float and _math.isfinite(x) for x in vals):
             elem = "double"
@@ -439,16 +444,26 @@ def _prep_dnf(where) -> list[list]:
     cost hours at manifest scale. Value lists that won't sort (mixed
     types) stay as plain tuples and keep the linear test."""
     out = []
+    import math as _math
+
     for conj in _dnf(where):
         pc = []
         for col, op, val in conj:
             if op == "in" and isinstance(
                 val, (list, tuple, set, frozenset)
             ) and not isinstance(val, _SortedVals):
-                try:
-                    val = _SortedVals(sorted(set(val)))
-                except TypeError:
+                # NaN poisons sorted() SILENTLY (comparison-false, no
+                # TypeError) and an unordered _SortedVals makes the
+                # bisect falsely prune files — keep the linear path
+                if any(
+                    isinstance(x, float) and _math.isnan(x) for x in val
+                ):
                     val = tuple(val)
+                else:
+                    try:
+                        val = _SortedVals(sorted(set(val)))
+                    except TypeError:
+                        val = tuple(val)
             pc.append((col, op, val))
         out.append(pc)
     return out

@@ -430,6 +430,7 @@ def _apply_index_batch(
     fold_covered_frac: float = 0.5,
     maintain_every: int | None = None,
     maintain_keep_last: int = 8,
+    maintain_retention_seconds: float = 600.0,
 ) -> None:
     """The init / tombstone+merge / fold tail every single-table index
     sink shares, with the last-commit-carries-stamp discipline: the
@@ -464,7 +465,24 @@ def _apply_index_batch(
     _maybe_pace_retention(
         t, spark, batch_id, every=maintain_every,
         keep_last=maintain_keep_last,
+        retention_seconds=maintain_retention_seconds,
     )
+
+
+def _ledger_continuation(t, keys: tuple[str, ...], build) -> dict:
+    """The pre-ledger guard the drift-ledger sinks share (round-10
+    review: the IVF and PQ sinks carried verbatim copies of this
+    subtle invariant): continuation extras need a baseline to adjust
+    from — on a table whose app metadata lacks ANY ledger key (built
+    by an older sink, or by hand), seeding the running sums from zero
+    would fabricate a valid-LOOKING ledger off a wrong base, so the
+    extras are skipped entirely and the drift-info reader keeps
+    raising its honest 'no drift ledger' error. ``build(prev)``
+    returns the extras dict given the previous app values."""
+    prev = {k: t.latest_app_value(k) for k in keys}
+    if t.latest_version() > 0 and any(v is None for v in prev.values()):
+        return {}
+    return build(prev)
 
 
 def _maybe_pace_retention(
@@ -476,6 +494,7 @@ def _maybe_pace_retention(
     keep_last: int = 8,
     small_file_bytes: int = 8 << 20,
     target_bytes: int = 64 << 20,
+    retention_seconds: float = 600.0,
 ) -> None:
     """Long-horizon retention pacing for a continuous sink loop
     (round 10, measured in scripts/exp_sink_longevity.py): every
@@ -489,23 +508,31 @@ def _maybe_pace_retention(
     Every ``every`` applied batches: bounded BIN-PACK compaction
     (cost proportional to the small-file TAIL — the accretion product
     — never the table; the no-op guard keeps an idle loop from
-    burning versions), then version expiry and vacuum. Retention is
-    safe under the sink contract: the sink is its index table's only
-    writer (retrains run between drains), the exactly-once stamp
-    lives in the newest commits so ``keep_last`` ≥ 4 always preserves
-    it, and consumers read the head (index tables are not
-    time-travel surfaces). Bin-packing does NOT re-cluster — packed
-    files span wider key ranges than the sink's staged layout, so a
-    probe-heavy index (cells/codes/band tables) should still get a
-    RARE full re-clustering compact through the maintenance CLI; this
-    hook is the frequent cheap tier."""
+    burning versions), then version expiry and vacuum. The sink is
+    its index table's only WRITER (retrains run between drains) and
+    the exactly-once stamp lives in the newest commits so
+    ``keep_last`` ≥ 4 always preserves it — but READERS are not
+    serialized with the sink: a serving query binds a version's
+    concrete file paths and scans them while batches keep landing, so
+    expiry and vacuum both carry ``retention_seconds`` (review
+    finding) — a version must be BOTH beyond keep_last AND older than
+    the window to expire, and vacuum skips recently-touched dirs —
+    bounding any in-flight reader's exposure to queries longer than
+    the window (pass 0 only where no concurrent reader can exist:
+    tests, offline maintenance). Bin-packing does NOT re-cluster —
+    packed files span wider key ranges than the sink's staged layout,
+    so a probe-heavy index (cells/codes/band tables) should still get
+    a RARE full re-clustering compact through the maintenance CLI;
+    this hook is the frequent cheap tier."""
     if every is None or every <= 0 or (batch_id + 1) % every:
         return
     t.compact(
         spark, small_file_bytes=small_file_bytes, target_bytes=target_bytes
     )
-    t.expire_versions(keep_last=max(4, keep_last))
-    t.vacuum()
+    t.expire_versions(
+        keep_last=max(4, keep_last), older_than_seconds=retention_seconds
+    )
+    t.vacuum(grace_seconds=retention_seconds)
 
 
 def _maybe_fold_tombstones(

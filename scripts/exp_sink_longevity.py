@@ -74,7 +74,8 @@ def main() -> None:
     idx = os.path.join(stage, "bandidx")
     ckpt = os.path.join(stage, "ckpt")
     mh = dict(shingle_n=3, num_hashes=16, bands=4, seed=42,
-              maintain_every=maintain_every)
+              maintain_every=maintain_every,
+              maintain_retention_seconds=0.0)
 
     t = TxTable(src)
     t.init(docs.filter(F.col("doc_id") % 2 == 0))

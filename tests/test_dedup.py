@@ -788,7 +788,8 @@ def test_minhash_sink_retention_pacing_bounds_files_and_log(
     t.init(docs.filter(F.col("doc_id") % 2 == 0))
     n_batches, every = 12, 4
     start_minhash_index_sink(
-        spark, src, idx, ckpt, maintain_every=every, **mh
+        spark, src, idx, ckpt, maintain_every=every,
+        maintain_retention_seconds=0.0, **mh
     ).awaitTermination()
     for i in range(n_batches):
         batch = docs.filter(F.col("doc_id") % n_batches == i).select(
@@ -801,7 +802,8 @@ def test_minhash_sink_retention_pacing_bounds_files_and_log(
                 change_feed=True,
             )
         start_minhash_index_sink(
-            spark, src, idx, ckpt, maintain_every=every, **mh
+            spark, src, idx, ckpt, maintain_every=every,
+            maintain_retention_seconds=0.0, **mh
         ).awaitTermination()
 
     it = TxTable(idx)
@@ -834,6 +836,7 @@ def test_minhash_sink_retention_pacing_bounds_files_and_log(
     # (c) exactly-once across retention commits
     head = it.latest_version()
     start_minhash_index_sink(
-        spark, src, idx, ckpt, maintain_every=every, **mh
+        spark, src, idx, ckpt, maintain_every=every,
+        maintain_retention_seconds=0.0, **mh
     ).awaitTermination()
     assert it.latest_version() == head

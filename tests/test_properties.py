@@ -374,3 +374,36 @@ def test_sorted_in_stats_test_equals_linear(vals, bounds):
     (prepped,) = _prep_dnf([("c", "in", vals)])
     got = all(_file_may_match(per, p) for p in prepped)
     assert got == linear
+
+
+_in_floats = st.lists(
+    st.one_of(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        st.just(float("nan")),
+    ),
+    max_size=20,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(vals=_in_floats, bounds=_bounds)
+def test_sorted_in_stats_test_equals_linear_floats_with_nan(vals, bounds):
+    """Round-10 review finding: NaN poisons sorted() SILENTLY (no
+    TypeError, comparison-false ordering), so a NaN-bearing list must
+    stay on the linear path — a corrupted bisect order would falsely
+    prune files holding matching keys (silent row loss)."""
+    import math
+
+    from filesystemagent_spark.sources.txtable import (
+        _file_may_match,
+        _prep_dnf,
+    )
+
+    mn, mx = bounds
+    per = {"c": [float(mn), float(mx)]}
+    linear = any(
+        not math.isnan(x) and mn <= x <= mx for x in vals
+    )
+    (prepped,) = _prep_dnf([("c", "in", vals)])
+    got = all(_file_may_match(per, p) for p in prepped)
+    assert got == linear

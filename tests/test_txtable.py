@@ -3259,3 +3259,25 @@ def test_isin_large_list_json_path_matches_small_path(spark):
         r.f for r in fdf.filter(_isin(F.col("f"), fl)).collect()
     )
     assert got_f == [0.5, 7.125]
+
+
+def test_isin_int64_overflow_falls_back_loudly(spark):
+    """Round-10 review finding: a Python int past 2^63 would overflow
+    from_json's bigint parse, NULL the whole literal array, and make
+    the predicate silently match NOTHING. Such lists must take the
+    isin path (which raises a loud overflow error) instead."""
+    from pyspark.sql import functions as F
+
+    from filesystemagent_spark.sources.txtable import (
+        _ISIN_LITERAL_MAX,
+        _isin,
+    )
+
+    vals = [2**63 + 1] + list(range(2 * _ISIN_LITERAL_MAX))
+    df = spark.createDataFrame([(5,), (99,)], "v: bigint")
+    with pytest.raises(Exception):
+        df.filter(_isin(F.col("v"), vals)).collect()
+    # and the in-range twin still answers exactly
+    ok = [2**62] + list(range(2 * _ISIN_LITERAL_MAX))
+    got = sorted(r.v for r in df.filter(_isin(F.col("v"), ok)).collect())
+    assert got == [5, 99]

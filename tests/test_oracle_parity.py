@@ -50,7 +50,22 @@ def test_graded_window_is_curated():
     missing_oracle = [n for n in window if QUERIES[n].oracle is None]
     assert not missing_oracle, f"rows-only in graded window: {missing_oracle}"
     headliners = {n for n, q in QUERIES.items() if q.headline}
-    assert headliners <= set(window), headliners - set(window)
+    # Round 10: the bench headliner SET stays fixed (the 10.4–13.5s
+    # series band is only comparable across rounds on a stable set),
+    # but two headliners' graded slots rotated to their
+    # maintained/stored successors, whose oracles REPLAY the displaced
+    # pipelines over a DML-replayed corpus. A headliner outside the
+    # window must be one of those named displacements, and every
+    # headliner must stay oracle-backed (driver_sim checks the full
+    # registry each round, so they remain value-hashed — just not in
+    # the driver's graded 50).
+    displaced_headliners = {
+        "doc_minhash_pairs_checkable",  # → doc_minhash_incremental_index
+        "doc_minhash_incremental",      # → doc_minhash_incremental_stored
+    }
+    out_of_window = headliners - set(window)
+    assert out_of_window <= displaced_headliners, out_of_window
+    assert all(QUERIES[n].oracle is not None for n in headliners)
     gates = {"events_stream_tumbling", "events_stream_sessions",
              "events_stream_late_accounting"}
     assert gates <= set(window)

@@ -2070,6 +2070,7 @@ def knn_ivfpq(
     k: int = 5,
     nprobe: int = 2,
     rerank: int = 50,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF+PQ COMPOSED serving over the stored artifacts (round 10 —
     the Faiss IVFPQ + refine production recipe, closing the verdict's
@@ -2193,14 +2194,16 @@ def knn_ivfpq(
         F.col(vec_col).alias("_cv"),
         V.l2_norm(F.col(vec_col)).alias("_cn"),
     )
+    cos = V.cosine_from(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"))
+    if round_to is not None:
+        # rank on the ROUNDED cosine + id tie-break (the repo-wide
+        # cross-engine discipline) so an oracle selects identical rows
+        cos = F.round(cos, round_to)
     rescored = (
         F.broadcast(cand)
         .join(c, "neighbor_id")
         .join(qv, "query_id")
-        .withColumn(
-            "cosine",
-            V.cosine_from(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
-        )
+        .withColumn("cosine", cos)
         .drop("_qv", "_cv", "_qn", "_cn")
     )
     return grouped_top_k(

@@ -1277,3 +1277,78 @@ def embedding_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identity, and the recall/agreement gates live in
     tests/test_similarity.py."""
     return embedding_knn_ivfpq_auto_with_meta(spark, sf_dir)[0]
+
+
+@register(
+    "embedding_knn_ivfpq_exact",
+    tags=("vector", "ann", "ivf", "pq", "txtable", "exactness", "scale"),
+    oracle=f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_knn_dot} / ({_knn_qn} * {_knn_cn}), 6) AS cosine
+    FROM embeddings q
+    CROSS JOIN embeddings c
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {K}
+ORDER BY query_id, rnk
+""",
+)
+def embedding_knn_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFPQ serving path made ORACLE-CHECKABLE (round 10): at
+    nprobe = |cells| and rerank = |corpus| every stage of `knn_ivfpq`
+    is exhaustive — the probe covers all cells, ADC retrieves every
+    code, and the exact rerank rescoring equals brute force PROVABLY —
+    so the same cross-join top-{K} SQL that checks `embedding_knn`
+    value-hashes the ENTIRE stored pipeline: the cluster_by_cells
+    sink's maintained (codes, cell_id) table, the cell_id IN probe
+    read, the per-query LUT ADC equi-join, the id-footprint-pruned
+    true-vector fetch (json-membership predicate at this footprint),
+    and the rounded-cosine rerank. The approximate twin
+    (`embedding_knn_ivfpq`, auto-tuned) stays rows-only; this anchor
+    is what lets its tuner terminate met."""
+    import os as _os
+    import tempfile
+
+    from filesystemagent_spark.operators.similarity import (
+        knn_ivfpq,
+        start_pq_index_sink,
+    )
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    emb = Catalog(spark, sf_dir).embeddings
+    stage = tempfile.mkdtemp(prefix="ivfpq_exact_")
+    src = _os.path.join(stage, "corpus")
+    idx = _os.path.join(stage, "index")
+    ckpt = _os.path.join(stage, "ckpt")
+    TxTable(src).init(emb.select("vec_id", "embedding"))
+    centroids = S.centroids_from_labels(
+        emb, label_col="label", vec_col="embedding", dim=DIM
+    )
+    TxTable(_os.path.join(idx, "centroids")).init(centroids)
+    TxTable(_os.path.join(idx, "codebook")).init(
+        S.pq_codebooks(
+            emb, id_col="vec_id", vec_col="embedding", dim=DIM, m=8, k=16,
+            max_iter=2,
+        )
+    )
+    start_pq_index_sink(
+        spark, src, idx, ckpt, dim=DIM, m=8, k_cells=16,
+        cluster_by_cells=True,
+    ).awaitTermination()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    n_cells = centroids.count()
+    n_corpus = emb.count()
+    return knn_ivfpq(
+        spark, queries, idx, corpus_table=src,
+        dim=DIM, m=8, k_cells=16, k=K,
+        nprobe=n_cells, rerank=n_corpus, round_to=6,
+    ).orderBy("query_id", "rnk")

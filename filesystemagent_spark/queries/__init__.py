@@ -293,6 +293,14 @@ GRADE_ORDER = (
 # doc_minhash_incremental_stored hold graded slots; displaced
 # doc_minhash_pairs_checkable and doc_minhash_incremental (rationales
 # inline above).
+# Round-11 rotation candidate: embedding_knn_ivfpq_exact — the
+# provably-exact IVFPQ configuration, ORACLE-BACKED by the very same
+# cross-join top-k SQL as embedding_knn, so it could take
+# embedding_knn's graded slot while strictly ADDING the stored
+# surface (cluster_by_cells sink, cell_id-IN probe read, LUT ADC,
+# id-footprint vector fetch); embedding_knn would stay registered +
+# sim-checked, and the bench headliner set again stays fixed (the
+# displaced-headliner exception in tests/test_oracle_parity.py).
 # The other round-9 arrivals (embedding_semdedup_incremental,
 # embedding_stored_pq_incremental, embedding_knn_stored_ivf_auto) are
 # approximate/rows-only by construction and cannot enter the

@@ -1061,6 +1061,72 @@ class TxTable:
         )
         return files, ddl
 
+    def _write_data_split(
+        self, df: DataFrame, cond, cols: list[str]
+    ) -> tuple[list[str], list[str], str]:
+        """Stage ``df.select(cols)`` in ONE pass as TWO file sets
+        partitioned by the boolean ``cond`` (nulls → False): returns
+        (false_files, true_files, ddl). The DML verbs use this to
+        produce the kept data rows AND the change-feed images from a
+        single scan of the touched files — previously each image class
+        was its own full pass over the same bytes (at 100 TB a
+        feed-enabled CoW delete re-read every touched file twice).
+
+        Mechanics: a dynamic-partition write splits rows task-locally
+        into `marker=false/` / `marker=true/` subdirs of one staging
+        dir, then the subdirs are promoted (rename — same filesystem,
+        metadata-only) to ordinary top-level dirs under data/, because
+        the vacuum census and the dir-grouped planner are single-level
+        by design. The marker is partition-encoded, so the staged files
+        carry exactly ``cols`` — byte-compatible with a plain
+        _write_data of the same projection. A crash before the commit
+        leaves the wrapper dir unreferenced (vacuumable litter), same
+        as _write_data."""
+        from pyspark.sql import functions as F
+
+        marker = "__txsplit__"
+        if marker in cols:
+            raise ValueError(
+                f"column name {marker!r} is reserved for TxTable "
+                "split staging — rename the column"
+            )
+        out_df = df.select(
+            *cols,
+            F.coalesce(cond.cast("boolean"), F.lit(False)).alias(marker),
+        )
+        _reject_reserved_columns(out_df.drop(marker))
+        os.makedirs(self.data_dir, exist_ok=True)
+        wrapper = os.path.join(self.data_dir, f"split-{uuid.uuid4().hex}")
+        out_df.write.partitionBy(marker).parquet(wrapper)
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        sides: dict[str, list[str]] = {}
+        for side in ("false", "true"):
+            src = os.path.join(wrapper, f"{marker}={side}")
+            files: list[str] = []
+            if os.path.isdir(src):
+                dst = os.path.join(self.data_dir, uuid.uuid4().hex)
+                os.rename(src, dst)
+                for f in sorted(os.listdir(dst)):
+                    p = os.path.join(dst, f)
+                    if not f.endswith(".parquet"):
+                        continue
+                    # same 0-row drop as _write_data (empty partitions'
+                    # null stats would force conservative rewrites)
+                    if pq.read_metadata(p).num_rows > 0:
+                        files.append(p)
+                    else:
+                        os.unlink(p)
+            sides[side] = files
+        shutil.rmtree(wrapper, ignore_errors=True)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in out_df.drop(marker).schema.fields
+        )
+        return sides["false"], sides["true"], ddl
+
     def _write_data_bucketed(
         self, df: DataFrame, bucket_cols: list[str], n_buckets: int
     ) -> tuple[list[str], str]:
@@ -1326,6 +1392,8 @@ class TxTable:
         parquet). Returns the committed version; `last_merge_info`
         records what the commit did (rewritten/carried file counts,
         whether a rebase happened) for observability and tests."""
+        from pyspark.sql import functions as F
+
         spark = updates.sparkSession
         # The updates plan is executed several times per attempt (key
         # probe, anti-join, data write, optional change images) and
@@ -1369,56 +1437,82 @@ class TxTable:
             )
             n_carried = len(carried) + sum(s["n_files"] for s in reused)
             cols = spark.createDataFrame([], ddl).columns
-            if touched:
-                # carried/touched files may predate newly-added columns:
-                # the parquet reader fills schema columns missing from a
-                # file with nulls, so reading with the EVOLVED schema is
-                # exact. Updates may likewise omit existing columns
-                # (partial-column upsert) — allowMissingColumns nulls
-                # them, matching MERGE's whole-row-replace semantics.
-                # tombstone-aware: an earlier MoR delete's rows must
-                # not resurrect through the rewrite (evolved schema
-                # fills new columns null, same as the plain read did)
-                current = self._apply_tombstones(spark, m, touched, ddl=ddl)
-                keep = current.join(
-                    updates.select(*key_cols).distinct(), key_cols, "left_anti"
-                )
-                merged = keep.unionByName(
-                    updates, allowMissingColumns=True
-                ).select(*cols)
-            else:
-                one_sided = spark.createDataFrame([], ddl).unionByName(
-                    updates, allowMissingColumns=True
-                )
-                merged = one_sided.select(*cols)
-            new_files, new_ddl = self._write_data(merged)
-            self._check_constraints(spark, new_files)
+            # carried/touched files may predate newly-added columns:
+            # the parquet reader fills schema columns missing from a
+            # file with nulls, so reading with the EVOLVED schema is
+            # exact. Updates may likewise omit existing columns
+            # (partial-column upsert) — allowMissingColumns nulls
+            # them, matching MERGE's whole-row-replace semantics.
+            # tombstone-aware: an earlier MoR delete's rows must
+            # not resurrect through the rewrite (evolved schema
+            # fills new columns null, same as the plain read did)
             changes = None
             if change_feed:
                 # CDF (Delta change-feed recipe): the UPDATE BATCH itself,
-                # schema-aligned, staged as its own files at write time —
-                # exact change images with no read-time diffing. Round 5
-                # adds UPDATE PRE-IMAGES (the old rows whose keys the
-                # batch replaces, Delta's update_preimage): without them
-                # an incremental consumer cannot maintain subtractive
+                # schema-aligned, staged ONCE at write time — the files
+                # serve BOTH as the 'upsert' change images and as the
+                # batch's data files (the sharing update_where(mode='mor')
+                # already does; exact images with no read-time diffing).
+                # Round 5 adds UPDATE PRE-IMAGES (the old rows whose keys
+                # the batch replaces, Delta's update_preimage): without
+                # them an incremental consumer cannot maintain subtractive
                 # state (SUM/COUNT deltas need the value being replaced).
                 # Files not in `touched` provably hold no update key, so
-                # the semi-join over touched files IS the complete
-                # pre-image set.
+                # the key-matched rows of the touched scan ARE the
+                # complete pre-image set.
                 batch_aligned = spark.createDataFrame([], ddl).unionByName(
                     updates, allowMissingColumns=True
                 ).select(*cols)
-                ch_files, _ = self._write_data(batch_aligned)
+                ch_files, new_ddl = self._write_data(batch_aligned)
                 parts = [{"files": ch_files, "type": "upsert"}]
                 if touched:
-                    pre = current.join(
-                        updates.select(*key_cols).distinct(), key_cols, "left_semi"
+                    # ONE scan of the touched files yields both the kept
+                    # rows (data) and the pre-images (feed): rows whose
+                    # key matches the batch are pre-images, the rest
+                    # carry forward — previously an anti-join pass AND a
+                    # semi-join pass each re-read every touched file
+                    # (guide §2.4: the decision both passes make is the
+                    # same key-membership test, computable in one pass).
+                    hit = "__txhit__"
+                    if hit in cols:
+                        raise ValueError(
+                            f"column name {hit!r} is reserved for TxTable "
+                            "merge staging — rename the column"
+                        )
+                    current = self._apply_tombstones(spark, m, touched, ddl=ddl)
+                    keys = (
+                        updates.select(*key_cols)
+                        .distinct()
+                        .withColumn(hit, F.lit(True))
                     )
-                    pre_files, _ = self._write_data(pre)
+                    keep_files, pre_files, _ = self._write_data_split(
+                        current.join(keys, key_cols, "left"),
+                        F.col(hit).isNotNull(),
+                        cols,
+                    )
                     parts.append(
                         {"files": pre_files, "type": "update_preimage"}
                     )
+                    new_files = keep_files + ch_files
+                else:
+                    new_files = ch_files
                 changes = {"parts": parts}
+            else:
+                if touched:
+                    current = self._apply_tombstones(spark, m, touched, ddl=ddl)
+                    keep = current.join(
+                        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+                    )
+                    merged = keep.unionByName(
+                        updates, allowMissingColumns=True
+                    ).select(*cols)
+                else:
+                    one_sided = spark.createDataFrame([], ddl).unionByName(
+                        updates, allowMissingColumns=True
+                    )
+                    merged = one_sided.select(*cols)
+                new_files, new_ddl = self._write_data(merged)
+            self._check_constraints(spark, new_files)
             kw = {"reuse_segments": reused} if reused else {}
             try:
                 self._try_commit(
@@ -1519,6 +1613,7 @@ class TxTable:
                 return base  # stats prove nothing matches — no-op
             tbs = m.get("tombstones") or []
             changes = None
+            new_files: list[str] | None = None
             if change_feed or mode == "cow":
                 # the covered files under EXISTING tombstones: both the
                 # rows a COW rewrite keeps and the delete images must
@@ -1526,9 +1621,20 @@ class TxTable:
                 # (A feed-less MoR delete never builds this scan — the
                 # headline metadata-only path stays metadata-only.)
                 scan = self._apply_tombstones(spark, m, touched)
-            if change_feed:
+            if change_feed and mode == "cow":
+                # ONE scan of the touched files: matching rows are the
+                # delete images, the rest are the rewritten data files
+                # — previously the images pass and the keep pass each
+                # re-read every touched file (guide §2.4).
+                new_files, ch_files, _ = self._write_data_split(
+                    scan,
+                    F.coalesce(_where_cond(where), F.lit(False)),
+                    scan.columns,
+                )
+                changes = {"files": ch_files, "type": "delete"}
+            elif change_feed:
                 # delete images: the rows being removed, staged at write
-                # time like the merge CDF
+                # time like the merge CDF (MoR: read-only, no rewrite)
                 ch_files, _ = self._write_data(
                     scan.filter(F.coalesce(_where_cond(where), F.lit(False)))
                 )
@@ -1556,8 +1662,9 @@ class TxTable:
                 except CommitConflict:
                     _conflict_backoff(_attempt)
                     continue
-            keep = _delete_keep_filter(scan, where)
-            new_files, _ = self._write_data(keep)
+            if new_files is None:  # feed-less CoW — single keep pass
+                keep = _delete_keep_filter(scan, where)
+                new_files, _ = self._write_data(keep)
             try:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
@@ -1700,12 +1807,28 @@ class TxTable:
                 return base
             tbs = m.get("tombstones") or []
             changes = None
+            new_files: list[str] | None = None
             if change_feed or mode == "cow":
                 scan = self._apply_tombstones(spark, m, touched)
                 # USING semi/anti joins move the join keys to the
                 # front; staged files must keep schema_ddl order
                 cols = spark.createDataFrame([], m["schema_ddl"]).columns
-            if change_feed:
+            if change_feed and mode == "cow":
+                # ONE scan of the touched files: keyed rows are the
+                # delete images, the rest are the rewritten data files
+                # (previously a semi-join pass AND an anti-join pass
+                # each re-read every touched file — guide §2.4)
+                hit = "__txhit__"
+                marked = scan.join(
+                    staged_keys.withColumn(hit, F.lit(True)),
+                    key_cols,
+                    "left",
+                )
+                new_files, ch_files, _ = self._write_data_split(
+                    marked, F.col(hit).isNotNull(), cols
+                )
+                changes = {"files": ch_files, "type": "delete"}
+            elif change_feed:
                 ch_files, _ = self._write_data(
                     scan.join(staged_keys, key_cols, "left_semi").select(*cols)
                 )
@@ -1734,8 +1857,11 @@ class TxTable:
                 except CommitConflict:
                     _conflict_backoff(_attempt)
                     continue
-            keep = scan.join(staged_keys, key_cols, "left_anti").select(*cols)
-            new_files, _ = self._write_data(keep)
+            if new_files is None:  # feed-less CoW — single keep pass
+                keep = scan.join(
+                    staged_keys, key_cols, "left_anti"
+                ).select(*cols)
+                new_files, _ = self._write_data(keep)
             try:
                 self._try_commit(
                     base + 1, carried + new_files, m["schema_ddl"],
@@ -1845,16 +1971,39 @@ class TxTable:
                 c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
                 for c, e in set_exprs.items()
             }
-            post = scan.filter(cond).select(
-                *[
-                    assigned[c].alias(c) if c in assigned else F.col(c)
-                    for c in cols
-                ]
-            )
+
+            def _post_select(src: DataFrame) -> DataFrame:
+                return src.select(
+                    *[
+                        assigned[c].alias(c) if c in assigned else F.col(c)
+                        for c in cols
+                    ]
+                )
+
             changes = None
+            keep_files: list[str] | None = None
             if change_feed:
-                pre_files, _ = self._write_data(scan.filter(cond))
-                post_files, _ = self._write_data(post)
+                if mode == "cow":
+                    # ONE scan of the touched files: matching rows are
+                    # the pre-images, the rest are the kept data rows —
+                    # previously the pre pass, the post pass and the
+                    # whole-file rewrite EACH re-read every touched
+                    # file (3 full passes → 1 full + 1 matched-only).
+                    keep_files, pre_files, _ = self._write_data_split(
+                        scan, cond, cols
+                    )
+                else:
+                    pre_files, _ = self._write_data(scan.filter(cond))
+                # post-images from the JUST-WRITTEN pre-image files: the
+                # transform is a pure row function of the old values, so
+                # re-reading the matched rows (small) replaces a second
+                # full scan of the touched files.
+                pre_df = (
+                    spark.read.schema(m["schema_ddl"]).parquet(*pre_files)
+                    if pre_files
+                    else spark.createDataFrame([], m["schema_ddl"])
+                )
+                post_files, _ = self._write_data(_post_select(pre_df))
                 changes = {
                     "parts": [
                         {"files": post_files, "type": "upsert"},
@@ -1879,7 +2028,9 @@ class TxTable:
                 if changes is not None:
                     new_files = list(changes["parts"][0]["files"])
                 else:
-                    new_files, _ = self._write_data(post)
+                    new_files, _ = self._write_data(
+                        _post_select(scan.filter(cond))
+                    )
                 self._check_constraints(spark, new_files)
                 try:
                     self._try_commit(
@@ -1900,15 +2051,21 @@ class TxTable:
                 except CommitConflict:
                     _conflict_backoff(_attempt)
                     continue
-            rewritten = scan.select(
-                *[
-                    F.when(cond, assigned[c]).otherwise(F.col(c)).alias(c)
-                    if c in assigned
-                    else F.col(c)
-                    for c in cols
-                ]
-            )
-            new_files, _ = self._write_data(rewritten)
+            if keep_files is not None:
+                # feed CoW: the split pass above already produced the
+                # kept rows; the rewritten table is keep + post-images
+                # (identical row multiset to the old whole-file rewrite)
+                new_files = keep_files + post_files
+            else:
+                rewritten = scan.select(
+                    *[
+                        F.when(cond, assigned[c]).otherwise(F.col(c)).alias(c)
+                        if c in assigned
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+                new_files, _ = self._write_data(rewritten)
             self._check_constraints(spark, new_files)
             try:
                 self._try_commit(

@@ -22,6 +22,7 @@ Python per row, safe at 100 TB.
 from __future__ import annotations
 
 import random
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -40,27 +41,68 @@ def perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def shingle_hashes(shingles: Column) -> Column:
+def _col_sql(c: Column | str) -> str:
+    """SQL text of a column for expression-string assembly.
+
+    The MinHash builders below generate their expression trees as ONE
+    SQL string parsed JVM-side by `F.expr` instead of composing
+    hundreds of Column objects: each Python-built higher-order
+    function costs ~10–16 ms of py4j round-trips (measured: the
+    64-permutation signature alone was ~0.3 s of DRIVER time per
+    construction, ~2 s per minhash query plan), while parsing one
+    string is a single round trip. The parsed tree is semantically
+    identical — same functions, literals and types — so results are
+    bit-identical (pinned by test_dedup's oracle replays and the
+    sql-vs-column equality test).
+
+    Only simple references are accepted: Spark 4's `node().sql()` is
+    display text, not guaranteed-parseable SQL (operators print in
+    prefix form), so anything beyond a bare column ref raises rather
+    than risking silently different SQL. Callers with a computed
+    column materialize it in a projection first — which is also the
+    performant shape (see minhash_signature_from_hashes's note on CSE).
+    """
+    if isinstance(c, str):
+        return f"`{c}`"
+    sql = c._jc.node().sql()
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", sql):
+        return f"`{sql}`"
+    raise TypeError(
+        f"expression-string builder needs a column name or simple reference, "
+        f"got {sql!r}; alias the expression in a projection and pass its name"
+    )
+
+
+def _shingle_hashes_sql(shingles_sql: str) -> str:
+    return (
+        f"transform({shingles_sql}, "
+        f"__mh_s -> pmod(xxhash64(__mh_s), {MINHASH_PRIME}))"
+    )
+
+
+def _shingle_hashes_md5_sql(shingles_sql: str) -> str:
+    return (
+        f"transform({shingles_sql}, "
+        f"__mh_s -> pmod(CAST(conv(substring(md5(__mh_s), 1, 15), 16, 10)"
+        f" AS BIGINT), {MINHASH_PRIME}))"
+    )
+
+
+def shingle_hashes(shingles: Column | str) -> Column:
     """Map string shingles to non-negative ints below the prime."""
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+    return F.expr(_shingle_hashes_sql(_col_sql(shingles)))
 
 
-def shingle_hashes_md5(shingles: Column) -> Column:
+def shingle_hashes_md5(shingles: Column | str) -> Column:
     """Cross-engine-reproducible base hash: 60 bits of md5, mod prime.
     Slower than xxhash64 (the production base) but computable in any
     engine with md5 — the hook that lets a DuckDB oracle replay the
     entire MinHash pipeline bit-for-bit."""
-    return F.transform(
-        shingles,
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            F.lit(MINHASH_PRIME),
-        ),
-    )
+    return F.expr(_shingle_hashes_md5_sql(_col_sql(shingles)))
 
 
 def minhash_signature(
-    shingles: Column, num_hashes: int = 64, seed: int = 42, base: str = "xxhash64"
+    shingles: Column | str, num_hashes: int = 64, seed: int = 42, base: str = "xxhash64"
 ) -> Column:
     """MinHash signature as array<bigint> of length ``num_hashes``.
 
@@ -68,14 +110,32 @@ def minhash_signature(
     Empty shingle sets yield a sentinel signature of PRIME values so
     they never collide with real docs in a band join. ``base`` picks
     the shingle base hash: xxhash64 (fast, JVM-only) or md5
-    (cross-engine, see shingle_hashes_md5).
+    (cross-engine, see shingle_hashes_md5). The hash subtree is inlined
+    into every permutation (textually here, as Column substitution did
+    before) — callers on a hot path should materialize the base hashes
+    and use minhash_signature_from_hashes.
     """
-    hashes = (shingle_hashes_md5 if base == "md5" else shingle_hashes)(shingles)
-    return minhash_signature_from_hashes(hashes, num_hashes, seed)
+    hashes_sql = (_shingle_hashes_md5_sql if base == "md5" else _shingle_hashes_sql)(
+        _col_sql(shingles)
+    )
+    return F.expr(_signature_sql(hashes_sql, num_hashes, seed))
+
+
+def _signature_sql(hashes_sql: str, num_hashes: int, seed: int) -> str:
+    mins = ", ".join(
+        f"array_min(transform({hashes_sql}, "
+        f"__mh_h -> pmod({a} * __mh_h + {b}, {MINHASH_PRIME})))"
+        for a, b in perm_params(num_hashes, seed)
+    )
+    sentinel = ", ".join([f"CAST({MINHASH_PRIME} AS BIGINT)"] * num_hashes)
+    return (
+        f"coalesce(CASE WHEN size({hashes_sql}) > 0 THEN array({mins}) END, "
+        f"array({sentinel}))"
+    )
 
 
 def minhash_signature_from_hashes(
-    hashes: Column, num_hashes: int = 64, seed: int = 42
+    hashes: Column | str, num_hashes: int = 64, seed: int = 42
 ) -> Column:
     """MinHash signature over an already-computed base-hash array.
 
@@ -85,39 +145,28 @@ def minhash_signature_from_hashes(
     higher-order functions sit outside whole-stage codegen, so a
     non-trivial subtree (md5/xxhash per shingle) gets re-evaluated per
     permutation instead of CSE'd (~20% of the LSH pipeline at sf0.1).
+
+    Built as one SQL string (see _col_sql): the 64 permutations are
+    64 transform+array_min trees — composed as Column objects they
+    cost ~0.3 s of py4j round-trips per plan construction.
     """
-
-    # Factory keeps the lambda unary — PySpark derives HOF arity from
-    # the Python signature, so default-arg capture would break it.
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(a * h + b, F.lit(MINHASH_PRIME))
-
-    mins = [
-        F.array_min(F.transform(hashes, perm(a, b)))
-        for a, b in perm_params(num_hashes, seed)
-    ]
-    return F.coalesce(
-        F.when(F.size(hashes) > 0, F.array(*mins)),
-        F.array(*[F.lit(MINHASH_PRIME).cast("long")] * num_hashes),
-    )
+    return F.expr(_signature_sql(_col_sql(hashes), num_hashes, seed))
 
 
-def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+def band_keys(signature: Column | str, bands: int, rows_per_band: int) -> Column:
     """Split a signature into ``bands`` hashed band keys:
     array of (band_index, band_hash) structs ready to explode.
     Two docs land in the same LSH bucket iff some band matches fully.
+    One SQL string (see _col_sql) — 16 struct/hash/slice trees.
     """
-    return F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.hash(F.lit(i), F.slice(signature, i * rows_per_band + 1, rows_per_band)).alias(
-                    "band_hash"
-                ),
-            )
-            for i in range(bands)
-        ]
+    x = _col_sql(signature)
+    parts = ", ".join(
+        f"struct({i} AS band, "
+        f"hash({i}, slice({x}, {i * rows_per_band + 1}, {rows_per_band}))"
+        f" AS band_hash)"
+        for i in range(bands)
     )
+    return F.expr(f"array({parts})")
 
 
 def simhash(tokens: Column, bits: int = 32, base: str = "xxhash64") -> Column:

@@ -25,10 +25,18 @@ STOPWORDS_FR = ("le", "la", "les", "de", "des", "et", "est", "un", "une", "que",
 WORD_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
-def tokens(text: Column) -> Column:
+def _tokens_sql(text_sql: str) -> str:
+    """SQL text of the tokenizer — expression-string assembly (see
+    functions/hashing._col_sql: one JVM parse instead of per-HOF py4j
+    round-trips; the parsed tree is identical to the Column build)."""
+    return f"filter(split(lower({text_sql}), '\\\\s+'), __tk_t -> __tk_t != '')"
+
+
+def tokens(text: Column | str) -> Column:
     """Lowercased whitespace tokens, empties removed."""
-    raw = F.split(F.lower(text), "\\s+")
-    return F.filter(raw, lambda t: t != F.lit(""))
+    from filesystemagent_spark.functions.hashing import _col_sql
+
+    return F.expr(_tokens_sql(_col_sql(text)))
 
 
 def word_tokens(text: Column) -> Column:
@@ -100,15 +108,20 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", tokens(text)))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (overlapping), for Jaccard/MinHash dedup.
 
     Pure expression: sequence over token positions + slice + join.
     Returns an empty array when the doc has fewer than ``n`` tokens.
+    One SQL string (see _tokens_sql) — the token subtree appears three
+    times, exactly as the Column build embedded it three times.
     """
-    toks = tokens(text)
-    count = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(count - F.lit(n - 1), F.lit(0)))
-    return F.when(count < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    from filesystemagent_spark.functions.hashing import _col_sql
+
+    toks = _tokens_sql(_col_sql(text))
+    return F.expr(
+        f"CASE WHEN size({toks}) < {n} "
+        f"THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"__sh_i -> concat_ws(' ', slice({toks}, __sh_i, {n}))) END"
     )

@@ -60,13 +60,23 @@ def _shingled_docs(
     """(_id, _shingles) with empty-shingle docs dropped, persisted:
     shingling feeds the signature AND the verify sides — persist so
     the expensive expression tree runs once (tracked: the sweep/driver
-    release hook unpersists it after the result materializes)."""
+    release hook unpersists it after the result materializes).
+
+    The empty-shingle filter sits ABOVE the persist, not inside it:
+    inside, the optimizer substitutes the shingle expression into the
+    predicate and pushes it below the rebalance exchange into the
+    parquet scan (guide §4.4's duplicated-evaluation pathology in
+    expression form) — measured at sf0.1 as a 2.6–3.9 s SINGLE-TASK
+    scan stage re-shingling every doc serially before the 32-task
+    stage shingled them again. Above the persist the predicate reads
+    the materialized array (cheap) and the heavy expression runs
+    exactly once, parallel, after the exchange."""
     return track_persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_shingles"),
-        ).filter(F.size("_shingles") > 0)
-    )
+        )
+    ).filter(F.size("_shingles") > 0)
 
 
 def _banded_keys(
@@ -96,26 +106,25 @@ def _banded_keys(
     rows_per_band = num_hashes // bands
     base_fn = H.shingle_hashes_md5 if base == "md5" else H.shingle_hashes
     signed = docs.select(
-        "_id", base_fn(F.col("_shingles")).alias("_hv")
-    ).withColumn("_sig", H.minhash_signature_from_hashes(F.col("_hv"), num_hashes, seed))
+        "_id", base_fn("_shingles").alias("_hv")
+    ).withColumn("_sig", H.minhash_signature_from_hashes("_hv", num_hashes, seed))
 
     if band_key == "hash":
-        bands_col = H.band_keys(F.col("_sig"), bands, rows_per_band)
+        bands_col = H.band_keys("_sig", bands, rows_per_band)
     else:  # "slice": the band's values themselves — replayable anywhere
-        bands_col = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("band_hash"),
+        # one SQL string, not bands× Column compositions — each
+        # Python-built HOF costs ~10-16ms of py4j round-trips
+        # (see functions/hashing._col_sql)
+        bands_col = F.expr(
+            "array({})".format(
+                ", ".join(
+                    f"struct({i} AS band, concat_ws(',', "
+                    f"transform(slice(`_sig`, {i * rows_per_band + 1}, "
+                    f"{rows_per_band}), __mh_v -> CAST(__mh_v AS STRING)))"
+                    f" AS band_hash)"
+                    for i in range(bands)
                 )
-                for i in range(bands)
-            ]
+            )
         )
     from pyspark.sql import Window
 
@@ -883,12 +892,15 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    # filter ABOVE the persist — inside it, the optimizer pushes the
+    # shingle expression below the rebalance exchange into a serial
+    # single-task scan and evaluates it twice (see _shingled_docs)
     docs = track_persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("_sh"),
-        ).filter(F.size("_sh") > 0)
-    )
+        )
+    ).filter(F.size("_sh") > 0)
     sizes = docs.select("_id", F.size("_sh").alias("_n"))
     inv = docs.select("_id", F.explode("_sh").alias("shingle")).select(
         "_id", F.xxhash64("shingle").alias("shingle")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from filesystemagent_spark.caching import track_persist
 from filesystemagent_spark.catalog import Catalog
 from filesystemagent_spark.functions import text as T
 from filesystemagent_spark.queries import register
@@ -174,10 +175,18 @@ def doc_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_rebalanced(spark, sf_dir).select(
         "doc_id", "text", _split_col().alias("split")
     )
-    sh = docs.select(
-        "doc_id",
-        "split",
-        F.array_distinct(T.shingles(F.col("text"), CONTAM_N)).alias("s"),
+    # persisted: `sh` feeds three branches (train grams, test inverted
+    # index, per-doc sizes) — unpersisted, the shingle tree ran once
+    # per branch, and the size filter INSIDE the plan was pushed below
+    # the rebalance exchange into a serial single-task scan evaluating
+    # it a fourth time (see operators/dedup._shingled_docs). Filter
+    # above the persist: heavy expression once, parallel.
+    sh = track_persist(
+        docs.select(
+            "doc_id",
+            "split",
+            F.array_distinct(T.shingles(F.col("text"), CONTAM_N)).alias("s"),
+        )
     ).filter(F.size("s") > 0)
 
     train_grams = (
@@ -607,8 +616,16 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm ln implementations disagree by one ulp on some inputs, so the
     final mean is rounded at 1e-6 — 9 orders above the drift."""
     docs = _docs_rebalanced(spark, sf_dir)
-    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
-    bi = (
+    # persisted: `toks` feeds the bigram explode AND the vocab count,
+    # and `bi` feeds three branches (bigram counts, context counts,
+    # scoring join) — unpersisted, the tokenizer tree re-ran per
+    # branch and the size filter was pushed below the rebalance
+    # exchange into a serial single-task scan (see
+    # operators/dedup._shingled_docs). Filters sit above the persist.
+    toks = track_persist(
+        docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    )
+    bi = track_persist(
         toks.filter(F.size("tk") >= 2)
         .select(
             "doc_id",
@@ -963,10 +980,18 @@ def doc_ngram_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = _docs_rebalanced(spark, sf_dir).select(
         "doc_id", "text", _split_col().alias("split")
     )
-    sh = docs.select(
-        "doc_id",
-        "split",
-        F.array_distinct(T.shingles(F.col("text"), CONTAM_N)).alias("s"),
+    # persisted: `sh` feeds three branches (train grams, test inverted
+    # index, per-doc sizes) — unpersisted, the shingle tree ran once
+    # per branch, and the size filter INSIDE the plan was pushed below
+    # the rebalance exchange into a serial single-task scan evaluating
+    # it a fourth time (see operators/dedup._shingled_docs). Filter
+    # above the persist: heavy expression once, parallel.
+    sh = track_persist(
+        docs.select(
+            "doc_id",
+            "split",
+            F.array_distinct(T.shingles(F.col("text"), CONTAM_N)).alias("s"),
+        )
     ).filter(F.size("s") > 0)
 
     def pos(col, j):

@@ -30,12 +30,30 @@ from filesystemagent_spark.session import get_spark  # noqa: E402
 LOGDIR = "/tmp/r10_eventlog"
 
 
+def _log_lines(path: str):
+    """Yield event-log lines; handles both the single-file layout and
+    the Spark 4 rolling layout (eventlog_v2_<app>/events_*)."""
+    if not os.path.exists(path):
+        rolled = os.path.join(os.path.dirname(path), f"eventlog_v2_{os.path.basename(path)}")
+        if os.path.isdir(rolled):
+            parts = sorted(
+                f for f in os.listdir(rolled) if f.startswith("events_")
+            )
+            for p in parts:
+                with open(os.path.join(rolled, p)) as fh:
+                    yield from fh
+            return
+        raise FileNotFoundError(path)
+    with open(path) as fh:
+        yield from fh
+
+
 def parse_eventlog(path: str, t0_ms: float, t1_ms: float) -> dict:
     """Jobs/stages that started inside [t0_ms, t1_ms]."""
     jobs = {}  # id -> [start, end]
     stages = {}  # id -> metrics
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in _log_lines(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -106,6 +124,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": LOGDIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -1061,39 +1061,36 @@ class TxTable:
         )
         return files, ddl
 
-    def _write_data_split(
-        self, df: DataFrame, cond, cols: list[str]
-    ) -> tuple[list[str], list[str], str]:
-        """Stage ``df.select(cols)`` in ONE pass as TWO file sets
-        partitioned by the boolean ``cond`` (nulls → False): returns
-        (false_files, true_files, ddl). The DML verbs use this to
-        produce the kept data rows AND the change-feed images from a
-        single scan of the touched files — previously each image class
-        was its own full pass over the same bytes (at 100 TB a
-        feed-enabled CoW delete re-read every touched file twice).
+    def _write_data_parts(
+        self, df: DataFrame, part_col, values: tuple[str, ...], cols: list[str]
+    ) -> tuple[dict[str, list[str]], str]:
+        """Stage ``df.select(cols)`` in ONE pass as ``len(values)``
+        file sets partitioned by the string expression ``part_col``
+        (every row must evaluate to one of ``values``): returns
+        ({value: files}, ddl). The DML verbs use this to produce the
+        kept data rows AND the change-feed image classes from a single
+        scan — previously each class was its own full pass over the
+        same bytes (at 100 TB a feed-enabled CoW delete re-read every
+        touched file twice, and a feed-enabled merge paid a separate
+        write job for the batch images).
 
         Mechanics: a dynamic-partition write splits rows task-locally
-        into `marker=false/` / `marker=true/` subdirs of one staging
-        dir, then the subdirs are promoted (rename — same filesystem,
-        metadata-only) to ordinary top-level dirs under data/, because
-        the vacuum census and the dir-grouped planner are single-level
-        by design. The marker is partition-encoded, so the staged files
-        carry exactly ``cols`` — byte-compatible with a plain
-        _write_data of the same projection. A crash before the commit
-        leaves the wrapper dir unreferenced (vacuumable litter), same
-        as _write_data."""
-        from pyspark.sql import functions as F
-
+        into `marker=<value>/` subdirs of one staging dir, then the
+        subdirs are promoted (rename — same filesystem, metadata-only)
+        to ordinary top-level dirs under data/, because the vacuum
+        census and the dir-grouped planner are single-level by design.
+        The marker is partition-encoded, so the staged files carry
+        exactly ``cols`` — byte-compatible with a plain _write_data of
+        the same projection. A crash before the commit leaves the
+        wrapper dir unreferenced (vacuumable litter), same as
+        _write_data."""
         marker = "__txsplit__"
         if marker in cols:
             raise ValueError(
                 f"column name {marker!r} is reserved for TxTable "
                 "split staging — rename the column"
             )
-        out_df = df.select(
-            *cols,
-            F.coalesce(cond.cast("boolean"), F.lit(False)).alias(marker),
-        )
+        out_df = df.select(*cols, part_col.cast("string").alias(marker))
         _reject_reserved_columns(out_df.drop(marker))
         os.makedirs(self.data_dir, exist_ok=True)
         wrapper = os.path.join(self.data_dir, f"split-{uuid.uuid4().hex}")
@@ -1103,7 +1100,7 @@ class TxTable:
         import pyarrow.parquet as pq
 
         sides: dict[str, list[str]] = {}
-        for side in ("false", "true"):
+        for side in values:
             src = os.path.join(wrapper, f"{marker}={side}")
             files: list[str] = []
             if os.path.isdir(src):
@@ -1124,6 +1121,24 @@ class TxTable:
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in out_df.drop(marker).schema.fields
+        )
+        return sides, ddl
+
+    def _write_data_split(
+        self, df: DataFrame, cond, cols: list[str]
+    ) -> tuple[list[str], list[str], str]:
+        """Two-way `_write_data_parts` over a boolean ``cond`` (nulls →
+        False): returns (false_files, true_files, ddl). Partition dir
+        values match the historical boolean encoding ("false"/"true")."""
+        from pyspark.sql import functions as F
+
+        sides, ddl = self._write_data_parts(
+            df,
+            F.when(
+                F.coalesce(cond.cast("boolean"), F.lit(False)), F.lit("true")
+            ).otherwise(F.lit("false")),
+            ("false", "true"),
+            cols,
         )
         return sides["false"], sides["true"], ddl
 
@@ -1463,38 +1478,52 @@ class TxTable:
                 batch_aligned = spark.createDataFrame([], ddl).unionByName(
                     updates, allowMissingColumns=True
                 ).select(*cols)
-                ch_files, new_ddl = self._write_data(batch_aligned)
-                parts = [{"files": ch_files, "type": "upsert"}]
                 if touched:
-                    # ONE scan of the touched files yields both the kept
-                    # rows (data) and the pre-images (feed): rows whose
-                    # key matches the batch are pre-images, the rest
-                    # carry forward — previously an anti-join pass AND a
-                    # semi-join pass each re-read every touched file
-                    # (guide §2.4: the decision both passes make is the
-                    # same key-membership test, computable in one pass).
+                    # ONE write job stages all three file sets: the
+                    # batch rows ('upsert' images AND the batch's data
+                    # files), the touched-file rows whose key matches
+                    # the batch ('update_preimage' images), and the
+                    # rest ('keep' — the rewritten data). Previously
+                    # the batch images were their own write job and the
+                    # touched scan a second (guide §2.4/§1.2: same
+                    # bytes, one fewer job + commit cycle — a
+                    # maintenance loop pays this per micro-batch).
                     hit = "__txhit__"
-                    if hit in cols:
-                        raise ValueError(
-                            f"column name {hit!r} is reserved for TxTable "
-                            "merge staging — rename the column"
-                        )
+                    for reserved in (hit, "__txpart__"):
+                        if reserved in cols:
+                            raise ValueError(
+                                f"column name {reserved!r} is reserved for "
+                                "TxTable merge staging — rename the column"
+                            )
                     current = self._apply_tombstones(spark, m, touched, ddl=ddl)
                     keys = (
                         updates.select(*key_cols)
                         .distinct()
                         .withColumn(hit, F.lit(True))
                     )
-                    keep_files, pre_files, _ = self._write_data_split(
-                        current.join(keys, key_cols, "left"),
-                        F.col(hit).isNotNull(),
-                        cols,
+                    tagged = current.join(keys, key_cols, "left").select(
+                        *cols,
+                        F.when(F.col(hit).isNotNull(), F.lit("pre"))
+                        .otherwise(F.lit("keep"))
+                        .alias("__txpart__"),
+                    ).unionByName(
+                        batch_aligned.select(
+                            *cols, F.lit("upsert").alias("__txpart__")
+                        )
                     )
-                    parts.append(
-                        {"files": pre_files, "type": "update_preimage"}
+                    sides, new_ddl = self._write_data_parts(
+                        tagged, F.col("__txpart__"),
+                        ("keep", "pre", "upsert"), cols,
                     )
-                    new_files = keep_files + ch_files
+                    ch_files = sides["upsert"]
+                    parts = [
+                        {"files": ch_files, "type": "upsert"},
+                        {"files": sides["pre"], "type": "update_preimage"},
+                    ]
+                    new_files = sides["keep"] + ch_files
                 else:
+                    ch_files, new_ddl = self._write_data(batch_aligned)
+                    parts = [{"files": ch_files, "type": "upsert"}]
                     new_files = ch_files
                 changes = {"parts": parts}
             else:

@@ -25,7 +25,14 @@ from filesystemagent_spark.queries import registry  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from filesystemagent_spark.queries.tpch_like import regional_revenue
+    from filesystemagent_spark.session import tune_caller_session
 
+    # The driver hands us a bare session; entry() runs before any other
+    # query, so this is the one place the per-process overhead knobs
+    # (DataFrame-debugging call-site capture — 3-4 py4j round trips per
+    # DataFrame op, cached process-globally on first use) can still be
+    # switched off for the whole verify loop.
+    tune_caller_session(spark)
     return regional_revenue(spark, "/root/testdata/sf0.001")
 
 

@@ -36,20 +36,35 @@ _NANO_TS_COLS = {"events": ("ts",)}
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
+# Plan-handle memo shared by every Catalog instance of one session:
+# each query call builds a fresh Catalog, and a cold `read.parquet` is
+# 2-3 py4j round trips plus a JVM analysis pass per table (measured
+# 0.1-0.5 s each) repeated for every table of every run. The memo
+# holds lazy DataFrame HANDLES only — no rows, no results: every
+# execution still scans the parquet from disk (the fixture dirs are
+# immutable per sf_dir). Keyed weakly by session so a stopped/replaced
+# session drops its entries instead of serving dead JVM references.
+from weakref import WeakKeyDictionary
+
+_HANDLES: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 class Catalog:
     """Lazy handle set over ``{sf_dir}/{table}.parquet``."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._cache: dict[str, DataFrame] = {}
+        self._cache = _HANDLES.setdefault(spark, {})
         # Deterministic timestamp rendering even under a caller-provided
         # session (the driver builds its own): parquet timestamps are
         # naive, so formatting must not shift with a local timezone.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def table(self, name: str) -> DataFrame:
-        if name not in self._cache:
+        if (self.sf_dir, name) not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             if name in _NANO_TS_COLS:
                 # Parquet TIMESTAMP(NANOS) is unreadable by Spark's
@@ -66,8 +81,8 @@ class Catalog:
                         )
             else:
                 df = self.spark.read.parquet(path)
-            self._cache[name] = self._normalize_ts(df)
-        return self._cache[name]
+            self._cache[(self.sf_dir, name)] = self._normalize_ts(df)
+        return self._cache[(self.sf_dir, name)]
 
     @staticmethod
     def _normalize_ts(df: DataFrame) -> DataFrame:

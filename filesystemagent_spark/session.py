@@ -22,6 +22,14 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-plan shuffles UNDER cached plans too (off by default):
+    # the maintenance sinks and the LSH/graph operators persist small
+    # derived intermediates (guide §5), and with this off every shuffle
+    # below a `.cache()`/`.persist()` stays at the static partition
+    # count — measured on the IVFPQ lifecycle at sf0.01 under a bare
+    # 200-partition session: drains 37 s/60 s → 12 s/8 s, tuner 32 s →
+    # 16 s with coalescing allowed. Values are partitioning-invariant.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for any pandas-UDF surface (transform shim, perceptual
     # hashes): batch columnar transfer, not per-row pickling.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -59,6 +67,15 @@ def tune_caller_session(spark: SparkSession) -> None:
         if getattr(_eu, "_enable_debugging_cache", None) is not False:
             _eu._enable_debugging_cache = False
     except Exception:
+        pass
+    try:
+        # Runtime-settable (unlike the debugging conf): AQE coalescing
+        # under cached plans — see _DEFAULTS for the measured effect.
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+    except Exception:  # pragma: no cover - older Spark without the conf
         pass
 
 

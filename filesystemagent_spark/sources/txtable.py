@@ -104,6 +104,49 @@ def _reject_reserved_columns(df: DataFrame) -> None:
         )
 
 
+# Footer-stats memo over IMMUTABLE staged files (data files are
+# written once under uuid dirs and never mutated — vacuum/compact only
+# delete them): the 0-row staging check and the commit's stats
+# collection both need the footer, which previously meant every staged
+# file's footer was parsed TWICE per verb (once in _write_data*, once
+# in _try_commit). Keyed by (path, size, mtime_ns) so a deleted-and-
+# recreated path can never serve stale stats; bounded LRU so a
+# long-lived maintenance loop can't grow it unboundedly.
+from collections import OrderedDict
+from threading import Lock
+
+_FOOTER_CACHE: "OrderedDict[tuple, dict[str, list]]" = OrderedDict()
+_FOOTER_CACHE_MAX = 4096
+_FOOTER_LOCK = Lock()
+
+
+def _footer_stats_one(f: str) -> dict[str, list]:
+    """Stats for ONE file — see _collect_file_stats for the semantics."""
+    import pyarrow.parquet as pq
+
+    st = os.stat(f)
+    key = (f, st.st_size, st.st_mtime_ns)
+    with _FOOTER_LOCK:
+        hit = _FOOTER_CACHE.get(key)
+        if hit is not None:
+            _FOOTER_CACHE.move_to_end(key)
+            return hit
+    md = pq.ParquetFile(f).metadata
+    per = _stats_from_metadata(md)
+    # File size / row count as pseudo-columns (real columns can't be
+    # named this; predicates never probe them): segment envelopes then
+    # carry [min_bytes, max_bytes] so bin-packed compaction can prove
+    # an all-large segment skippable, and row_count() answers COUNT(*)
+    # from footer metadata without touching data.
+    per["__bytes__"] = [st.st_size] * 2
+    per["__rows__"] = [md.num_rows] * 2
+    with _FOOTER_LOCK:
+        _FOOTER_CACHE[key] = per
+        while len(_FOOTER_CACHE) > _FOOTER_CACHE_MAX:
+            _FOOTER_CACHE.popitem(last=False)
+    return per
+
+
 def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
     """Per-file min/max column stats from the parquet footers the
     files already carry (no data scan — footer metadata only), merged
@@ -114,62 +157,62 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
     Driver-side over the JUST-WRITTEN files of one commit — manifest-
     scale work, the same place Iceberg/Delta collect their per-file
     stats (from the writing tasks); at fact-table scale the loop
-    becomes a task-side metric the commit aggregates."""
-    import pyarrow.parquet as pq
+    becomes a task-side metric the commit aggregates. Footer parses of
+    uncached files run in a small thread pool (pyarrow releases the
+    GIL around the IO/parse), so a wide staged write doesn't serialize
+    the driver on footer reads (guide §7.3)."""
+    if len(files) > 3:
+        from concurrent.futures import ThreadPoolExecutor
 
-    out: dict[str, dict[str, list]] = {}
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        per: dict[str, list] = {}
-        # A column whose min/max is missing or unusable in ANY row
-        # group must carry NO file-level stats at all: merging only the
-        # row groups that have stats UNDERSTATES the range (e.g. a
-        # NaN-containing double chunk gets has_min_max=False, and a
-        # pruner trusting the partial range would drop real rows).
-        unusable: set[str] = set()
-        for rg in range(md.num_row_groups):
-            row_group = md.row_group(rg)
-            for ci in range(row_group.num_columns):
-                col = row_group.column(ci)
-                name = col.path_in_schema
-                if name in unusable:
-                    continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    unusable.add(name)
-                    continue
-                mn, mx = st.min, st.max
-                if not all(isinstance(v, (int, str, bool)) for v in (mn, mx)):
-                    # Floating-point columns carry NO file-level stats at
-                    # all: the parquet spec leaves NaN statistics
-                    # undefined, and common writers (Arrow C++ included)
-                    # emit min/max over the NON-NaN values only — while
-                    # Spark orders NaN greater than every double and
-                    # NaN = NaN true, so a range built from non-NaN
-                    # values can "prove" a NaN-holding file disjoint
-                    # from a predicate its NaN rows actually match.
-                    # There is no has_nan flag to consult, so the only
-                    # safe stats for floats are none. (isinstance check:
-                    # bool is an int subclass, floats are excluded even
-                    # when finite.)
-                    unusable.add(name)
-                    continue
-                if name in per:
-                    per[name] = [min(per[name][0], mn), max(per[name][1], mx)]
-                else:
-                    per[name] = [mn, mx]
-        for name in unusable:
-            per.pop(name, None)
-        # File size as a pseudo-column (real columns can't be named
-        # this; predicates never probe it): segment envelopes then
-        # carry [min_bytes, max_bytes], so bin-packed compaction can
-        # prove an all-large segment skippable without opening it.
-        per["__bytes__"] = [os.path.getsize(f)] * 2
-        # Row count likewise (footer metadata, no scan): lets
-        # row_count() answer COUNT(*) without touching data.
-        per["__rows__"] = [md.num_rows] * 2
-        out[f] = per
-    return out
+        with ThreadPoolExecutor(min(16, len(files))) as ex:
+            return dict(zip(files, ex.map(_footer_stats_one, files)))
+    return {f: _footer_stats_one(f) for f in files}
+
+
+def _stats_from_metadata(md) -> dict[str, list]:
+    """Column min/max envelope from one file's parquet metadata.
+
+    A column whose min/max is missing or unusable in ANY row group
+    must carry NO file-level stats at all: merging only the row groups
+    that have stats UNDERSTATES the range (e.g. a NaN-containing
+    double chunk gets has_min_max=False, and a pruner trusting the
+    partial range would drop real rows)."""
+    per: dict[str, list] = {}
+    unusable: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name in unusable:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                unusable.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if not all(isinstance(v, (int, str, bool)) for v in (mn, mx)):
+                # Floating-point columns carry NO file-level stats at
+                # all: the parquet spec leaves NaN statistics
+                # undefined, and common writers (Arrow C++ included)
+                # emit min/max over the NON-NaN values only — while
+                # Spark orders NaN greater than every double and
+                # NaN = NaN true, so a range built from non-NaN
+                # values can "prove" a NaN-holding file disjoint
+                # from a predicate its NaN rows actually match.
+                # There is no has_nan flag to consult, so the only
+                # safe stats for floats are none. (isinstance check:
+                # bool is an int subclass, floats are excluded even
+                # when finite.)
+                unusable.add(name)
+                continue
+            if name in per:
+                per[name] = [min(per[name][0], mn), max(per[name][1], mx)]
+            else:
+                per[name] = [mn, mx]
+    for name in unusable:
+        per.pop(name, None)
+    return per
 
 
 def _file_may_match(per: dict[str, list], pred: tuple[str, str, object]) -> bool:
@@ -1048,11 +1091,11 @@ class TxTable:
         # for the dir-grouped full-scan planner. The footer read is
         # one op per staged file (the commit reads footers for stats
         # anyway).
-        import pyarrow.parquet as pq
-
         files = []
         for f in staged:
-            if pq.read_metadata(f).num_rows > 0:
+            # _footer_stats_one warms the footer memo, so the commit's
+            # stats collection never re-parses these footers
+            if _footer_stats_one(f)["__rows__"][0] > 0:
                 files.append(f)
             else:
                 os.unlink(f)
@@ -1097,8 +1140,6 @@ class TxTable:
         out_df.write.partitionBy(marker).parquet(wrapper)
         import shutil
 
-        import pyarrow.parquet as pq
-
         sides: dict[str, list[str]] = {}
         for side in values:
             src = os.path.join(wrapper, f"{marker}={side}")
@@ -1111,8 +1152,9 @@ class TxTable:
                     if not f.endswith(".parquet"):
                         continue
                     # same 0-row drop as _write_data (empty partitions'
-                    # null stats would force conservative rewrites)
-                    if pq.read_metadata(p).num_rows > 0:
+                    # null stats would force conservative rewrites);
+                    # warms the footer memo for the commit
+                    if _footer_stats_one(p)["__rows__"][0] > 0:
                         files.append(p)
                     else:
                         os.unlink(p)
@@ -1170,14 +1212,12 @@ class TxTable:
             .saveAsTable(tmp)
         )
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # external: files survive
-        import pyarrow.parquet as pq
-
         files = []
         for f in sorted(os.listdir(out)):
             p = os.path.join(out, f)
             if not f.endswith(".parquet"):
                 continue
-            if pq.read_metadata(p).num_rows > 0:
+            if _footer_stats_one(p)["__rows__"][0] > 0:
                 files.append(p)
             else:
                 os.unlink(p)  # empty bucket — Spark treats missing as empty

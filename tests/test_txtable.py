@@ -3281,3 +3281,50 @@ def test_isin_int64_overflow_falls_back_loudly(spark):
     ok = [2**62] + list(range(2 * _ISIN_LITERAL_MAX))
     got = sorted(r.v for r in df.filter(_isin(F.col("v"), ok)).collect())
     assert got == [5, 99]
+
+
+def test_footer_stats_memo_matches_fresh_parse_and_tracks_rewrites(spark, tmp_path):
+    """Round-10 optimization: staged-file footer stats are memoized
+    (the 0-row staging check and the commit's stats collection used to
+    parse every footer twice). The memo must (a) return exactly what a
+    fresh parse returns, and (b) never serve stale stats after a path
+    is rewritten with different content (keyed on size+mtime)."""
+    import pyarrow.parquet as pq
+
+    from filesystemagent_spark.sources.txtable import (
+        _FOOTER_CACHE,
+        _collect_file_stats,
+        _footer_stats_one,
+        _stats_from_metadata,
+    )
+
+    d = tmp_path / "memo"
+    spark.createDataFrame([(1, "a"), (9, "b")], "k: bigint, s: string").coalesce(
+        1
+    ).write.parquet(str(d))
+    f = next(str(p) for p in d.iterdir() if p.suffix == ".parquet")
+
+    got = _footer_stats_one(f)
+    md = pq.ParquetFile(f).metadata
+    want = _stats_from_metadata(md)
+    assert {k: v for k, v in got.items() if not k.startswith("__")} == want
+    assert got["__rows__"] == [2, 2]
+    # second call is the cached object; thread-pool path agrees
+    assert _footer_stats_one(f) is got
+    assert _collect_file_stats([f])[f] is got
+
+    # rewrite the same path with different content -> fresh stats
+    import os as _os
+
+    _os.unlink(f)
+    spark.createDataFrame(
+        [(100, "z"), (200, "z"), (300, "z")], "k: bigint, s: string"
+    ).coalesce(1).write.parquet(str(tmp_path / "memo2"))
+    src = next(
+        str(p) for p in (tmp_path / "memo2").iterdir() if p.suffix == ".parquet"
+    )
+    _os.replace(src, f)
+    got2 = _footer_stats_one(f)
+    assert got2["__rows__"] == [3, 3]
+    assert got2["k"] == [100, 300]
+    assert any(key[0] == f for key in _FOOTER_CACHE)

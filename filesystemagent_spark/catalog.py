@@ -46,7 +46,7 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 # session drops its entries instead of serving dead JVM references.
 from weakref import WeakKeyDictionary
 
-_HANDLES: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+_HANDLES: "WeakKeyDictionary[SparkSession, dict[tuple[str, str, int], DataFrame]]" = (
     WeakKeyDictionary()
 )
 
@@ -64,8 +64,19 @@ class Catalog:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def table(self, name: str) -> DataFrame:
-        if (self.sf_dir, name) not in self._cache:
-            path = os.path.join(self.sf_dir, f"{name}.parquet")
+        path = os.path.join(self.sf_dir, f"{name}.parquet")
+        # Freshness guard in the key (not just (sf_dir, name)): Spark
+        # snapshots the file listing at read.parquet time, so a table
+        # file regenerated in-process would otherwise be served from a
+        # stale handle (FileNotFound or old listing). stat() is one
+        # syscall — noise next to the 0.1-0.5 s analysis pass the memo
+        # saves — and mirrors the footer-cache keying in txtable.py.
+        try:
+            mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            mtime = -1
+        key = (self.sf_dir, name, mtime)
+        if key not in self._cache:
             if name in _NANO_TS_COLS:
                 # Parquet TIMESTAMP(NANOS) is unreadable by Spark's
                 # native reader; ingest as int64 nanos and truncate to
@@ -81,8 +92,8 @@ class Catalog:
                         )
             else:
                 df = self.spark.read.parquet(path)
-            self._cache[(self.sf_dir, name)] = self._normalize_ts(df)
-        return self._cache[(self.sf_dir, name)]
+            self._cache[key] = self._normalize_ts(df)
+        return self._cache[key]
 
     @staticmethod
     def _normalize_ts(df: DataFrame) -> DataFrame:

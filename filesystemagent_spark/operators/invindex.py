@@ -167,7 +167,11 @@ def start_bm25_index_sink(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         post_t, term_t = TxTable(post_path), TxTable(term_path)
-        ap = post_t.latest_app_value(STAMP)
+        # ONE manifest walk per table per batch (guide §7.3): the stamp
+        # and the running corpus scalars resolve together instead of
+        # three separate O(versions) walks on the postings table.
+        pa = post_t.latest_app_values((STAMP, "n_docs", "total_dl"))
+        ap = pa[STAMP]
         at = term_t.latest_app_value(STAMP)
         done_p = ap is not None and ap >= batch_id
         done_t = at is not None and at >= batch_id
@@ -187,12 +191,23 @@ def start_bm25_index_sink(
             )
         ).cache()
         try:
-            b_n, b_dl = before.agg(
-                F.count("*"), F.coalesce(F.sum(F.size("tk")), F.lit(0))
-            ).first()
-            a_n, a_dl = after.agg(
-                F.count("*"), F.coalesce(F.sum(F.size("tk")), F.lit(0))
-            ).first()
+            # ONE driver action for all four batch scalars (guide §7.3:
+            # fixed per-action scheduling cost dominates KB-scale
+            # micro-batches): conditional aggregation over the union of
+            # the two cached image sets replaces two separate agg jobs —
+            # and populates both caches for the builds below.
+            side = lambda s, col: F.when(F.col("_side") == s, col)  # noqa: E731
+            b_n, b_dl, a_n, a_dl = (
+                before.withColumn("_side", F.lit(0))
+                .unionByName(after.withColumn("_side", F.lit(1)))
+                .agg(
+                    F.count(side(0, F.lit(1))),
+                    F.coalesce(F.sum(side(0, F.size("tk"))), F.lit(0)),
+                    F.count(side(1, F.lit(1))),
+                    F.coalesce(F.sum(side(1, F.size("tk"))), F.lit(0)),
+                )
+                .first()
+            )
             if a_n == 0 and b_n == 0:
                 return  # empty batch: idempotent no-op, unstamped
             if not done_p:
@@ -218,8 +233,8 @@ def start_bm25_index_sink(
                         },
                     )
                 else:
-                    n0 = float(post_t.latest_app_value("n_docs") or 0.0)
-                    tdl0 = float(post_t.latest_app_value("total_dl") or 0.0)
+                    n0 = float(pa["n_docs"] or 0.0)
+                    tdl0 = float(pa["total_dl"] or 0.0)
                     n1 = n0 + a_n - b_n
                     tdl1 = tdl0 + float(a_dl) - float(b_dl)
                     scalars = {
@@ -232,7 +247,8 @@ def start_bm25_index_sink(
                         after.select("doc_id")
                     )
                     post_t.delete_keys(touched, ["doc_id"], mode="mor")
-                    if after.isEmpty():
+                    # a_n already counted the after set — no isEmpty job
+                    if a_n == 0:
                         post_t.commit_app(scalars)
                     else:
                         post_t.merge_into(
@@ -264,17 +280,18 @@ def start_bm25_index_sink(
                         .sortWithinPartitions("term"),
                         app={STAMP: batch_id},
                     )
-                elif delta.isEmpty():
-                    # no net df change (an update that kept every
-                    # term's presence) — merge_into's empty no-op would
-                    # skip the app, so stamp explicitly: the 'last
-                    # commit carries the stamp' discipline
+                elif (p := _merge_probe(delta, ["term"])["term"]) == ("empty",):
+                    # the probe (needed below anyway) doubles as the
+                    # emptiness check — one driver action, not two. No
+                    # net df change (an update that kept every term's
+                    # presence) — merge_into's empty no-op would skip
+                    # the app, so stamp explicitly: the 'last commit
+                    # carries the stamp' discipline
                     term_t.commit_app({STAMP: batch_id})
                 else:
                     # footprint-pruned read of the old rows: the batch
                     # vocabulary bounds the slice (vals probe when
                     # narrow, min/max range when wide)
-                    p = _merge_probe(delta, ["term"])["term"]
                     where = (
                         None
                         if p is None
@@ -343,8 +360,8 @@ def bm25_from_index(
     # corpus scalars ride commit app metadata; maintenance commits that
     # don't refresh them (compact, vacuum-era merges) publish their own
     # app, so walk back to the newest commit that carries them
-    n_docs_v = post_t.latest_app_value("n_docs")
-    avgdl_v = post_t.latest_app_value("avgdl")
+    scal = post_t.latest_app_values(("n_docs", "avgdl"))  # one walk
+    n_docs_v, avgdl_v = scal["n_docs"], scal["avgdl"]
     if n_docs_v is None or avgdl_v is None:
         raise ValueError(f"no corpus scalars recorded in {index_dir}/postings")
     n_docs, avgdl = float(n_docs_v), float(avgdl_v)

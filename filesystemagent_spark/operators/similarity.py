@@ -647,18 +647,32 @@ def start_ivf_index_sink(
             # (count of the metric column, null-skipping — review
             # finding: count(*) would deflate the mean with rows whose
             # invalid vectors yield null cosine); a_rows drives the
-            # merge decision and counts every staged row
-            a_sum, a_n, a_rows = assigned.agg(
-                F.coalesce(F.sum("_cell_cos"), F.lit(0.0)),
-                F.count("_cell_cos"), F.count("*"),
-            ).first()
-            b_sum, b_n = assign_cells(
+            # merge decision and counts every staged row. Both sides'
+            # scalars come from ONE driver action (guide §7.3): a
+            # side-marked union replaces the two separate agg jobs —
+            # and its a-side pass populates `assigned`'s cache for the
+            # staging write below.
+            b_assigned = assign_cells(
                 before.select(id_col, vec_col), cents,
                 id_col=id_col, vec_col=vec_col, nprobe=1, keep_score=True,
-            ).agg(
-                F.coalesce(F.sum("_cell_cos"), F.lit(0.0)),
-                F.count("_cell_cos"),
-            ).first()
+            )
+            cos = lambda s: F.when(F.col("_side") == s, F.col("_cell_cos"))  # noqa: E731
+            a_sum, a_n, a_rows, b_sum, b_n = (
+                assigned.select("_cell_cos").withColumn("_side", F.lit(1))
+                .unionByName(
+                    b_assigned.select("_cell_cos").withColumn(
+                        "_side", F.lit(0)
+                    )
+                )
+                .agg(
+                    F.coalesce(F.sum(cos(1)), F.lit(0.0)),
+                    F.count(cos(1)),
+                    F.count(F.when(F.col("_side") == 1, F.lit(1))),
+                    F.coalesce(F.sum(cos(0)), F.lit(0.0)),
+                    F.count(cos(0)),
+                )
+                .first()
+            )
             staged = assigned.drop("_cell_cos").repartitionByRange(
                 8, "cell_id"
             )
@@ -729,10 +743,9 @@ def ivf_drift_info(index_dir: str, *, retrain_ratio: float = 0.90) -> dict:
 
     _check_ivf_epochs(index_dir)  # a mid-retrain ledger would be a lie
     t = TxTable(_os.path.join(index_dir, "cells"))
-    vals = {
-        k: t.latest_app_value(k)
-        for k in ("ivf_cos_sum", "ivf_n", "ivf_cos_sum0", "ivf_n0")
-    }
+    vals = t.latest_app_values(
+        ("ivf_cos_sum", "ivf_n", "ivf_cos_sum0", "ivf_n0")
+    )  # one manifest walk, not four
     if any(v is None for v in vals.values()):
         raise ValueError(
             f"no drift ledger in {index_dir}/cells — index predates the "
@@ -1518,6 +1531,22 @@ def _pq_code_hist(codes_df: DataFrame) -> dict:
     return {f"{r['_sub']}:{r['_code']}": int(r["count"]) for r in rows}
 
 
+def _pq_code_hists_2(both: DataFrame) -> tuple[dict, dict]:
+    """`_pq_code_hist` for a side-marked union of two codes frames —
+    both histograms from ONE collect (`_side` 1 = post, 0 = pre). Same
+    exact-integer semantics per side as two separate calls."""
+    rows = (
+        both.select("_side", F.posexplode("codes").alias("_sub", "_code"))
+        .groupBy("_side", "_sub", "_code")
+        .count()
+        .collect()
+    )
+    hists: tuple[dict, dict] = ({}, {})
+    for r in rows:
+        hists[r["_side"]][f"{r['_sub']}:{r['_code']}"] = int(r["count"])
+    return hists[1], hists[0]
+
+
 def _hist_merge(base: dict, plus: dict, minus: dict) -> dict:
     out = {k: int(v) for k, v in base.items()}
     for k, v in plus.items():
@@ -1667,21 +1696,35 @@ def start_pq_index_sink(
             # (null-skipping count of the metric column — review
             # finding: count(*) deflates the mean with invalid-vector
             # rows whose err is null); a_rows drives the merge
-            a_err, a_n, a_rows = encoded.agg(
-                F.coalesce(F.sum("_pq_err"), F.lit(0.0)),
-                F.count("_pq_err"), F.count("*"),
-            ).first()
-            a_hist = _pq_code_hist(encoded)
+            # Both sides' ledger scalars in ONE action and both code
+            # histograms in ONE action (guide §7.3: four agg jobs per
+            # micro-batch were fixed driver overhead): side-marked
+            # unions over the cached encodings.
             b_encoded = pq_encode_with_err(
                 before.select(id_col, vec_col), book,
                 id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k_cells,
             ).cache()
             try:
-                b_err, b_n = b_encoded.agg(
-                    F.coalesce(F.sum("_pq_err"), F.lit(0.0)),
-                    F.count("_pq_err"),
+                both = (
+                    encoded.select("_pq_err", "codes")
+                    .withColumn("_side", F.lit(1))
+                    .unionByName(
+                        b_encoded.select("_pq_err", "codes").withColumn(
+                            "_side", F.lit(0)
+                        )
+                    )
+                )
+                err = lambda s: F.when(  # noqa: E731
+                    F.col("_side") == s, F.col("_pq_err")
+                )
+                a_err, a_n, a_rows, b_err, b_n = both.agg(
+                    F.coalesce(F.sum(err(1)), F.lit(0.0)),
+                    F.count(err(1)),
+                    F.count(F.when(F.col("_side") == 1, F.lit(1))),
+                    F.coalesce(F.sum(err(0)), F.lit(0.0)),
+                    F.count(err(0)),
                 ).first()
-                b_hist = _pq_code_hist(b_encoded)
+                a_hist, b_hist = _pq_code_hists_2(both)
             finally:
                 b_encoded.unpersist()
             # pre-ledger guard shared with the IVF sink (round-10
@@ -1814,7 +1857,7 @@ def pq_drift_info(
     keys = (
         "pq_err_sum", "pq_n", "pq_err_sum0", "pq_n0", "pq_hist", "pq_hist0"
     )
-    vals = {k: t.latest_app_value(k) for k in keys}
+    vals = t.latest_app_values(keys)  # one manifest walk, not six
     if any(vals[k] is None for k in keys):
         raise ValueError(
             f"no drift ledger in {index_dir}/codes — index predates the "

@@ -31,9 +31,14 @@ def _pinned_shuffle(spark: SparkSession, n: str | None = None):
     ``SPARK_GRAFT_STREAM_SHUFFLE`` overrides for deployments whose
     per-batch state actually needs the parallelism."""
     if n is None:
-        n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE") or str(
-            max(2, spark.sparkContext.defaultParallelism // 4)
-        )
+        default = max(2, spark.sparkContext.defaultParallelism // 4)
+        # Validate the override: '0'/negative/garbage would be set as
+        # spark.sql.shuffle.partitions verbatim and fail obscurely (or
+        # degenerate) only once the gate query starts.
+        try:
+            n = str(max(1, int(os.environ["SPARK_GRAFT_STREAM_SHUFFLE"])))
+        except (KeyError, ValueError):
+            n = str(default)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:

@@ -64,7 +64,24 @@ def tune_caller_session(spark: SparkSession) -> None:
     try:  # pragma: no cover - attribute private to pyspark
         import pyspark.errors.utils as _eu
 
-        if getattr(_eu, "_enable_debugging_cache", None) is not False:
+        # Respect a caller that explicitly ENABLED the debugging conf on
+        # its session — only pin the gate off when the conf is unset or
+        # false. `_enable_debugging_cache` is private to pyspark
+        # (verified present and load-bearing in pyspark 4.1.2; a rename
+        # just means this optimization silently stops applying, which the
+        # except below already tolerates).
+        try:
+            explicit_on = (
+                spark.conf.get(
+                    "spark.python.sql.dataFrameDebugging.enabled", "false"
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            explicit_on = False
+        if not explicit_on and getattr(
+            _eu, "_enable_debugging_cache", None
+        ) is not False:
             _eu._enable_debugging_cache = False
     except Exception:
         pass

@@ -119,9 +119,61 @@ _FOOTER_CACHE: "OrderedDict[tuple, dict[str, list]]" = OrderedDict()
 _FOOTER_CACHE_MAX = 4096
 _FOOTER_LOCK = Lock()
 
+# App-metadata memo over IMMUTABLE manifests (written to a temp path,
+# then link(2)-ed into place — content never changes after publish;
+# expiry only deletes). Keyed by manifest path; a hit re-checks
+# existence so expired versions still drop out of stamp walks. Entries
+# are 1-tuples so "cached empty app" and "not cached" stay distinct.
+# The dicts are shared read-only — internal walkers only read scalars.
+_APP_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_APP_CACHE_MAX = 8192
+_APP_CACHE_LOCK = Lock()
+
+# Scan-handle memo for TxTable reads (the catalog.py discipline applied
+# to snapshot scans): `read()` re-planned `spark.read.schema(ddl)
+# .parquet(*files)` on EVERY call — 2-3 py4j round trips plus a JVM
+# relation-analysis pass — and the lifecycle queries read the same
+# snapshot many times per run (probe, verify, serve). The memo holds
+# lazy plan HANDLES only (no rows, no .cache()); it is keyed by the
+# RESOLVED (schema_ddl, file tuple), so a commit changes the file set
+# and thereby the key — the next read() re-resolves the manifest and
+# misses, which IS the invalidation (content-addressed, strictly safer
+# than (path, version)). Data files are immutable once staged, so a
+# handle can never serve stale bytes. Weak-keyed by session so a
+# stopped JVM drops its handles.
+from weakref import WeakKeyDictionary
+
+_SCAN_HANDLES: "WeakKeyDictionary[SparkSession, OrderedDict]" = (
+    WeakKeyDictionary()
+)
+_SCAN_HANDLES_MAX = 512
+
+
+def _scan_files(spark: SparkSession, schema_ddl: str, files) -> DataFrame:
+    """Memoized `spark.read.schema(schema_ddl).parquet(*files)`."""
+    key = (schema_ddl, tuple(files))
+    cache = _SCAN_HANDLES.setdefault(spark, OrderedDict())
+    hit = cache.get(key)
+    if hit is not None:
+        cache.move_to_end(key)
+        return hit
+    df = spark.read.schema(schema_ddl).parquet(*key[1])
+    cache[key] = df
+    while len(cache) > _SCAN_HANDLES_MAX:
+        cache.popitem(last=False)
+    return df
+
 
 def _footer_stats_one(f: str) -> dict[str, list]:
-    """Stats for ONE file — see _collect_file_stats for the semantics."""
+    """Stats for ONE file — see _collect_file_stats for the semantics.
+
+    SHARED-OWNERSHIP CONTRACT: on a cache hit this returns the SAME
+    dict object every caller sees (the identity is test-pinned, and
+    copying per call would defeat the memo's point for wide commits).
+    Callers must treat the result — and its list values — as frozen;
+    a mutation (e.g. popping __bytes__ before serializing) would
+    silently corrupt stats for every later commit touching the file.
+    Serializers that need to drop keys must build a new dict."""
     import pyarrow.parquet as pq
 
     st = os.stat(f)
@@ -160,7 +212,10 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
     becomes a task-side metric the commit aggregates. Footer parses of
     uncached files run in a small thread pool (pyarrow releases the
     GIL around the IO/parse), so a wide staged write doesn't serialize
-    the driver on footer reads (guide §7.3)."""
+    the driver on footer reads (guide §7.3).
+
+    The per-file dicts are the memo's OWN objects (see
+    _footer_stats_one) — read-only to callers, never mutate."""
     if len(files) > 3:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1052,7 +1107,7 @@ class TxTable:
             elif not files:
                 df = spark.createDataFrame([], m["schema_ddl"])
             else:
-                df = spark.read.schema(m["schema_ddl"]).parquet(*files)
+                df = _scan_files(spark, m["schema_ddl"], files)
             df = df.filter(_where_cond(where))
             return df
         if tbs:
@@ -1060,15 +1115,13 @@ class TxTable:
             clean = self._plan_scan_paths(m, exclude=set(covered))
             df = self._apply_tombstones(spark, m, covered)
             if clean:
-                df = spark.read.schema(m["schema_ddl"]).parquet(
-                    *clean
-                ).unionAll(df)
+                df = _scan_files(spark, m["schema_ddl"], clean).unionAll(df)
             return df
         # dir-grouped: bounded driver cost, listing distributed
         files = self._plan_scan_paths(m)
         if not files:
             return spark.createDataFrame([], m["schema_ddl"])
-        return spark.read.schema(m["schema_ddl"]).parquet(*files)
+        return _scan_files(spark, m["schema_ddl"], files)
 
     # -- write path --------------------------------------------------
 
@@ -1291,14 +1344,55 @@ class TxTable:
         only the head's app would let any interleaved maintenance
         commit reset the stamp and a replayed micro-batch double-apply.
         Returns None if no surviving commit carries the key."""
+        return self.latest_app_values((key,))[key]
+
+    def latest_app_values(self, keys) -> dict:
+        """`latest_app_value` for SEVERAL keys in ONE walk: each key
+        resolves to the newest surviving commit that carries it
+        (independently — different keys may come from different
+        commits). The maintenance sinks read 2-4 app scalars per
+        micro-batch (stamp + running n_docs/total_dl/ledger sums);
+        walking the manifest chain once per SCALAR made the driver
+        re-open+parse O(versions) JSON files per read (guide §7.3) —
+        now it is one walk per batch, over the memoized app column."""
+        keys = tuple(keys)
+        out = dict.fromkeys(keys)
+        missing = set(keys)
         for v in range(self.latest_version(), 0, -1):
-            try:
-                a = self._read_manifest(v).get("app") or {}
-            except FileNotFoundError:
+            a = self._app_of(v)
+            if a is None:
                 continue  # expired version
-            if key in a:
-                return a[key]
-        return None
+            for k in tuple(missing):
+                if k in a:
+                    out[k] = a[k]
+                    missing.discard(k)
+            if not missing:
+                break
+        return out
+
+    def _app_of(self, version: int):
+        """The app dict of `version`, or None when expired — through a
+        process-global bounded memo. Manifests are IMMUTABLE once
+        linked into place (the link(2) CAS), so a cached app column can
+        never go stale; expiry only DELETES files, and a hit re-checks
+        existence (one stat syscall) so an expired version drops out of
+        the walk exactly as an uncached read would."""
+        p = self._manifest_path(version)
+        with _APP_CACHE_LOCK:
+            hit = _APP_CACHE.get(p)
+            if hit is not None:
+                _APP_CACHE.move_to_end(p)
+        if hit is not None:
+            return hit[0] if os.path.exists(p) else None
+        try:
+            app = self._read_manifest(version).get("app") or {}
+        except FileNotFoundError:
+            return None  # expired: never cached (it cannot reappear)
+        with _APP_CACHE_LOCK:
+            _APP_CACHE[p] = (app,)
+            while len(_APP_CACHE) > _APP_CACHE_MAX:
+                _APP_CACHE.popitem(last=False)
+        return app
 
     def _try_commit(
         self, version: int, files: list[str], schema_ddl: str,

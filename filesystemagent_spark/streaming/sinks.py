@@ -479,7 +479,7 @@ def _ledger_continuation(t, keys: tuple[str, ...], build) -> dict:
     extras are skipped entirely and the drift-info reader keeps
     raising its honest 'no drift ledger' error. ``build(prev)``
     returns the extras dict given the previous app values."""
-    prev = {k: t.latest_app_value(k) for k in keys}
+    prev = t.latest_app_values(keys)  # one manifest walk, not len(keys)
     if t.latest_version() > 0 and any(v is None for v in prev.values()):
         return {}
     return build(prev)

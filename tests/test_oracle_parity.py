@@ -7,19 +7,30 @@ from __future__ import annotations
 import pytest
 
 from filesystemagent_spark.queries import registry
-from tests.oracle_utils import compare
+from tests.oracle_utils import SHARED_PLANS, compare, formatted_plan
 
 QUERIES = registry()
 ORACLE_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
 ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+# Spark-side row count per query, recorded by the parity run that
+# already fully materializes every result (compare() goes through
+# toPandas). The vacuity test below reads it instead of re-running the
+# whole query — for the lifecycle/sink queries a second fn() replays
+# the entire DML pipeline, which doubled this module's wall time
+# (measured 233 s of pure duplication at sf0.001). Test-session-local
+# bookkeeping only: the engine under test caches nothing across runs.
+_PARITY_SPARK_ROWS: dict[str, int] = {}
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(name, spark, sf_dir, duck):
     q = QUERIES[name]
     sdf = q.fn(spark, sf_dir)
+    SHARED_PLANS[name] = formatted_plan(sdf)  # for test_plans' registry scan
     rel = duck.sql(q.oracle)
-    ok, msg = compare(sdf, rel)
+    ok, msg, n_spark = compare(sdf, rel)
+    _PARITY_SPARK_ROWS[name] = n_spark
     assert ok, f"{name}: {msg}"
 
 
@@ -28,6 +39,7 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     """Approximate operators at least execute and return a stable schema."""
     q = QUERIES[name]
     df = q.fn(spark, sf_dir)
+    SHARED_PLANS[name] = formatted_plan(df)  # for test_plans' registry scan
     assert df.columns, name
     assert df.count() >= 0
 
@@ -104,7 +116,12 @@ def test_oracle_queries_are_not_vacuous(name, spark, sf_dir):
     'matches' while proving nothing — three anti-join queries shipped
     that way (every customer has orders; every user spans both diff
     windows). Every oracle-checked query must return at least one row
-    at every test SF."""
-    assert QUERIES[name].fn(spark, sf_dir).limit(1).count() == 1, (
-        f"{name} returns 0 rows — vacuous oracle match"
-    )
+    at every test SF. Checked on the SAME materialized result the
+    parity test hashed (re-running fn() replayed every DML/sink
+    lifecycle a second time for a row-count — 233 s of duplicated
+    work); the fallback executes only under -k selections that skip
+    the parity run."""
+    n = _PARITY_SPARK_ROWS.get(name)
+    if n is None:  # parity didn't run in this session — execute fresh
+        n = QUERIES[name].fn(spark, sf_dir).limit(1).count()
+    assert n >= 1, f"{name} returns 0 rows — vacuous oracle match"

@@ -3328,3 +3328,68 @@ def test_footer_stats_memo_matches_fresh_parse_and_tracks_rewrites(spark, tmp_pa
     assert got2["__rows__"] == [3, 3]
     assert got2["k"] == [100, 300]
     assert any(key[0] == f for key in _FOOTER_CACHE)
+
+
+def test_latest_app_values_one_walk_matches_per_key_and_skips_expired(
+    spark, tmp_path
+):
+    """Round-11 optimization (guide §7.3): the sinks read several app
+    scalars per micro-batch; latest_app_values resolves them in ONE
+    manifest walk (over a memoized app column). Must (a) equal the
+    per-key walks exactly — including keys from DIFFERENT commits and
+    absent keys — and (b) keep skipping EXPIRED manifests even when
+    their app was already memoized (the hit re-checks existence)."""
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    t = TxTable(str(tmp_path / "appwalk"))
+    t.init(
+        spark.createDataFrame([(1, "a")], "k: bigint, s: string"),
+        app={"batch_id": 0, "n_docs": 1.0},
+    )
+    t.merge_into(
+        spark.createDataFrame([(2, "b")], "k: bigint, s: string"),
+        ["k"],
+        app={"batch_id": 1},
+    )  # v2 carries the stamp but NOT n_docs — the walk must go past it
+    t.commit_app({"other": "x"})  # v3: app-only maintenance commit
+    want = {
+        k: t.latest_app_value(k) for k in ("batch_id", "n_docs", "missing")
+    }
+    assert want == {"batch_id": 1, "n_docs": 1.0, "missing": None}
+    assert t.latest_app_values(("batch_id", "n_docs", "missing")) == want
+
+    # warm the memo on every version, then expire the oldest two: the
+    # cached app of a deleted manifest must drop out of the walk
+    assert t.latest_app_values(("n_docs",))["n_docs"] == 1.0
+    expired = t.expire_versions(keep_last=1, older_than_seconds=0)
+    assert 1 in expired
+    assert t.latest_app_values(("n_docs", "other")) == {
+        "n_docs": None,  # only v1 carried it, and v1 is gone
+        "other": "x",
+    }
+    assert t.latest_app_value("n_docs") is None
+
+
+def test_read_scan_handle_memo_and_commit_staleness(spark, tmp_path):
+    """Round-11 optimization (guide §7.3): read() memoizes the scan
+    handle per (schema, resolved file set) — repeated reads of one
+    snapshot reuse one plan handle — and a COMMIT must invalidate it
+    (the key is the file list, which the commit changes): the next
+    read sees the new version's rows."""
+    from filesystemagent_spark.sources.txtable import TxTable
+
+    t = TxTable(str(tmp_path / "scanmemo"))
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "k: bigint, s: string"))
+    r1 = t.read(spark)
+    assert t.read(spark) is r1  # same snapshot -> same memoized handle
+    assert r1.count() == 2
+
+    t.merge_into(
+        spark.createDataFrame([(3, "c")], "k: bigint, s: string"), ["k"]
+    )
+    r2 = t.read(spark)
+    assert r2 is not r1  # new file set -> new key -> fresh handle
+    assert r2.count() == 3
+    assert {r["k"] for r in r2.collect()} == {1, 2, 3}
+    # the old snapshot's handle still answers as-of reads consistently
+    assert t.read(spark, version=1).count() == 2

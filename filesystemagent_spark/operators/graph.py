@@ -25,7 +25,7 @@ oracle can replay iterations exactly (queries/graph.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -41,9 +41,14 @@ def copurchase_edges(
     table. Returns distinct directed edges (both directions), so every
     node of the graph has out-degree >= 1.
     """
-    li = lineitem.select(order_col, item_col).distinct()
-    grouped = li.groupBy(order_col).agg(
-        F.sort_array(F.collect_list(item_col)).alias("_items")
+    # ONE shuffle, not two (round 11, guide §2.4): collect_set dedups
+    # per order INSIDE the aggregation, so the standalone
+    # `.distinct()` pre-pass — a full extra exchange of the fact
+    # table's (order, item) pairs — is gone. Per-order sets equal
+    # DISTINCT pairs by definition, and map-side partial collect_set
+    # shrinks the one remaining shuffle to unique items per order.
+    grouped = lineitem.select(order_col, item_col).groupBy(order_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_items")
     )
     pair_structs = F.flatten(
         F.transform(
@@ -85,32 +90,29 @@ def pagerank_int(
     from pyspark import StorageLevel
 
     teleport = (100 - damping_pct) * scale // 100
-    # Degree via window, not a join: edges are already partitioned by
-    # src for the rank join below, so the window reuses that exchange.
-    # Persisted: every iteration probes this table, and without the
-    # cache each round would re-derive the whole edge build.
-    # Right-size the iteration working set: under a default-config
-    # session the upstream shuffles leave 200 micro-partitions, and the
-    # per-iteration task/shuffle-block overhead of 200-partition cached
-    # scans dominates this graph's actual compute (measured 11s → <2s
-    # per iteration at sf0.1). Hash on src satisfies the window's
-    # required distribution, so this exchange replaces — not adds to —
-    # the window's own.
-    par = edges.sparkSession.sparkContext.defaultParallelism
-    ed = (
-        edges.repartition(par, "src")
-        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Degree via aggregation + join, not repartition + window (round
+    # 11, guide §2.4/§2.3): the window path shuffled the FULL edge
+    # list on src just to count per-src rows; the aggregation shuffles
+    # only map-side partial counts (node-cardinality), and the count
+    # table re-attaches by the same join strategy the iterations use —
+    # broadcast when the node table fits (the default here), a
+    # partitioned join otherwise. Persisted: every iteration probes
+    # this table, and without the cache each round would re-derive the
+    # whole edge build. AQE right-sizes the persisted partitioning at
+    # runtime (canChangeCachedPlanOutputPartitioning, round 10).
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    dside = F.broadcast(deg) if broadcast_ranks else deg
+    ed = edges.join(dside, "src").persist(StorageLevel.MEMORY_AND_DISK)
     # Eager localCheckpoint per round: iterative DataFrame algorithms
     # must truncate lineage (the plan doubles every round otherwise),
     # and the final ranks must not reference `ed` so it can be
     # unpersisted before returning a still-lazy result. On a cluster
     # with an HDFS checkpoint dir, checkpoint() adds executor-loss
     # resilience (same note as dedup.near_dup_clusters).
+    # rank_0 comes from the degree table — already one row per src —
+    # instead of a THIRD full-edge exchange for distinct(src).
     ranks = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
+        deg.select(F.col("src").alias("node"))
         .withColumn("rank", F.lit(scale).cast("long"))
         .localCheckpoint(eager=True)
     )

@@ -104,6 +104,11 @@ def _drain_to_memory(
     if output_mode:
         writer = writer.outputMode(output_mode)
     with _pinned_shuffle(spark):
+        # The outer gates' unmatched-row flush rides the engine's
+        # no-data micro-batch (see _watermark_tick_batches) — default
+        # on, pinned here so a caller session that disabled it can't
+        # silently swallow the eviction pass.
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
         q = (
             writer.option("checkpointLocation", os.path.join(ckpt_dir, "_ckpt"))
             .trigger(availableNow=True)
@@ -114,13 +119,22 @@ def _drain_to_memory(
 
 
 def _watermark_tick_batches(spark: SparkSession, ev: DataFrame) -> list:
-    """The two sentinel tick batches the OUTER interval-join gates
-    append: one far-future row per side (sentinel ids -1/-2 and
-    -11/-12, user_id -1 — disjoint from real keys, and the two sides'
-    timestamps 100h apart so the sentinels never join each other). b1
-    pushes BOTH watermarks past every real row's eligibility window;
-    b2 triggers the eviction pass that flushes the unmatched rows
-    (eviction runs in the batch AFTER the watermark advances).
+    """The ONE sentinel tick batch the OUTER interval-join gates
+    append: one far-future row per side (sentinel ids -1/-2, user_id
+    -1 — disjoint from real keys, and the two sides' timestamps 100h
+    apart so the sentinels never join each other). It pushes BOTH
+    watermarks past every real row's eligibility window; the eviction
+    pass that flushes the unmatched rows then runs in the engine's own
+    NO-DATA micro-batch (eviction runs in the batch AFTER the
+    watermark advances, and Structured Streaming schedules exactly
+    that batch itself when the watermark moved —
+    spark.sql.streaming.noDataMicroBatches, pinned on by
+    `_drain_to_memory`). Round 11: a second staged tick batch used to
+    play that role — one full extra state schedule (every state
+    partition × all four join state stores) plus a staging write job
+    per gate, for rows the id-sign filter dropped anyway; results
+    verified bit-identical with it gone (scripts/exp_interval_gate.py
+    at sf0.01: 3923 rows either way, 4 → 3 micro-batches).
     Sentinels are filtered out post-join by id sign."""
     t1 = ev.agg(F.max("ts")).first()[0]
     tick = spark.createDataFrame(
@@ -134,10 +148,7 @@ def _watermark_tick_batches(spark: SparkSession, ev: DataFrame) -> list:
         + F.when(F.col("event_id") == -2, F.expr("INTERVAL 100 HOURS"))
         .otherwise(F.expr("INTERVAL 0 HOURS")),
     )
-    b2 = b1.withColumn(
-        "ts", F.col("ts") + F.expr("INTERVAL 300 HOURS")
-    ).withColumn("event_id", F.col("event_id") - 10)
-    return [b1, b2]
+    return [b1]
 
 
 @register(
@@ -561,11 +572,13 @@ def events_stream_interval_join_outer(
 
     Outer results only flush when the watermark passes a row's
     eligibility window, and eviction runs in the batch AFTER the
-    watermark advances — so the staging appends two far-future tick
-    batches (one row per side each, sentinel ids, disjoint user/key
-    space and mutually unjoinable timestamps): b1 pushes both
-    watermarks past every real row's window, b2 triggers the eviction
-    pass that emits the unmatched purchases. Sentinels filter out
+    watermark advances — so the staging appends one far-future tick
+    batch (one row per side, sentinel ids, disjoint user/key space
+    and mutually unjoinable timestamps) that pushes both watermarks
+    past every real row's window; the engine's no-data micro-batch
+    then runs the eviction pass that emits the unmatched purchases
+    (round 11 — was a second staged tick batch doing the same job one
+    full state schedule more expensively). Sentinels filter out
     post-join; the result must equal the batch LEFT JOIN the oracle
     computes — a swallowed unmatched row, a double emission, or an
     early flush each shifts the hash."""
@@ -626,8 +639,9 @@ def events_stream_interval_join_full(
     whichever side exists (streaming/joins.py coalesces it; before
     round 8 a fullOuter unmatched-right row came back with a NULL
     key). Same tick-batch staging as the LEFT OUTER gate — the
-    sentinels push both watermarks past every real row and then
-    trigger the eviction pass — and the result must equal the batch
+    sentinels push both watermarks past every real row and the
+    engine's no-data micro-batch runs the eviction pass — and the
+    result must equal the batch
     FULL JOIN the oracle computes: a swallowed unmatched row on
     EITHER side, a double emission, or a nulled key shifts the
     hash."""
